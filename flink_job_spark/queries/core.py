@@ -1,0 +1,244 @@
+"""SURVEY §2 reference-surface query keys, each with its DuckDB oracle.
+
+All implementations are pure DataFrame lineage over the driver testdata
+(`load_table`); cutoffs are frozen driver-side exactly like the reference's
+snapshot protocol (mis:628-643). Deterministic by construction: no now(),
+fixed literals where the reference would stamp wall-clock values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_job_spark.functions.hashing import (
+    duckdb_row_hash_sql,
+    row_hash_column,
+    row_hash_sql_expr,
+)
+from flink_job_spark.operators.audit import hash_mismatch_flag, point_lookup
+from flink_job_spark.operators.envelope import with_envelope
+from flink_job_spark.operators.snapshot import freeze_cutoff, resume_predicate, snapshot_scan
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import SCHEMAS, load_table
+
+LINEITEM_COLS = [f.name for f in SCHEMAS["lineitem"].fields]
+SKIP_FLOOR = 1000          # fixed resume floor for q_skip_offset
+CORRUPT_MOD = 97           # deterministic corruption for the mismatch queries
+FIXED_LOAD_DTTM = dt.datetime(2026, 1, 1, 0, 0, 0)  # oracle-parity load stamp
+
+
+# --- 1. q_scan_project: explicit column list + cutoff + ORDER BY (mis:1076-1088) ---
+
+@register(
+    "q_scan_project",
+    f"""SELECT {', '.join(LINEITEM_COLS)} FROM lineitem
+        WHERE l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem)
+        ORDER BY l_orderkey""",
+    doc="JDBC snapshot table scan: explicit columns, cutoff, total order (mis:1064-1135)",
+    tags=("scan",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = freeze_cutoff(li, "l_orderkey")
+    return snapshot_scan(li, LINEITEM_COLS, "l_orderkey", cutoff)
+
+
+# --- 2. q_skip_offset: key-floor resume (replaces SKIP n, mis:1073-1080) ---
+
+@register(
+    "q_skip_offset",
+    f"""SELECT {', '.join(LINEITEM_COLS)} FROM lineitem
+        WHERE l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem)
+          AND l_orderkey > {SKIP_FLOOR}
+        ORDER BY l_orderkey""",
+    doc="resumable offset scan as key-floor predicate (mis:1037-1080, SURVEY §7#3)",
+    tags=("scan", "resume"),
+)
+def q_skip_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = freeze_cutoff(li, "l_orderkey")
+    return snapshot_scan(li, LINEITEM_COLS, "l_orderkey", cutoff, floor=SKIP_FLOOR)
+
+
+# --- 3. q_watermark_filter: frozen snapshot cutoff (mis:628-657) ---
+
+@register(
+    "q_watermark_filter",
+    """SELECT * FROM orders
+       WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders)""",
+    doc="snapshot-cutoff filter: orderCol <= frozen MAX (mis:645-657)",
+    tags=("filter",),
+)
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = freeze_cutoff(o, "o_orderkey")
+    return o.filter(resume_predicate("o_orderkey", cutoff))
+
+
+# --- 4. q_snapshot_count: COUNT(1) under cutoff (mis:1362-1383) ---
+
+@register(
+    "q_snapshot_count",
+    """SELECT COUNT(1) AS snapshot_count FROM orders
+       WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders)""",
+    doc="snapshot baseline metric (mis:1372)",
+    tags=("agg",),
+)
+def q_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = freeze_cutoff(o, "o_orderkey")
+    return (o.filter(resume_predicate("o_orderkey", cutoff))
+             .agg(F.count(F.lit(1)).alias("snapshot_count")))
+
+
+# --- 5. q_max_watermark: MAX over an orderable column (mis:636) ---
+
+@register(
+    "q_max_watermark",
+    "SELECT MAX(o_orderdate) AS watermark FROM orders",
+    doc="watermark read: MAX(orderCol) (mis:628-643)",
+    tags=("agg",),
+)
+def q_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.max("o_orderdate").alias("watermark"))
+
+
+# --- 6. q_row_hash: canonical MD5 row hash (mis:1598-1694, 1802-1862) ---
+
+@register(
+    "q_row_hash",
+    f"""SELECT l_orderkey, l_linenumber,
+               {duckdb_row_hash_sql(SCHEMAS['lineitem'])} AS row_hash
+        FROM lineitem""",
+    doc="canonical row-hash tokens over every lineitem column type",
+    tags=("hash",),
+)
+def q_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        row_hash_column(li, LINEITEM_COLS).alias("row_hash"),
+    )
+
+
+# --- 7. q_tech_columns: the 11-column envelope (mis:1107-1119) ---
+
+_CUSTOMER_HASH = duckdb_row_hash_sql(SCHEMAS["customer"])
+
+@register(
+    "q_tech_columns",
+    f"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '2026-01-01 00:00:00' AS load_dttm,
+               CAST(NULL AS TIMESTAMP) AS load_dttm_tz,
+               CAST(NULL AS BIGINT) AS load_id,
+               'INITIAL' AS op,
+               CAST(NULL AS BIGINT) AS ts_ms,
+               CAST(NULL AS BIGINT) AS source_ts_ms,
+               'mis' AS src_system_code,
+               CAST(NULL AS TIMESTAMP) AS extract_dttm,
+               CAST(NULL AS TIMESTAMP) AS src_chng_dttm,
+               {_CUSTOMER_HASH} AS row_hash,
+               CAST(NULL AS VARCHAR) AS row_hash_iceberg
+        FROM customer""",
+    doc="derived-column projection: tech envelope with fixed load stamp",
+    tags=("envelope",),
+)
+def q_tech_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return with_envelope(c, load_dttm=FIXED_LOAD_DTTM)
+
+
+# --- 8/9. hash-mismatch audit queries with deterministic injected corruption ---
+
+def _corrupted_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + row_hash (Column impl) + row_hash_iceberg (independent SQL impl)
+    computed over a copy whose l_quantity is corrupted for l_orderkey%97==0 —
+    a deterministic stand-in for the cross-engine divergence the reference's
+    audit exists to catch (mis:1264-1331)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    corrupted = li.withColumn(
+        "__c_l_quantity",
+        F.when(F.col("l_orderkey") % CORRUPT_MOD == 0, F.col("l_quantity") + 1)
+         .otherwise(F.col("l_quantity")),
+    )
+    sink_cols = [c if c != "l_quantity" else "__c_l_quantity" for c in LINEITEM_COLS]
+    return corrupted.select(
+        "l_orderkey", "l_linenumber",
+        row_hash_column(li, LINEITEM_COLS).alias("row_hash"),
+        F.expr(row_hash_sql_expr(corrupted.schema, sink_cols)).alias("row_hash_iceberg"),
+    )
+
+
+_CORRUPT_SCHEMA = T.StructType(
+    list(SCHEMAS["lineitem"].fields) + [T.StructField("__c_l_quantity", T.DoubleType())]
+)
+_SINK_COLS = [c if c != "l_quantity" else "__c_l_quantity" for c in LINEITEM_COLS]
+_DUCK_PAIR_CTE = f"""
+WITH corrupted AS (
+  SELECT *,
+         CASE WHEN l_orderkey % {CORRUPT_MOD} = 0 THEN l_quantity + 1
+              ELSE l_quantity END AS "__c_l_quantity"
+  FROM lineitem
+), hashed AS (
+  SELECT l_orderkey, l_linenumber,
+         {duckdb_row_hash_sql(SCHEMAS['lineitem'])} AS row_hash,
+         {duckdb_row_hash_sql(_CORRUPT_SCHEMA, _SINK_COLS)} AS row_hash_iceberg
+  FROM corrupted
+)"""
+
+
+@register(
+    "q_hash_mismatch_agg",
+    _DUCK_PAIR_CTE + """
+    SELECT COUNT(1) AS target_count,
+           CAST(COALESCE(SUM(CASE WHEN lower(row_hash) = lower(row_hash_iceberg)
+                                  THEN 0 ELSE 1 END), 0) AS BIGINT) AS hash_mismatches
+    FROM hashed""",
+    doc="one-pass COUNT + conditional mismatch sum (mis:1385-1411)",
+    tags=("agg", "audit"),
+)
+def q_hash_mismatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = _corrupted_pair(spark, sf_dir)
+    return pair.agg(
+        F.count(F.lit(1)).alias("target_count"),
+        F.coalesce(F.sum(hash_mismatch_flag()), F.lit(0)).alias("hash_mismatches"),
+    )
+
+
+@register(
+    "q_hash_mismatch_topk",
+    _DUCK_PAIR_CTE + """
+    SELECT * FROM hashed
+    WHERE lower(row_hash) <> lower(row_hash_iceberg)
+    ORDER BY l_orderkey, l_linenumber, row_hash, row_hash_iceberg
+    LIMIT 10""",
+    doc="top-k mismatch sample: filter ≠, ORDER BY key, FETCH FIRST 10 (mis:1432-1440)",
+    tags=("topk", "audit"),
+)
+def q_hash_mismatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = _corrupted_pair(spark, sf_dir)
+    # (l_orderkey, l_linenumber) is not unique in the testdata — order by the
+    # full output tuple so the k-th row is engine-independent
+    return (pair
+            .filter(F.lower(F.col("row_hash")) != F.lower(F.col("row_hash_iceberg")))
+            .orderBy("l_orderkey", "l_linenumber", "row_hash", "row_hash_iceberg")
+            .limit(10))
+
+
+# --- 10. q_point_lookup: string-cast key equality, FETCH FIRST 1 (mis:1514-1517) ---
+
+@register(
+    "q_point_lookup",
+    """SELECT * FROM customer
+       WHERE CAST(c_custkey AS VARCHAR) = '42' LIMIT 1""",
+    doc="point lookup by stringified key (mis:1514-1544)",
+    tags=("lookup",),
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return point_lookup(c, "c_custkey", 42)

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the local test harness.
+
+The engine itself never assumes local mode — all operators are plain
+DataFrame lineage that scales with whatever cluster the session runs on.
+This factory only encodes the local-mode knobs (shuffle partitions ≈ cores,
+AQE on, UTC session timezone for oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "flink_job_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # the driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS)
+        # which Spark only reads via this legacy long mapping
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set runtime confs this engine relies on, on an externally created session.
+
+    The correctness driver hands us its own SparkSession; these confs are all
+    runtime-settable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
