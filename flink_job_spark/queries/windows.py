@@ -1,1 +1,153 @@
-"""(filled in below)"""
+"""Windowed aggregations + dedup over the `events` stream table.
+
+The reference has no windows (SURVEY §2.7 #43 — explicitly absent); these are
+the Structured-Streaming-shaped extensions from the north star. Implemented
+here as BATCH DataFrame plans (window()/session_window() work identically in
+batch and streaming — the streaming wrappers in flink_job_spark.streaming
+reuse these same expressions with watermarks).
+
+Determinism notes for the oracle:
+- double sums are order-dependent across engines → aggregate in DECIMAL(18,6)
+  (exact, associative), cast the final sum back to DOUBLE.
+- Spark window() buckets are epoch-aligned; DuckDB time_bucket is
+  2000-01-01-aligned — identical for divisors of a day (1h, 30m used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --- q_window_tumbling -------------------------------------------------------------
+
+@register(
+    "q_window_tumbling",
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+              time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+              event_type,
+              COUNT(1) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY 1, 2, 3""",
+    doc="tumbling 1h window: count + exact-decimal sum per event_type",
+    tags=("window", "streaming"),
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+# --- q_window_sliding ---------------------------------------------------------------
+
+@register(
+    "q_window_sliding",
+    """WITH assigned AS (
+         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                  - k * INTERVAL '30 minutes' AS window_start,
+                value
+         FROM events, (SELECT unnest([0, 1]) AS k)
+       )
+       SELECT window_start,
+              window_start + INTERVAL '1 hour' AS window_end,
+              COUNT(1) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM assigned
+       GROUP BY 1, 2""",
+    doc="sliding window 1h/30m: each event in 2 overlapping windows",
+    tags=("window", "streaming"),
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+# --- q_session_window ------------------------------------------------------------------
+
+@register(
+    "q_session_window",
+    f"""WITH flagged AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN CAST(ts AS TIMESTAMP)
+                          - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '{SESSION_GAP_MIN} minutes'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       islands AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       )
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+              COUNT(1) AS n_events
+       FROM islands GROUP BY user_id, session_id""",
+    doc=f"session windows per user, {SESSION_GAP_MIN}-minute inactivity gap "
+        "(Spark session_window ≡ gaps-and-islands oracle)",
+    tags=("window", "streaming", "session"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --- q_events_dedup ------------------------------------------------------------------------
+
+@register(
+    "q_events_dedup",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1""",
+    doc="stream-style dedup: deterministic first event per (user_id, event_type) "
+        "(the batch analog of dropDuplicates within watermark)",
+    tags=("dedup", "streaming"),
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
