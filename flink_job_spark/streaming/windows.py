@@ -1,0 +1,80 @@
+"""Streaming windowed aggregations + dedup with event-time watermarks.
+
+These wrap the SAME aggregation expressions as the batch window queries
+(flink_job_spark.queries.windows) — batch is the oracle for the streaming
+path. Unlike the reference's frozen snapshot 'watermark' (a cutoff literal,
+SURVEY §2.7 #39), these are true event-time watermarks bounding state for
+late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); under a UTC session the cast is
+    value-preserving. Window bounds are cast back to NTZ downstream so the
+    streaming output schema equals the batch twin's."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def stream_tumbling_agg(events: DataFrame, window: str = "1 hour",
+                        watermark: str = "1 hour") -> DataFrame:
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_sliding_agg(events: DataFrame, window: str = "1 hour",
+                       slide: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def stream_session_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """State-bounded streaming dedup: first event per key within the watermark
+    horizon (`dropDuplicatesWithinWatermark` — state is purged as the
+    watermark advances, so this runs forever at 100 TB/day)."""
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
+    )
