@@ -192,16 +192,22 @@ def pred_lang_duck(hits: dict[str, str]) -> str:
 FP_K = 8
 
 
-def fingerprint_columns(col: str = "text") -> dict[str, Column]:
-    norm = norm_text(col)
+def fingerprint_columns(norm_col: str) -> dict[str, Column]:
+    """Fingerprints over an ALREADY-normalized text column.
+
+    Callers must project :func:`norm_text` into ``norm_col`` first — binding
+    the normalization to an attribute guarantees the regex pass runs once per
+    row; inlining it into the shingle lambda would re-run it once per shingle
+    (one full-document regex scan per character position).
+    """
+    n = F.col(norm_col)
     return {
-        "fp_md5": F.md5(norm),
+        "fp_md5": F.md5(n),
         "fp_minshingle": F.array_min(
             F.transform(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(trim(regexp_replace(lower({col}), "
-                    f"'{NORM_RE}', ' '))) - {FP_K - 1}, 1)), "
-                    f"i -> substring(trim(regexp_replace(lower({col}), '{NORM_RE}', ' ')), i, {FP_K}))"
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(n) - (FP_K - 1), F.lit(1))),
+                    lambda i: n.substr(i, F.lit(FP_K)),
                 ),
                 F.md5,
             )

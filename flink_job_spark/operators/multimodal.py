@@ -110,6 +110,30 @@ def frame_sample_plan(media: DataFrame, duration_ms_col: str = "duration_ms",
     )
 
 
+def fake_media_from_documents(d: DataFrame) -> DataFrame:
+    """Deterministic distributed media table derived from `documents`:
+    payload = FAKEIMG1 fake image whose dims are a closed-form function of
+    doc_id (width = 16 + id%64, height = 16 + id%48). Payload bytes are built
+    in Arrow-batched mapInPandas — the real binary-column plumbing — while the
+    closed form lets a SQL oracle check the encode→decode roundtrip
+    differentially without touching bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "image",
+                "mime": "image/fake",
+                "payload": [
+                    encode_fake_image(int(i), 16 + int(i) % 64, 16 + int(i) % 48)
+                    for i in ids
+                ],
+            })
+
+    return d.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 EMBED_DIM = 16
 
 FEATURE_SCHEMA = T.StructType([

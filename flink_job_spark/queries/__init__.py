@@ -35,5 +35,12 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
-    from flink_job_spark.queries import core, dedup, similarity, text, windows  # noqa: F401
+    from flink_job_spark.queries import (  # noqa: F401
+        core,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+        windows,
+    )
     return REGISTRY

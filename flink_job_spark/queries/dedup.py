@@ -151,7 +151,10 @@ _BAND_UNION_DUCK = " UNION ALL ".join(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d)
+    # sh feeds signatures, candidate verify (both sides) and sizes — persist
+    # so the shingle explode+distinct runs once, not 4× (at scale: materialize
+    # the inverted index before the self-join, the standard MinHash layout)
+    sh = doc_shingles(d).persist()
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"s{j}")
           for j in range(MINHASH_K)]
@@ -195,7 +198,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d)
+    sh = doc_shingles(d).persist()  # used by cand self-join, verify, sizes
     cand = (
         sh.alias("a")
         .join(sh.alias("b"),
@@ -244,38 +247,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 TF-weighted bit balances in ONE shuffle: explode words, derive each
+    bit p's ±1 contribution from md5(word) as 32 plain columns (the per-p hex
+    digit index and shift are compile-time constants), then a single
+    groupBy(doc_id) with 32 partial-aggregated SUMs. No 32× row blowup, no
+    collect_list re-sort — at 100 TB this is one map + one combine-enabled
+    shuffle over small ints. Since each occurrence contributes cnt=1 and the
+    weight is linear, summing per occurrence ≡ summing TF-weighted per word
+    (same integers the DuckDB oracle computes from its wc CTE)."""
     d = load_table(spark, sf_dir, "documents")
+    # one explode + (doc,word) reduction: the expensive text normalization and
+    # word explode run exactly once; everything after operates on TF rows
     wc = (
         d.select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pos = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("p")
-    exploded = wc.select("doc_id", "word", "cnt", pos)
-    hexval = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5("word"), 1, 32).substr(
-                (F.floor(F.col("p") / 4.0) + 1).cast("int"), F.lit(1)),
-        ) - 1
+    # The ±1 bit contribution depends only on the WORD, so compute it once per
+    # DISTINCT word and broadcast-join back — md5 runs |vocab| times, not
+    # |occurrences|×32 times (CollapseProject would otherwise inline the md5
+    # into every one of the 32 per-row columns). A corpus vocabulary is always
+    # broadcast-sized relative to the corpus itself.
+    vocab = wc.select("word").distinct().withColumn("h", F.md5("word"))
+    hexd = {
+        dig: F.instr(F.lit("0123456789abcdef"), F.substring("h", dig + 1, 1)) - 1
+        for dig in range(SIMHASH_BITS // 4)
+    }
+    contribs = []
+    for p in range(SIMHASH_BITS):
+        bit = (F.floor(hexd[p // 4] / F.lit(float(2 ** (3 - p % 4)))).cast("int") % 2)
+        contribs.append((2 * bit - 1).cast("long").alias(f"c{p}"))
+    vocab_bits = vocab.select("word", *contribs)
+    sums = (
+        wc.join(F.broadcast(vocab_bits), "word")
+        .groupBy("doc_id")
+        .agg(*[F.sum(F.col("cnt") * F.col(f"c{p}")).alias(f"s{p}")
+               for p in range(SIMHASH_BITS)])
     )
-    bit = (F.floor(hexval / F.pow(F.lit(2.0), 3 - (F.col("p") % 4))).cast("int") % 2)
-    bits = (
-        exploded.select("doc_id", "p", (F.col("cnt") * (2 * bit - 1)).alias("contrib"))
-        .groupBy("doc_id", "p")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(
-                    F.col("p"),
-                    F.when(F.col("s") > 0, "1").otherwise("0").alias("c"),
-                ))),
-                lambda x: x["c"],
-            ),
-            "",
-        ).alias("simhash")
+    return sums.select(
+        "doc_id",
+        F.concat(*[
+            F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
+            for p in range(SIMHASH_BITS)
+        ]).alias("simhash"),
     )
 
 
@@ -305,7 +319,9 @@ _DUCK_CHUNK_UNION = " UNION ALL ".join(
     tags=("dedup", "simhash"),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_signatures(spark, sf_dir)
+    # sig feeds the chunk self-join and both Hamming-verify sides — persist so
+    # the word-explode + 32-sum aggregation runs once, not 4×
+    sig = _simhash_signatures(spark, sf_dir).persist()
     chunk_stack = ", ".join(
         f"{c}, substring(simhash, {c * 8 + 1}, 8)" for c in range(_N_CHUNKS)
     )
@@ -320,12 +336,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("hb"))
-    hamming = F.expr(
-        f"aggregate(sequence(1, {SIMHASH_BITS}), 0, "
-        f"(acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
-    ).cast("long")
+    # Hamming distance as ONE codegen op per pair: parse the bit string to a
+    # 32-bit int once per doc (xv), then bit_count(xor) — not a 32-step
+    # interpreted fold per candidate pair
+    xv = F.conv("simhash", 2, 10).cast("long")
+    sa = sig.select(F.col("doc_id").alias("d1"), xv.alias("xa"))
+    sb = sig.select(F.col("doc_id").alias("d2"), xv.alias("xb"))
+    hamming = F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))).cast("long")
     return (
         cand.join(sa, "d1").join(sb, "d2")
         .select("d1", "d2", hamming.alias("hamming"))

@@ -1,0 +1,120 @@
+"""Multimodal (binary-column) queries over a deterministic fake-media table
+derived from `documents` (LLM-pipeline extensions; SURVEY §7 milestone 3).
+
+The media payloads are opaque binary built AND decoded through the real
+Arrow-batched mapInPandas plumbing (operators/multimodal.py); because the
+fake format's dims are a closed-form function of doc_id, a plain-SQL oracle
+can differentially check the whole encode→decode roundtrip without DuckDB
+ever touching the bytes. Feature extraction hashes the payload bytes, which
+SQL can't reproduce — that one is registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_job_spark.operators.multimodal import (
+    decode_image_meta,
+    extract_features,
+    fake_media_from_documents,
+    frame_sample_plan,
+    resize_plan,
+)
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+RESIZE_MAX_SIDE = 32   # below the fake dims so the scale math is exercised
+FRAME_FPS = 1.0
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fake_media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+# --- q_media_image_meta: binary decode roundtrip ---------------------------------
+
+@register(
+    "q_media_image_meta",
+    """SELECT doc_id AS media_id, 'image' AS kind, 'image/fake' AS mime,
+              CAST(16 + doc_id % 64 AS INT) AS width,
+              CAST(16 + doc_id % 48 AS INT) AS height,
+              CAST(NULL AS VARCHAR) AS decode_error
+       FROM documents""",
+    doc="image metadata decode from binary payloads (mapInPandas); oracle checks "
+        "the encode→decode roundtrip via the closed-form dims",
+    tags=("multimodal",),
+)
+def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = decode_image_meta(_media(spark, sf_dir))
+    return meta.select("media_id", "kind", "mime", "width", "height", "decode_error")
+
+
+# --- q_media_resize: aspect-preserving resize targets ----------------------------
+
+@register(
+    "q_media_resize",
+    f"""SELECT media_id, width, height,
+               CAST(ceil(width * scale) AS INT) AS target_width,
+               CAST(ceil(height * scale) AS INT) AS target_height
+        FROM (
+          SELECT doc_id AS media_id,
+                 CAST(16 + doc_id % 64 AS INT) AS width,
+                 CAST(16 + doc_id % 48 AS INT) AS height,
+                 least(1.0, {RESIZE_MAX_SIDE} / CAST(greatest(16 + doc_id % 64,
+                      16 + doc_id % 48) AS DOUBLE)) AS scale
+          FROM documents)""",
+    doc=f"aspect-preserving resize targets (max side {RESIZE_MAX_SIDE}) as pure "
+        "Column math over decoded metadata",
+    tags=("multimodal",),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = decode_image_meta(_media(spark, sf_dir))
+    return (resize_plan(meta, max_side=RESIZE_MAX_SIDE)
+            .select("media_id", "width", "height", "target_width", "target_height"))
+
+
+# --- q_media_frame_sample: video frame-sampling timestamps -----------------------
+
+@register(
+    "q_media_frame_sample",
+    """SELECT doc_id AS media_id,
+              CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms,
+              CAST(floor((1000 + doc_id % 5000 - 1) / 1000) + 1 AS INT) AS n_frames,
+              CAST((floor((1000 + doc_id % 5000 - 1) / 1000)) * 1000 AS BIGINT)
+                AS last_frame_ts_ms
+       FROM documents""",
+    doc=f"frame-sampling timestamps at {FRAME_FPS} fps over synthetic durations "
+        "(JVM-side sequence; oracle checks count and last offset)",
+    tags=("multimodal",),
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1000) + F.col("doc_id") % 5000).cast("long").alias("duration_ms"),
+    )
+    sampled = frame_sample_plan(media, "duration_ms", fps=FRAME_FPS)
+    return sampled.select(
+        "media_id", "duration_ms",
+        F.size("frame_ts_ms").cast("int").alias("n_frames"),
+        F.element_at("frame_ts_ms", -1).cast("long").alias("last_frame_ts_ms"),
+    )
+
+
+# --- q_media_features: bytes → fixed-dim feature vector (rows-only) ---------------
+
+@register(
+    "q_media_features",
+    None,  # sha256 over constructed payload bytes is not SQL-reproducible
+    doc="payload bytes → fixed-dim float feature via Arrow-batched mapInPandas "
+        "(deterministic stand-in for an encoder model; rows-only check)",
+    tags=("multimodal",),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.size("feature").cast("int").alias("feat_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )

@@ -11,6 +11,15 @@
                           portability) → equi-join on band buckets → cosine
                           verify on candidates only. Candidate volume scales
                           with bucket collision rates, not n².
+- q_ann_ivf_topk:         IVF (inverted-file) ANN: broadcast a small centroid
+                          set, assign every vector to its nearest cell
+                          (map-side, no shuffle of the big table), probe the
+                          nprobe nearest cells per query, exact cosine only
+                          inside probed cells. At 100 TB the scan side stays
+                          partitioned by cell id, so a probe touches nprobe/n
+                          of the data; centroids here are a deterministic
+                          sample (a production build would k-means|| them —
+                          same plan shape, different centroid values).
 
 Scores are rounded to 6 decimals in BOTH engines; the underlying doubles are
 bit-identical (see functions/vectors.py), so rounding is too.
@@ -23,8 +32,10 @@ from pyspark.sql import functions as F
 
 from flink_job_spark.functions.vectors import (
     as_double_array,
-    cosine,
     cosine_duck,
+    dot_fixed,
+    norm_fixed,
+    probe_dim,
     sign_bucket,
     sign_bucket_duck,
 )
@@ -36,11 +47,20 @@ N_QUERY_VECS = 5
 COSINE_DUP_THRESHOLD = 0.4
 LSH_BAND_DIMS = 4   # dims per sign band
 LSH_BANDS = 4       # bands → dims 1..16 used
+IVF_CENTROIDS = 8   # deterministic coarse-quantizer size
+IVF_NPROBE = 2      # cells probed per query
 
 
-def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vecs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """(vec_id, v double[], nv = ||v||) + the probed fixed dim.
+
+    Norms are computed ONCE per row here, not once per pair inside the join —
+    the pair-join hot path is then a single unrolled codegen dot product.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select("vec_id", as_double_array("embedding").alias("v"))
+    e = e.select("vec_id", as_double_array("embedding").alias("v"))
+    dim = probe_dim(e, "v")
+    return e.withColumn("nv", norm_fixed("v", dim)), dim
 
 
 # --- q_ann_cosine_topk ------------------------------------------------------------
@@ -62,12 +82,15 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir)
+    e, dim = _vecs(spark, sf_dir)
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
-          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nv").alias("nq")))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(cosine("qv", "v"), 6).alias("score"))
+        .select("qid", "vec_id",
+                F.round(dot_fixed("qv", "v", dim) / (F.col("nq") * F.col("nv")), 6)
+                 .alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -87,14 +110,51 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cosine("va", "vb"), 6).alias("score"))
-        .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
-    )
+    """Block-matrix all-pairs scoring: one side is broadcast as numpy arrays,
+    the big side streams through mapInPandas in Arrow batches, and each batch
+    scores against the whole broadcast block vectorized — NO pair rows ever
+    shuffle (a pair join would Arrow-ship 2·dim doubles per pair; this ships
+    each vector once). Survivors (~0.05%) are the only rows emitted.
+
+    FP parity with the fold/oracle is kept by accumulating column-by-column
+    (acc = acc + A[:,i]*B[:,i]): every pair sees the exact IEEE op sequence
+    of ``aggregate(zip_with(...))`` and DuckDB's in-order list_dot_product.
+    The Python-side prefilter uses threshold−1e-6; the exact HALF_UP rounding
+    and final threshold run JVM-side, so boundary behavior matches the oracle.
+
+    Exact all-pairs is the correctness baseline (quadratic by definition —
+    use q_embedding_cosine_lsh / q_ann_ivf_topk as the scale paths); the
+    blocked-broadcast pattern itself scales to any big-side size as long as
+    one block side fits in executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e, dim = _vecs(spark, sf_dir)
+    side = e.collect()
+    ids_b = np.array([r["vec_id"] for r in side], dtype=np.int64)
+    v_b = np.stack([np.asarray(r["v"], dtype=np.float64) for r in side])
+    n_b = np.array([r["nv"] for r in side], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_b, v_b, n_b))
+    prefilter = COSINE_DUP_THRESHOLD - 1e-6
+
+    def block(batches):
+        bids, bv, bn = bc.value
+        for pdf in batches:
+            ida = pdf["vec_id"].to_numpy(dtype=np.int64)
+            va = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            na = pdf["nv"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(ida), len(bids)), dtype=np.float64)
+            for i in range(dim):  # sequential per-pair accumulation (FP parity)
+                acc = acc + va[:, i:i + 1] * bv[None, :, i]
+            raw = acc / (na[:, None] * bn[None, :])
+            mask = (ida[:, None] < bids[None, :]) & (raw >= prefilter)
+            i1, i2 = np.nonzero(mask)
+            yield pd.DataFrame({"v1": ida[i1], "v2": bids[i2], "raw": raw[i1, i2]})
+
+    pairs = e.mapInPandas(block, "v1 bigint, v2 bigint, raw double")
+    return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
+                 .filter(F.col("score") >= COSINE_DUP_THRESHOLD))
 
 
 # --- q_embedding_cosine_lsh (the scale path) ------------------------------------------
@@ -121,7 +181,7 @@ _DUCK_BANDS = " UNION ALL ".join(
     tags=("similarity", "lsh"),
 )
 def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir)
+    e, dim = _vecs(spark, sf_dir)
     bandrows = e.select(
         "vec_id",
         F.posexplode(
@@ -137,10 +197,125 @@ def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    ea = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"),
+                  F.col("nv").alias("na"))
+    eb = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"),
+                  F.col("nv").alias("nb"))
     return (
         cand.join(ea, "v1").join(eb, "v2")
-        .select("v1", "v2", F.round(cosine("va", "vb"), 6).alias("score"))
+        .select("v1", "v2",
+                F.round(dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+                 .alias("score"))
         .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --- q_ann_ivf_topk (IVF: broadcast centroids → cell-local exact search) -----------
+
+@register(
+    "q_ann_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+  assign AS (
+    SELECT vec_id, v, cent_id FROM (
+      SELECT e.vec_id, e.v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cosine_duck('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cents c) WHERE rn = 1
+  ),
+  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+  probe AS (
+    SELECT qid, qv, cent_id FROM (
+      SELECT q.qid, q.qv, c.cent_id,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY {cosine_duck('q.qv', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN cents c) WHERE rn <= {IVF_NPROBE}
+  ),
+  scored AS (
+    SELECT p.qid, a.vec_id, round({cosine_duck('p.qv', 'a.v')}, 6) AS score
+    FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.qid
+  )
+  SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}""",
+    doc=f"IVF ANN: {IVF_CENTROIDS} deterministic centroids, map-side nearest-cell "
+        f"assignment (no shuffle of the big side), nprobe={IVF_NPROBE} cell-local "
+        f"exact top-{TOPK}",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF layout: centroids are tiny by definition, so they are collected and
+    embedded as literal vectors — cell assignment is then a pure map-side
+    expression over the big table (zero shuffle; at 100 TB the table stays
+    partitioned by cell id and a probe touches ~nprobe/n_cells of the data).
+    Centroids here are a deterministic id-sample; production would k-means||
+    them — identical plan shape, different centroid values."""
+    e, dim = _vecs(spark, sf_dir)
+
+    cents = sorted(
+        e.filter(F.col("vec_id") < IVF_CENTROIDS)
+         .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
+        key=lambda r: r["cent_id"],
+    )
+
+    # Literal centroid table as an array<struct> column: assignment is
+    # argmax over 8 in-row cosine scores — compact expression (janino-safe),
+    # map-side, zero shuffle of the big table. struct max compares
+    # (score, -cent_id) field-by-field, so ties pick the lowest cent_id,
+    # matching the oracle's ORDER BY score DESC, cent_id.
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(int(c["cent_id"])).alias("cid"),
+            F.lit(float(c["nv"])).alias("nc"),
+            F.array(*[F.lit(float(x)) for x in c["v"]]).alias("cv"),
+        )
+        for c in cents
+    ])
+    score_c = lambda c: F.aggregate(  # noqa: E731 — dot/(nv*nc), fold from 0.0
+        F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+        F.lit(0.0), lambda acc, p: acc + p,
+    ) / (F.col("nv") * c["nc"])
+    best = F.array_max(F.transform(
+        cent_lit,
+        lambda c: F.struct(score_c(c).alias("s"), (-c["cid"]).alias("negcid")),
+    ))
+    assigned = e.withColumn("cent_id", (-best["negcid"]).cast("long"))
+
+    # probe: per query, top-nprobe centroids — queries are tiny, computed
+    # driver-side with the same IEEE op sequence (Python floats are doubles)
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probes = []
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("qid"), "v", "nv").collect(),
+        key=lambda r: r["qid"],
+    )
+    for qr in qrows:
+        qv = [float(x) for x in qr["v"]]
+        scored_cells = sorted(
+            ((pydot(qv, [float(x) for x in c["v"]]) / (float(qr["nv"]) * float(c["nv"])),
+              c["cent_id"]) for c in cents),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for s, cid in scored_cells[:IVF_NPROBE]:
+            probes.append((qr["qid"], cid, qv, float(qr["nv"])))
+
+    probe_df = spark.createDataFrame(
+        probes, "qid bigint, cent_id bigint, qv array<double>, nq double")
+
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                F.round(dot_fixed("qv", "v", dim) / (F.col("nq") * F.col("nv")), 6)
+                 .alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= TOPK))

@@ -17,6 +17,7 @@ from flink_job_spark.functions.text import (
     fingerprint_columns_duck,
     lang_hit_columns,
     lang_hit_columns_duck,
+    norm_text,
     pred_lang,
     pred_lang_duck,
     quality_columns,
@@ -101,5 +102,8 @@ _FD = fingerprint_columns_duck("text")
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cols = fingerprint_columns("text")
-    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    # normalize ONCE into an attribute; the shingle lambda then references it
+    # instead of re-running the regex per character position
+    normed = d.select("doc_id", norm_text("text").alias("__norm"))
+    cols = fingerprint_columns("__norm")
+    return normed.select("doc_id", *[c.alias(n) for n, c in cols.items()])
