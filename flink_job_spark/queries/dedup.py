@@ -198,16 +198,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d).persist()  # used by cand self-join, verify, sizes
-    cand = (
-        sh.alias("a")
-        .join(sh.alias("b"),
-              (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    sh = doc_shingles(d).persist()  # used by both join sides and sizes
+    # ONE equi-join on the inverted index gives intersection counts directly —
+    # a separate candidate pass would run the identical self-join twice
+    sa = sh.select(F.col("doc_id").alias("d1"), "s")
+    sb = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        sa.join(sb, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    return _verified_pairs(cand, sh, sizes)
+    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "d1").join(zb, "d2")
+        .select(
+            "d1", "d2",
+            (F.col("i").cast("double")
+             / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 # --- q_dedup_simhash ------------------------------------------------------------------------

@@ -33,9 +33,8 @@ from pyspark.sql import functions as F
 from flink_job_spark.functions.vectors import (
     as_double_array,
     cosine_duck,
-    dot_fixed,
-    norm_fixed,
-    probe_dim,
+    dot,
+    norm,
     sign_bucket,
     sign_bucket_duck,
 )
@@ -51,16 +50,18 @@ IVF_CENTROIDS = 8   # deterministic coarse-quantizer size
 IVF_NPROBE = 2      # cells probed per query
 
 
-def _vecs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
-    """(vec_id, v double[], nv = ||v||) + the probed fixed dim.
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[], nv = ||v||).
 
-    Norms are computed ONCE per row here, not once per pair inside the join —
-    the pair-join hot path is then a single unrolled codegen dot product.
+    Norms are computed ONCE per row here, not once per pair inside joins.
+    The fold form (aggregate/zip_with) is deliberate: an unrolled fixed-dim
+    expression looks codegen-friendly but its janino compile time (~4-5 s for
+    64 terms) dwarfs evaluation at any per-task row count, and the fold is
+    bit-identical (see functions/vectors.py).
     """
     e = load_table(spark, sf_dir, "embeddings")
     e = e.select("vec_id", as_double_array("embedding").alias("v"))
-    dim = probe_dim(e, "v")
-    return e.withColumn("nv", norm_fixed("v", dim)), dim
+    return e.withColumn("nv", norm("v"))
 
 
 # --- q_ann_cosine_topk ------------------------------------------------------------
@@ -82,14 +83,14 @@ def _vecs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     tags=("similarity", "ann"),
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, dim = _vecs(spark, sf_dir)
+    e = _vecs(spark, sf_dir)
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
           .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                   F.col("nv").alias("nq")))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id",
-                F.round(dot_fixed("qv", "v", dim) / (F.col("nq") * F.col("nv")), 6)
+                F.round(dot("qv", "v") / (F.col("nq") * F.col("nv")), 6)
                  .alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -130,7 +131,7 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e, dim = _vecs(spark, sf_dir)
+    e = _vecs(spark, sf_dir)
     side = e.collect()
     ids_b = np.array([r["vec_id"] for r in side], dtype=np.int64)
     v_b = np.stack([np.asarray(r["v"], dtype=np.float64) for r in side])
@@ -145,14 +146,16 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             va = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             na = pdf["nv"].to_numpy(dtype=np.float64)
             acc = np.zeros((len(ida), len(bids)), dtype=np.float64)
-            for i in range(dim):  # sequential per-pair accumulation (FP parity)
-                acc = acc + va[:, i:i + 1] * bv[None, :, i]
+            for i in range(va.shape[1]):  # sequential per-pair accum (FP parity)
+                np.add(acc, va[:, i:i + 1] * bv[None, :, i], out=acc)
             raw = acc / (na[:, None] * bn[None, :])
             mask = (ida[:, None] < bids[None, :]) & (raw >= prefilter)
             i1, i2 = np.nonzero(mask)
             yield pd.DataFrame({"v1": ida[i1], "v2": bids[i2], "raw": raw[i1, i2]})
 
-    pairs = e.mapInPandas(block, "v1 bigint, v2 bigint, raw double")
+    n_parts = spark.sparkContext.defaultParallelism
+    pairs = e.repartition(n_parts).mapInPandas(
+        block, "v1 bigint, v2 bigint, raw double")
     return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
                  .filter(F.col("score") >= COSINE_DUP_THRESHOLD))
 
@@ -181,7 +184,7 @@ _DUCK_BANDS = " UNION ALL ".join(
     tags=("similarity", "lsh"),
 )
 def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, dim = _vecs(spark, sf_dir)
+    e = _vecs(spark, sf_dir)
     bandrows = e.select(
         "vec_id",
         F.posexplode(
@@ -204,7 +207,7 @@ def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ea, "v1").join(eb, "v2")
         .select("v1", "v2",
-                F.round(dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
                  .alias("score"))
         .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
     )
@@ -251,7 +254,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell id and a probe touches ~nprobe/n_cells of the data).
     Centroids here are a deterministic id-sample; production would k-means||
     them — identical plan shape, different centroid values."""
-    e, dim = _vecs(spark, sf_dir)
+    e = _vecs(spark, sf_dir)
 
     cents = sorted(
         e.filter(F.col("vec_id") < IVF_CENTROIDS)
@@ -313,7 +316,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(probe_df), "cent_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id",
-                F.round(dot_fixed("qv", "v", dim) / (F.col("nq") * F.col("nv")), 6)
+                F.round(dot("qv", "v") / (F.col("nq") * F.col("nv")), 6)
                  .alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
