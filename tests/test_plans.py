@@ -1,0 +1,97 @@
+"""Physical-plan regression tests — the scale contract, pinned.
+
+Correctness says WHAT a query returns; these tests pin HOW Spark executes it:
+filters must reach the parquet scan (PushedFilters), projections must prune
+the read schema (ReadSchema), map-only operators must not shuffle (no
+Exchange), and tiny sides must broadcast. A refactor that silently turns a
+pruned scan into a full scan passes every oracle test and then falls over at
+100 TB — this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries import all_queries
+
+
+def plan(df) -> str:
+    """Formatted physical plan (same text as df.explain('formatted'))."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schema_columns(p: str) -> set[str]:
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        for field in m.group(1).split(","):
+            if ":" in field:
+                cols.add(field.split(":")[0].strip())
+    return cols
+
+
+def test_watermark_filter_pushes_down(spark, sf_dir):
+    q = all_queries()["q_watermark_filter"]
+    p = plan(q.fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed, f"no PushedFilters in plan:\n{p}"
+    assert "LessThanOrEqual(o_orderkey" in pushed.group(1), pushed.group(1)
+
+
+def test_snapshot_count_prunes_to_key_column(spark, sf_dir):
+    q = all_queries()["q_snapshot_count"]
+    p = plan(q.fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"o_orderkey"}, (
+        f"count-under-cutoff should scan ONLY the key column, got "
+        f"{read_schema_columns(p)}"
+    )
+
+
+def test_max_watermark_prunes_to_one_column(spark, sf_dir):
+    q = all_queries()["q_max_watermark"]
+    p = plan(q.fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"o_orderdate"}
+
+
+def test_row_hash_is_map_only(spark, sf_dir):
+    """Dual-hash stamping is pure projection — any Exchange is a regression."""
+    q = all_queries()["q_row_hash"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "Exchange" not in p, f"row-hash plan shuffles:\n{p}"
+    # formatted mode stars codegen nodes; the hash projection must be one
+    assert "* Project" in p, f"hash projection fell out of codegen:\n{p}"
+
+
+def test_text_queries_are_map_only(spark, sf_dir):
+    for name in ["q_token_count", "q_text_quality", "q_lang_id", "q_doc_fingerprint"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+
+
+def test_ann_topk_broadcasts_query_side(spark, sf_dir):
+    p = plan(all_queries()["q_ann_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_point_lookup_pushes_limit(spark, sf_dir):
+    p = plan(all_queries()["q_point_lookup"].fn(spark, sf_dir))
+    assert "Limit" in p or "limit" in p
+
+
+def test_scan_project_pushes_cutoff(spark, sf_dir):
+    p = plan(all_queries()["q_scan_project"].fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "LessThanOrEqual(l_orderkey" in pushed.group(1), p
+
+
+def test_simhash_vocab_join_broadcasts(spark, sf_dir):
+    p = plan(all_queries()["q_dedup_simhash"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"vocab join should broadcast:\n{p}"
+
+
+def test_envelope_is_map_only(spark, sf_dir):
+    p = plan(all_queries()["q_tech_columns"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"envelope stamping shuffles:\n{p}"

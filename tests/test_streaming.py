@@ -73,6 +73,32 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
                     | (F.col("sum_value") != F.col("e_sum"))).count() == 0
 
 
+def test_stateful_user_stats_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running stats: the LAST update per user on a
+    bounded stream must equal the batch groupBy answer."""
+    from flink_job_spark.streaming.stateful import stream_user_stats
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    events = load_table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("ustats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode appends one row per key per micro-batch; the running counter
+    # is monotone, so max(n_events) per user is the final state
+    got = (spark.sql("SELECT * FROM ustats")
+           .groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("max_value").alias("max_value")))
+    exp = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("e_n"), F.max("value").alias("e_mx"))
+    j = got.join(exp, "user_id", "full_outer")
+    assert j.filter(F.col("n_events").isNull() | F.col("e_n").isNull()).count() == 0
+    assert j.filter((F.col("n_events") != F.col("e_n"))
+                    | (F.col("max_value") != F.col("e_mx"))).count() == 0
+
+
 def test_stream_session_and_dedup_run(spark, sf_dir, tmp_path):
     src = _events_micro(spark, sf_dir, tmp_path)
     events = load_table(spark, sf_dir, "events")
