@@ -184,7 +184,10 @@ _DUCK_BANDS = " UNION ALL ".join(
     tags=("similarity", "lsh"),
 )
 def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir)
+    # e feeds the band table and both verify sides — persist so the parquet
+    # scan + norm computation run once (at scale: materialize signatures
+    # before the bucket self-join, the standard LSH layout)
+    e = _vecs(spark, sf_dir).persist()
     bandrows = e.select(
         "vec_id",
         F.posexplode(
