@@ -9,6 +9,7 @@ embarrassingly parallel map-only plans (no shuffle at all).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_job_spark.functions.text import (
     bpe_token_count,
@@ -85,6 +86,73 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c.alias(n) for n, c in hits.items()],
         pred_lang(hits).alias("pred_lang"),
+    )
+
+
+# --- q_corpus_pipeline: the composed training-data flow ----------------------------
+
+PIPELINE_MIN_QUALITY = 0.45
+PIPELINE_LANG = "en"
+
+_PQ = quality_columns_duck("text")["quality_score"]
+_PL = pred_lang_duck(lang_hit_columns_duck("text"))
+_PNORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_PBPE = bpe_token_count_duck("text")
+
+
+@register(
+    "q_corpus_pipeline",
+    f"""WITH scored AS (
+          SELECT doc_id, source,
+                 md5({_PNORM}) AS content_hash,
+                 {_PQ} AS q,
+                 {_PBPE} AS toks
+          FROM documents
+          WHERE {_PQ} >= {PIPELINE_MIN_QUALITY} AND ({_PL}) = '{PIPELINE_LANG}'
+        ),
+        dedup AS (
+          SELECT * FROM scored
+          QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+        )
+        SELECT source,
+               CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        FROM dedup GROUP BY source""",
+    doc=f"composed training-data pipeline: quality ≥ {PIPELINE_MIN_QUALITY} → "
+        f"lang = {PIPELINE_LANG} → exact dedup (keep min doc_id) → per-source "
+        "corpus stats (exact-decimal quality sum)",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters are map-only and run BEFORE the dedup shuffle (the cheap gate
+    drops rows early); dedup is one hash-partitioned window on content_hash;
+    the final rollup is a partial-aggregated groupBy — three stages total at
+    any scale. Quality is summed as DECIMAL(18,6) (exact, associative) so the
+    result is order-independent across engines."""
+    from pyspark.sql import Window
+
+    from flink_job_spark.functions.text import norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = (
+        d.select(
+            "doc_id", "source",
+            F.md5(norm_text("text")).alias("content_hash"),
+            quality_columns("text")["quality_score"].alias("q"),
+            bpe_token_count("text").alias("toks"),
+            pred_lang(lang_hit_columns("text")).alias("lang"),
+        )
+        .filter((F.col("q") >= PIPELINE_MIN_QUALITY)
+                & (F.col("lang") == PIPELINE_LANG))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    dedup = (scored.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1))
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum(F.col("q").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
     )
 
 

@@ -1,0 +1,35 @@
+"""CLI end-to-end: reference-parity arguments drive a real multi-table ingest."""
+
+from __future__ import annotations
+
+from flink_job_spark.cli import detect_order_key, main, parse_table_mappings
+
+
+def test_parse_table_mappings():
+    assert parse_table_mappings("a:b, c ,d:e,") == [("a", "b"), ("c", "c"), ("d", "e")]
+
+
+def test_detect_order_key():
+    assert detect_order_key(["l_orderkey", "l_partkey"]) == "l_orderkey"
+    assert detect_order_key(["name", "value"]) == "name"
+
+
+def test_cli_ingest_roundtrip(spark, sf_dir, tmp_path):
+    tgt = str(tmp_path / "out")
+    rc = main([
+        "--tables", "customer,orders:orders_tgt",
+        "--source-dir", sf_dir,
+        "--target-dir", tgt,
+        "--mode", "replace",
+        "--order-by", "c_custkey,",  # explicit for customer, auto for orders
+    ])
+    assert rc == 0
+    cust = spark.read.parquet(f"{tgt}/customer")
+    orders = spark.read.parquet(f"{tgt}/orders_tgt")
+    src_c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    src_o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert cust.count() == src_c.count()
+    assert orders.count() == src_o.count()
+    # envelope + dual hash present and consistent
+    assert cust.filter("lower(row_hash) != lower(row_hash_iceberg)").count() == 0
+    assert set(cust.columns) >= {"row_hash", "row_hash_iceberg", "op", "load_dttm"}
