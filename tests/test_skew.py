@@ -1,0 +1,54 @@
+"""Salting utilities: equivalence with the unsalted plan + shape checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_job_spark.operators.skew import salted_agg, salted_broadcast_left
+from flink_job_spark.sources.tables import load_table
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (li.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("l_quantity").alias("qty"))
+               .orderBy("l_returnflag").collect())
+    salted = (salted_agg(
+                  li, ["l_returnflag"], tiebreak_col="l_orderkey",
+                  aggs={"n": F.count(F.lit(1)), "qty": F.sum("l_quantity")},
+                  n_salts=8)
+              .orderBy("l_returnflag").collect())
+    assert [r["l_returnflag"] for r in plain] == [r["l_returnflag"] for r in salted]
+    assert [r["n"] for r in plain] == [r["n"] for r in salted]
+    for p, s in zip(plain, salted):
+        assert abs(p["qty"] - s["qty"]) < 1e-6 * max(1.0, abs(p["qty"]))
+
+
+def test_salted_broadcast_left_matches_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_broadcast_left(orders, cust, "o_custkey",
+                                   tiebreak_col="o_orderkey", n_salts=4)
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    # spot-check value agreement on one key
+    k = plain.select("o_custkey").first()["o_custkey"]
+    a = sorted(map(tuple, plain.filter(F.col("o_custkey") == k).collect()))
+    b = sorted(map(tuple, salted.filter(F.col("o_custkey") == k).collect()))
+    assert a == b
+
+
+def test_salted_broadcast_plan_has_no_big_side_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    salted = salted_broadcast_left(orders, cust, "o_custkey",
+                                   tiebreak_col="o_orderkey", n_salts=4)
+    jvm = salted.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = salted._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, f"big side shuffled:\n{p}"
