@@ -131,6 +131,61 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_range_join: point-in-interval containment at scale -----------------------------
+
+@register(
+    "q_range_join",
+    f"""WITH flagged AS (
+         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN CAST(ts AS TIMESTAMP)
+                          - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '{SESSION_GAP_MIN} minutes'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       islands AS (
+         SELECT event_id, user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       ),
+       bounds AS (
+         SELECT user_id, session_id,
+                MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end
+         FROM islands GROUP BY user_id, session_id
+       )
+       SELECT i.event_id, i.user_id, i.ts, b.session_start, b.session_end
+       FROM islands i JOIN bounds b
+         ON b.user_id = i.user_id AND b.session_id = i.session_id""",
+    doc="range join: every event matched to its containing session interval "
+        "via bucketized equi-join (no cross join; oracle = gaps-and-islands)",
+    tags=("window", "join", "range"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals = session_window output; points = the events themselves.
+    The bucketized range_join turns BETWEEN-containment into an equi-join on
+    (user_id, time-bucket) + exact recheck — candidate volume is points +
+    interval bucket coverage, never points × intervals (operators/rangejoin.py)."""
+    from flink_job_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+                  "user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"))
+    )
+    points = e.select("event_id", "user_id", "ts")
+    out = range_join(points, sessions, key="user_id", point_ts="ts",
+                     start_col="session_start", end_col="session_end",
+                     bucket_seconds=SESSION_GAP_MIN * 60)
+    return out.select("event_id", "user_id", "ts", "session_start", "session_end")
+
+
 # --- q_events_dedup ------------------------------------------------------------------------
 
 @register(
