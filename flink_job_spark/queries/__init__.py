@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         similarity,
+        sketch,
         text,
         windows,
     )
