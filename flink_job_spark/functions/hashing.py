@@ -138,7 +138,13 @@ def duckdb_hash_token_sql(name: str, dtype: T.DataType, info: ColumnInfo | None 
     is_char, precision, is_time = _hints(dtype, info)
 
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        tok = f"CAST(CAST(ROUND(CAST({q} AS DOUBLE), 6) AS DECIMAL(38,6)) AS VARCHAR)"
+        # NOT round(x,6): DuckDB's round multiplies by 1e6 first and loses
+        # precision past 2^53 (e.g. 576460752305.0 → ...304.999936). A direct
+        # decimal cast rounds the double's exact value once; ties at the 7th
+        # decimal are impossible for binary doubles, so this equals Spark's
+        # ROUND→DECIMAL path for |x| < 2^53/1e6 (the reference's contract
+        # domain — beyond it double-rounding is engine-specific everywhere).
+        tok = f"CAST(CAST({q} AS DECIMAL(38,6)) AS VARCHAR)"
     elif isinstance(dtype, T.DecimalType):
         tok = f"REPLACE(CAST({q} AS VARCHAR), ',', '.')"
     elif isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
