@@ -12,6 +12,7 @@ from flink_job_spark.streaming.ingest import stream_snapshot_ingest
 from flink_job_spark.streaming.windows import (
     stream_dedup,
     stream_session_agg,
+    stream_sliding_agg,
     stream_tumbling_agg,
 )
 
@@ -68,6 +69,27 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     exp2 = (exp.withColumnRenamed("n_events", "e_n")
                .withColumnRenamed("sum_value", "e_sum"))
     j = got.join(exp2, ["window_start", "window_end", "event_type"], "inner")
+    assert j.count() == got.count()
+    assert j.filter((F.col("n_events") != F.col("e_n"))
+                    | (F.col("sum_value") != F.col("e_sum"))).count() == 0
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    src = _events_micro(spark, sf_dir, tmp_path)
+    events = load_table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_sliding_agg(stream)
+    q = (out.writeStream.format("memory").queryName("slid")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM slid")
+    from flink_job_spark.queries.windows import q_window_sliding
+    exp = (q_window_sliding(spark, sf_dir)
+           .withColumnRenamed("n_events", "e_n")
+           .withColumnRenamed("sum_value", "e_sum"))
+    # complete mode emits every window; must match the batch twin exactly
+    assert got.count() == exp.count()
+    j = got.join(exp, ["window_start", "window_end"], "inner")
     assert j.count() == got.count()
     assert j.filter((F.col("n_events") != F.col("e_n"))
                     | (F.col("sum_value") != F.col("e_sum"))).count() == 0
