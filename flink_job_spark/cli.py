@@ -23,7 +23,7 @@ import sys
 
 from flink_job_spark.pipeline import IngestConfig, ingest_tables
 from flink_job_spark.session import get_spark
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import check_table_access, load_table
 
 
 def parse_table_mappings(spec: str) -> list[tuple[str, str]]:
@@ -69,7 +69,13 @@ def main(argv: list[str] | None = None) -> int:
                        fail_on_consistency_error=args.fail_on_consistency_error)
 
     jobs = []
+    skipped = 0
     for i, (src, dst) in enumerate(mappings):
+        # access probe: skip unreadable tables, never crash the batch (mis:494-525)
+        if not check_table_access(spark, args.source_dir, src):
+            print(f"SKIP  {src}: access probe failed", file=sys.stderr)
+            skipped += 1
+            continue
         df = load_table(spark, args.source_dir, src)
         key = (order_overrides[i].strip()
                if i < len(order_overrides) and order_overrides[i].strip()

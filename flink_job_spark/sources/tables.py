@@ -54,6 +54,16 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def check_table_access(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """Access probe before ingest (`SELECT FIRST 1 1 FROM t`, mis:494-525):
+    failures mean SKIP the table, never crash the batch."""
+    try:
+        load_table(spark, sf_dir, name).limit(1).count()
+        return True
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalizes `events.ts` nanos → TIMESTAMP_NTZ."""
     if name == "events":

@@ -14,6 +14,19 @@ def test_detect_order_key():
     assert detect_order_key(["name", "value"]) == "name"
 
 
+def test_cli_skips_inaccessible_table(spark, sf_dir, tmp_path):
+    """A missing table is probed, skipped, and does not fail the batch."""
+    tgt = str(tmp_path / "out")
+    rc = main([
+        "--tables", "no_such_table,customer",
+        "--source-dir", sf_dir,
+        "--target-dir", tgt,
+        "--mode", "replace",
+    ])
+    assert rc == 0  # the good table loaded; the bad one was skipped, not failed
+    assert spark.read.parquet(f"{tgt}/customer").count() > 0
+
+
 def test_cli_ingest_roundtrip(spark, sf_dir, tmp_path):
     tgt = str(tmp_path / "out")
     rc = main([

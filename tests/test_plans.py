@@ -95,3 +95,29 @@ def test_simhash_vocab_join_broadcasts(spark, sf_dir):
 def test_envelope_is_map_only(spark, sf_dir):
     p = plan(all_queries()["q_tech_columns"].fn(spark, sf_dir))
     assert "Exchange" not in p, f"envelope stamping shuffles:\n{p}"
+
+
+def _n_exchanges(p: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+def test_asof_join_is_two_shuffles(spark, sf_dir):
+    """Union-merge as-of join: one shuffle for the right-side dedup, one for
+    the merge window — never a range/nested-loop join."""
+    p = plan(all_queries()["q_asof_join"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, f"as-of join gained shuffles:\n{p}"
+    assert "NestedLoop" not in p, p
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """Bucketized containment join must be an equi-join, not a BETWEEN
+    cross/nested-loop join."""
+    p = plan(all_queries()["q_range_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, f"range join degraded to nested loop:\n{p}"
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_corpus_pipeline_is_two_shuffles(spark, sf_dir):
+    """Filter (map-only) → dedup window (1 shuffle) → rollup (1 shuffle)."""
+    p = plan(all_queries()["q_corpus_pipeline"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, f"pipeline gained shuffles:\n{p}"
