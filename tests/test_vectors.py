@@ -1,0 +1,46 @@
+"""Vector expression builders: the unrolled and fold forms must be
+bit-identical (the documented contract that lets callers choose either)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_job_spark.functions.vectors import (
+    as_double_array,
+    dot,
+    dot_fixed,
+    norm,
+    norm_fixed,
+    sign_bucket,
+)
+from flink_job_spark.sources.tables import load_table
+
+
+def test_dot_forms_bit_identical(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(64)
+    v = e.select("vec_id", as_double_array("embedding").alias("v"))
+    dim = len(v.first()["v"])
+    rows = v.select(
+        dot("v", "v").alias("fold"),
+        dot_fixed("v", "v", dim).alias("unrolled"),
+        norm("v").alias("nfold"),
+        norm_fixed("v", dim).alias("nunrolled"),
+    ).collect()
+    for r in rows:
+        assert r["fold"] == r["unrolled"]          # exact, not approx
+        assert r["nfold"] == r["nunrolled"]
+
+
+def test_sign_bucket_shape(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(16)
+    v = e.select(as_double_array("embedding").alias("v"))
+    rows = v.select(sign_bucket("v", 4, 0).alias("b")).collect()
+    assert all(len(r["b"]) == 4 and set(r["b"]) <= {"0", "1"} for r in rows)
+
+
+def test_cosine_self_is_one(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(16)
+    v = e.select(as_double_array("embedding").alias("v"))
+    rows = v.select((dot("v", "v") / (norm("v") * norm("v"))).alias("c")).collect()
+    for r in rows:
+        assert abs(r["c"] - 1.0) < 1e-12
