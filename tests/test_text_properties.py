@@ -1,0 +1,68 @@
+"""Property-based cross-engine fuzz of the text expression twins.
+
+Domain: printable ASCII + whitespace — the regex subset (\\b, \\S, \\s,
+char classes) where Java-regex and RE2-ish engines are specified identically.
+Unicode word-boundary semantics differ per engine and the documents testdata
+is ASCII; the twins' contract is the ASCII domain.
+"""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_job_spark.functions.text import (
+    bpe_token_count,
+    bpe_token_count_duck,
+    norm_text,
+    norm_text_duck,
+    quality_columns,
+    quality_columns_duck,
+    ws_token_count,
+    ws_token_count_duck,
+)
+
+ascii_text = st.text(
+    alphabet=string.ascii_letters + string.digits + string.punctuation + " \t\n",
+    min_size=0, max_size=200,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(ascii_text, min_size=1, max_size=30))
+def test_text_twins_agree(spark, texts):
+    import duckdb
+
+    qcols = quality_columns("text")
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(
+        norm_text("text").alias("norm"),
+        ws_token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+        qcols["n_chars"].alias("n_chars"),
+        qcols["stopword_ratio"].alias("stop_r"),
+        qcols["quality_score"].alias("q"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    qd = quality_columns_duck("text")
+    duck = con.execute(
+        f"SELECT {norm_text_duck('text')} AS norm, {ws_token_count_duck('text')} AS ws, "
+        f"{bpe_token_count_duck('text')} AS bpe, {qd['n_chars']} AS n_chars, "
+        f"{qd['stopword_ratio']} AS stop_r, {qd['quality_score']} AS q FROM t"
+    ).fetchall()
+
+    for i, (g, d) in enumerate(zip(got, duck)):
+        assert g["norm"] == d[0], (texts[i], g["norm"], d[0])
+        assert g["ws"] == d[1], (texts[i], "ws", g["ws"], d[1])
+        assert g["bpe"] == d[2], (texts[i], "bpe", g["bpe"], d[2])
+        assert g["n_chars"] == d[3]
+        assert g["stop_r"] == d[4], (texts[i], "stop_r")
+        assert g["q"] == d[5], (texts[i], "quality")
