@@ -131,6 +131,50 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_group_topk: top-k per group --------------------------------------------------
+
+GROUP_TOPK = 3
+
+@register(
+    "q_group_topk",
+    f"""WITH totals AS (
+          SELECT event_type, user_id,
+                 CAST(COUNT(1) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id, n_events, total_value,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY total_value DESC, user_id) AS rank
+          FROM totals
+        ) WHERE rank <= {GROUP_TOPK}""",
+    doc=f"grouped top-{GROUP_TOPK}: highest-value users per event_type "
+        "(partial-agg groupBy, then a rank window over the small aggregate)",
+    tags=("topk", "window", "agg"),
+)
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank window runs over the AGGREGATE (|groups| × |users| rows), not
+    the raw events — at 100 TB the heavy input is reduced by the combine-
+    enabled groupBy first and only the small per-user totals are windowed.
+    Value sums aggregate in DECIMAL(18,6) (exact, associative) so the ranking
+    order is engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    totals = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id"))
+    return (totals.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= GROUP_TOPK))
+
+
 # --- q_range_join: point-in-interval containment at scale -----------------------------
 
 @register(
