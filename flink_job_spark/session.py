@@ -24,7 +24,9 @@ def get_spark(app_name: str = "flink_job_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs everything in the driver JVM; 8g showed multi-second
+        # GC spikes on random queries at sf0.1 (the host has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # the driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS)
         # which Spark only reads via this legacy long mapping
