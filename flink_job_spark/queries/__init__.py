@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         dedup,
         multimodal,
+        relational,
         similarity,
         sketch,
         text,

@@ -121,3 +121,43 @@ def test_corpus_pipeline_is_two_shuffles(spark, sf_dir):
     """Filter (map-only) → dedup window (1 shuffle) → rollup (1 shuffle)."""
     p = plan(all_queries()["q_corpus_pipeline"].fn(spark, sf_dir))
     assert _n_exchanges(p) <= 2, f"pipeline gained shuffles:\n{p}"
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    """orders⋈customer⋈nation⋈region: all three dims hinted broadcast — the
+    fact side must never shuffle for a join; the only shuffle exchange allowed
+    is the final single-key aggregation."""
+    p = plan(all_queries()["q_join_broadcast"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 3, p
+    assert _n_exchanges(p) <= 1, f"fact side shuffled for a join:\n{p}"
+
+
+def test_fact_fact_join_is_hash_based(spark, sf_dir):
+    """lineitem⋈orders unhinted: any equi-join strategy is fine (SMJ at scale,
+    broadcast when a side is tiny) but never a nested loop, and no more than
+    one shuffle per side plus one for the aggregation."""
+    p = plan(all_queries()["q_join_shuffle"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 3, f"join gained shuffles:\n{p}"
+
+
+def test_rollup_is_single_shuffle(spark, sf_dir):
+    """ROLLUP expands grouping sets before the exchange and partial-aggregates
+    map-side — one shuffle for all three levels."""
+    p = plan(all_queries()["q_agg_rollup"].fn(spark, sf_dir))
+    assert "Expand" in p, f"rollup lost its grouping-set expand:\n{p}"
+    assert _n_exchanges(p) <= 1, f"rollup gained shuffles:\n{p}"
+
+
+def test_distinct_agg_is_two_phase(spark, sf_dir):
+    """COUNT(DISTINCT): partial dedup on (group, user) then final count —
+    two shuffles max, both carrying distinct pairs, not raw events."""
+    p = plan(all_queries()["q_distinct_agg"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, f"distinct agg gained shuffles:\n{p}"
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    """md5-bucket sampling is a pure filter — it must ride the scan with no
+    Exchange, so at 100 TB it costs exactly one pass."""
+    p = plan(all_queries()["q_stratified_sample"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"sampling shuffles:\n{p}"
