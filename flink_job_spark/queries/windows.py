@@ -250,3 +250,42 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- q_window_running: per-user analytic window (lag gap + running sum) --------------
+
+@register(
+    "q_window_running",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+              CAST(row_number() OVER w AS BIGINT) AS seq,
+              epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    doc="per-user event sequencing: row_number, lag-gap to the previous event "
+        "(µs), and an exact-decimal running value sum — the analytic-window "
+        "trio (reference has no OVER clauses, SURVEY §2.6)",
+    tags=("window", "analytic"),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-partition on user_id serves all three window functions (Spark
+    plans a single Window node — one shuffle + one per-partition sort). The
+    ordering key (ts, event_id) is a total order within a user, so lag and the
+    ROWS-framed running sum are deterministic; the sum accumulates in
+    DECIMAL(18,6) (exact, associative) so partial order inside a frame can't
+    change the result across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.row_number().over(w).cast("long").alias("seq"),
+        (ts_us - prev_us).alias("gap_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(running)
+         .cast("double").alias("running_value"),
+    )

@@ -161,3 +161,11 @@ def test_stratified_sample_is_map_only(spark, sf_dir):
     Exchange, so at 100 TB it costs exactly one pass."""
     p = plan(all_queries()["q_stratified_sample"].fn(spark, sf_dir))
     assert "Exchange" not in p, f"sampling shuffles:\n{p}"
+
+
+def test_running_window_is_single_shuffle(spark, sf_dir):
+    """row_number + lag + running sum share one (partition, order) → Spark
+    must plan ONE Window node over one hash-partition of user_id."""
+    p = plan(all_queries()["q_window_running"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"analytic trio gained shuffles:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
