@@ -21,7 +21,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from flink_job_spark.pipeline import IngestConfig, ingest_tables
+from flink_job_spark.pipeline import ConsistencyError, IngestConfig, ingest_tables
 from flink_job_spark.session import get_spark
 from flink_job_spark.sources.tables import check_table_access, load_table
 
@@ -84,7 +84,17 @@ def main(argv: list[str] | None = None) -> int:
 
     failures = 0
     for start in range(0, len(jobs), args.batch_size):  # batch loop (mis:189-198)
-        results = ingest_tables(spark, jobs[start:start + args.batch_size], cfg)
+        try:
+            results = ingest_tables(spark, jobs[start:start + args.batch_size], cfg)
+        except ConsistencyError as e:
+            # --fail-on-consistency-error aborts the whole job, like the
+            # reference's rethrown ConsistencyCheckException (mis:365-368)
+            rep = e.report
+            print(f"ABORT {e.table}: consistency check failed "
+                  f"read={rep.source_count} written={rep.target_count} "
+                  f"delta={rep.delta} hash_mismatches={rep.hash_mismatches}",
+                  file=sys.stderr)
+            return 2
         for r in results:
             if r.error:
                 failures += 1

@@ -40,6 +40,20 @@ from flink_job_spark.types import ColumnInfo
 log = logging.getLogger(__name__)
 
 
+class ConsistencyError(RuntimeError):
+    """Raised when the post-load audit fails and fail_on_consistency_error is
+    set. Escapes the per-table failure isolation and aborts the whole batch,
+    like the reference's rethrown ConsistencyCheckException (mis:365-368).
+    Carries the failing AuditReport so the caller can print the numbers."""
+
+    def __init__(self, table: str, report: "AuditReport"):
+        super().__init__(
+            f"consistency check failed for {table}: delta={report.delta} "
+            f"hash_mismatches={report.hash_mismatches}")
+        self.table = table
+        self.report = report
+
+
 @dataclass
 class IngestResult:
     table: str
@@ -102,12 +116,15 @@ def snapshot_ingest(
         report = run_consistency_check(
             table, src_count, target, cutoff_predicate(order_col, cutoff))
         if not report.ok:
-            msg = (f"consistency check failed for {table}: delta={report.delta} "
-                   f"hash_mismatches={report.hash_mismatches}")
             if cfg.fail_on_consistency_error:
-                raise RuntimeError(msg)
-            log.error(msg)
+                # escapes the blanket isolation below and aborts the batch,
+                # like the reference's rethrow (mis:365-368)
+                raise ConsistencyError(table, report)
+            log.error("consistency check failed for %s: delta=%d hash_mismatches=%d",
+                      table, report.delta, report.hash_mismatches)
         return IngestResult(table, cutoff, report)
+    except ConsistencyError:
+        raise
     except Exception as e:  # per-table failure isolation (mis:207-224)
         log.exception("ingest failed for table %s", table)
         return IngestResult(table, None, None, error=str(e))

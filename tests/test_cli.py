@@ -27,6 +27,18 @@ def test_cli_skips_inaccessible_table(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{tgt}/customer").count() > 0
 
 
+def test_cli_fail_on_consistency_error_aborts(spark, sf_dir, tmp_path, capsys):
+    """--fail-on-consistency-error aborts the job with rc=2 (mis:365-368):
+    a second append under the same cutoff doubles the audited target count."""
+    tgt = str(tmp_path / "out")
+    base = ["--tables", "nation", "--source-dir", sf_dir, "--target-dir", tgt,
+            "--mode", "append", "--fail-on-consistency-error"]
+    assert main(base) == 0
+    rc = main(base)
+    assert rc == 2
+    assert "ABORT nation" in capsys.readouterr().err
+
+
 def test_cli_ingest_roundtrip(spark, sf_dir, tmp_path):
     tgt = str(tmp_path / "out")
     rc = main([

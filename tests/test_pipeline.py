@@ -4,10 +4,16 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_job_spark.operators.snapshot import cutoff_predicate
-from flink_job_spark.pipeline import IngestConfig, ingest_tables, snapshot_ingest
+from flink_job_spark.pipeline import (
+    ConsistencyError,
+    IngestConfig,
+    ingest_tables,
+    snapshot_ingest,
+)
 from flink_job_spark.sources.tables import load_table
 
 
@@ -51,6 +57,41 @@ def test_empty_table_contradiction_cutoff(spark, sf_dir, tmp_path):
     # empty source → cutoff None → contradiction filter → 0 rows, audit ok
     assert res.cutoff is None
     assert res.report is not None and res.report.source_count == 0
+
+
+def test_fail_on_consistency_error_aborts(spark, sf_dir, tmp_path):
+    """With the flag set, a failed audit raises ConsistencyError through the
+    per-table isolation and stops the batch (the reference rethrows
+    ConsistencyCheckException and aborts, mis:365-368). Without the flag the
+    same failure is reported in the result, not raised."""
+    nat = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "n")
+    strict = IngestConfig(mode="append", load_dttm=dt.datetime(2026, 1, 1),
+                          fail_on_consistency_error=True)
+    assert snapshot_ingest(spark, nat, "nation", path, "n_nationkey", strict).ok
+    # second append duplicates every row under the same cutoff → audit delta>0
+    with pytest.raises(ConsistencyError) as ei:
+        snapshot_ingest(spark, nat, "nation", path, "n_nationkey", strict)
+    assert ei.value.table == "nation"
+    assert ei.value.report is not None and ei.value.report.delta > 0
+
+    # the error escapes ingest_tables too: the loop aborts before later tables
+    reg = load_table(spark, sf_dir, "region")
+    with pytest.raises(ConsistencyError):
+        ingest_tables(spark, [
+            (nat, "nation", path, "n_nationkey"),
+            (reg, "region", str(tmp_path / "r"), "r_regionkey"),
+        ], strict)
+
+    # without the flag: reported, isolated, loop continues
+    lax = IngestConfig(mode="append", load_dttm=dt.datetime(2026, 1, 1))
+    results = ingest_tables(spark, [
+        (nat, "nation", path, "n_nationkey"),
+        (reg, "region", str(tmp_path / "r"), "r_regionkey"),
+    ], lax)
+    assert results[0].error is None and not results[0].ok
+    assert results[0].report is not None and results[0].report.delta > 0
+    assert results[1].ok
 
 
 def test_resume_floor_equivalence(spark, sf_dir, tmp_path):
