@@ -44,6 +44,7 @@ from flink_job_spark.sources.tables import load_table
 TOPK = 10
 N_QUERY_VECS = 5
 COSINE_DUP_THRESHOLD = 0.4
+COSINE_DUP_BLOCKS = 8  # B: all-pairs block grid; B(B+1)/2 tasks, 2n/B vecs per task
 LSH_BAND_DIMS = 4   # dims per sign band
 LSH_BANDS = 4       # bands → dims 1..16 used
 IVF_CENTROIDS = 8   # deterministic coarse-quantizer size
@@ -111,51 +112,78 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-matrix all-pairs scoring: one side is broadcast as numpy arrays,
-    the big side streams through mapInPandas in Arrow batches, and each batch
-    scores against the whole broadcast block vectorized — NO pair rows ever
-    shuffle (a pair join would Arrow-ship 2·dim doubles per pair; this ships
-    each vector once). Survivors (~0.05%) are the only rows emitted.
+    """Distributed block-matrix all-pairs scoring — NOTHING is collected to
+    the driver. Vectors are gridded into B blocks by vec_id; every unordered
+    block pair (bi<=bj) is one applyInPandas group, and each row is replicated
+    to the B groups whose pair contains its block (one shuffle of n·B rows —
+    each vector ships B times total, never once per pair; a pair join would
+    Arrow-ship 2·dim doubles for every one of the n²/2 pairs). Inside a group
+    the cross-block score matrix is computed vectorized; survivors (~0.05%)
+    are the only rows emitted.
+
+    Executor memory per task is 2·(n/B)·dim doubles — at 100 TB, B scales as
+    n·dim·8/mem_target so a task never holds more than the two blocks, and
+    the B(B+1)/2 tasks spread across the cluster. Driver memory is O(1).
 
     FP parity with the fold/oracle is kept by accumulating column-by-column
     (acc = acc + A[:,i]*B[:,i]): every pair sees the exact IEEE op sequence
-    of ``aggregate(zip_with(...))`` and DuckDB's in-order list_dot_product.
+    of ``aggregate(zip_with(...))`` and DuckDB's in-order list_dot_product
+    (dot and na·nb are FP-commutative, so row/col side order is irrelevant).
     The Python-side prefilter uses threshold−1e-6; the exact HALF_UP rounding
     and final threshold run JVM-side, so boundary behavior matches the oracle.
 
-    Exact all-pairs is the correctness baseline (quadratic by definition —
-    use q_embedding_cosine_lsh / q_ann_ivf_topk as the scale paths); the
-    blocked-broadcast pattern itself scales to any big-side size as long as
-    one block side fits in executor memory.
+    Exact all-pairs is the correctness baseline (quadratic compute by
+    definition — use q_embedding_cosine_lsh / q_ann_ivf_topk as the
+    sub-quadratic scale paths).
     """
     import numpy as np
     import pandas as pd
 
-    e = _vecs(spark, sf_dir)
-    side = e.collect()
-    ids_b = np.array([r["vec_id"] for r in side], dtype=np.int64)
-    v_b = np.stack([np.asarray(r["v"], dtype=np.float64) for r in side])
-    n_b = np.array([r["nv"] for r in side], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids_b, v_b, n_b))
+    B = COSINE_DUP_BLOCKS
     prefilter = COSINE_DUP_THRESHOLD - 1e-6
+    e = _vecs(spark, sf_dir)
 
-    def block(batches):
-        bids, bv, bn = bc.value
-        for pdf in batches:
-            ida = pdf["vec_id"].to_numpy(dtype=np.int64)
-            va = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            na = pdf["nv"].to_numpy(dtype=np.float64)
-            acc = np.zeros((len(ida), len(bids)), dtype=np.float64)
-            for i in range(va.shape[1]):  # sequential per-pair accum (FP parity)
-                np.add(acc, va[:, i:i + 1] * bv[None, :, i], out=acc)
-            raw = acc / (na[:, None] * bn[None, :])
-            mask = (ida[:, None] < bids[None, :]) & (raw >= prefilter)
-            i1, i2 = np.nonzero(mask)
-            yield pd.DataFrame({"v1": ida[i1], "v2": bids[i2], "raw": raw[i1, i2]})
+    # row in block b joins pair-group (o,b) for o<=b and (b,o) for o>b;
+    # pid = bi*B + bj with bi<=bj
+    b = F.pmod(F.col("vec_id"), F.lit(B))
+    pids = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda o: F.when(o <= b, o * B + b).otherwise(b * B + o),
+    )
+    rep = e.withColumn("b", b).withColumn("pid", F.explode(pids))
 
-    n_parts = spark.sparkContext.defaultParallelism
-    pairs = e.repartition(n_parts).mapInPandas(
-        block, "v1 bigint, v2 bigint, raw double")
+    def score_block_pair(key, pdf):
+        pid = int(key[0])
+        bi, bj = divmod(pid, B)
+
+        def unpack(part):
+            ids = part["vec_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                return ids, np.zeros((0, 0)), np.zeros(0)
+            vm = np.stack([np.asarray(x, dtype=np.float64) for x in part["v"]])
+            nm = part["nv"].to_numpy(dtype=np.float64)
+            return ids, vm, nm
+
+        ida, va, na = unpack(pdf[pdf["b"] == bi])
+        idb, vb, nb = unpack(pdf[pdf["b"] == bj] if bi != bj else pdf[pdf["b"] == bi])
+        if len(ida) == 0 or len(idb) == 0:
+            return pd.DataFrame({"v1": [], "v2": [], "raw": []}).astype(
+                {"v1": "int64", "v2": "int64", "raw": "float64"})
+        acc = np.zeros((len(ida), len(idb)), dtype=np.float64)
+        for i in range(va.shape[1]):  # sequential per-pair accum (FP parity)
+            np.add(acc, va[:, i:i + 1] * vb[None, :, i], out=acc)
+        raw = acc / (na[:, None] * nb[None, :])
+        if bi == bj:
+            mask = (ida[:, None] < idb[None, :]) & (raw >= prefilter)
+        else:  # cross-block: every pair is unique to this group
+            mask = raw >= prefilter
+        i1, i2 = np.nonzero(mask)
+        a, c = ida[i1], idb[i2]
+        return pd.DataFrame({"v1": np.minimum(a, c), "v2": np.maximum(a, c),
+                             "raw": raw[i1, i2]})
+
+    pairs = rep.groupBy("pid").applyInPandas(
+        score_block_pair, "v1 bigint, v2 bigint, raw double")
     return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
                  .filter(F.col("score") >= COSINE_DUP_THRESHOLD))
 
