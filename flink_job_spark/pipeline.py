@@ -35,7 +35,7 @@ from flink_job_spark.operators.envelope import (
     with_envelope,
 )
 from flink_job_spark.operators.snapshot import cutoff_predicate, freeze_cutoff, snapshot_scan
-from flink_job_spark.types import ColumnInfo
+from flink_job_spark.types import ColumnInfo, infos_from_schema, quote_identifier
 
 log = logging.getLogger(__name__)
 
@@ -74,6 +74,11 @@ class IngestConfig:
     compression: str = "zstd"            # mis:907
     load_dttm: dt.datetime | None = None  # fixed for deterministic tests
     infos: dict[str, ColumnInfo] = field(default_factory=dict)
+    # Iceberg writer branch (mis:886-939): when catalog is set, the target is
+    # <catalog>.<database>.<table> via DDL + writeTo instead of parquet files.
+    # Requires the Iceberg Spark runtime on the classpath.
+    catalog: str | None = None
+    database: str = "default"
 
 
 def snapshot_ingest(
@@ -100,19 +105,31 @@ def snapshot_ingest(
         # during the write — same engine, independent implementation (mis:918-939)
         names = tech_column_names(list(scan.columns))
         sink_hash = row_hash_sql_expr(scan.schema, list(scan.columns), cfg.infos)
-        to_write = (
-            enveloped
-            .withColumn(names["row_hash_iceberg"], F.expr(sink_hash))
-            .withColumn("load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
-        )
-        (to_write.write
-            .partitionBy("load_month")   # month(load_dttm) hidden partition (mis:905)
-            .option("compression", cfg.compression)
-            .mode("overwrite" if cfg.mode == "replace" else "append")
-            .parquet(target_path))
+        hashed = enveloped.withColumn(names["row_hash_iceberg"], F.expr(sink_hash))
 
-        # explicit schema: an empty snapshot writes no data files to infer from
-        target = spark.read.schema(to_write.schema).parquet(target_path)
+        if cfg.catalog:
+            # Iceberg branch: DDL (month hidden partitioning, zstd, 512 MB,
+            # v2, retention — mis:886-913) + writeTo append/overwrite
+            from flink_job_spark.sinks.iceberg import iceberg_write
+            derived = {i.name: i for i in infos_from_schema(scan.schema)}
+            cols = [cfg.infos.get(c) or derived[c] for c in scan.columns]
+            iceberg_write(spark, hashed, cfg.catalog, cfg.database, table,
+                          cols, cfg.mode)
+            target = spark.table(
+                f"{quote_identifier(cfg.catalog)}."
+                f"{quote_identifier(cfg.database)}.{quote_identifier(table)}")
+        else:
+            # parquet stand-in: explicit load_month partition column emulates
+            # the hidden month(load_dttm) transform (mis:905)
+            to_write = hashed.withColumn(
+                "load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
+            (to_write.write
+                .partitionBy("load_month")
+                .option("compression", cfg.compression)
+                .mode("overwrite" if cfg.mode == "replace" else "append")
+                .parquet(target_path))
+            # explicit schema: an empty snapshot writes no data files to infer from
+            target = spark.read.schema(to_write.schema).parquet(target_path)
         report = run_consistency_check(
             table, src_count, target, cutoff_predicate(order_col, cutoff))
         if not report.ok:
