@@ -138,13 +138,25 @@ def duckdb_hash_token_sql(name: str, dtype: T.DataType, info: ColumnInfo | None 
     is_char, precision, is_time = _hints(dtype, info)
 
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        # NOT round(x,6): DuckDB's round multiplies by 1e6 first and loses
-        # precision past 2^53 (e.g. 576460752305.0 → ...304.999936). A direct
-        # decimal cast rounds the double's exact value once; ties at the 7th
-        # decimal are impossible for binary doubles, so this equals Spark's
-        # ROUND→DECIMAL path for |x| < 2^53/1e6 (the reference's contract
-        # domain — beyond it double-rounding is engine-specific everywhere).
-        tok = f"CAST(CAST({q} AS DECIMAL(38,6)) AS VARCHAR)"
+        # Round the SHORTEST DECIMAL REPR, not the exact binary value: Spark's
+        # ROUND(double,6) goes through BigDecimal.valueOf(Double.toString(x))
+        # — i.e. it rounds x's shortest repr HALF_UP. DuckDB's direct
+        # double→decimal cast instead rounds the exact binary expansion, which
+        # diverges whenever the repr ties at the 7th decimal (fuzz-found:
+        # 536870912.4978625 → repr-tie rounds up, exact ...6245822... rounds
+        # down). Going through VARCHAR makes DuckDB round the repr too
+        # (VARCHAR→DECIMAL is HALF_UP), matching Java digit-for-digit; it also
+        # sidesteps DuckDB round()'s 1e6-multiply precision loss past 2^53
+        # (576460752305.0 → ...304.999936). FLOAT widens to DOUBLE first,
+        # exactly like the Spark tokens' CAST(x AS DOUBLE).
+        # |x| < 5e-7 short-circuits to '0.000000': DuckDB's VARCHAR→DECIMAL
+        # mis-rounds scientific exponents below the scale (fuzz-found:
+        # '5e-324' and '9e-08' → 0.000001) — every such value rounds to zero
+        # under HALF_UP anyway; at |x| ≥ 5e-7 the cast is digit-exact vs Java.
+        cast_chain = (f"CAST(CAST(CAST(CAST({q} AS DOUBLE) AS VARCHAR) "
+                      f"AS DECIMAL(38,6)) AS VARCHAR)")
+        tok = (f"CASE WHEN abs(CAST({q} AS DOUBLE)) < 5e-7 THEN '0.000000' "
+               f"ELSE {cast_chain} END")
     elif isinstance(dtype, T.DecimalType):
         tok = f"REPLACE(CAST({q} AS VARCHAR), ',', '.')"
     elif isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):

@@ -79,6 +79,8 @@ class IngestConfig:
     # Requires the Iceberg Spark runtime on the classpath.
     catalog: str | None = None
     database: str = "default"
+    # per-task progress logging + exact observed write counts (mis:1120-1131)
+    progress: bool = False
 
 
 def snapshot_ingest(
@@ -107,29 +109,46 @@ def snapshot_ingest(
         sink_hash = row_hash_sql_expr(scan.schema, list(scan.columns), cfg.infos)
         hashed = enveloped.withColumn(names["row_hash_iceberg"], F.expr(sink_hash))
 
-        if cfg.catalog:
-            # Iceberg branch: DDL (month hidden partitioning, zstd, 512 MB,
-            # v2, retention — mis:886-913) + writeTo append/overwrite
-            from flink_job_spark.sinks.iceberg import iceberg_write
-            derived = {i.name: i for i in infos_from_schema(scan.schema)}
-            cols = [cfg.infos.get(c) or derived[c] for c in scan.columns]
-            iceberg_write(spark, hashed, cfg.catalog, cfg.database, table,
-                          cols, cfg.mode)
-            target = spark.table(
-                f"{quote_identifier(cfg.catalog)}."
-                f"{quote_identifier(cfg.database)}.{quote_identifier(table)}")
-        else:
-            # parquet stand-in: explicit load_month partition column emulates
-            # the hidden month(load_dttm) transform (mis:905)
-            to_write = hashed.withColumn(
-                "load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
-            (to_write.write
-                .partitionBy("load_month")
-                .option("compression", cfg.compression)
-                .mode("overwrite" if cfg.mode == "replace" else "append")
-                .parquet(target_path))
-            # explicit schema: an empty snapshot writes no data files to infer from
-            target = spark.read.schema(to_write.schema).parquet(target_path)
+        obs = None
+        if cfg.progress:
+            # observed metric rides the write plan: exact rows written with no
+            # second scan (the per-run total print of mis:1132-1134)
+            from pyspark.sql import Observation
+            obs = Observation(f"ingest:{table}")
+            hashed = hashed.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+
+        from contextlib import nullcontext
+
+        from flink_job_spark.progress import ProgressReporter
+        reporter = (ProgressReporter(spark, f"ingest:{table}", f"snapshot {table}")
+                    if cfg.progress else nullcontext())
+        with reporter:
+            if cfg.catalog:
+                # Iceberg branch: DDL (month hidden partitioning, zstd, 512 MB,
+                # v2, retention — mis:886-913) + writeTo append/overwrite
+                from flink_job_spark.sinks.iceberg import iceberg_write
+                derived = {i.name: i for i in infos_from_schema(scan.schema)}
+                cols = [cfg.infos.get(c) or derived[c] for c in scan.columns]
+                iceberg_write(spark, hashed, cfg.catalog, cfg.database, table,
+                              cols, cfg.mode)
+                target = spark.table(
+                    f"{quote_identifier(cfg.catalog)}."
+                    f"{quote_identifier(cfg.database)}.{quote_identifier(table)}")
+            else:
+                # parquet stand-in: explicit load_month partition column emulates
+                # the hidden month(load_dttm) transform (mis:905)
+                to_write = hashed.withColumn(
+                    "load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
+                (to_write.write
+                    .partitionBy("load_month")
+                    .option("compression", cfg.compression)
+                    .mode("overwrite" if cfg.mode == "replace" else "append")
+                    .parquet(target_path))
+                # explicit schema: an empty snapshot writes no data files to infer from
+                target = spark.read.schema(to_write.schema).parquet(target_path)
+        if obs is not None:
+            log.info("Total emitted in this run: %s from %s (mis:1132-1134)",
+                     obs.get.get("rows_written"), table)
         report = run_consistency_check(
             table, src_count, target, cutoff_predicate(order_col, cutoff))
         if not report.ok:
@@ -149,14 +168,21 @@ def snapshot_ingest(
 
 def ingest_tables(
     spark: SparkSession,
-    tables: list[tuple[DataFrame, str, str, str]],  # (df, name, target_path, order_col)
+    tables: list[tuple],  # (df, name, target_path, order_col[, infos])
     config: IngestConfig | None = None,
 ) -> list[IngestResult]:
     """Multi-table loop with per-table failure isolation and running totals
-    (the reference's batch loop, mis:189-198, 299-359)."""
+    (the reference's batch loop, mis:189-198, 299-359). A 5th tuple element
+    carries per-table ColumnInfo metadata (live JDBC sources)."""
+    import dataclasses
+
     results = []
-    for df, name, path, key in tables:
-        results.append(snapshot_ingest(spark, df, name, path, key, config))
+    for item in tables:
+        df, name, path, key = item[:4]
+        infos = item[4] if len(item) > 4 and item[4] else None
+        cfg = (dataclasses.replace(config or IngestConfig(), infos=infos)
+               if infos else config)
+        results.append(snapshot_ingest(spark, df, name, path, key, cfg))
     total_read = sum(r.report.source_count for r in results if r.report)
     total_written = sum(r.report.target_count for r in results if r.report)
     log.info("ingest totals: rows_read=%d rows_written=%d delta=%d failures=%d",

@@ -20,9 +20,15 @@ from typing import Any
 
 from pyspark.sql import DataFrameReader, SparkSession
 
-from flink_job_spark.types import quote_identifier
-
 DEFAULT_FETCH_SIZE = 50_000  # mis:83
+
+
+def quote_source_identifier(name: str, quote: str = '"') -> str:
+    """Source-dialect identifier quoting for the pushed-down subquery — the
+    reference double-quotes Firebird identifiers (escapeFirebirdIdentifier,
+    mis:857-859). ANSI double-quote is the default (Firebird/Derby/Postgres);
+    pass '`' for MySQL-family sources."""
+    return quote + name.replace(quote, quote * 2) + quote
 
 
 def render_sql_literal(value: Any, type_hint: str = "") -> str:
@@ -61,21 +67,23 @@ class JdbcSnapshotSource:
     num_partitions: int = 1
     bounds: tuple[int, int] | None = None  # (lower, upper) for partitionColumn
     properties: dict[str, str] = field(default_factory=dict)
+    quote: str = '"'  # source dialect identifier quote (mis:857-859)
 
     def snapshot_query(self) -> str:
         """The pushed-down subquery (explicit columns, cutoff+floor predicate),
         mirroring the reference's generated source SQL (mis:1076-1088) minus the
         ORDER BY — parallel key-range partitions supersede single-cursor order."""
-        cols = ", ".join(quote_identifier(c) for c in self.columns)
+        q = lambda n: quote_source_identifier(n, self.quote)  # noqa: E731
+        cols = ", ".join(q(c) for c in self.columns)
         preds = []
         if self.cutoff is None:
             preds.append("1 = 0")  # empty-table contradiction (mis:651-656)
         else:
-            preds.append(f"{quote_identifier(self.order_col)} <= {render_sql_literal(self.cutoff)}")
+            preds.append(f"{q(self.order_col)} <= {render_sql_literal(self.cutoff)}")
         if self.floor is not None:
-            preds.append(f"{quote_identifier(self.order_col)} > {render_sql_literal(self.floor)}")
+            preds.append(f"{q(self.order_col)} > {render_sql_literal(self.floor)}")
         where = " AND ".join(preds)
-        return f"(SELECT {cols} FROM {quote_identifier(self.table)} WHERE {where}) snap"
+        return f"(SELECT {cols} FROM {q(self.table)} WHERE {where}) snap"
 
     def reader(self, spark: SparkSession) -> DataFrameReader:
         r = (spark.read.format("jdbc")

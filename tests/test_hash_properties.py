@@ -30,12 +30,13 @@ SCHEMA = T.StructType([
     T.StructField("d", T.DateType()),
 ])
 
-# |x| < 2^53/1e6 ≈ 9e9: the domain where round-to-6-then-decimal equals a
-# single decimal rounding in every engine. Beyond it, double-rounding order
-# is engine-specific (the reference's own Java-vs-Firebird pair diverges the
-# same way) — the canonicalization contract is only defined inside it.
+# Both engines round the double's SHORTEST REPR half-up (Spark via
+# BigDecimal.valueOf(Double.toString), DuckDB via the VARCHAR→DECIMAL hop in
+# the oracle token), so the contract holds at any magnitude the DECIMAL(38,6)
+# token can carry; ±1e15 keeps clear of the cast-overflow edge where Spark
+# yields NULL and DuckDB errors.
 finite_doubles = st.floats(allow_nan=False, allow_infinity=False,
-                           min_value=-1e9, max_value=1e9)
+                           min_value=-1e15, max_value=1e15)
 # printable incl. the token separator '|', quotes, and the NULL sentinel text
 tricky_strings = st.one_of(
     st.text(min_size=0, max_size=40),
@@ -83,14 +84,14 @@ def test_three_hash_impls_agree(spark, tmp_path_factory, rows):
 
 
 def test_large_magnitude_production_pair_agrees(spark):
-    """Beyond the oracle contract domain the PRODUCTION pair (Column tree vs
-    generated Spark SQL — the two that run in the real audit) must still
-    agree; 576460752305.0 is the fuzz-found value where DuckDB's round
-    diverges."""
+    """The PRODUCTION pair (Column tree vs generated Spark SQL — the two that
+    run in the real audit) must agree on fuzz-found adversarial magnitudes:
+    576460752305.0 (2^53/1e6 edge) and a repr-tie at the 7th decimal."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
         [(None, 576460752305.0, None, None, None),
+         (None, 536870912.4978625, None, None, None),
          (None, -9.9e15, None, None, None)], SCHEMA)
     rows = df.select(
         row_hash_column(df).alias("h_col"),
