@@ -17,7 +17,8 @@ Token rules (all three implementations; citations to mis):
 - NULL → ``<NULL>`` sentinel, COALESCE outermost          (1616-1618, 1861)
 - FLOAT/DOUBLE/REAL → ROUND(x,6) as DECIMAL(38,6) string  (1622-1631, 1837-1844)
 - DECIMAL → plain string, comma→dot                       (1633-1640)
-- TIME (string stand-in) → append ``.0000`` iff no ``.``  (1642-1651, 1829-1835)
+- TIME (string stand-in) → truncate to ``HH:mm:ss``, append ``.0000``
+  unconditionally, exactly like the reference      (1646-1651, 1787-1790)
 - TIMESTAMP → ``yyyy-MM-dd HH:mm:ss.SSSS`` (4-digit frac) (1653-1659, 1827)
 - DATE → ISO string                                       (1661-1666)
 - CHAR(n) → right-pad with spaces to precision n          (1668-1673, 1846-1855)
@@ -70,8 +71,9 @@ def hash_token_column(col: Column, dtype: T.DataType, info: ColumnInfo | None = 
     elif isinstance(dtype, T.BinaryType):
         tok = F.lower(F.hex(col))
     elif isinstance(dtype, T.StringType) and is_time:
-        # TIME stand-in: 'HH:mm:ss' + '.0000' unless a fraction is present (mis:1829-1835)
-        tok = F.when(F.instr(col, ".") > 0, col).otherwise(F.concat(col, F.lit(".0000")))
+        # TIME stand-in: truncate to 'HH:mm:ss', then always '.0000' — the
+        # reference's canonicalizers discard any fraction (mis:1646-1651)
+        tok = F.concat(F.substring(col, 1, 8), F.lit(".0000"))
     elif isinstance(dtype, T.StringType) and is_char:
         tok = F.rpad(col, precision, " ")
     else:
@@ -110,8 +112,7 @@ def hash_token_sql(name: str, dtype: T.DataType, info: ColumnInfo | None = None)
     elif isinstance(dtype, T.BinaryType):
         tok = f"LOWER(HEX({q}))"
     elif isinstance(dtype, T.StringType) and is_time:
-        tok = (f"CASE WHEN POSITION('.' IN {q}) > 0 THEN {q} "
-               f"ELSE CONCAT({q}, '.0000') END")
+        tok = f"CONCAT(SUBSTRING({q}, 1, 8), '.0000')"
     elif isinstance(dtype, T.StringType) and is_char:
         tok = f"RPAD({q}, {precision}, ' ')"
     else:
@@ -167,7 +168,7 @@ def duckdb_hash_token_sql(name: str, dtype: T.DataType, info: ColumnInfo | None 
     elif isinstance(dtype, T.BinaryType):
         tok = f"lower(hex({q}))"
     elif isinstance(dtype, T.StringType) and is_time:
-        tok = f"CASE WHEN position('.' IN {q}) > 0 THEN {q} ELSE {q} || '.0000' END"
+        tok = f"substr({q}, 1, 8) || '.0000'"
     elif isinstance(dtype, T.StringType) and is_char:
         tok = f"rpad({q}, {precision}, ' ')"
     else:

@@ -14,9 +14,15 @@ Four families, each expressed as shuffle-conscious DataFrame lineage:
 Scale notes (100 TB): every join here is an equi-join on a hash-distributed
 key (shingle / band bucket / simhash chunk) — no broadcast needed, no
 cross join anywhere. Hot shingles (stop-shingles) are the skew risk: AQE
-skew-join handles moderate skew; for pathological corpora add a doc-freq cap
-on shingles before the pair join (drops only candidates that share nothing
-rare — standard practice).
+skew-join handles moderate skew, and candidate generation applies a
+doc-frequency cap (:func:`cap_shingles`, SHINGLE_MAX_DOC_FREQ): a shingle
+seen in more than `cap` documents is dropped from the inverted index /
+signature input, so one shingle can contribute at most cap·(cap−1)/2
+candidate pairs regardless of corpus skew. Exact-Jaccard verification still
+runs on the FULL shingle sets, so surviving pairs keep exact scores; only
+pairs that share nothing rarer than a stop-shingle are lost (standard
+practice). The hot-shingle set is broadcast for the anti-join — it is tiny
+by definition (bounded by |corpus|/cap distinct shingles).
 
 Salted-MD5 minhash: signature_j = MIN over shingles of md5(j || '|' || shingle),
 compared lexicographically — fixed-width hex strings make lexicographic MIN
@@ -45,6 +51,7 @@ MINHASH_BAND_ROWS = 2  # rows per LSH band → 4 bands
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 SIMHASH_HAMMING_MAX = 4
+SHINGLE_MAX_DOC_FREQ = 100  # stop-shingle cap for candidate generation
 
 
 # --- q_dedup_exact ---------------------------------------------------------------
@@ -69,18 +76,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shared shingle builder --------------------------------------------------------
 
-def doc_shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, s): distinct word-3-gram shingles per document."""
-    return (
+def doc_shingles(d: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
+    """(doc_id, s): distinct word-3-gram shingles per document; optionally
+    doc-frequency-capped (see :func:`cap_shingles` — pass an already-persisted
+    shingle table there instead when the full set is also needed)."""
+    sh = (
         d.select("doc_id", words("text").alias("ws"))
         .select("doc_id", F.explode(F.array_distinct(word_shingles("ws", 3))).alias("s"))
     )
+    return cap_shingles(sh, max_doc_freq) if max_doc_freq is not None else sh
+
+
+def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` documents.
+
+    The hot set is at most |rows|/cap shingles — broadcast it and anti-join,
+    so the big shingle table never shuffles. Bounds any one shingle's
+    candidate contribution to cap·(cap−1)/2 pairs on a pathological corpus."""
+    hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > max_doc_freq).select("s"))
+    return sh.join(F.broadcast(hot), "s", "left_anti")
 
 
 _DUCK_SHINGLES = f"""
   sh AS (
     SELECT DISTINCT doc_id, unnest({word_shingles_duck('ws', 3)}) AS s
     FROM (SELECT doc_id, {words_duck('text')} AS ws FROM documents)
+  ),
+  shc AS (
+    SELECT * FROM sh WHERE s NOT IN (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_MAX_DOC_FREQ})
   ),
   sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1)"""
 
@@ -136,7 +161,7 @@ _BAND_UNION_DUCK = " UNION ALL ".join(
 @register(
     "q_dedup_minhash_lsh",
     f"""WITH {_DUCK_SHINGLES},
-  sigs AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+  sigs AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM shc GROUP BY doc_id),
   bands AS (SELECT doc_id, {_BANDS_DUCK} FROM sigs),
   bandrows AS ({_BAND_UNION_DUCK}),
   cand AS (
@@ -155,7 +180,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the shingle explode+distinct runs once, not 4× (at scale: materialize
     # the inverted index before the self-join, the standard MinHash layout)
     sh = doc_shingles(d).persist()
-    sigs = sh.groupBy("doc_id").agg(
+    # signatures from the doc-freq-capped set: stop-shingles can't dominate
+    # minhashes or flood a band bucket; verification below uses the full sh
+    shc = cap_shingles(sh, SHINGLE_MAX_DOC_FREQ)
+    sigs = shc.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"s{j}")
           for j in range(MINHASH_K)]
     )
@@ -188,39 +216,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {_DUCK_SHINGLES},
   cand AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
   {_DUCK_VERIFY}""",
-    doc=f"exact n-gram Jaccard ≥{JACCARD_THRESHOLD} via inverted-index self-join "
-        "(pairs sharing no shingle never materialize)",
+    doc=f"exact n-gram Jaccard ≥{JACCARD_THRESHOLD} via doc-freq-capped "
+        "inverted-index self-join (pairs sharing only stop-shingles never "
+        "materialize), full-set verify",
     tags=("dedup",),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d).persist()  # used by both join sides and sizes
-    # ONE equi-join on the inverted index gives intersection counts directly —
-    # a separate candidate pass would run the identical self-join twice
-    sa = sh.select(F.col("doc_id").alias("d1"), "s")
-    sb = sh.select(F.col("doc_id").alias("d2"), "s")
-    inter = (
-        sa.join(sb, "s")
+    sh = doc_shingles(d).persist()  # feeds cap, candidates, verify, sizes
+    # candidates from the doc-freq-capped inverted index: one shingle joins at
+    # most `cap` docs, so its pair contribution is bounded on any corpus;
+    # exact Jaccard below still uses the FULL shingle sets
+    shc = cap_shingles(sh, SHINGLE_MAX_DOC_FREQ)
+    cand = (
+        shc.select(F.col("doc_id").alias("d1"), "s")
+        .join(shc.select(F.col("doc_id").alias("d2"), "s"), "s")
         .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select("d1", "d2")
+        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("szb"))
-    return (
-        inter.join(za, "d1").join(zb, "d2")
-        .select(
-            "d1", "d2",
-            (F.col("i").cast("double")
-             / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verified_pairs(cand, sh, sizes)
 
 
 # --- q_dedup_simhash ------------------------------------------------------------------------

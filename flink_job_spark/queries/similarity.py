@@ -49,6 +49,8 @@ LSH_BAND_DIMS = 4   # dims per sign band
 LSH_BANDS = 4       # bands → dims 1..16 used
 IVF_CENTROIDS = 8   # deterministic coarse-quantizer size
 IVF_NPROBE = 2      # cells probed per query
+KMEANS_ITERS = 3    # Lloyd iterations for the k-means IVF variant
+IVF_KMEANS_NPROBE = 3  # recall@10 ≥ 0.9 on testdata at 3/8 cells (measured)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,28 +285,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded as literal vectors — cell assignment is then a pure map-side
     expression over the big table (zero shuffle; at 100 TB the table stays
     partitioned by cell id and a probe touches ~nprobe/n_cells of the data).
-    Centroids here are a deterministic id-sample; production would k-means||
-    them — identical plan shape, different centroid values."""
+    Centroids here are a deterministic id-sample (q_ann_ivf_kmeans trains them
+    with Lloyd iterations — identical plan shape, better centroid values)."""
     e = _vecs(spark, sf_dir)
-
     cents = sorted(
         e.filter(F.col("vec_id") < IVF_CENTROIDS)
          .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
         key=lambda r: r["cent_id"],
     )
+    cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
+             for c in cents]
+    return _ivf_probe_plan(spark, e, cents, IVF_NPROBE)
 
-    # Literal centroid table as an array<struct> column: assignment is
-    # argmax over 8 in-row cosine scores — compact expression (janino-safe),
-    # map-side, zero shuffle of the big table. struct max compares
-    # (score, -cent_id) field-by-field, so ties pick the lowest cent_id,
-    # matching the oracle's ORDER BY score DESC, cent_id.
+
+def _pydot(a, b):
+    """Sequential fold — the exact IEEE op order of dot()/list_dot_product."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cell_assignment(cents: list[tuple[int, list[float], float]]):
+    """Map-side nearest-centroid expression from literal centroids.
+
+    Literal centroid table as an array<struct> column: assignment is argmax
+    over k in-row cosine scores — compact expression (janino-safe), zero
+    shuffle of the big table. struct max compares (score, -cent_id)
+    field-by-field, so ties pick the lowest cent_id, matching the oracle's
+    ORDER BY score DESC, cent_id."""
     cent_lit = F.array(*[
         F.struct(
-            F.lit(int(c["cent_id"])).alias("cid"),
-            F.lit(float(c["nv"])).alias("nc"),
-            F.array(*[F.lit(float(x)) for x in c["v"]]).alias("cv"),
+            F.lit(cid).alias("cid"),
+            F.lit(nv).alias("nc"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
         )
-        for c in cents
+        for cid, cv, nv in cents
     ])
     score_c = lambda c: F.aggregate(  # noqa: E731 — dot/(nv*nc), fold from 0.0
         F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
@@ -314,16 +330,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_lit,
         lambda c: F.struct(score_c(c).alias("s"), (-c["cid"]).alias("negcid")),
     ))
-    assigned = e.withColumn("cent_id", (-best["negcid"]).cast("long"))
+    return (-best["negcid"]).cast("long")
+
+
+def _ivf_probe_plan(spark: SparkSession, e: DataFrame,
+                    cents: list[tuple[int, list[float], float]],
+                    nprobe: int) -> DataFrame:
+    """Shared IVF probe: map-side cell assignment, driver-side probe-cell
+    choice for the tiny query set, exact cosine only inside probed cells."""
+    assigned = e.withColumn("cent_id", _cell_assignment(cents))
 
     # probe: per query, top-nprobe centroids — queries are tiny, computed
     # driver-side with the same IEEE op sequence (Python floats are doubles)
-    def pydot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
     probes = []
     qrows = sorted(
         e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -333,11 +351,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qr in qrows:
         qv = [float(x) for x in qr["v"]]
         scored_cells = sorted(
-            ((pydot(qv, [float(x) for x in c["v"]]) / (float(qr["nv"]) * float(c["nv"])),
-              c["cent_id"]) for c in cents),
+            ((_pydot(qv, cv) / (float(qr["nv"]) * nv), cid)
+             for cid, cv, nv in cents),
             key=lambda t: (-t[0], t[1]),
         )
-        for s, cid in scored_cells[:IVF_NPROBE]:
+        for s, cid in scored_cells[:nprobe]:
             probes.append((qr["qid"], cid, qv, float(qr["nv"])))
 
     probe_df = spark.createDataFrame(
@@ -353,3 +371,133 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= TOPK))
+
+
+# --- q_ann_ivf_kmeans (Lloyd-trained coarse quantizer, cross-engine exact) ---------
+
+def kmeans_lite_centroids(spark: SparkSession, e: DataFrame, k: int,
+                          iters: int) -> list[tuple[int, list[float], float]]:
+    """Deterministic distributed Lloyd iterations, bit-reproducible across
+    engines (the DuckDB oracle re-derives the identical centroids):
+
+    - init: the k lowest vec_ids (seeded, engine-independent)
+    - assignment: map-side argmax cosine against literal centroids (ties →
+      lowest cent_id) — zero shuffle of the big table
+    - update: per-(cell, dim) mean via DECIMAL(38,12) sums — decimals make
+      the reduction exact and therefore order-independent (a plain double sum
+      would differ run-to-run with partitioning); the final value casts the
+      exact sum to double and divides by the count, one IEEE op sequence
+      every engine reproduces
+    - empty cells keep their previous centroid
+
+    Per iteration: one map + one combine-enabled shuffle of n·dim (cell, dim,
+    sum) partials; centroids (k·dim doubles) ride the driver, as in any
+    k-means implementation. Production at 100 TB would swap the init for
+    k-means|| sampling — the iteration plan is unchanged."""
+    cents = sorted(
+        e.filter(F.col("vec_id") < k)
+         .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
+             for c in cents]
+    for _ in range(iters):
+        assigned = e.withColumn("cent_id", _cell_assignment(cents))
+        sums = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            # CAST(exact decimal AS DOUBLE) / CAST(n AS DOUBLE): float(Decimal)
+            # and the division are correctly rounded in every engine
+            acc.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
+                float(r["s"]) / float(r["n"]))
+        new_cents = []
+        for cid, cv, nv in cents:  # empty cell → previous centroid
+            if cid in acc:
+                m = acc[cid]
+                cv = [m[p] for p in range(len(cv))]
+                sq = 0.0
+                for x in cv:
+                    sq = sq + x * x
+                nv = sq ** 0.5
+            new_cents.append((cid, cv, nv))
+        cents = new_cents
+    return cents
+
+
+def _duck_kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, replicating
+    kmeans_lite_centroids bit-for-bit: same init, same tie-broken argmax
+    assignment, same DECIMAL(38,12)-exact means (the VARCHAR hop makes the
+    double→decimal cast round the shortest repr, as Spark/Java do). Yields a
+    final CTE ``cents(cent_id, cv)``."""
+    parts = [f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {k})"]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+    SELECT vec_id, v, cent_id FROM (
+      SELECT e.vec_id, e.v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cosine_duck('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+  )""")
+        parts.append(f"""m{it} AS (
+    SELECT cent_id, p.pos AS pos,
+           CAST(SUM(CAST(CAST(v[p.pos] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS x
+    FROM a{it}, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS pos) p
+    GROUP BY 1, 2
+  )""")
+        parts.append(f"""c{it} AS (
+    SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN (
+      SELECT cent_id, list(x ORDER BY pos) AS cv FROM m{it} GROUP BY 1) n
+      ON n.cent_id = p.cent_id
+  )""")
+    parts.append(f"cents AS (SELECT cent_id, cv FROM c{iters})")
+    return ",\n  ".join(parts)
+
+
+@register(
+    "q_ann_ivf_kmeans",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  {_duck_kmeans_ctes(IVF_CENTROIDS, KMEANS_ITERS)},
+  assign AS (
+    SELECT vec_id, v, cent_id FROM (
+      SELECT e.vec_id, e.v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cosine_duck('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cents c) WHERE rn = 1
+  ),
+  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+  probe AS (
+    SELECT qid, qv, cent_id FROM (
+      SELECT q.qid, q.qv, c.cent_id,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY {cosine_duck('q.qv', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN cents c) WHERE rn <= {IVF_KMEANS_NPROBE}
+  ),
+  scored AS (
+    SELECT p.qid, a.vec_id, round({cosine_duck('p.qv', 'a.v')}, 6) AS score
+    FROM probe p JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.qid
+  )
+  SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}""",
+    doc=f"IVF ANN with k-means-lite centroids ({KMEANS_ITERS} exact-decimal "
+        f"Lloyd iterations, k={IVF_CENTROIDS}), nprobe={IVF_KMEANS_NPROBE} "
+        f"cell-local exact top-{TOPK}; recall@10 ≥ 0.9 vs brute force (tested)",
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probe plan as q_ann_ivf_topk, with Lloyd-trained centroids.
+    e is persisted across the iterations (each reads it once)."""
+    e = _vecs(spark, sf_dir).persist()
+    cents = kmeans_lite_centroids(spark, e, IVF_CENTROIDS, KMEANS_ITERS)
+    return _ivf_probe_plan(spark, e, cents, IVF_KMEANS_NPROBE)

@@ -1,0 +1,76 @@
+"""Hot-shingle doc-frequency cap: candidate volume stays bounded on a
+pathologically skewed corpus (every document shares one stop-shingle), while
+genuinely near-duplicate pairs — the ones sharing rare shingles — survive
+with exact full-set Jaccard scores."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries.dedup import (
+    _verified_pairs,
+    cap_shingles,
+    doc_shingles,
+)
+
+N_DOCS = 60
+CAP = 10
+
+
+def _skewed_corpus(spark):
+    """Every doc starts with the same 3 words (one shared stop-shingle); the
+    tail is unique per doc. Docs 0/1 additionally share a rare 4-word run."""
+    rows = []
+    for i in range(N_DOCS):
+        rows.append((i, f"aa bb cc u{i} v{i} w{i}"))
+    rows.append((900, "x1 x2 x3 x4"))
+    rows.append((901, "x1 x2 x3 x4 x5"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _candidates(sh):
+    return (
+        sh.select(F.col("doc_id").alias("d1"), "s")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def test_cap_bounds_candidate_volume(spark):
+    d = _skewed_corpus(spark)
+    sh = doc_shingles(d).persist()
+
+    uncapped = _candidates(sh).count()
+    assert uncapped >= N_DOCS * (N_DOCS - 1) // 2  # stop-shingle quadratic blowup
+
+    shc = cap_shingles(sh, CAP)
+    capped = _candidates(shc).count()
+    # the stop-shingle's 60-doc clique is gone; only the rare-shingle pair stays
+    assert capped == 1
+    # shingles below the cap are untouched
+    assert shc.filter(F.col("doc_id").isin(900, 901)).count() == sh.filter(
+        F.col("doc_id").isin(900, 901)).count()
+    sh.unpersist()
+
+
+def test_capped_candidates_keep_exact_full_set_jaccard(spark):
+    d = _skewed_corpus(spark)
+    sh = doc_shingles(d).persist()
+    cand = _candidates(cap_shingles(sh, CAP))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = _verified_pairs(cand, sh, sizes).collect()
+    # doc 900 {x123, x234} vs doc 901 {x123, x234, x345}: J = 2/3 over FULL sets
+    assert len(out) == 1
+    r = out[0]
+    assert (r["d1"], r["d2"]) == (900, 901)
+    assert abs(r["jaccard"] - 2 / 3) < 1e-12
+    sh.unpersist()
+
+
+def test_doc_shingles_max_doc_freq_param(spark):
+    """The convenience parameter on doc_shingles wires the same cap."""
+    d = _skewed_corpus(spark)
+    shc = doc_shingles(d, max_doc_freq=CAP)
+    assert _candidates(shc).count() == 1

@@ -112,12 +112,16 @@ def test_token_edge_semantics(spark, fixture_df):
            bumped.select("c_int", row_hash_column(bumped, infos=INFOS).alias("h")).collect()}
     assert h_b[1] == h[1]
 
-    # TIME '.0000' suffix: '10:30:00' ≡ already-fractioned form is distinct
+    # TIME canonical form: truncate to HH:mm:ss + '.0000' unconditionally
+    # (mis:1646-1651) — explicit '.0000' and any other fraction both collapse
     t2 = fixture_df.withColumn("c_time_str", F.concat("c_time_str", F.lit(".0000")))
     h_t = {r["c_int"]: r["h"] for r in
            t2.select("c_int", row_hash_column(t2, infos=INFOS).alias("h")).collect()}
     assert h_t[1] == h[1]          # explicit .0000 == implicit
-    assert h_t[2] != h[2] or True  # row2 already has fraction; concat changes it
+    t3 = fixture_df.withColumn("c_time_str", F.concat("c_time_str", F.lit(".9876")))
+    h_t3 = {r["c_int"]: r["h"] for r in
+            t3.select("c_int", row_hash_column(t3, infos=INFOS).alias("h")).collect()}
+    assert h_t3[1] == h[1]         # fraction is discarded, like the reference
 
     # all-NULL row stays stable and uses sentinel (not empty string)
     assert h[3] is not None
