@@ -68,3 +68,77 @@ def stream_snapshot_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_snapshot_ingest_audited(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    target_dir: str,
+    checkpoint_dir: str,
+    src_system_code: str = "mis",
+    load_dttm: dt.datetime | None = None,
+    fail_on_consistency_error: bool = True,
+    row_hash=None,
+):
+    """Streaming ingest with the batch pipeline's COUNT+mismatch gate wired
+    into a ``foreachBatch`` sink: every micro-batch is written AND audited
+    (dual-hash mismatch count, exact per-batch row count) before its offsets
+    commit — the streaming twin of the post-load audit (mis:1264-1331).
+
+    With ``fail_on_consistency_error`` a mismatching batch raises
+    :class:`~flink_job_spark.pipeline.ConsistencyError` inside foreachBatch,
+    which fails the streaming query BEFORE the offending batch's offsets are
+    committed — on restart the batch is reprocessed, so corrupt data never
+    silently advances the stream (the reference's rethrow semantics,
+    mis:365-368, made exactly-once).
+
+    ``row_hash`` overrides the source-side hash column (the audit exists
+    precisely because the two hash implementations are independent inputs).
+    Returns the per-batch :class:`AuditReport` ledger."""
+    from flink_job_spark.operators.audit import AuditReport, hash_mismatch_flag
+    from flink_job_spark.pipeline import ConsistencyError
+
+    src = stream_snapshot_source(spark, src_dir, schema)
+    src_cols = list(src.columns)
+    enveloped = with_envelope(src, src_system_code,
+                              load_dttm=load_dttm or dt.datetime.now(),
+                              row_hash=row_hash)
+    names = tech_column_names(src_cols)
+    out = (
+        enveloped
+        .withColumn(names["row_hash_iceberg"],
+                    F.expr(row_hash_sql_expr(src.schema, src_cols)))
+        .withColumn("load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
+    )
+
+    reports: list[AuditReport] = []
+
+    def write_and_audit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (batch_df.write
+                .partitionBy("load_month")
+                .mode("append")
+                .parquet(target_dir))
+            n, mm = batch_df.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.sum(hash_mismatch_flag(
+                    names["row_hash"], names["row_hash_iceberg"])), F.lit(0)),
+            ).first()
+            report = AuditReport(f"batch:{batch_id}", int(n), int(n), int(mm))
+            reports.append(report)
+            if not report.ok and fail_on_consistency_error:
+                raise ConsistencyError(f"batch:{batch_id}", report)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        out.writeStream
+        .foreachBatch(write_and_audit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports

@@ -50,6 +50,63 @@ def test_stream_ingest_and_resume(spark, sf_dir, tmp_path):
     assert t2.filter(F.col("op") != "INITIAL").count() == 0
 
 
+def test_stream_audited_ingest_clean(spark, sf_dir, tmp_path):
+    """foreachBatch audit: a clean stream writes + audits every micro-batch
+    and the ledger shows zero mismatches."""
+    from flink_job_spark.streaming.ingest import stream_snapshot_ingest_audited
+
+    src, tgt, ckpt = (str(tmp_path / p) for p in ("src", "tgt", "ckpt"))
+    nat = load_table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").parquet(src)
+    reports = stream_snapshot_ingest_audited(
+        spark, src, nat.schema, tgt, ckpt, load_dttm=dt.datetime(2026, 1, 1))
+    assert reports and all(r.ok for r in reports)
+    assert sum(r.target_count for r in reports) == nat.count()
+    t = spark.read.parquet(tgt)
+    assert t.count() == nat.count()
+    assert t.filter(F.lower("row_hash") != F.lower("row_hash_iceberg")).count() == 0
+
+
+def test_stream_audited_ingest_catches_corruption(spark, sf_dir, tmp_path):
+    """An injected dual-hash divergence (source-side hash computed over a
+    corrupted copy, the reference's audit scenario) fails the streaming query
+    before offsets commit; without the flag it is reported, not raised."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from flink_job_spark.functions.hashing import TOKEN_SEP, hash_token_column
+    from flink_job_spark.streaming.ingest import stream_snapshot_ingest_audited
+
+    src = str(tmp_path / "src")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").parquet(src)
+
+    # source-side hash whose n_name token reads a corrupted value for every
+    # 5th key — the dual-hash divergence the audit exists to catch
+    corrupted = F.when(F.col("n_nationkey") % 5 == 0,
+                       F.concat(F.col("n_name"), F.lit("_X"))
+                       ).otherwise(F.col("n_name"))
+    dtypes = {f.name: f.dataType for f in nat.schema.fields}
+    tokens = [hash_token_column(corrupted if n == "n_name" else F.col(n), dtypes[n])
+              for n in nat.columns]
+    bad_hash = F.md5(F.concat_ws(TOKEN_SEP, *tokens))
+
+    with pytest.raises(StreamingQueryException, match="(?i)consistency"):
+        stream_snapshot_ingest_audited(
+            spark, src, nat.schema, str(tmp_path / "tgt1"), str(tmp_path / "c1"),
+            load_dttm=dt.datetime(2026, 1, 1), row_hash=bad_hash)
+
+    # the failed batch's offsets never committed: the checkpoint has no
+    # committed batch, so a clean re-run reprocesses everything
+    reports = stream_snapshot_ingest_audited(
+        spark, src, nat.schema, str(tmp_path / "tgt2"), str(tmp_path / "c2"),
+        load_dttm=dt.datetime(2026, 1, 1), row_hash=bad_hash,
+        fail_on_consistency_error=False)
+    assert reports and any(not r.ok for r in reports)
+    assert sum(r.hash_mismatches for r in reports) == nat.filter(
+        F.col("n_nationkey") % 5 == 0).count()
+
+
 def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     src = _events_micro(spark, sf_dir, tmp_path)
     events = load_table(spark, sf_dir, "events")
