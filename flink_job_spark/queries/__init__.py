@@ -37,6 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from flink_job_spark.queries import (  # noqa: F401
         asof,
+        cdc,
         core,
         dedup,
         multimodal,

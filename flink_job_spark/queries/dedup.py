@@ -211,15 +211,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_ngram_jaccard (exact, inverted-index join) -----------------------------------------
 
-@register(
-    "q_ngram_jaccard",
-    f"""WITH {_DUCK_SHINGLES},
+_NGRAM_PAIRS_SQL = f"""WITH {_DUCK_SHINGLES},
   cand AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2
     FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
-  {_DUCK_VERIFY}""",
+  {_DUCK_VERIFY}"""
+
+
+@register(
+    "q_ngram_jaccard",
+    _NGRAM_PAIRS_SQL,
     doc=f"exact n-gram Jaccard ≥{JACCARD_THRESHOLD} via doc-freq-capped "
         "inverted-index self-join (pairs sharing only stop-shingles never "
         "materialize), full-set verify",
@@ -381,3 +384,73 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# --- q_dedup_components (near-dup clustering) ---------------------------------------
+
+CC_MAX_ITERS = 15
+
+
+def connected_components(docs: DataFrame, pairs: DataFrame,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label connected components over an undirected pair graph:
+    every node's label converges to the smallest doc_id reachable from it.
+
+    Label propagation: each round joins current labels onto the (tiny,
+    near-dup-only) edge list, takes per-node MIN over self+neighbor labels,
+    and stops at the first round with no change. MIN is order-independent,
+    so the result is deterministic under any partitioning. Convergence needs
+    rounds = component diameter; near-dup clusters are shallow, and a
+    pathological chain is bounded by ``max_iters`` (production at planetary
+    scale swaps this loop for large-star/small-star contraction — O(log n)
+    rounds, same per-round plan). Each round persists the label table
+    (|docs| rows) and unpersists the previous one; the driver sees only the
+    changed-row count."""
+    edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+             ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_components",
+    f"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_NGRAM_PAIRS_SQL}) t),
+  edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+  reach(doc_id, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+  )
+  SELECT doc_id, MIN(lab) AS component FROM reach GROUP BY doc_id""",
+    doc="near-dup clustering: min-label connected components over the "
+        "n-gram-Jaccard pair graph (singletons keep their own id); the "
+        "standard final step of corpus dedup — keep MIN(doc_id) per component",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
+    return connected_components(d.select("doc_id"), pairs)

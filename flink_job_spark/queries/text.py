@@ -23,6 +23,8 @@ from flink_job_spark.functions.text import (
     pred_lang_duck,
     quality_columns,
     quality_columns_duck,
+    words,
+    words_duck,
     ws_token_count,
     ws_token_count_duck,
 )
@@ -175,3 +177,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = d.select("doc_id", norm_text("text").alias("__norm"))
     cols = fingerprint_columns("__norm")
     return normed.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+# --- q_tfidf_topk ------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+@register(
+    "q_tfidf_topk",
+    f"""WITH tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE), 6) AS score
+      FROM tf JOIN df ON df.word = tf.word CROSS JOIN n
+    )
+    SELECT doc_id, word, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= {TFIDF_TOPK}""",
+    doc=f"top-{TFIDF_TOPK} distinguishing terms per document by tf·(N/df) — "
+        "the rational idf proxy keeps scores one-division IEEE-exact across "
+        "engines (ln() is libm-dependent)",
+    tags=("text", "tfidf"),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term ranking: tf from ONE word explode + (doc,word)
+    reduction; df from a second combine-enabled agg over those TF rows (never
+    re-exploding text); N broadcast as a 1-row cross join. Score is
+    tf·N (exact integers) over df — one IEEE division, so Spark and DuckDB
+    agree bitwise without trusting a transcendental. At 100 TB: two shuffles
+    total (doc,word → word), the df table is vocabulary-sized, and the final
+    window shuffles on doc_id only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # tf feeds both the df aggregation and the score join — persist so the
+    # text explode+reduction runs once (at scale: materialize the TF table)
+    tf = (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    # df rows = |vocabulary| — always broadcast-sized relative to the corpus
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "word",
+            F.round((F.col("tf") * F.col("n")).cast("double")
+                    / F.col("df").cast("double"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= TFIDF_TOPK))

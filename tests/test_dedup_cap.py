@@ -74,3 +74,16 @@ def test_doc_shingles_max_doc_freq_param(spark):
     d = _skewed_corpus(spark)
     shc = doc_shingles(d, max_doc_freq=CAP)
     assert _candidates(shc).count() == 1
+
+
+def test_connected_components_converges_on_chain(spark):
+    """A 5-node chain (worst-case diameter) and a singleton both settle to
+    min-label components."""
+    from flink_job_spark.queries.dedup import connected_components
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 99]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "d1 long, d2 long")
+    out = {r["doc_id"]: r["component"]
+           for r in connected_components(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 99: 99}

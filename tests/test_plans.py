@@ -169,3 +169,22 @@ def test_running_window_is_single_shuffle(spark, sf_dir):
     p = plan(all_queries()["q_window_running"].fn(spark, sf_dir))
     assert _n_exchanges(p) <= 1, f"analytic trio gained shuffles:\n{p}"
     assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_cdc_apply_is_single_shuffle(spark, sf_dir):
+    """CDC latest-state: ONE key-partitioned window shuffle, nothing else."""
+    p = plan(all_queries()["q_cdc_apply"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"CDC apply gained shuffles:\n{p}"
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    """tf·N/df: the 1-row corpus-size side must broadcast (no shuffle for the
+    cross join) and the df join is a plain equi-join — no nested loop over
+    the TF table."""
+    p = plan(all_queries()["q_tfidf_topk"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "InMemoryTableScan" in p, f"TF table must be persisted once:\n{p}"
+    # TF build (1) + two 2-phase countDistincts (4) + doc window (1); the df
+    # and N sides broadcast — the TF table itself never shuffles for a join
+    assert _n_exchanges(p) <= 6, f"tf-idf gained shuffles:\n{p}"
+    assert "WindowGroupLimit" in p, f"rank<=k must push into the window:\n{p}"
