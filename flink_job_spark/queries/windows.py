@@ -289,3 +289,104 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).over(running)
          .cast("double").alias("running_value"),
     )
+
+
+# --- q_pivot_events ---------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "q_pivot_events",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES)
+    + ", CAST(COUNT(1) AS BIGINT) AS n_total FROM events GROUP BY user_id",
+    doc="pivot: per-user event counts spread into one column per event type "
+        "(explicit value list → single shuffle, no discovery pass)",
+    tags=("pivot", "agg"),
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — one groupBy(user_id) with a
+    SUM(CASE WHEN type=t) per pivot value. With the value list known this is
+    strictly better than ``groupBy().pivot(values)``, which Spark plans as
+    TWO shuffles ((user, type) pre-agg → pivot_first re-agg) — and an
+    open-ended pivot adds a whole distinct-values discovery job on top. One
+    combine-enabled shuffle is the 100 TB floor, and this hits it."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            *[F.coalesce(F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0))
+               .cast("long").alias(f"n_{t}")
+              for t in EVENT_TYPES],
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+
+
+# --- q_gapfill_locf ----------------------------------------------------------------
+
+@register(
+    "q_gapfill_locf",
+    """WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(1) AS DOUBLE) AS avg_value,
+             CAST(COUNT(1) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.hour
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.h0, b.h1, INTERVAL '1 hour')) AS hour) g
+    )
+    SELECT g.event_type, g.hour,
+           h.avg_value AS observed_avg,
+           last_value(h.avg_value IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING) AS filled_avg,
+           COALESCE(h.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.hour = g.hour""",
+    doc="time-series resample + gap-fill: hourly buckets per series, dense "
+        "hour grid, missing buckets filled by last observation carried forward",
+    tags=("timeseries", "window"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-then-fill, the hypertable-style rollup: one bucket agg
+    (exact-decimal mean → engine-identical doubles), a per-series hour grid
+    via sequence+explode (rows ∝ series×hours, never events×hours), a
+    grid⟕buckets equi-join, and ONE series-partitioned window for the
+    last-observation-carried-forward fill. Leading gaps stay NULL in every
+    engine. At 100 TB the only wide shuffle is the bucket agg; the grid side
+    scales with |series|·|hours|."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("avg_value"),
+             F.count(F.lit(1)).alias("n_events"))
+    ).persist()  # feeds both the bounds grid and the fill join
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence("h0", "h1",
+                                     F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour",
+            F.col("avg_value").alias("observed_avg"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -188,3 +188,19 @@ def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
     # and N sides broadcast — the TF table itself never shuffles for a join
     assert _n_exchanges(p) <= 6, f"tf-idf gained shuffles:\n{p}"
     assert "WindowGroupLimit" in p, f"rank<=k must push into the window:\n{p}"
+
+
+def test_pivot_is_single_shuffle_no_discovery_job(spark, sf_dir):
+    """Explicit pivot values: one partial-aggregated shuffle, and no separate
+    distinct-values pass anywhere in the plan."""
+    p = plan(all_queries()["q_pivot_events"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"pivot gained shuffles:\n{p}"
+
+
+def test_gapfill_grid_joins_without_nested_loop(spark, sf_dir):
+    """Grid ⟕ buckets must stay an equi-join; bucket agg + bounds agg +
+    fill window bound the shuffle count; hourly buckets persist once."""
+    p = plan(all_queries()["q_gapfill_locf"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert "InMemoryTableScan" in p, f"hourly buckets must persist:\n{p}"
+    assert _n_exchanges(p) <= 4, f"gap-fill gained shuffles:\n{p}"
