@@ -212,38 +212,91 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_ngram_jaccard (exact, inverted-index join) -----------------------------------------
 
 _NGRAM_PAIRS_SQL = f"""WITH {_DUCK_SHINGLES},
-  cand AS (
-    SELECT a.doc_id AS d1, b.doc_id AS d2
+  hot_rows AS (
+    SELECT * FROM sh WHERE s IN (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_MAX_DOC_FREQ})
+  ),
+  inter_c AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS ic
     FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
-  {_DUCK_VERIFY}"""
+  i_hot AS (
+    SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS ih
+    FROM inter_c c JOIN hot_rows a ON a.doc_id = c.d1
+                   JOIN hot_rows b ON b.doc_id = c.d2 AND b.s = a.s
+    GROUP BY 1, 2
+  ),
+  inter AS (
+    SELECT c.d1, c.d2, c.ic + COALESCE(h.ih, 0) AS i
+    FROM inter_c c LEFT JOIN i_hot h ON h.d1 = c.d1 AND h.d2 = c.d2
+  )
+  SELECT i.d1, i.d2,
+         CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.d1 JOIN sizes sb ON sb.doc_id = i.d2
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+
+
+def jaccard_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Exact full-set Jaccard pairs from a doc-freq-capped inverted index.
+
+    The capped self-join yields candidate pairs AND their capped-intersection
+    counts in the same groupBy — no separate distinct + re-join pass (a
+    split candidates→verify plan re-expands every pair by its shingle count;
+    measured 5× slower at sf0.1). The full-set intersection is recovered by a
+    hot-shingle correction: candidates joined against ONLY the hot rows
+    (empty unless the corpus has stop-shingles), so
+    i_full = i_capped + i_hot exactly. Pairs sharing only hot shingles never
+    materialize — that is the cap's point."""
+    hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > max_doc_freq).select("s"))
+    shc = sh.join(F.broadcast(hot), "s", "left_anti")
+    hot_rows = sh.join(F.broadcast(hot), "s", "left_semi")
+    inter_c = (
+        shc.select(F.col("doc_id").alias("d1"), "s")
+        .join(shc.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    ha = hot_rows.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    hb = hot_rows.select(F.col("doc_id").alias("d2"), F.col("s").alias("s1"))
+    i_hot = (
+        inter_c.select("d1", "d2").join(ha, "d1").join(hb, ["d2", "s1"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("ih"))
+    )
+    inter = (
+        inter_c.join(i_hot, ["d1", "d2"], "left")
+        .select("d1", "d2",
+                (F.col("ic") + F.coalesce(F.col("ih"), F.lit(0))).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "d1").join(zb, "d2")
+        .select(
+            "d1", "d2",
+            (F.col("i").cast("double")
+             / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 @register(
     "q_ngram_jaccard",
     _NGRAM_PAIRS_SQL,
     doc=f"exact n-gram Jaccard ≥{JACCARD_THRESHOLD} via doc-freq-capped "
-        "inverted-index self-join (pairs sharing only stop-shingles never "
-        "materialize), full-set verify",
+        "inverted-index self-join with hot-shingle intersection correction "
+        "(pairs sharing only stop-shingles never materialize)",
     tags=("dedup",),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d).persist()  # feeds cap, candidates, verify, sizes
-    # candidates from the doc-freq-capped inverted index: one shingle joins at
-    # most `cap` docs, so its pair contribution is bounded on any corpus;
-    # exact Jaccard below still uses the FULL shingle sets
-    shc = cap_shingles(sh, SHINGLE_MAX_DOC_FREQ)
-    cand = (
-        shc.select(F.col("doc_id").alias("d1"), "s")
-        .join(shc.select(F.col("doc_id").alias("d2"), "s"), "s")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    return _verified_pairs(cand, sh, sizes)
+    sh = doc_shingles(d).persist()  # feeds cap, candidates, correction, sizes
+    return jaccard_pairs_capped(sh, SHINGLE_MAX_DOC_FREQ)
 
 
 # --- q_dedup_simhash ------------------------------------------------------------------------

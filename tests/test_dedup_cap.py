@@ -19,12 +19,16 @@ CAP = 10
 
 def _skewed_corpus(spark):
     """Every doc starts with the same 3 words (one shared stop-shingle); the
-    tail is unique per doc. Docs 0/1 additionally share a rare 4-word run."""
+    tail is unique per doc. Docs 900/901 share only rare shingles; docs
+    950/951 share the hot shingle AND a rare one (exercises the hot-shingle
+    intersection correction)."""
     rows = []
     for i in range(N_DOCS):
         rows.append((i, f"aa bb cc u{i} v{i} w{i}"))
     rows.append((900, "x1 x2 x3 x4"))
     rows.append((901, "x1 x2 x3 x4 x5"))
+    rows.append((950, "aa bb cc y1 y2"))
+    rows.append((951, "aa bb cc y1 y3"))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -47,8 +51,8 @@ def test_cap_bounds_candidate_volume(spark):
 
     shc = cap_shingles(sh, CAP)
     capped = _candidates(shc).count()
-    # the stop-shingle's 60-doc clique is gone; only the rare-shingle pair stays
-    assert capped == 1
+    # the stop-shingle's 60-doc clique is gone; only the rare-shingle pairs stay
+    assert capped == 2
     # shingles below the cap are untouched
     assert shc.filter(F.col("doc_id").isin(900, 901)).count() == sh.filter(
         F.col("doc_id").isin(900, 901)).count()
@@ -56,16 +60,25 @@ def test_cap_bounds_candidate_volume(spark):
 
 
 def test_capped_candidates_keep_exact_full_set_jaccard(spark):
+    from flink_job_spark.queries.dedup import jaccard_pairs_capped
+
     d = _skewed_corpus(spark)
     sh = doc_shingles(d).persist()
+    out = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in jaccard_pairs_capped(sh, CAP).collect()}
+    # doc 900 {x123, x234} vs doc 901 {x123, x234, x345}: J = 2/3 over FULL sets
+    # docs 950/951 share one rare + one HOT shingle: J = 2/(3+3-2) = 0.5 —
+    # correct only if the hot-shingle intersection correction is applied
+    assert out == {(900, 901): out[(900, 901)], (950, 951): out[(950, 951)]}
+    assert abs(out[(900, 901)] - 2 / 3) < 1e-12
+    assert abs(out[(950, 951)] - 0.5) < 1e-12
+
+    # the legacy split candidates→verify path agrees (used by minhash)
     cand = _candidates(cap_shingles(sh, CAP))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    out = _verified_pairs(cand, sh, sizes).collect()
-    # doc 900 {x123, x234} vs doc 901 {x123, x234, x345}: J = 2/3 over FULL sets
-    assert len(out) == 1
-    r = out[0]
-    assert (r["d1"], r["d2"]) == (900, 901)
-    assert abs(r["jaccard"] - 2 / 3) < 1e-12
+    legacy = {(r["d1"], r["d2"]): r["jaccard"]
+              for r in _verified_pairs(cand, sh, sizes).collect()}
+    assert legacy == out
     sh.unpersist()
 
 
@@ -73,7 +86,7 @@ def test_doc_shingles_max_doc_freq_param(spark):
     """The convenience parameter on doc_shingles wires the same cap."""
     d = _skewed_corpus(spark)
     shc = doc_shingles(d, max_doc_freq=CAP)
-    assert _candidates(shc).count() == 1
+    assert _candidates(shc).count() == 2
 
 
 def test_connected_components_converges_on_chain(spark):
