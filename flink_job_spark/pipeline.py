@@ -81,6 +81,11 @@ class IngestConfig:
     database: str = "default"
     # per-task progress logging + exact observed write counts (mis:1120-1131)
     progress: bool = False
+    # cluster output files by the order key (sortWithinPartitions): parquet
+    # row-group min/max stats then prune cutoff/point-lookup scans on the key
+    # — the file-layout dividend of the reference's ordered cursor, without a
+    # global sort's extra shuffle
+    cluster_by_key: bool = False
 
 
 def snapshot_ingest(
@@ -139,6 +144,8 @@ def snapshot_ingest(
                 # the hidden month(load_dttm) transform (mis:905)
                 to_write = hashed.withColumn(
                     "load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
+                if cfg.cluster_by_key:
+                    to_write = to_write.sortWithinPartitions(order_col)
                 (to_write.write
                     .partitionBy("load_month")
                     .option("compression", cfg.compression)

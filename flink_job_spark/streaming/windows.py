@@ -78,3 +78,14 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
         _with_event_time(events).withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
     )
+
+
+def stream_enrich_join(events: DataFrame, dim: DataFrame,
+                       on: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream joins
+    against the (batch) dimension table, re-read per batch — the streaming
+    analog of the broadcast star join. Spark broadcasts the dim side when it
+    is under the threshold; the stream side never shuffles and needs no
+    watermark (no state is kept: static side is re-evaluated each batch, so
+    slowly-changing dims are picked up automatically)."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -111,3 +111,22 @@ def test_resume_floor_equivalence(spark, sf_dir, tmp_path):
     # chunks are key-disjoint (<=1000 then >1000): no row lost, none duplicated
     assert target.count() == li.count()
     assert target.filter(F.col("l_orderkey") <= 1000).count() == first.count()
+
+
+def test_cluster_by_key_sorts_within_files(spark, sf_dir, tmp_path):
+    """cluster_by_key lays each output file out in key order, so parquet
+    row-group min/max stats prune cutoff scans (the file-layout dividend of
+    the reference's ordered cursor, with no global-sort shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cfg = IngestConfig(mode="replace", load_dttm=dt.datetime(2026, 1, 1),
+                       cluster_by_key=True)
+    res = snapshot_ingest(spark, li, "li", str(tmp_path / "li"), "l_orderkey", cfg)
+    assert res.ok
+    rows = (spark.read.parquet(str(tmp_path / "li"))
+            .select(F.input_file_name().alias("f"), "l_orderkey").collect())
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["l_orderkey"])
+    assert by_file
+    for f, keys in by_file.items():
+        assert keys == sorted(keys), f"file {f} not key-ordered"

@@ -200,3 +200,30 @@ def test_stream_session_and_dedup_run(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM ded")
     exp_keys = events.select("user_id", "event_type").distinct().count()
     assert got.count() == exp_keys
+
+
+def test_stream_static_enrich_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: streamed events joined to a static
+    user dimension equal the batch join, and the stream side plans no
+    stateful operator (no watermark needed)."""
+    from flink_job_spark.streaming.windows import stream_enrich_join
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    ev_batch = spark.read.parquet(src)
+    dim = (ev_batch.groupBy("user_id")
+           .agg(F.min("ts").alias("first_seen")))  # static per-user attribute
+
+    stream = spark.readStream.schema(ev_batch.schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stream_enrich_join(stream, dim, "user_id")
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    want = stream_enrich_join(ev_batch, dim, "user_id")
+    assert got.count() == ev_batch.count()
+    # row-level equality with the batch twin
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.filter(F.col("first_seen").isNull()).count() == 0
