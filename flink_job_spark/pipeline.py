@@ -40,6 +40,20 @@ from flink_job_spark.types import ColumnInfo, infos_from_schema, quote_identifie
 log = logging.getLogger(__name__)
 
 
+class SchemaDriftError(RuntimeError):
+    """Raised when an append-mode snapshot's schema no longer matches the
+    existing target and the config says drift is an error. The reference
+    sidesteps drift by drop/replace (mis:261-263); production targets need an
+    explicit decision — fail loudly or evolve additively."""
+
+    def __init__(self, table: str, added: set[str], removed: set[str]):
+        super().__init__(
+            f"schema drift for {table}: added={sorted(added)} removed={sorted(removed)}")
+        self.table = table
+        self.added = added
+        self.removed = removed
+
+
 class ConsistencyError(RuntimeError):
     """Raised when the post-load audit fails and fail_on_consistency_error is
     set. Escapes the per-table failure isolation and aborts the whole batch,
@@ -86,6 +100,23 @@ class IngestConfig:
     # — the file-layout dividend of the reference's ordered cursor, without a
     # global sort's extra shuffle
     cluster_by_key: bool = False
+    # append-mode schema drift policy: 'fail' aborts the table (per-table
+    # isolation), 'evolve' appends additively and reads the target with
+    # schema merge (Iceberg's add-column evolution, spelled for parquet)
+    on_schema_drift: str = "fail"
+
+
+def _detect_schema_drift(spark, target_path, new_schema):
+    """(added, removed) column-name sets vs the existing target, or None when
+    the target doesn't exist yet / schemas agree. Reads footers only."""
+    try:
+        existing = set(spark.read.parquet(target_path).schema.names)
+    except Exception:  # first load: no target yet
+        return None
+    new = set(new_schema.names)
+    if existing == new:
+        return None
+    return new - existing, existing - new
 
 
 def snapshot_ingest(
@@ -146,13 +177,24 @@ def snapshot_ingest(
                     "load_month", F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
                 if cfg.cluster_by_key:
                     to_write = to_write.sortWithinPartitions(order_col)
+                drift = _detect_schema_drift(spark, target_path, to_write.schema) \
+                    if cfg.mode == "append" else None
+                if drift and cfg.on_schema_drift == "fail":
+                    raise SchemaDriftError(table, *drift)
                 (to_write.write
                     .partitionBy("load_month")
                     .option("compression", cfg.compression)
                     .mode("overwrite" if cfg.mode == "replace" else "append")
                     .parquet(target_path))
-                # explicit schema: an empty snapshot writes no data files to infer from
-                target = spark.read.schema(to_write.schema).parquet(target_path)
+                if drift:  # evolve: the target now holds two schemas — merge
+                    log.warning("schema drift on %s evolved additively: "
+                                "added=%s removed=%s", table, *drift)
+                    target = (spark.read.option("mergeSchema", "true")
+                              .parquet(target_path))
+                else:
+                    # explicit schema: an empty snapshot writes no data files
+                    # to infer from
+                    target = spark.read.schema(to_write.schema).parquet(target_path)
         if obs is not None:
             log.info("Total emitted in this run: %s from %s (mis:1132-1134)",
                      obs.get.get("rows_written"), table)

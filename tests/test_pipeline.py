@@ -130,3 +130,37 @@ def test_cluster_by_key_sorts_within_files(spark, sf_dir, tmp_path):
     assert by_file
     for f, keys in by_file.items():
         assert keys == sorted(keys), f"file {f} not key-ordered"
+
+
+def test_schema_drift_fail_and_evolve(spark, sf_dir, tmp_path):
+    """Append-mode schema drift: 'fail' (default) aborts the table inside the
+    per-table isolation BEFORE writing; 'evolve' appends additively and the
+    audit reads the merged schema (old rows NULL in the new column)."""
+    import dataclasses
+
+    nat = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "n")
+    cfg = IngestConfig(mode="append", load_dttm=dt.datetime(2026, 1, 1))
+    assert snapshot_ingest(spark, nat, "nation", path, "n_nationkey", cfg).ok
+    n0 = spark.read.parquet(path).count()
+
+    # snapshot grows a column; new rows arrive with keys above the old max
+    evolved_src = nat.withColumn("extra_col", F.lit("x")).unionByName(
+        nat.withColumn("extra_col", F.lit("y"))
+           .withColumn("n_nationkey", F.col("n_nationkey") + 100))
+
+    res = snapshot_ingest(spark, evolved_src, "nation", path, "n_nationkey",
+                          cfg, floor=24)
+    assert res.error is not None and "schema drift" in res.error
+    assert "extra_col" in res.error
+    assert spark.read.parquet(path).count() == n0  # nothing was written
+
+    evolve = dataclasses.replace(cfg, on_schema_drift="evolve")
+    res2 = snapshot_ingest(spark, evolved_src, "nation", path, "n_nationkey",
+                           evolve, floor=24)
+    assert res2.ok, res2.error
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "extra_col" in merged.columns
+    assert merged.count() == 2 * n0
+    assert merged.filter(F.col("extra_col").isNull()).count() == n0  # old rows
+    assert merged.filter(F.col("extra_col") == "y").count() == n0    # new rows
