@@ -20,7 +20,7 @@ written the way it should execute at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_job_spark.queries import register
@@ -231,4 +231,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("sample_bucket", bucket)
          .filter(F.col("sample_bucket") < _rate_case_col())
          .select("doc_id", "lang", "source", "n_chars", "sample_bucket")
+    )
+
+
+# --- q_group_sample: deterministic fixed-size per-group sample ----------------------
+
+GROUP_SAMPLE_K = 20
+
+@register(
+    "q_group_sample",
+    f"""SELECT event_type, event_id, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    ) WHERE rk <= {GROUP_SAMPLE_K}""",
+    doc=f"deterministic per-group sample: exactly {GROUP_SAMPLE_K} rows per "
+        "group ranked by md5(id) — a seedless reservoir that is identical "
+        "across retries, engines, and partitionings",
+    tags=("sampling",),
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group sampling without rand(): rank rows inside each
+    group by md5 of their id (uniform, deterministic) and keep the first k.
+    Spark plans a WindowGroupLimit, which truncates EACH MAP PARTITION to its
+    local top-k before the shuffle — so at 100 TB the exchange carries
+    ~k·partitions rows per group, not the group's full contents (pinned in
+    tests/test_plans.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id")
+    return (
+        e.select("event_type", "event_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
     )

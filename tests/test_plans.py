@@ -204,3 +204,11 @@ def test_gapfill_grid_joins_without_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in p, p
     assert "InMemoryTableScan" in p, f"hourly buckets must persist:\n{p}"
     assert _n_exchanges(p) <= 4, f"gap-fill gained shuffles:\n{p}"
+
+
+def test_group_sample_truncates_before_shuffle(spark, sf_dir):
+    """Per-group sampling must plan WindowGroupLimit (map-side top-k
+    truncation before the exchange) and exactly one shuffle."""
+    p = plan(all_queries()["q_group_sample"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, f"rank<=k did not push into the window:\n{p}"
+    assert _n_exchanges(p) <= 1, f"group sample gained shuffles:\n{p}"

@@ -44,3 +44,30 @@ def test_cosine_self_is_one(spark, sf_dir):
     rows = v.select((dot("v", "v") / (norm("v") * norm("v"))).alias("c")).collect()
     for r in rows:
         assert abs(r["c"] - 1.0) < 1e-12
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: max reconstruction error <= amax/254 per
+    vector (half a quantization step), and dequantized cosine within 1% of
+    exact for the ANN query set."""
+    import numpy as np
+
+    from flink_job_spark.queries import all_queries
+
+    rows = all_queries()["q_embedding_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    import duckdb
+    con = duckdb.connect()
+    vecs = {r[0]: np.array(r[1]) for r in con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()}
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        amax = np.abs(v).max()
+        # max_abs_err is round()ed to 6 decimals — allow half that granularity
+        assert r["max_abs_err"] <= amax / 254 + 5e-7
+        if r["scale"] > 0:
+            deq = np.array(r["qv"], dtype=np.float64) / (127.0 / amax)
+            exact = v
+            cos = float(deq @ exact / (np.linalg.norm(deq) * np.linalg.norm(exact)))
+            assert cos > 0.99, f"vec {r['vec_id']}: dequantized cosine {cos}"
