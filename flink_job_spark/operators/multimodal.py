@@ -6,11 +6,13 @@ without touching bytes). Compute happens in Arrow-batched ``mapInPandas``
 (one Python invocation per ~10k-row batch, never per row); partitioning,
 schemas and batch shapes are real and tested.
 
-Container note: no image/audio codecs ship in this environment, so the byte
-decoders are STUBS — real formats raise ``NotImplementedError``; a
+Container note: no imaging library ships in this environment, so decoding is
+layered: **PNG is decoded for real** (pure-stdlib zlib codec,
+functions/png.py — header-only for metadata, full unfilter for pixels); a
 deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
-dims) exercises the full plumbing end-to-end in tests. Swapping a stub for
-Pillow/ffmpeg changes ONE function body, no plan shape.
+dims) exercises the plumbing with zero codec cost; JPEG/audio/video remain
+STUBS that raise ``NotImplementedError``. Swapping a stub for Pillow/ffmpeg
+changes ONE function body, no plan shape.
 """
 
 from __future__ import annotations
@@ -49,18 +51,75 @@ def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
 
 
 def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, str | None]:
+    from flink_job_spark.functions.png import PNG_SIGNATURE, PngFormatError, png_meta
+
     if payload is None:
         return None, None, "null payload"
     if payload[:8] == FAKE_IMG_MAGIC:
         w, h = struct.unpack(">II", payload[8:16])
         return int(w), int(h), None
+    if payload[:8] == PNG_SIGNATURE:
+        # real decode: header-only IHDR read (never inflates IDAT for metadata)
+        try:
+            w, h, _, _ = png_meta(bytes(payload))
+            return int(w), int(h), None
+        except PngFormatError as e:
+            return None, None, f"bad png: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
-    # real formats (JPEG/PNG/...) need an image lib not present in this container
+    # remaining real formats (JPEG/...) need an image lib not present here
     raise NotImplementedError(
-        "real image decoding requires an imaging library (Pillow/opencv); "
-        "only the FAKEIMG1 test format is decodable here"
+        "JPEG/other image decoding requires an imaging library (Pillow/"
+        "opencv); PNG and the FAKEIMG1 test format are decodable here"
     )
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL byte-level decode distributed over mapInPandas: inflate + unfilter
+    PNG payloads and emit per-image pixel statistics (mean sample value).
+    Errors stay data (`decode_error`), never exceptions — one corrupt blob
+    can't kill a 100 TB scan."""
+    from flink_job_spark.functions.png import PNG_SIGNATURE, PngFormatError, decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "channels": [], "mean_luma": [], "decode_error": []}
+            for payload in pdf["payload"]:
+                w = h = ch = luma = err = None
+                if payload is None:
+                    err = "null payload"
+                elif bytes(payload[:8]) == PNG_SIGNATURE:
+                    try:
+                        w, h, ch, px = decode_png(bytes(payload))
+                        luma = round(sum(px) / len(px), 6) if px else None
+                    except PngFormatError as e:
+                        err = f"bad png: {e}"
+                else:
+                    err = "not a decodable image"
+                out["width"].append(w); out["height"].append(h)
+                out["channels"].append(ch); out["mean_luma"].append(luma)
+                out["decode_error"].append(err)
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "channels": pd.array(out["channels"], dtype="Int32"),
+                "mean_luma": out["mean_luma"],
+                "decode_error": out["decode_error"],
+            })
+
+    return media.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:

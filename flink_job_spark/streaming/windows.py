@@ -89,3 +89,36 @@ def stream_enrich_join(events: DataFrame, dim: DataFrame,
     watermark (no state is kept: static side is re-evaluated each batch, so
     slowly-changing dims are picked up automatically)."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         lower: str = "0 seconds",
+                         upper: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream interval join — Flink's interval join,
+    spelled Structured-Streaming-native: both sides watermark their event
+    time, the join condition is an equi-key plus a bounded time range
+    (r.ts ∈ [l.ts − lower … l.ts + upper]), and the range bound + watermark
+    let Spark EXPIRE buffered state — without the bound a stream-stream join
+    buffers forever. State per key is O(events inside the interval window).
+
+    Output columns: key, l_event_id, l_ts, r_event_id, r_ts."""
+    l = (left.withColumn("ts", F.col("ts").cast("timestamp"))
+             .withWatermark("ts", watermark)
+             .select(F.col(key).alias("k"),
+                     F.col("event_id").alias("l_event_id"),
+                     F.col("ts").alias("l_ts")))
+    r = (right.withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", watermark)
+              .select(F.col(key).alias("k"),
+                      F.col("event_id").alias("r_event_id"),
+                      F.col("ts").alias("r_ts")))
+    cond = (
+        (l["k"] == r["k"])
+        & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lower}"))
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {upper}"))
+        & (l["l_event_id"] != r["r_event_id"])
+    )
+    return (l.join(r, cond)
+             .select(l["k"].alias("user_id"), "l_event_id", "l_ts",
+                     "r_event_id", "r_ts"))

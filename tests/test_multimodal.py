@@ -61,3 +61,107 @@ def test_extract_features_deterministic(spark):
     # deterministic: same payload → same vector
     again = {r["media_id"]: r["feature"] for r in extract_features(_media_df(spark)).collect()}
     assert rows[1] == again[1]
+
+
+# --- real PNG codec path -----------------------------------------------------------
+
+def _make_png(w, h, ctype, seed=7):
+    from flink_job_spark.functions.png import encode_png
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    px = bytes(((seed + i * 31) % 256) for i in range(w * h * ch))
+    return encode_png(w, h, px, ctype), px
+
+
+def test_png_roundtrip_all_color_types():
+    from flink_job_spark.functions.png import decode_png, png_meta
+
+    for ctype in (0, 2, 6):
+        data, px = _make_png(13, 9, ctype)
+        assert png_meta(data)[:2] == (13, 9)
+        w, h, ch, got = decode_png(data)
+        assert (w, h) == (13, 9) and got == px
+
+
+def test_png_all_filters_unfilter():
+    """Hand-build IDAT scanlines using every PNG filter type and check the
+    decoder reconstructs the same pixels a filter-0 encode yields."""
+    import struct as st
+    import zlib
+
+    from flink_job_spark.functions.png import PNG_SIGNATURE, decode_png
+
+    w, h, ch = 5, 5, 3
+    px = bytes(((11 + i * 17) % 256) for i in range(w * h * ch))
+    stride = w * ch
+
+    def row(y):
+        return px[y * stride:(y + 1) * stride]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = row(y)
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = (line[i] - a) & 0xFF
+            elif f == 2:
+                v = (line[i] - b) & 0xFF
+            elif f == 3:
+                v = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (line[i] - paeth(a, b, c)) & 0xFF
+            enc.append(v)
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    got = decode_png(data)
+    assert got == (w, h, ch, px)
+
+
+def test_decode_image_meta_handles_real_png(spark):
+    """The distributed metadata scan decodes real PNG headers (no
+    decode_error), and decode_pixel_stats inflates + unfilters the pixels."""
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_meta,
+        decode_pixel_stats,
+    )
+
+    payloads = []
+    expected = {}
+    for mid, (w, h, ctype) in enumerate([(12, 8, 2), (7, 7, 0), (5, 9, 6)]):
+        data, px = _make_png(w, h, ctype, seed=mid)
+        payloads.append((mid, "image", "image/png", bytearray(data)))
+        expected[mid] = (w, h, round(sum(px) / len(px), 6))
+    media = spark.createDataFrame(payloads, MEDIA_SCHEMA)
+
+    meta = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    for mid, (w, h, _) in expected.items():
+        assert meta[mid]["decode_error"] is None
+        assert (meta[mid]["width"], meta[mid]["height"]) == (w, h)
+
+    stats = {r["media_id"]: r for r in decode_pixel_stats(media).collect()}
+    for mid, (w, h, luma) in expected.items():
+        r = stats[mid]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_luma"] - luma) < 1e-9

@@ -227,3 +227,27 @@ def test_stream_static_enrich_join_matches_batch(spark, sf_dir, tmp_path):
     # row-level equality with the batch twin
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert got.filter(F.col("first_seen").isNull()).count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (bounded-state): availableNow over a
+    bounded input must produce exactly the batch interval-join rows."""
+    from flink_job_spark.streaming.windows import stream_interval_join
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    ev = spark.read.parquet(src)
+    schema = ev.schema
+
+    sl = spark.readStream.schema(schema).parquet(src)
+    sr = spark.readStream.schema(schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stream_interval_join(sl, sr, "user_id", upper="5 minutes")
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+
+    want = stream_interval_join(ev, ev, "user_id", upper="5 minutes")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
