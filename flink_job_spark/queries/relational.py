@@ -266,3 +266,42 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= GROUP_SAMPLE_K)
     )
+
+
+# --- q_skew_salted_agg: two-phase salted aggregation over a hot key ------------------
+
+SALT_N = 16
+
+@register(
+    "q_skew_salted_agg",
+    """SELECT l_returnflag,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="two-phase salted aggregation over a 3-value (maximally hot) grouping "
+        "key: phase 1 shuffles (key, salt) shards, phase 2 merges ~16 rows "
+        "per key — answers identical to a plain GROUP BY (the oracle)",
+    tags=("skew", "agg"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem grouped by l_returnflag — 3 distinct values over 600k rows at
+    sf0.1, the structural hot-key worst case. The salted plan bounds any one
+    reducer's load to |key|/16 regardless of skew; decimal sums keep the
+    two-phase merge exact (double sums would change with shard boundaries),
+    so the result is bit-equal to the oracle's single GROUP BY."""
+    from flink_job_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, ["l_returnflag"], tiebreak_col="l_orderkey",
+        aggs={
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+        },
+        n_salts=SALT_N,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )

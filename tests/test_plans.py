@@ -212,3 +212,10 @@ def test_group_sample_truncates_before_shuffle(spark, sf_dir):
     p = plan(all_queries()["q_group_sample"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in p, f"rank<=k did not push into the window:\n{p}"
     assert _n_exchanges(p) <= 1, f"group sample gained shuffles:\n{p}"
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """Salted aggregation: exactly two exchanges — (key, salt) shards, then
+    the tiny per-key merge. Any third shuffle is a regression."""
+    p = plan(all_queries()["q_skew_salted_agg"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 2, f"salted agg lost its two-phase shape:\n{p}"
