@@ -6,13 +6,15 @@ without touching bytes). Compute happens in Arrow-batched ``mapInPandas``
 (one Python invocation per ~10k-row batch, never per row); partitioning,
 schemas and batch shapes are real and tested.
 
-Container note: no imaging library ships in this environment, so decoding is
-layered: **PNG is decoded for real** (pure-stdlib zlib codec,
-functions/png.py — header-only for metadata, full unfilter for pixels); a
-deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
-dims) exercises the plumbing with zero codec cost; JPEG/audio/video remain
-STUBS that raise ``NotImplementedError``. Swapping a stub for Pillow/ffmpeg
-changes ONE function body, no plan shape.
+Container note: no imaging/codec library ships in this environment, so
+decoding is layered: **PNG is decoded for real** (pure-stdlib zlib codec,
+functions/png.py — header-only for metadata, full unfilter for pixels) and
+**WAV/PCM is decoded for real** (stdlib ``wave``, :func:`decode_audio_meta`);
+a deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
+dims) exercises the plumbing with zero codec cost; JPEG and compressed
+audio/video remain STUBS that raise ``NotImplementedError`` / degrade to
+``decode_error``. Swapping a stub for Pillow/ffmpeg changes ONE function
+body, no plan shape.
 """
 
 from __future__ import annotations
@@ -220,3 +222,71 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV/PCM via the stdlib ``wave`` module (no
+    external codec): sample rate, channels, frame count, duration, and RMS
+    amplitude of the 16-bit samples — distributed over Arrow-batched
+    mapInPandas, errors as data. Compressed formats (mp3/ogg/...) remain
+    stubbed; swapping in ffmpeg changes one branch."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in
+                                     ["sample_rate", "channels", "n_frames",
+                                      "duration_ms", "rms", "decode_error"]}
+            for payload in pdf["payload"]:
+                sr = ch = nf = dur = rms = err = None
+                if payload is None:
+                    err = "null payload"
+                elif bytes(payload[:4]) == b"RIFF":
+                    try:
+                        with wave.open(io.BytesIO(bytes(payload))) as wf:
+                            sr = wf.getframerate()
+                            ch = wf.getnchannels()
+                            nf = wf.getnframes()
+                            dur = round(nf * 1000.0 / sr, 6) if sr else None
+                            if wf.getsampwidth() == 2 and nf:
+                                frames = wf.readframes(nf)
+                                acc = 0.0
+                                for i in range(0, len(frames), 2):
+                                    s = int.from_bytes(frames[i:i + 2],
+                                                       "little", signed=True)
+                                    acc += float(s) * float(s)
+                                rms = round((acc / (len(frames) // 2)) ** 0.5, 6)
+                    except (wave.Error, EOFError) as e:
+                        sr = ch = nf = dur = rms = None
+                        err = f"bad wav: {e}"
+                else:
+                    err = "not a decodable audio payload"
+                cols["sample_rate"].append(sr)
+                cols["channels"].append(ch)
+                cols["n_frames"].append(nf)
+                cols["duration_ms"].append(dur)
+                cols["rms"].append(rms)
+                cols["decode_error"].append(err)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "duration_ms": cols["duration_ms"],
+                "rms": cols["rms"],
+                "decode_error": cols["decode_error"],
+            })
+
+    return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)

@@ -165,3 +165,43 @@ def test_decode_image_meta_handles_real_png(spark):
         assert r["decode_error"] is None
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_luma"] - luma) < 1e-9
+
+
+def test_decode_audio_meta_real_wav(spark):
+    """Distributed WAV decode: stdlib-generated PCM payloads come back with
+    exact rate/frames/duration and the analytically known RMS of a square
+    wave; a junk payload degrades to decode_error, not an exception."""
+    import io
+    import math
+    import wave as wavmod
+
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio_meta
+
+    def make_wav(sr, n, amp):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            # square wave at amp: RMS == amp exactly
+            wf.writeframes(b"".join(
+                int(amp if i % 2 == 0 else -amp).to_bytes(2, "little", signed=True)
+                for i in range(n)))
+        return buf.getvalue()
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(make_wav(16000, 1600, 1000))),
+        (1, "audio", "audio/wav", bytearray(make_wav(8000, 800, 12345))),
+        (2, "audio", "audio/junk", bytearray(b"RIFFgarbage")),
+        (3, "audio", "audio/mp3", bytearray(b"ID3\x04trash")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+
+    assert got[0]["decode_error"] is None
+    assert (got[0]["sample_rate"], got[0]["channels"], got[0]["n_frames"]) == (16000, 1, 1600)
+    assert math.isclose(got[0]["duration_ms"], 100.0)
+    assert math.isclose(got[0]["rms"], 1000.0)
+    assert math.isclose(got[1]["rms"], 12345.0)
+    assert got[2]["decode_error"] and "bad wav" in got[2]["decode_error"]
+    assert got[3]["decode_error"] == "not a decodable audio payload"
