@@ -118,3 +118,50 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").cast("int").alias("feat_dim"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+# --- q_media_png_stats: REAL codec roundtrip, oracle-checked ------------------------
+
+PNG_W_MOD, PNG_H_MOD = 16, 12
+
+@register(
+    "q_media_png_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {PNG_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {PNG_H_MOD} AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               round((SELECT AVG(CAST((doc_id * 31 + t.i * 7) % 256 AS DOUBLE))
+                      FROM (SELECT unnest(range((8 + doc_id % {PNG_W_MOD})
+                                 * (8 + doc_id % {PNG_H_MOD}) * 3)) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="REAL compressed-codec roundtrip: per-doc PNGs are zlib-encoded and "
+        "fully decoded (unfiltered) in mapInPandas; the closed-form pixel "
+        "function lets plain SQL verify dims AND the decoded pixel mean "
+        "without touching bytes",
+    tags=("multimodal", "png"),
+)
+def q_media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PNG encode→decode: payload bytes never leave the executor
+    (encode and decode run in the same Arrow-batched pass structure a real
+    corpus would use: binary column in, stats out)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.png import encode_png
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % PNG_W_MOD, 8 + i % PNG_H_MOD
+                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
+                payloads.append(encode_png(w, h, px, 2))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/png", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")
