@@ -242,3 +242,48 @@ def q_hash_mismatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return point_lookup(c, "c_custkey", 42)
+
+
+# --- q_snapshot_diff: hash-based change feed between two snapshot loads -------------
+
+DIFF_REMOVED_MOD = 11   # keys absent from the NEW load
+DIFF_ADDED_MOD = 13     # keys absent from the OLD load
+DIFF_CHANGED_MOD = 7    # keys mutated between loads
+
+@register(
+    "q_snapshot_diff",
+    f"""WITH old AS (
+      SELECT * FROM orders WHERE o_orderkey % {DIFF_ADDED_MOD} != 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % {DIFF_CHANGED_MOD} = 0
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % {DIFF_REMOVED_MOD} != 0
+    ),
+    oh AS (SELECT o_orderkey, {duckdb_row_hash_sql(SCHEMAS['orders'])} AS h FROM old),
+    nh AS (SELECT o_orderkey, {duckdb_row_hash_sql(SCHEMAS['orders'])} AS h FROM new)
+    SELECT COALESCE(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+           CASE WHEN oh.h IS NULL THEN 'ADDED'
+                WHEN nh.h IS NULL THEN 'REMOVED'
+                WHEN oh.h <> nh.h THEN 'CHANGED' END AS change_type
+    FROM oh FULL OUTER JOIN nh ON nh.o_orderkey = oh.o_orderkey
+    WHERE (oh.h IS NULL OR nh.h IS NULL OR oh.h <> nh.h)""",
+    doc="snapshot-to-snapshot change feed: full-outer join on the business "
+        "key comparing one canonical row hash per side — ADDED/REMOVED/"
+        "CHANGED at change volume, never table volume (batch CDC-lite for "
+        "snapshot-only sources)",
+    tags=("diff", "audit"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_job_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % DIFF_ADDED_MOD != 0)
+    new = o.filter(F.col("o_orderkey") % DIFF_REMOVED_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % DIFF_CHANGED_MOD == 0,
+               F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

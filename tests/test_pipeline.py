@@ -164,3 +164,16 @@ def test_schema_drift_fail_and_evolve(spark, sf_dir, tmp_path):
     assert merged.count() == 2 * n0
     assert merged.filter(F.col("extra_col").isNull()).count() == n0  # old rows
     assert merged.filter(F.col("extra_col") == "y").count() == n0    # new rows
+
+
+def test_snapshot_diff_operator(spark):
+    """ADDED/REMOVED/CHANGED/unchanged on a hand-built pair of snapshots."""
+    from flink_job_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string")
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "REMOVED", 3: "CHANGED", 4: "ADDED"}  # 2 is unchanged
