@@ -59,3 +59,111 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").alias("last_ts"),
                 F.col("op").alias("last_op"), F.col("value").alias("last_value"))
     )
+
+
+# --- q_scd2_merge: type-2 slowly-changing dimension snapshot apply ------------------
+
+SCD2_T0 = "2025-01-01"   # historical valid_from
+SCD2_T1 = "2025-06-01"   # historical valid_to
+SCD2_T2 = "2026-01-01"   # current-generation valid_from
+SCD2_T3 = "2026-02-01"   # this load's timestamp
+SCD2_HIST_MOD = 5        # keys that carry a pre-closed history row
+SCD2_DROP_MOD = 11       # keys missing from the new snapshot (logical delete)
+SCD2_CHG_MOD = 7         # keys whose acctbal changed
+SCD2_NEW_MOD = 13        # keys spawning a brand-new +1000000 key
+SCD2_NEW_OFF = 1_000_000
+
+@register(
+    "q_scd2_merge",
+    f"""WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    closed AS (
+      SELECT c_custkey, c_acctbal - 10 AS c_acctbal, c_mktsegment,
+             TIMESTAMP '{SCD2_T0}' AS valid_from, TIMESTAMP '{SCD2_T1}' AS valid_to
+      FROM base WHERE c_custkey % {SCD2_HIST_MOD} = 0
+    ),
+    open_rows AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             TIMESTAMP '{SCD2_T2}' AS valid_from FROM base
+    ),
+    snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % {SCD2_CHG_MOD} = 0 THEN c_acctbal + 1
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM base WHERE c_custkey % {SCD2_DROP_MOD} != 0
+      UNION ALL
+      SELECT c_custkey + {SCD2_NEW_OFF}, c_acctbal, 'NEW'
+      FROM base WHERE c_custkey % {SCD2_NEW_MOD} = 0
+    ),
+    merged AS (
+      SELECT o.c_custkey, o.c_acctbal, o.c_mktsegment, o.valid_from,
+             CASE WHEN n.c_custkey IS NOT NULL AND o.c_acctbal = n.c_acctbal
+                       AND o.c_mktsegment = n.c_mktsegment
+                  THEN CAST(NULL AS TIMESTAMP)
+                  ELSE TIMESTAMP '{SCD2_T3}' END AS valid_to
+      FROM open_rows o LEFT JOIN snap n ON o.c_custkey = n.c_custkey
+      UNION ALL
+      SELECT n.c_custkey, n.c_acctbal, n.c_mktsegment,
+             TIMESTAMP '{SCD2_T3}' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM snap n LEFT JOIN open_rows o ON o.c_custkey = n.c_custkey
+      WHERE o.c_custkey IS NULL OR o.c_acctbal != n.c_acctbal
+            OR o.c_mktsegment != n.c_mktsegment
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM merged)""",
+    doc="SCD type-2 merge: apply a full snapshot to a versioned dimension — "
+        "unchanged rows stay open, changed keys close-and-reopen, missing "
+        "keys close, new keys open; closed history passes through untouched",
+    tags=("cdc", "scd2", "diff"),
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixture riding the customer table: %5 keys carry closed
+    history, the new snapshot drops %11 keys, bumps %7 acctbals, and spawns
+    %13 brand-new keys. The operator (operators/diff.py scd2_apply) does one
+    full-outer key join of the open slice vs the snapshot and emits each
+    row's 1-2 outputs via conditional array + explode — history only ever
+    costs a scan+union. The oracle re-derives the same semantics with plain
+    attr comparison, independently of the operator's hash mechanism."""
+    from flink_job_spark.operators.diff import scd2_apply
+
+    import datetime as dt
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    null_ts = F.lit(None).cast("timestamp_ntz")
+
+    def ts(s: str):
+        return F.lit(dt.datetime.fromisoformat(s)).cast("timestamp_ntz")
+
+    closed = base.filter(F.col("c_custkey") % SCD2_HIST_MOD == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") - 10).alias("c_acctbal"),
+        "c_mktsegment",
+        ts(SCD2_T0).alias("valid_from"),
+        ts(SCD2_T1).alias("valid_to"),
+    )
+    open_rows = base.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        ts(SCD2_T2).alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    dim = closed.unionByName(open_rows)
+
+    snap = base.filter(F.col("c_custkey") % SCD2_DROP_MOD != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % SCD2_CHG_MOD == 0,
+               F.col("c_acctbal") + 1).otherwise(F.col("c_acctbal"))
+         .alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        base.filter(F.col("c_custkey") % SCD2_NEW_MOD == 0).select(
+            (F.col("c_custkey") + SCD2_NEW_OFF).alias("c_custkey"),
+            "c_acctbal",
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    return scd2_apply(
+        dim, snap, ["c_custkey"], ["c_acctbal", "c_mktsegment"],
+        dt.datetime.fromisoformat(SCD2_T3),
+    )

@@ -32,7 +32,7 @@ engine, which keeps the DuckDB oracle exactly equivalent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_job_spark.functions.text import (
@@ -507,3 +507,70 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
     return connected_components(d.select("doc_id"), pairs)
+
+
+# --- q_fuzzy_editdist: blocked edit-distance near-dup pairs --------------------------
+
+FUZZY_BLOCK_WORDS = 5      # block key: first k normalized words
+FUZZY_CLIP = 200           # edit distance on the first N chars (O(N^2) per pair)
+FUZZY_MAX_DIST = 20        # near-dup threshold
+FUZZY_BLOCK_CAP = 50       # skip blocks larger than this (stop-block cap)
+
+@register(
+    "q_fuzzy_editdist",
+    f"""WITH n AS (
+          SELECT doc_id, {norm_text_duck('text')} AS nt FROM documents
+        ),
+        b AS (
+          SELECT doc_id, substr(nt, 1, {FUZZY_CLIP}) AS clip,
+                 array_to_string(list_slice(string_split(nt, ' '), 1, {FUZZY_BLOCK_WORDS}), ' ') AS blk
+          FROM n
+        ),
+        capped AS (
+          SELECT * FROM b
+          QUALIFY COUNT(1) OVER (PARTITION BY blk) <= {FUZZY_BLOCK_CAP}
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(levenshtein(a.clip, c.clip) AS BIGINT) AS dist
+        FROM capped a JOIN capped c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.clip, c.clip) <= {FUZZY_MAX_DIST}""",
+    doc="fuzzy near-dup pairs by edit distance: block on the first "
+        f"{FUZZY_BLOCK_WORDS} normalized words, verify candidates with "
+        f"levenshtein on a {FUZZY_CLIP}-char clip — the classic "
+        "block-then-verify fuzzy dedup, never all-pairs",
+    tags=("dedup", "fuzzy"),
+)
+def q_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance is O(clip²) per pair, so the plan's job is to bound the
+    PAIR COUNT: prefix-word blocking turns all-pairs into within-block pairs,
+    and the stop-block cap (mirroring SHINGLE_MAX_DOC_FREQ) drops degenerate
+    blocks — a boilerplate prefix shared by 10^6 docs would otherwise emit
+    10^12 pairs. The blocked frame persists once (both self-join sides read
+    it; without the barrier Spark recomputes normalization per side). The
+    clip bounds per-pair cost to a constant regardless of document length."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = norm_text("text")
+    b = d.select(
+        "doc_id",
+        F.substring(nt, 1, FUZZY_CLIP).alias("clip"),
+        F.concat_ws(" ", F.slice(words("text"), 1, FUZZY_BLOCK_WORDS)).alias("blk"),
+    )
+    capped = (
+        b.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("blk")))
+         .filter(F.col("__bn") <= FUZZY_BLOCK_CAP)
+         .drop("__bn")
+         .persist()
+    )
+    a = capped.alias("a")
+    c = capped.alias("c")
+    dist = F.levenshtein(F.col("a.clip"), F.col("c.clip"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+         .select(
+             F.col("a.doc_id").alias("doc_a"),
+             F.col("c.doc_id").alias("doc_b"),
+             dist.cast("long").alias("dist"),
+         )
+         .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

@@ -305,3 +305,251 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("sum_qty").cast("double").alias("sum_qty"),
     )
+
+
+# --- q_anti_join / q_semi_join: existence joins -------------------------------
+
+ANTI_PRIORITY = "1-URGENT"
+
+@register(
+    "q_anti_join",
+    f"""SELECT c_custkey, c_name, c_acctbal FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '{ANTI_PRIORITY}')""",
+    doc="left anti join: customers with no urgent orders (NOT EXISTS with a "
+        "pushed filter on the probe side). Output is bounded by the left "
+        "side regardless of orders volume",
+    tags=("join", "setop"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`left_anti` keeps only build-side keys; the priority filter and the
+    o_custkey projection both push into the orders scan, so the shuffle
+    carries filtered distinct-ish keys, not 100 TB of order rows. AQE turns
+    it into a broadcast anti join whenever the filtered key side fits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == ANTI_PRIORITY)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+         .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    doc="left semi join: customers with at least one order (EXISTS) — "
+        "match-existence only, never a row-multiplying join",
+    tags=("join", "setop"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`left_semi` short-circuits on first match: no duplicate explosion when
+    a customer has thousands of orders, and only the join key is read from
+    the orders scan (column pruning pinned in tests/test_plans.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+         .select("c_custkey", "c_mktsegment")
+    )
+
+
+# --- q_cube_agg: two-dimensional CUBE with grand/margin totals -----------------
+
+@register(
+    "q_cube_agg",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              COUNT(1) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+       FROM orders
+       GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    doc="CUBE(status, priority): all four grouping sets (cells, two margins, "
+        "grand total) in one shuffle — completes the ROLLUP coverage of "
+        "q_agg_rollup",
+    tags=("agg", "rollup"),
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark expands the 4 grouping sets BEFORE the exchange and still
+    partial-aggregates map-side, so the shuffle carries at most
+    |statuses×priorities|·4 rows per task — independent of fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+         .agg(
+             F.grouping_id().cast("bigint").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+              .cast("double").alias("total_price"),
+         )
+         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+# --- q_histogram: fixed-width bucketed value distribution ----------------------
+
+HIST_WIDTH = 30000.0   # price-bucket width; fixed literal so the plan is one pass
+HIST_LAST = 19         # values beyond lo + 20*width clamp into the last bucket
+
+@register(
+    "q_histogram",
+    f"""SELECT LEAST(CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT), {HIST_LAST}) AS bucket,
+               COUNT(1) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY 1""",
+    doc="fixed-width histogram of order value: single-pass map-side bucket "
+        "assignment + tiny aggregation (bucket bounds are literals, so no "
+        "extra min/max pass over the data)",
+    tags=("agg", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing uses one double divide + floor per row (identical IEEE op in
+    every engine — no width_bucket builtin, whose boundary semantics differ);
+    the shuffle then carries ≤20 partial rows per task. min/max are
+    order-independent, so no decimal detour is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)), F.lit(HIST_LAST)
+    ).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+         .agg(
+             F.count(F.lit(1)).alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"),
+         )
+    )
+
+
+# --- q_json_extract: semi-structured payload parsing ---------------------------
+
+@register(
+    "q_json_extract",
+    """SELECT event_type,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+              COUNT(1) AS n_events
+       FROM events GROUP BY event_type""",
+    doc="JSON payload extraction: parse the props column with a declared "
+        "schema (from_json), aggregate the extracted field — malformed "
+        "payloads surface as NULL, counted not crashed",
+    tags=("json", "agg"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`from_json` with an explicit schema is JVM-side Jackson parsing — one
+    pass, no Python, and unparseable rows become NULL structs (errors as
+    data). At 100 TB the parse rides the scan; the aggregation shuffle
+    carries |event_type| partial rows."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+         .groupBy("event_type")
+         .agg(
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"),
+             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad"),
+             F.count(F.lit(1)).alias("n_events"),
+         )
+    )
+
+
+# --- q_incr_agg_merge: incremental aggregate maintenance (merge, not recompute) -----
+
+INCR_SPLIT = "2024-01-16 00:00:00"   # history/delta boundary in the events table
+
+@register(
+    "q_incr_agg_merge",
+    """SELECT user_id,
+              COUNT(1) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY user_id""",
+    doc="incremental aggregate maintenance: pre-aggregated history state + "
+        "delta partial aggregate merged by key — the oracle recomputes from "
+        "scratch, proving merge ≡ recompute (decimal partials are exact and "
+        "associative)",
+    tags=("agg", "incremental"),
+)
+def q_incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view pattern a 100 TB pipeline needs: yesterday's
+    per-key state (n, decimal sum) is merged with today's delta partials via
+    a full-outer key join — cost scales with |delta| + |state|, never with
+    history row count. Both aggregations hash-partition on user_id with the
+    same partitioning, so the merge join plans exchange-free reuse. Double
+    sums would NOT be mergeable (order-dependent); the decimal detour is what
+    makes state + delta ≡ recompute bit-for-bit."""
+    import datetime as dt
+
+    split = F.lit(dt.datetime.fromisoformat(INCR_SPLIT)).cast("timestamp_ntz")
+    e = load_table(spark, sf_dir, "events")
+
+    def agg(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias(s),
+        )
+
+    state = agg(e.filter(F.col("ts") < split), "n0", "s0")
+    delta = agg(e.filter(F.col("ts") >= split), "n1", "s1")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        state.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("n1"), F.lit(0)))
+              .cast("long").alias("n_events"),
+            (F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("s1"), zero))
+              .cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --- q_zorder_layout: Morton (Z-order) interleaved clustering key -------------------
+
+ZORDER_BITS = 10
+ZORDER_EPOCH = "1992-01-01"
+
+def _morton_terms(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_layout",
+    f"""WITH d AS (
+          SELECT o_orderkey,
+                 CAST(o_custkey & {(1 << ZORDER_BITS) - 1} AS BIGINT) AS zx,
+                 CAST(date_diff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE))
+                      & {(1 << ZORDER_BITS) - 1} AS BIGINT) AS zy
+          FROM orders
+        )
+        SELECT o_orderkey, CAST({_morton_terms('zx', 'zy')} AS BIGINT) AS zkey
+        FROM d""",
+    doc="Z-order (Morton) clustering key: bit-interleave (custkey, order-day) "
+        "so sorting by zkey co-locates rows close in BOTH dimensions — the "
+        "layout trick behind multi-column data skipping",
+    tags=("layout", "zorder"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only bit arithmetic (20 shift/mask terms, one codegen projection).
+    At 100 TB the layout job is: compute zkey, repartitionByRange(zkey), and
+    sortWithinPartitions before the write (sinks cluster_by_key does exactly
+    that) — then min/max file stats prune on BOTH custkey and date predicates
+    instead of only the leading sort column."""
+    o = load_table(spark, sf_dir, "orders")
+    mask = (1 << ZORDER_BITS) - 1
+    zx = F.col("o_custkey").bitwiseAND(mask)
+    zy = F.datediff(F.col("o_orderdate").cast("date"),
+                    F.lit(ZORDER_EPOCH).cast("date")).cast("long").bitwiseAND(mask)
+    zkey = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        zkey = zkey + F.shiftleft(F.shiftright(zx, i).bitwiseAND(1), 2 * i)
+        zkey = zkey + F.shiftleft(F.shiftright(zy, i).bitwiseAND(1), 2 * i + 1)
+    return o.select("o_orderkey", zkey.cast("long").alias("zkey"))

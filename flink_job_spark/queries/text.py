@@ -240,3 +240,117 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= TFIDF_TOPK))
+
+
+# --- q_pii_redact: regex PII detection + redaction ---------------------------------
+
+# Java-regex ∩ RE2 subset only (char classes, \b, \d, (?:...) — no lookaround),
+# so Spark and the oracle compile the SAME pattern text identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+_PII_AUG_DUCK = (
+    "CASE CAST(doc_id % 4 AS INTEGER) "
+    "WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details' "
+    "WHEN 1 THEN text || ' call 555-123-4567 today' "
+    "WHEN 2 THEN text || ' seen from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.99 today' "
+    "ELSE text END"
+)
+
+@register(
+    "q_pii_redact",
+    f"""WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{IP_RE}')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g'),
+               '{IP_RE}', '[IP]', 'g') AS redacted
+    FROM aug""",
+    doc="PII detection + redaction: count and mask emails/phones/IPs with "
+        "regexes from the Java∩RE2 subset; deterministic synthetic PII is "
+        "injected per doc_id so the redaction path is genuinely exercised",
+    tags=("text", "pii"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only JVM regex work (regexp_count / regexp_replace) — no shuffle,
+    no Python; at 100 TB this rides the scan like the other text ops. The
+    corpus is synthetic, so each doc deterministically gets an email, phone,
+    or IP appended (doc_id % 4) before detection — the redacted text is
+    byte-compared against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = (
+        F.when(did % 4 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com for details")))
+         .when(did % 4 == 1, F.concat(F.col("text"), F.lit(" call 555-123-4567 today")))
+         .when(did % 4 == 2, F.concat(
+            F.col("text"), F.lit(" seen from 10.0."), (did % 200).cast("string"),
+            F.lit(".99 today")))
+         .otherwise(F.col("text"))
+    )
+    t = F.col("t")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+            PHONE_RE, "[PHONE]"),
+        IP_RE, "[IP]")
+    return (
+        d.select("doc_id", aug.alias("t"))
+         .select(
+             "doc_id",
+             F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+             F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+             F.regexp_count(t, F.lit(IP_RE)).cast("long").alias("n_ip"),
+             red.alias("redacted"),
+         )
+    )
+
+
+# --- q_repetition: word-repetition quality signals (Gopher-style) -------------------
+
+@register(
+    "q_repetition",
+    f"""WITH w AS (
+          SELECT doc_id, unnest({words_duck('text')}) AS w FROM documents
+        ),
+        c AS (SELECT doc_id, w, COUNT(1) AS cnt FROM w GROUP BY doc_id, w)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               COUNT(1) AS n_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS top_n,
+               CAST(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS DOUBLE)
+                 AS top_frac
+        FROM c GROUP BY doc_id""",
+    doc="repetition quality signals per document: word count, distinct words, "
+        "most-frequent-word count and its fraction — the classic repetitious-"
+        "document filter for training corpora",
+    tags=("text", "quality"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode → two partial-aggregated shuffles keyed by (doc_id, word) then
+    doc_id. Per-doc state never materializes a vocabulary map in one task's
+    memory (unlike an aggregate-over-array approach), so a pathological
+    1 GB document costs its share of rows, not a single-task blowup."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(words("text")).alias("w"))
+         .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_n"),
+        )
+        .select(
+            "doc_id", "n_words", "n_distinct", "top_n",
+            (F.col("top_n").cast("double") / F.col("n_words").cast("double"))
+              .alias("top_frac"),
+        )
+    )

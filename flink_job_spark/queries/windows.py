@@ -390,3 +390,83 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# --- q_rolling_range: value-range rolling aggregate (last hour per user) -------------
+
+ROLL_US = 3_600_000_000  # 1 hour in microseconds
+
+@register(
+    "q_rolling_range",
+    f"""WITH t AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ep, value
+          FROM events
+        )
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                      OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS sum_1h,
+               CAST(COUNT(1)
+                      OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_1h
+        FROM t""",
+    doc="per-user rolling 1-hour aggregate via a value-RANGE window frame — "
+        "the frame is bounded by the ORDER-BY value (epoch micros), not row "
+        "counts, so ties and gaps are handled identically in every engine",
+    tags=("window", "rolling"),
+)
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id, then a sorted linear scan per partition with a
+    two-pointer frame — O(rows) state regardless of how dense the hour is.
+    Decimal accumulation keeps the sliding add/evict exact (double sums would
+    drift with eviction order and diverge between engines). RANGE (not ROWS)
+    makes equal-timestamp ties frame-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-ROLL_US, Window.currentRow)
+    )
+    return (
+        e.withColumn("ep", ep)
+         .select(
+             "user_id", "event_id", "ts",
+             F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+              .cast("double").alias("sum_1h"),
+             F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+         )
+    )
+
+
+# --- q_ntile: rank-based distribution stats per group --------------------------------
+
+@register(
+    "q_ntile",
+    """SELECT event_id, event_type, value,
+              CAST(ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS BIGINT) AS quartile,
+              percent_rank() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS pr
+       FROM events""",
+    doc="quartile assignment + percent_rank per event_type — rank-based "
+        "normalization for feature engineering; total order (value, event_id) "
+        "makes tie placement engine-independent",
+    tags=("window", "rank"),
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on event_type, one sort, both rank functions share the
+    window. ntile/percent_rank only need the partition's row count — O(1)
+    state per row during the scan. The (value, event_id) total order is the
+    standard tie-break contract: without it, equal values straddle quartile
+    boundaries differently per engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )

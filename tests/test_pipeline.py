@@ -177,3 +177,36 @@ def test_snapshot_diff_operator(spark):
     out = {r["k"]: r["change_type"]
            for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "REMOVED", 3: "CHANGED", 4: "ADDED"}  # 2 is unchanged
+
+
+def test_scd2_apply_operator(spark):
+    """All five SCD2 outcomes on a tiny dimension: history passthrough,
+    unchanged-open, changed (close+reopen), removed (close), added (open)."""
+    import datetime as dt
+
+    from flink_job_spark.operators.diff import scd2_apply
+
+    t0, t1, t2 = (dt.datetime(2025, 1, 1), dt.datetime(2026, 1, 1),
+                  dt.datetime(2026, 2, 1))
+    dim = spark.createDataFrame(
+        [
+            (1, "old-v", t0, t1),   # closed history for key 1
+            (1, "a", t1, None),     # open, unchanged in snapshot
+            (2, "b", t1, None),     # open, changed
+            (3, "c", t1, None),     # open, removed
+        ],
+        "k long, v string, valid_from timestamp_ntz, valid_to timestamp_ntz")
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "k long, v string")
+
+    out = scd2_apply(dim, snap, ["k"], ["v"], t2)
+    rows = {(r["k"], r["v"]): (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "old-v"): (t0, t1, False),   # history untouched
+        (1, "a"):     (t1, None, True),  # unchanged stays open
+        (2, "b"):     (t1, t2, False),   # changed: old closed at t2
+        (2, "B2"):    (t2, None, True),  # changed: new opens at t2
+        (3, "c"):     (t1, t2, False),   # removed: closed
+        (4, "d"):     (t2, None, True),  # added: opens
+    }

@@ -219,3 +219,84 @@ def test_salted_agg_is_two_phase(spark, sf_dir):
     the tiny per-key merge. Any third shuffle is a regression."""
     p = plan(all_queries()["q_skew_salted_agg"].fn(spark, sf_dir))
     assert _n_exchanges(p) == 2, f"salted agg lost its two-phase shape:\n{p}"
+
+
+def test_semi_anti_join_prune_and_no_multiplication(spark, sf_dir):
+    """Existence joins: probe side prunes to the join key (+ pushed filter for
+    anti) and the join is semi/anti hash-based — never an inner join that
+    multiplies rows, never a nested loop."""
+    for name, extra in [("q_semi_join", set()), ("q_anti_join", {"o_orderpriority"})]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "NestedLoop" not in p, p
+        assert "Semi" in p or "Anti" in p, f"{name} lost its existence-join shape:\n{p}"
+        orders_cols = {c for c in read_schema_columns(p) if c.startswith("o_")}
+        assert orders_cols == {"o_custkey"} | extra, (
+            f"{name}: orders scan reads {orders_cols}, not just the key"
+        )
+
+
+def test_cube_is_single_shuffle(spark, sf_dir):
+    """CUBE expands all four grouping sets before one exchange (same contract
+    as ROLLUP)."""
+    p = plan(all_queries()["q_cube_agg"].fn(spark, sf_dir))
+    assert "Expand" in p, f"cube lost its grouping-set expand:\n{p}"
+    assert _n_exchanges(p) <= 1, f"cube gained shuffles:\n{p}"
+
+
+def test_histogram_prunes_and_single_shuffle(spark, sf_dir):
+    """Literal-bound bucketing: one column read, one tiny aggregation
+    exchange — no extra min/max pass over the data."""
+    p = plan(all_queries()["q_histogram"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"o_totalprice"}, read_schema_columns(p)
+    assert _n_exchanges(p) <= 1, f"histogram gained shuffles:\n{p}"
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    p = plan(all_queries()["q_pii_redact"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"PII redaction shuffles:\n{p}"
+
+
+def test_rolling_range_is_single_shuffle(spark, sf_dir):
+    """Value-RANGE rolling frame: one user_id partition shuffle, one Window."""
+    p = plan(all_queries()["q_rolling_range"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"rolling range gained shuffles:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_scd2_merge_is_single_join_pass(spark, sf_dir):
+    """SCD2: the open-slice⋈snapshot join runs ONCE (conditional-array emit,
+    not three references to the join) and history unions in shuffle-free."""
+    p = plan(all_queries()["q_scd2_merge"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    n_joins = len(re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) BroadcastHashJoin|\(\d+\) ShuffledHashJoin", p))
+    assert n_joins == 1, f"SCD2 merge re-executes its join ({n_joins} joins):\n{p}"
+
+
+def test_ntile_is_single_shuffle(spark, sf_dir):
+    """Both rank functions share one (partition, order) → one Window node."""
+    p = plan(all_queries()["q_ntile"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"ntile gained shuffles:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_zorder_is_map_only(spark, sf_dir):
+    """Morton key is pure bit arithmetic — must ride the scan, no Exchange."""
+    p = plan(all_queries()["q_zorder_layout"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"z-order key computation shuffles:\n{p}"
+    assert read_schema_columns(p) == {"o_orderkey", "o_custkey", "o_orderdate"}
+
+
+def test_incr_agg_merge_reuses_partitioning(spark, sf_dir):
+    """State and delta both hash-partition on user_id; the merge join must
+    not add a third exchange on top of the two aggregations."""
+    p = plan(all_queries()["q_incr_agg_merge"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 2, f"merge join re-shuffled the aggregates:\n{p}"
+
+
+def test_fuzzy_editdist_blocks_and_persists(spark, sf_dir):
+    """Block-then-verify: the blocked frame persists once (both self-join
+    sides), the join is equi on the block key — never a cartesian."""
+    p = plan(all_queries()["q_fuzzy_editdist"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "InMemoryTableScan" in p, f"blocked frame must persist:\n{p}"

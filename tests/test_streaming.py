@@ -251,3 +251,45 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     want = stream_interval_join(ev, ev, "user_id", upper="5 minutes")
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_scd2_stream_apply_two_snapshots(spark, sf_dir, tmp_path):
+    """Two snapshot files → two micro-batches folded into a generation-
+    versioned SCD2 dimension; the final generation must equal applying the
+    second snapshot to the first with the batch operator directly."""
+    from flink_job_spark.operators.diff import scd2_apply
+    from flink_job_spark.streaming.scd2 import latest_generation, scd2_stream_apply
+
+    src = str(tmp_path / "snap_src")
+    dim_root = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    base_ts = dt.datetime(2026, 3, 1)
+    keys, attrs = ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+
+    snap1 = load_table(spark, sf_dir, "customer").select(*keys, *attrs)
+    snap2 = (
+        snap1.filter(F.col("c_custkey") % 11 != 0)
+        .withColumn("c_acctbal",
+                    F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1)
+                     .otherwise(F.col("c_acctbal")))
+    )
+
+    snap1.coalesce(1).write.mode("overwrite").parquet(src)
+    scd2_stream_apply(spark, src, snap1.schema, dim_root, ckpt,
+                      keys, attrs, base_ts)
+    assert latest_generation(dim_root) == 0
+    gen0 = spark.read.parquet(f"{dim_root}/gen=0")
+    assert gen0.count() == snap1.count()            # all rows open
+    assert gen0.filter(~F.col("is_current")).count() == 0
+
+    snap2.coalesce(1).write.mode("append").parquet(src)
+    scd2_stream_apply(spark, src, snap1.schema, dim_root, ckpt,
+                      keys, attrs, base_ts)
+    assert latest_generation(dim_root) == 1
+
+    expected = scd2_apply(gen0, snap2, keys, attrs,
+                          base_ts + dt.timedelta(days=1))
+    got = spark.read.parquet(f"{dim_root}/gen=1")
+    cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == \
+           sorted(map(tuple, expected.select(*cols).collect()))
