@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from flink_job_spark.queries import (  # noqa: F401
+        analytics,
         asof,
         cdc,
         core,

@@ -574,3 +574,89 @@ def q_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
          )
          .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+# --- q_graph_degree: degree distribution of the near-dup pair graph ------------------
+
+@register(
+    "q_graph_degree",
+    f"""WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        deg AS (
+          SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS degree FROM (
+            SELECT d1 AS doc_id FROM pairs
+            UNION ALL
+            SELECT d2 AS doc_id FROM pairs
+          ) GROUP BY doc_id
+        )
+        SELECT COALESCE(g.degree, 0) AS degree,
+               COUNT(1) AS n_docs
+        FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id
+        GROUP BY 1""",
+    doc="degree histogram of the exact-Jaccard near-dup graph — the shape "
+        "check before clustering: a heavy tail means boilerplate superclusters "
+        "that q_dedup_components would collapse into one giant group",
+    tags=("dedup", "graph"),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the capped pair generator: degrees are one combine-enabled
+    shuffle over the (already candidate-bounded) pair list, the zero-degree
+    backfill is a left join against the doc ids only, and the final histogram
+    is ≤max-degree rows. Nothing here rescans text — the pair graph is the
+    only input that scales."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    pairs = jaccard_pairs_capped(sh, SHINGLE_MAX_DOC_FREQ).persist()
+    deg = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        d.select("doc_id")
+         .join(deg, "doc_id", "left")
+         .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+         .groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- q_dedup_keep_best: canonical-row selection per duplicate group ------------------
+
+@register(
+    "q_dedup_keep_best",
+    f"""WITH g AS (
+          SELECT doc_id, n_chars, md5({norm_text_duck('text')}) AS content_key
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, content_key, n_chars,
+                 row_number() OVER (PARTITION BY content_key
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 CAST(COUNT(1) OVER (PARTITION BY content_key) AS BIGINT) AS n_dups
+          FROM g
+        )
+        SELECT doc_id, content_key, n_chars, n_dups FROM r WHERE rn = 1""",
+    doc="exact dedup that KEEPS the best representative per content group "
+        "(longest text, doc_id tie-break) instead of an arbitrary survivor — "
+        "plus the group size for lineage",
+    tags=("dedup",),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy-style dedup loses the choice of survivor; ranking inside the
+    content-hash partition makes it explicit AND deterministic (total order:
+    quality desc, id asc — arg-max alone is tie-unstable across engines and
+    retries). rn + group-count share ONE hash partitioning of the constant-
+    width md5 key (group size needs every row, so map-side rank truncation is
+    structurally impossible here — drop n_dups if you want WindowGroupLimit,
+    as q_group_sample does)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "n_chars", F.md5(norm_text("text")).alias("content_key"))
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("content_key")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+         .withColumn("n_dups", F.count(F.lit(1)).over(wc).cast("long"))
+         .filter(F.col("rn") == 1)
+         .select("doc_id", "content_key", "n_chars", "n_dups")
+    )

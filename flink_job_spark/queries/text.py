@@ -354,3 +354,52 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("top_frac"),
         )
     )
+
+
+# --- q_doc_chunks: overlapping token-window chunking ---------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+@register(
+    "q_doc_chunks",
+    f"""WITH w AS (
+          SELECT doc_id, {words_duck('text')} AS w FROM documents
+        ),
+        s AS (
+          SELECT doc_id, w,
+                 unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS s
+          FROM w
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(w, s, s + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,
+               CAST(len(list_slice(w, s, s + {CHUNK_TOKENS} - 1)) AS BIGINT) AS n_tokens
+        FROM s""",
+    doc=f"document chunking into {CHUNK_TOKENS}-token windows with "
+        f"{CHUNK_STRIDE}-token stride (overlapping) — the tokenize-and-chunk "
+        "step every LLM training pipeline runs before packing",
+    tags=("text", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only explode: chunk starts come from sequence() over the word
+    count, each start slices its window from the one words array — the text
+    is normalized and split ONCE per doc, not once per chunk. Output rows
+    scale with total tokens / stride; no shuffle, so at 100 TB chunking rides
+    the scan exactly like the other text ops."""
+    d = load_table(spark, sf_dir, "documents")
+    chunked = d.select(
+        "doc_id",
+        words("text").alias("w"),
+    ).select(
+        "doc_id",
+        F.posexplode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias("pos", "s"),
+        F.col("w"),
+    )
+    sliced = F.expr(f"slice(w, s, {CHUNK_TOKENS})")
+    return chunked.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+    )

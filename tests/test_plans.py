@@ -300,3 +300,68 @@ def test_fuzzy_editdist_blocks_and_persists(spark, sf_dir):
     p = plan(all_queries()["q_fuzzy_editdist"].fn(spark, sf_dir))
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     assert "InMemoryTableScan" in p, f"blocked frame must persist:\n{p}"
+
+
+def test_profile_table_is_one_pass(spark, sf_dir):
+    """All per-column stats in one aggregation: Expand for the distincts,
+    two exchanges (partial-distinct + final), never |cols| table scans."""
+    p = plan(all_queries()["q_profile_table"].fn(spark, sf_dir))
+    assert "Expand" in p, f"profile lost its one-pass expand:\n{p}"
+    assert _n_exchanges(p) <= 2, f"profile gained shuffles:\n{p}"
+    n_scans = len(set(re.findall(r"\((\d+)\) Scan parquet", p)))
+    assert n_scans == 1, f"profile re-scans the table ({n_scans} scans):\n{p}"
+
+
+def test_funnel_joins_on_aggregated_users(spark, sf_dir):
+    """Stage aggregates reduce to one row per user before joining; all stages
+    share the user_id partitioning (≤3 exchanges), no nested loop."""
+    p = plan(all_queries()["q_funnel"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 3, f"funnel gained shuffles:\n{p}"
+
+
+def test_cohort_retention_dedups_before_join(spark, sf_dir):
+    """first-seen agg + user-day dedup + join + final rollup: ≤4 exchanges,
+    the join carries distinct user-days."""
+    p = plan(all_queries()["q_cohort_retention"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 4, f"cohort retention gained shuffles:\n{p}"
+
+
+def test_impute_broadcasts_means(spark, sf_dir):
+    """The |groups|-row mean table broadcasts back onto the fact — the fact
+    side must not shuffle for the join (one agg exchange only)."""
+    p = plan(all_queries()["q_impute_group_mean"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"means join must broadcast:\n{p}"
+    assert _n_exchanges(p) <= 1, f"impute fact side shuffled:\n{p}"
+
+
+def test_graph_degree_reuses_pair_graph(spark, sf_dir):
+    """Degrees come from the persisted pair list (InMemoryTableScan), never a
+    rescan of the text; no nested loop anywhere in the composition."""
+    p = plan(all_queries()["q_graph_degree"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert "InMemoryTableScan" in p, f"pair graph must persist:\n{p}"
+
+
+def test_keep_best_is_single_shuffle(spark, sf_dir):
+    """Best-representative dedup: rank + group count share ONE md5-key
+    partitioning — a second exchange is a regression. (No WindowGroupLimit
+    by design: the group count needs every row.)"""
+    p = plan(all_queries()["q_dedup_keep_best"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"keep-best gained shuffles:\n{p}"
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    """Tokenize-and-chunk must ride the scan: explode, no Exchange, and the
+    text is split once (a single codegen'd Generate over the words array)."""
+    p = plan(all_queries()["q_doc_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"chunking shuffles:\n{p}"
+
+
+def test_minmax_scale_broadcasts_stats(spark, sf_dir):
+    """|groups|-row min/max stats broadcast back — fact side never shuffles
+    for the join (one agg exchange only)."""
+    p = plan(all_queries()["q_minmax_scale"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"stats join must broadcast:\n{p}"
+    assert _n_exchanges(p) <= 1, f"scale fact side shuffled:\n{p}"

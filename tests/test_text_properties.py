@@ -66,3 +66,65 @@ def test_text_twins_agree(spark, texts):
         assert g["n_chars"] == d[3]
         assert g["stop_r"] == d[4], (texts[i], "stop_r")
         assert g["q"] == d[5], (texts[i], "quality")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(ascii_text, min_size=1, max_size=30))
+def test_pii_regex_twins_agree(spark, texts):
+    """PII patterns live in the Java-regex ∩ RE2 subset: counts AND the
+    redacted text must be byte-identical across engines on arbitrary ASCII
+    (including half-formed emails/IPs the generator produces by chance)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from flink_job_spark.queries.text import EMAIL_RE, IP_RE, PHONE_RE
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("ne"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("np"),
+        F.regexp_count(F.col("text"), F.lit(IP_RE)).alias("ni"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+                PHONE_RE, "[PHONE]"),
+            IP_RE, "[IP]").alias("red"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    duck = con.execute(
+        f"SELECT CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER),"
+        f" CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER),"
+        f" CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INTEGER),"
+        f" regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}', '[PHONE]', 'g'),"
+        f" '{IP_RE}', '[IP]', 'g') FROM t"
+    ).fetchall()
+    assert [(r["ne"], r["np"], r["ni"], r["red"]) for r in got] == \
+           [tuple(r) for r in duck]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(ascii_text, ascii_text), min_size=1, max_size=20))
+def test_levenshtein_twins_agree(spark, pairs):
+    """Spark and DuckDB levenshtein must agree on arbitrary ASCII pairs
+    (unit-cost insert/delete/substitute in both)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r["d"] for r in
+           df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    duck = [r[0] for r in con.execute("SELECT levenshtein(a, b) FROM t").fetchall()]
+    assert got == duck
