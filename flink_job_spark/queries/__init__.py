@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         dedup,
         multimodal,
+        prep,
         relational,
         similarity,
         sketch,

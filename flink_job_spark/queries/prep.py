@@ -1,0 +1,483 @@
+"""Training-data preparation composites: sequence packing, mixture
+resampling, block-level dedup, benchmark contamination, entropy scoring,
+deterministic global shuffle, and lossless format roundtrips.
+
+These are the corpus-assembly steps an LLM pretraining pipeline runs after
+filtering/dedup and before writing training shards; none exist in the
+reference (its surface is snapshot ingest + audit, SURVEY §2), so they are
+north-star extensions in the spirit of queries/text.py. Shared discipline:
+
+* tokenization/normalization comes from functions/text.py so every text key
+  in the engine agrees on what a "word"/"token" is;
+* sampling and shuffling are md5-deterministic (never rand()) so retries,
+  speculative tasks, and other engines reproduce the same rows;
+* doubles are summed through exact-decimal detours or avoided (min/max/count)
+  so results are partition-order-free;
+* per-key scale notes explain what changes at 100 TB (usually: nothing, or
+  one bounded broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_job_spark.functions.text import (
+    word_shingles,
+    word_shingles_duck,
+    words,
+    words_duck,
+    ws_token_count,
+    ws_token_count_duck,
+)
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+# --- q_sequence_pack: offset-based sequence packing ----------------------------------
+
+PACK_BUDGET = 96  # whitespace tokens per packed training sequence
+
+@register(
+    "q_sequence_pack",
+    f"""WITH t AS (
+          SELECT source, doc_id, {ws_token_count_duck('text')} AS tok
+          FROM documents
+        ),
+        o AS (
+          SELECT source, doc_id, tok,
+                 COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_off
+          FROM t
+        )
+        SELECT source,
+               CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+               MIN(doc_id) AS first_doc
+        FROM o GROUP BY source, CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT)""",
+    doc=f"offset-based sequence packing: concatenate each source's docs in "
+        f"doc_id order and cut the token stream at {PACK_BUDGET}-token "
+        "boundaries (GPT-style pack-then-split); a doc belongs to the "
+        "sequence its first token lands in",
+    tags=("prep", "packing", "window"),
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing = one window cumsum PARTITIONED BY source (never a global
+    order), then a partial-aggregated groupBy on (source, seq_id) — two
+    shuffles on the same key, and AQE coalesces them. At 100 TB each source
+    shard packs independently, which is exactly how training shards are laid
+    out; a skewed mega-source would be further split by a bucket column in
+    the partition key (same math, seq ids offset per bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    t = d.select("source", "doc_id", ws_token_count("text").alias("tok"))
+    o = t.withColumn("start_off", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return (
+        o.withColumn("seq_id", F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint"))
+         .groupBy("source", "seq_id")
+         .agg(
+             F.count(F.lit(1)).alias("n_docs"),
+             F.sum("tok").cast("bigint").alias("seq_tokens"),
+             F.min("doc_id").alias("first_doc"),
+         )
+    )
+
+
+# --- q_mixture_resample: data-dependent domain mixture -------------------------------
+
+# target mixture weights per source domain; unlisted sources get weight 1
+MIX_WEIGHTS = {"src0": 6.0, "src1": 4.0, "src2": 2.0, "src3": 2.0}
+MIX_BUDGET_FRAC = 0.4  # resampled corpus targets 40% of the input rows
+
+def _weight_case_spark() -> F.Column:
+    expr = F.lit(1.0)
+    for s, wgt in sorted(MIX_WEIGHTS.items()):
+        expr = F.when(F.col("source") == s, F.lit(wgt)).otherwise(expr)
+    return expr
+
+def _weight_case_duck() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {branches} ELSE 1.0 END"
+
+@register(
+    "q_mixture_resample",
+    f"""WITH c AS (
+          SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                 {_weight_case_duck()} AS wgt
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, SUM(wgt) AS w_total
+          FROM c
+        ),
+        r AS (
+          SELECT c.source, c.n_docs,
+                 LEAST(1.0, (c.wgt / tot.w_total) * (tot.n_total * {MIX_BUDGET_FRAC})
+                            / c.n_docs) AS rate
+          FROM c, tot
+        )
+        SELECT d.source, r.n_docs,
+               CAST(COALESCE(SUM(CASE WHEN
+                 CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   / 4294967296.0 < r.rate THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+        FROM documents d JOIN r ON d.source = r.source
+        GROUP BY d.source, r.n_docs""",
+    doc="domain-mixture resampling: per-source keep rates derived from "
+        "target mixture weights and the observed per-source counts (budget "
+        f"= {MIX_BUDGET_FRAC:.0%} of input), selection by md5 bucket — the "
+        "mixture step that turns a raw crawl into a weighted training mix",
+    tags=("prep", "sampling"),
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass mixture: pass 1 is a tiny per-source count aggregate (one
+    combine-enabled shuffle, |sources| rows); the rates join back as a
+    BROADCAST, so pass 2 is map-side — filter + re-aggregate. At 100 TB the
+    rate table is still |domains| rows, the big side never shuffles for the
+    join, and the md5 selection keeps resampling deterministic across
+    retries. Rate arithmetic is a fixed expression tree over exact counts,
+    so Spark and DuckDB compute bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")) \
+         .withColumn("wgt", _weight_case_spark())
+    tot = c.agg(F.sum("n_docs").cast("bigint").alias("n_total"),
+                F.sum("wgt").alias("w_total"))
+    r = c.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("wgt") / F.col("w_total"))
+            * (F.col("n_total") * F.lit(MIX_BUDGET_FRAC)) / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+         .withColumn("keep", (bucket < F.col("rate")).cast("int"))
+         .groupBy("source", "n_docs")
+         .agg(F.coalesce(F.sum("keep"), F.lit(0)).cast("bigint").alias("n_kept"))
+    )
+
+
+# --- q_block_dedup: non-overlapping block-level exact dedup --------------------------
+
+BLOCK_WORDS = 16
+
+@register(
+    "q_block_dedup",
+    f"""WITH w AS (
+          SELECT doc_id, {words_duck('text')} AS w FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(w, s, s + {BLOCK_WORDS} - 1), ' '))
+                   AS block_hash
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, {BLOCK_WORDS})) AS s
+                FROM w)
+        ),
+        f AS (
+          SELECT block_hash, MIN(doc_id) AS first_doc FROM b GROUP BY block_hash
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_blocks,
+               CAST(COALESCE(SUM(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_dup_blocks
+        FROM b JOIN f USING (block_hash)
+        GROUP BY b.doc_id""",
+    doc=f"block-level exact dedup: split each doc into non-overlapping "
+        f"{BLOCK_WORDS}-word blocks, hash them, and count per doc how many "
+        "blocks already appeared in an earlier doc (min-doc-id ownership) — "
+        "the C4-style within-corpus repetition filter at sub-document "
+        "granularity",
+    tags=("prep", "dedup"),
+)
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks explode map-side off a single words array; ownership is one
+    combine-enabled groupBy on the 16-byte block hash; the join back is a
+    shuffle join on the same hash key (AQE reuses the partitioning). State is
+    one row per DISTINCT block — the repeated blocks this op exists to find
+    collapse into it — so at 100 TB the shuffled footprint is bounded by
+    unique content volume, not corpus volume."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", words("text").alias("w"))
+         .select(
+             "doc_id",
+             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
+             F.col("w"),
+         )
+         .select(
+             "doc_id",
+             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
+              .alias("block_hash"),
+         )
+    )
+    f = b.groupBy("block_hash").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        b.join(f, "block_hash")
+         .groupBy("doc_id")
+         .agg(
+             F.count(F.lit(1)).alias("n_blocks"),
+             F.coalesce(
+                 F.sum((F.col("first_doc") < F.col("doc_id")).cast("int")), F.lit(0)
+             ).cast("bigint").alias("n_dup_blocks"),
+         )
+    )
+
+
+# --- q_contamination: benchmark n-gram overlap ---------------------------------------
+
+CONTAM_K = 8          # n-gram width used for decontamination
+EVAL_MOD = 13         # doc_id % 13 == 0 plays the role of the eval benchmark
+
+@register(
+    "q_contamination",
+    f"""WITH w AS (
+          SELECT doc_id, {words_duck('text')} AS w FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest({word_shingles_duck('w', CONTAM_K)}) AS g
+          FROM w
+        ),
+        bench AS (
+          SELECT DISTINCT g FROM g WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        train AS (
+          SELECT DISTINCT doc_id, g FROM g WHERE doc_id % {EVAL_MOD} <> 0
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_grams,
+               CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_hit
+        FROM train t LEFT JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id""",
+    doc=f"benchmark decontamination: {CONTAM_K}-gram overlap of every "
+        "training doc against the eval set's n-gram inventory (eval = "
+        f"doc_id%{EVAL_MOD}==0 here) — the leakage check run before any "
+        "corpus ships",
+    tags=("prep", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval inventory is DISTINCT n-grams of the (small) benchmark —
+    broadcast to the train side, so the corpus-sized relation never
+    shuffles for the join; per-doc dedup of train n-grams is one groupBy
+    keyed (doc_id, gram) with map-side combine. At 100 TB the broadcast
+    bound is the benchmark suite (MBs), independent of corpus size; if the
+    eval inventory ever outgrew broadcast, the same plan degrades to a
+    shuffle join on the gram hash — semantics unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", words("text").alias("w"))
+         .select("doc_id", F.explode(word_shingles("w", CONTAM_K)).alias("g"))
+    )
+    bench = g.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    train = g.filter(F.col("doc_id") % EVAL_MOD != 0).distinct()
+    return (
+        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left")
+             .groupBy("doc_id")
+             .agg(
+                 F.count(F.lit(1)).alias("n_grams"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+             )
+    )
+
+
+# --- q_group_median: exact interpolated quantiles per group --------------------------
+
+@register(
+    "q_group_median",
+    """SELECT l_returnflag,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+              ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS median,
+              ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="exact per-group interpolated quantiles (p25/median/p75) — the "
+        "distribution summary behind length/score cutoffs when a pipeline "
+        "picks filtering thresholds from the data",
+    tags=("prep", "agg", "quantile"),
+)
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile() is a sort-based aggregate: one shuffle on the group
+    key, each group's values sorted within its reducer. Correct but
+    memory-bound by the largest group at 100 TB — which is why
+    q_approx_quantiles (KLL-style sketch, constant memory, mergeable) is the
+    registered scale path; this key is the exactness baseline the sketch is
+    judged against. Both engines define quantiles by the same 1-based linear
+    interpolation, so values match to rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile(price, F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+# --- q_word_entropy: unigram entropy quality signal ----------------------------------
+
+@register(
+    "q_word_entropy",
+    f"""WITH c AS (
+          SELECT doc_id, w AS word, CAST(COUNT(1) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest({words_duck('text')}) AS w FROM documents)
+          GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(1) AS BIGINT) AS n_distinct_words,
+               ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                     - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18)))
+                            AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS entropy
+        FROM c GROUP BY doc_id""",
+    doc="per-document unigram word entropy (H = ln N - Σ c·ln c / N) — the "
+        "low-entropy gate that drops boilerplate/keyword-stuffed docs from "
+        "training corpora",
+    tags=("prep", "text", "quality"),
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two combine-enabled shuffles, both on bounded state: (doc, word)
+    counts then per-doc rollup. The Σ c·ln c term rides an exact DECIMAL
+    detour — each double term is cast to DECIMAL(38,18) before summing, so
+    the aggregate is partition-order-free and engine-comparable (double
+    addition is not associative; decimal addition is)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+         .groupBy("doc_id", "word")
+         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("bigint")
+    clogc = F.sum(
+        (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(38,18)")
+    )
+    return c.groupBy("doc_id").agg(
+        n.alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.round(
+            F.log(n.cast("double")) - clogc.cast("double") / n.cast("double"), 4
+        ).alias("entropy"),
+    )
+
+
+# --- q_train_shuffle: deterministic global shuffle + sharding ------------------------
+
+SHARD_SIZE = 64
+
+@register(
+    "q_train_shuffle",
+    f"""WITH r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS pos
+          FROM documents
+        )
+        SELECT doc_id, CAST(floor(pos / {SHARD_SIZE}) AS BIGINT) AS shard, pos FROM r""",
+    doc="deterministic global training-order shuffle: permute docs by "
+        f"md5(doc_id), cut into {SHARD_SIZE}-doc shards with in-shard "
+        "positions — the reproducible corpus shuffle written before "
+        "training, identical on every rerun (never rand())",
+    tags=("prep", "shuffle"),
+)
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5 sort key IS the shuffle: ordering by a uniform hash of the id
+    is a deterministic random permutation. Expressed here as one global
+    window for oracle parity; the 100 TB path is repartitionByRange(md5_key)
+    + per-partition row_number + per-partition offset (computed from
+    partition counts, the q_skip_offset technique) — same permutation, no
+    single-reducer sort. Shard files then write out partitioned by `shard`."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    r = d.select("doc_id").withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    )
+    return r.select(
+        "doc_id", F.floor(F.col("pos") / SHARD_SIZE).cast("bigint").alias("shard"), "pos"
+    )
+
+
+# --- format roundtrips: CSV / JSON lines sources -------------------------------------
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"fjs_roundtrip_{tag}_{fmt}")
+
+@register(
+    "q_csv_roundtrip",
+    """SELECT c_mktsegment,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              SUM(c_acctbal) AS sum_acctbal,
+              MIN(c_name) AS min_name
+       FROM customer GROUP BY c_mktsegment""",
+    doc="CSV source/sink roundtrip: write `customer` as headered CSV, read "
+        "it back under the declared schema, aggregate — proves the CSV codec "
+        "path (quoting, decimals, nulls) is lossless against the parquet "
+        "original",
+    tags=("formats", "source", "sink"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema-on-read CSV: the declared StructType (taken from the parquet
+    original) drives parsing, so decimals come back as DECIMAL not DOUBLE —
+    the oracle aggregates the original table, and equality proves the text
+    codec loses nothing. The decimal SUM is exact, hence order-free. At
+    100 TB, CSV input splits by line ranges and this is a plain scan+agg;
+    mode=FAILFAST would surface any corrupt line instead of nulling it."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _roundtrip_dir(sf_dir, "csv")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(c.schema).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_acctbal").alias("sum_acctbal"),
+        F.min("c_name").alias("min_name"),
+    )
+
+@register(
+    "q_json_roundtrip",
+    """SELECT event_type,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+              MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+              MIN(value) AS min_value,
+              MAX(value) AS max_value
+       FROM events GROUP BY event_type""",
+    doc="JSON-lines source/sink roundtrip: write `events` as JSONL, read "
+        "back under the declared schema (NTZ timestamps, doubles), "
+        "aggregate — proves the JSON codec path is value-preserving",
+    tags=("formats", "source", "sink"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubles survive JSON because Spark serializes them round-trippably;
+    the checks deliberately use only order-free exact aggregates (count,
+    min/max) — a double SUM would be partition-order-dependent and is the
+    kind of nondeterminism this suite bans. Timestamps stay NTZ end to end
+    (reference semantics, SURVEY §1.2). JSONL splits by line at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    path = _roundtrip_dir(sf_dir, "json")
+    # default NTZ JSON format truncates to milliseconds; pin microseconds
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    e.write.mode("overwrite").option("timestampNTZFormat", ntz_fmt).json(path)
+    back = (
+        spark.read.schema(e.schema)
+        .option("timestampNTZFormat", ntz_fmt)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
