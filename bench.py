@@ -40,8 +40,14 @@ def main() -> None:
     except Exception:
         pass  # a missing sf_dir still produces the JSON error report below
 
+    # optional subset filter (comma-separated key names) for isolated
+    # re-measurement of individual queries; the driver never sets this
+    only = {k for k in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if k}
+
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
