@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
@@ -235,4 +236,193 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(stats), "event_type")
          .select("event_id", "event_type", "value", scaled.alias("scaled"))
+    )
+
+
+# --- q_impute_mode: categorical null repair with per-group mode ----------------------
+
+MODE_MOD = 11   # deterministic nulling: l_linestatus dropped where
+                # (l_orderkey + l_linenumber) % MOD = 0
+
+@register(
+    "q_impute_mode",
+    f"""WITH holes AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CASE WHEN (l_orderkey + l_linenumber) % {MODE_MOD} = 0 THEN NULL
+                      ELSE l_linestatus END AS status
+          FROM lineitem
+        ),
+        freq AS (
+          SELECT l_returnflag, status, CAST(COUNT(1) AS BIGINT) AS c
+          FROM holes WHERE status IS NOT NULL GROUP BY l_returnflag, status
+        ),
+        mode AS (
+          SELECT l_returnflag, status AS grp_mode FROM (
+            SELECT l_returnflag, status,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY c DESC, status) AS rk
+            FROM freq
+          ) WHERE rk = 1
+        )
+        SELECT h.l_returnflag,
+               COALESCE(h.status, m.grp_mode) AS status_filled,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN h.status IS NULL THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_imputed
+        FROM holes h JOIN mode m ON h.l_returnflag = m.l_returnflag
+        GROUP BY h.l_returnflag, COALESCE(h.status, m.grp_mode)""",
+    doc="categorical imputation with the per-group MODE (most frequent "
+        "value, deterministic lexicographic tie-break) — the categorical "
+        "sibling of q_impute_group_mean",
+    tags=("impute", "agg", "join"),
+)
+def q_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode = one combine-enabled count shuffle on (group, value) — tiny
+    because the value domain is small — then a |groups|-row argmax that
+    broadcasts back onto the fact rows (zero fact shuffle for the join,
+    plan-pinned). The DESC-count + lexicographic tie-break makes the mode
+    unique, so retries/engines agree even when two values tie."""
+    li = load_table(spark, sf_dir, "lineitem")
+    holes = li.select(
+        "l_returnflag",
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % MODE_MOD == 0, None)
+         .otherwise(F.col("l_linestatus")).alias("status"),
+    )
+    freq = (
+        holes.filter(F.col("status").isNotNull())
+             .groupBy("l_returnflag", "status")
+             .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("c").desc(), "status")
+    mode = (
+        freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("l_returnflag", F.col("status").alias("grp_mode"))
+    )
+    return (
+        holes.join(F.broadcast(mode), "l_returnflag")
+             .groupBy(
+                 "l_returnflag",
+                 F.coalesce(F.col("status"), F.col("grp_mode")).alias("status_filled"),
+             )
+             .agg(
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.coalesce(F.sum(F.col("status").isNull().cast("int")), F.lit(0))
+                  .cast("bigint").alias("n_imputed"),
+             )
+    )
+
+
+# --- q_winsorize: per-group outlier clamping at exact percentiles --------------------
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+@register(
+    "q_winsorize",
+    f"""WITH b AS (
+          SELECT l_returnflag,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), {WINSOR_LO}) AS lo,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), {WINSOR_HI}) AS hi
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < b.lo
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clamped_lo,
+               CAST(COALESCE(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > b.hi
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clamped_hi,
+               ROUND(CAST(SUM(CAST(
+                     LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), b.lo), b.hi)
+                     AS DECIMAL(38,12))) AS DOUBLE), 2) AS sum_winsorized
+        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        GROUP BY l.l_returnflag""",
+    doc=f"winsorization: clamp each group's values at its exact "
+        f"p{int(WINSOR_LO*100)}/p{int(WINSOR_HI*100)} percentiles and "
+        "re-aggregate — the outlier-taming step before scaling/normalizing "
+        "features",
+    tags=("scale", "agg", "quantile", "join"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bounds reduce to |groups| rows (sort-based exact
+    percentile, one shuffle) and broadcast back — the fact side never
+    shuffles for the join. The winsorized SUM rides the exact-DECIMAL detour
+    so the double clamp results add order-free; both engines clamp with the
+    same LEAST/GREATEST tree. At 100 TB swap the exact percentile for
+    approx_percentile and keep everything else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile(price, F.lit(WINSOR_HI)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(price, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+              F.count(F.lit(1)).alias("n_rows"),
+              F.coalesce(F.sum((price < F.col("lo")).cast("int")), F.lit(0))
+               .cast("bigint").alias("n_clamped_lo"),
+              F.coalesce(F.sum((price > F.col("hi")).cast("int")), F.lit(0))
+               .cast("bigint").alias("n_clamped_hi"),
+              F.round(F.sum(clamped.cast("decimal(38,12)")).cast("double"), 2)
+               .alias("sum_winsorized"),
+          )
+    )
+
+
+# --- q_streak_pandas: longest consecutive-day streak via applyInPandas ---------------
+
+@register(
+    "q_streak_pandas",
+    """WITH d AS (
+         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+         FROM events
+       ),
+       r AS (
+         SELECT user_id, d,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+         FROM d
+       ),
+       g AS (
+         SELECT user_id, d - CAST(rn AS INTEGER) AS grp FROM r
+       )
+       SELECT user_id,
+              CAST(SUM(run) AS BIGINT) AS n_active_days,
+              CAST(MAX(run) AS BIGINT) AS max_streak
+       FROM (SELECT user_id, grp, COUNT(1) AS run FROM g GROUP BY user_id, grp)
+       GROUP BY user_id""",
+    doc="longest consecutive-active-day streak per user — engagement "
+        "analytics computed by a grouped Arrow/pandas operator on the Spark "
+        "side vs a gaps-and-islands SQL oracle (two independent algorithms, "
+        "same answer)",
+    tags=("analytics", "pandas", "stateful"),
+)
+def q_streak_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark path exercises applyInPandas (grouped-map Arrow transfer):
+    distinct (user, day) first — so the pandas operator sees |active days|
+    rows per user, bounded state like the streaming stateful op — then a
+    pure-pandas streak scan per group. The oracle solves the same problem
+    relationally (gaps-and-islands: day minus row_number is constant within
+    a run). At 100 TB the groupBy key is user_id: Arrow batches stream
+    group-at-a-time, memory is O(days of one user), never O(corpus)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+
+    def streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf["d"].sort_values().reset_index(drop=True)
+        gaps = ds.diff().dt.days.ne(1).cumsum()
+        run = gaps.groupby(gaps).size().max()
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_active_days": [len(ds)],
+            "max_streak": [int(run)],
+        })
+
+    return days.groupBy("user_id").applyInPandas(
+        streaks, "user_id long, n_active_days long, max_streak long"
     )

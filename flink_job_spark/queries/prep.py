@@ -418,7 +418,7 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     "q_csv_roundtrip",
     """SELECT c_mktsegment,
               CAST(COUNT(1) AS BIGINT) AS n_rows,
-              SUM(c_acctbal) AS sum_acctbal,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
               MIN(c_name) AS min_name
        FROM customer GROUP BY c_mktsegment""",
     doc="CSV source/sink roundtrip: write `customer` as headered CSV, read "
@@ -440,7 +440,9 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(c.schema).option("header", True).csv(path)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("c_acctbal").alias("sum_acctbal"),
+        # c_acctbal is a 2-decimal double: sum through exact DECIMAL so the
+        # aggregate is partition-order-free (double SUM is not associative)
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
         F.min("c_name").alias("min_name"),
     )
 
@@ -480,4 +482,69 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+    )
+
+@register(
+    "q_orc_roundtrip",
+    """SELECT s_nationkey,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+              MIN(s_name) AS min_name
+       FROM supplier GROUP BY s_nationkey""",
+    doc="ORC source/sink roundtrip: write `supplier` as ORC, read it back, "
+        "aggregate — proves the columnar-ORC codec path against the parquet "
+        "original (the third major on-disk format after parquet/CSV/JSON)",
+    tags=("formats", "source", "sink"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is Spark-native and splittable like parquet; schema travels in the
+    file footer so no declared StructType is needed on re-read. Aggregates
+    are exact (count/min + decimal-detour sum) hence order-free. At 100 TB
+    ORC scans get the same predicate pushdown/column pruning as parquet."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_dir(sf_dir, "orc")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        F.min("s_name").alias("min_name"),
+    )
+
+
+# --- q_partition_prune: partitioned layout + partition-pruned read -------------------
+
+PRUNE_MONTH = "1995-03"
+
+@register(
+    "q_partition_prune",
+    f"""SELECT '{PRUNE_MONTH}' AS o_month,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '{PRUNE_MONTH}'""",
+    doc="hive-partitioned layout + partition-pruned read: write `orders` "
+        "partitioned by order month, read back filtering ONE month, "
+        "aggregate — the directory-pruning path that turns a 100 TB scan "
+        "into a one-partition scan (mirrors the reference's month "
+        "partitioning on LOAD_DTTM, mis:905)",
+    tags=("formats", "layout", "pruning"),
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The month filter is satisfied from DIRECTORY NAMES (PartitionFilters
+    in the plan — pinned in tests/test_plans.py): Spark lists only
+    o_month=1995-03 and never opens any other file. This is the read-side
+    payoff of the reference's month-partitioned sink; at 100 TB a
+    single-month audit touches 1/84th of the files no matter how big the
+    table gets. The write side demonstrates dynamic partition write (one
+    directory per observed month)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _roundtrip_dir(sf_dir, "part")
+    (o.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("o_month") == PRUNE_MONTH)
+    return back.groupBy("o_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )

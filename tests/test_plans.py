@@ -365,3 +365,70 @@ def test_minmax_scale_broadcasts_stats(spark, sf_dir):
     p = plan(all_queries()["q_minmax_scale"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, f"stats join must broadcast:\n{p}"
     assert _n_exchanges(p) <= 1, f"scale fact side shuffled:\n{p}"
+
+
+def test_sequence_pack_never_sorts_globally(spark, sf_dir):
+    """Packing is per-source; a SinglePartition exchange would mean a global
+    sort crept in and the 100 TB story is dead."""
+    q = all_queries()["q_sequence_pack"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "SinglePartition" not in p, f"sequence packing went global:\n{p}"
+
+
+def test_mixture_resample_broadcasts_rates(spark, sf_dir):
+    q = all_queries()["q_mixture_resample"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"rate table must broadcast:\n{p}"
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    q = all_queries()["q_contamination"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"benchmark inventory must broadcast:\n{p}"
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_block_dedup_no_cartesian(spark, sf_dir):
+    q = all_queries()["q_block_dedup"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_group_median_single_shuffle_pruned(spark, sf_dir):
+    q = all_queries()["q_group_median"]
+    p = plan(q.fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"grouped percentile gained shuffles:\n{p}"
+    assert read_schema_columns(p) == {"l_returnflag", "l_extendedprice"}, (
+        read_schema_columns(p)
+    )
+
+
+def test_impute_mode_broadcasts_mode(spark, sf_dir):
+    q = all_queries()["q_impute_mode"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"mode table must broadcast:\n{p}"
+    assert "NestedLoop" not in p, p
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    q = all_queries()["q_winsorize"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, f"percentile bounds must broadcast:\n{p}"
+    assert "NestedLoop" not in p, p
+
+
+def test_streak_uses_grouped_pandas_after_distinct(spark, sf_dir):
+    """The pandas operator must see deduped (user, day) rows — distinct
+    BEFORE FlatMapGroupsInPandas keeps per-group state bounded."""
+    q = all_queries()["q_streak_pandas"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "HashAggregate" in p, f"distinct (user, day) dedup disappeared:\n{p}"
+
+
+def test_partition_prune_reads_one_partition(spark, sf_dir, tmp_path):
+    q = all_queries()["q_partition_prune"]
+    p = plan(q.fn(spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, f"no PartitionFilters in plan:\n{p}"
+    assert "o_month" in m.group(1) and "1995-03" in m.group(1), m.group(1)
