@@ -426,3 +426,85 @@ def q_streak_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.groupBy("user_id").applyInPandas(
         streaks, "user_id long, n_active_days long, max_streak long"
     )
+
+
+# --- q_cooccurrence: market-basket pair counts ---------------------------------------
+
+@register(
+    "q_cooccurrence",
+    """WITH d AS (
+         SELECT DISTINCT user_id, event_type FROM events
+       )
+       SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(COUNT(1) AS BIGINT) AS n_users
+       FROM d a JOIN d b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY a.event_type, b.event_type""",
+    doc="market-basket co-occurrence: for every pair of event types, how "
+        "many users did both — the support-counting core of frequent-itemset "
+        "mining (pairs oriented a<b so each pair counts once)",
+    tags=("analytics", "join", "graph"),
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, type) first — the self-join runs on baskets, not raw
+    events, so each user contributes |types|² pairs max (bounded by the type
+    domain, not their event volume). The equi-join key is user_id; the a<b
+    orientation halves the pair space and canonicalizes output. At 100 TB
+    this is the classic one-shuffle co-occurrence: candidate volume scales
+    with Σ|basket|², the domain-bounded quantity every market-basket engine
+    lives with."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", "event_type").distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                  & (F.col("a.event_type") < F.col("b.event_type")))
+         .groupBy(F.col("a.event_type").alias("type_a"),
+                  F.col("b.event_type").alias("type_b"))
+         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- q_share_window: ratio-to-report within group ------------------------------------
+
+@register(
+    "q_share_window",
+    """WITH s AS (
+         SELECT event_type, user_id,
+                SUM(CAST(value AS DECIMAL(18,6))) AS user_sum
+         FROM events GROUP BY event_type, user_id
+       )
+       SELECT event_type, user_id,
+              CAST(user_sum AS DOUBLE) AS user_value,
+              ROUND(CAST(user_sum AS DOUBLE) /
+                    CAST(SUM(user_sum) OVER (PARTITION BY event_type) AS DOUBLE),
+                    6) AS share
+       FROM s""",
+    doc="ratio-to-report: each user's share of their event type's total "
+        "value — the percent-of-total window pattern behind every "
+        "contribution report",
+    tags=("analytics", "window", "agg"),
+)
+def q_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate first (combine-enabled shuffle on (type, user)), THEN window
+    over the |groups|-row aggregate — the window's sort handles thousands of
+    rows, not the raw fact table. Sums ride DECIMAL so numerator and
+    denominator are exact and order-free; one double division at the end
+    gives engine parity. At 100 TB the window partition is |users of one
+    type| aggregated rows — if even that overflowed, the denominator becomes
+    a broadcast join like q_mixture_resample."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.groupBy("event_type", "user_id")
+         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("user_sum"))
+    )
+    w = Window.partitionBy("event_type")
+    return s.select(
+        "event_type", "user_id",
+        F.col("user_sum").cast("double").alias("user_value"),
+        F.round(
+            F.col("user_sum").cast("double")
+            / F.sum("user_sum").over(w).cast("double"), 6
+        ).alias("share"),
+    )

@@ -548,3 +548,112 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+# --- q_weighted_sample: deterministic weighted sampling (Efraimidis–Spirakis) --------
+
+WSAMPLE_K = 50
+
+@register(
+    "q_weighted_sample",
+    f"""WITH k AS (
+          SELECT doc_id, n_chars,
+                 pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 0.5) / 4294967296.0,
+                     1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+          FROM documents
+        )
+        SELECT doc_id, n_chars FROM k
+        ORDER BY es_key DESC, doc_id LIMIT {WSAMPLE_K}""",
+    doc=f"weighted sampling without replacement (top-{WSAMPLE_K} by "
+        "Efraimidis–Spirakis key u^(1/w), weight = doc length, u from md5) — "
+        "length-weighted corpus subsampling that is reproducible across "
+        "engines and retries (never rand())",
+    tags=("prep", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E-S key makes weighted sampling a deterministic top-k: u is the
+    md5 bucket (uniform, never 0 thanks to +0.5), and P(doc in sample) is
+    proportional to weight. Spark fuses orderBy+limit into
+    TakeOrderedAndProject — each map partition keeps its local top-k, the
+    driver merges k·partitions rows, nothing global ever sorts. That plan
+    survives any corpus size; k is the only memory bound."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") + F.lit(0.5)) / F.lit(4294967296.0)
+    )
+    es_key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (
+        d.select("doc_id", "n_chars", es_key.alias("es_key"))
+         .orderBy(F.col("es_key").desc(), "doc_id")
+         .limit(WSAMPLE_K)
+         .select("doc_id", "n_chars")
+    )
+
+
+# --- q_triangle_count: triangles in the shared-block graph ---------------------------
+
+@register(
+    "q_triangle_count",
+    f"""WITH b AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(w, s, s + {BLOCK_WORDS} - 1), ' '))
+                   AS block_hash
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, {BLOCK_WORDS})) AS s
+                FROM (SELECT doc_id, {words_duck('text')} AS w FROM documents))
+        ),
+        e AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM b x JOIN b y
+            ON x.block_hash = y.block_hash AND x.doc_id < y.doc_id
+        )
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_triangles,
+               (SELECT CAST(COUNT(1) AS BIGINT) FROM e) AS n_edges
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    doc="triangle counting on the shared-block similarity graph (edge = two "
+        "docs sharing a 16-word block): the oriented-edge two-join algorithm "
+        "— triangle density tells a dedup pipeline whether near-dup clusters "
+        "are cliques (template families) or chains (drift)",
+    tags=("prep", "graph", "join"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges are oriented low→high at construction, so each triangle is
+    counted exactly once by the wedge join (e1.b=e2.a) closed by e3 — the
+    standard O(m^1.5)-work formulation, all equi-joins, no NestedLoop. The
+    edge list is built by the block-hash inverted index (pairs sharing no
+    block never materialize) and persisted: three scans of one cached edge
+    set, not three recomputes. At 100 TB wedge skew (a hub doc in e2.a) is
+    the known hotspot — AQE skew-join splits it; degree-capping hubs first
+    is the documented mitigation, same as the LSH stop-shingle cap."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", words("text").alias("w"))
+         .select(
+             "doc_id",
+             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
+             F.col("w"),
+         )
+         .select(
+             "doc_id",
+             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
+              .alias("block_hash"),
+         )
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    e = (
+        x.join(y, (F.col("x.block_hash") == F.col("y.block_hash"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+         .distinct()
+         .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+          .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+          .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))

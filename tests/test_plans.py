@@ -432,3 +432,39 @@ def test_partition_prune_reads_one_partition(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m, f"no PartitionFilters in plan:\n{p}"
     assert "o_month" in m.group(1) and "1995-03" in m.group(1), m.group(1)
+
+
+def test_cooccurrence_joins_on_user(spark, sf_dir):
+    q = all_queries()["q_cooccurrence"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_share_window_aggregates_before_window(spark, sf_dir):
+    """The window must run over the (type,user) aggregate, not raw events."""
+    q = all_queries()["q_share_window"]
+    p = plan(q.fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, f"ratio-to-report gained shuffles:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_weighted_sample_is_top_k(spark, sf_dir):
+    """orderBy+limit must fuse to TakeOrderedAndProject (per-partition top-k,
+    driver merges k·partitions rows) — a global Sort is the scale failure."""
+    q = all_queries()["q_weighted_sample"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, f"weighted sample lost top-k fuse:\n{p}"
+
+
+def test_triangle_count_persists_edges_no_cartesian(spark, sf_dir):
+    """Wedge joins must be equi-joins; the only NestedLoop allowed is the
+    broadcast of the 1-row n_edges aggregate (same pattern as tfidf's
+    corpus-size side)."""
+    q = all_queries()["q_triangle_count"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert not re.findall(r"(?<!Broadcast)NestedLoopJoin", p), (
+        f"non-broadcast nested loop:\n{p}"
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
+    assert "InMemoryTableScan" in p, f"edge list must persist:\n{p}"
