@@ -202,12 +202,14 @@ BLOCK_WORDS = 16
     tags=("prep", "dedup"),
 )
 def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocks explode map-side off a single words array; ownership is one
-    combine-enabled groupBy on the 16-byte block hash; the join back is a
-    shuffle join on the same hash key (AQE reuses the partitioning). State is
-    one row per DISTINCT block — the repeated blocks this op exists to find
-    collapse into it — so at 100 TB the shuffled footprint is bounded by
-    unique content volume, not corpus volume."""
+    """Blocks explode map-side off a single words array; block ownership is
+    `min(doc_id) OVER (PARTITION BY block_hash)` — ONE shuffle on the block
+    hash, then the per-doc rollup, and the expensive normalize+shingle
+    projection runs exactly once (a groupBy+join-back formulation would scan
+    and hash the corpus twice). Window state per partition is one running
+    min, not the group's rows. At 100 TB the shuffled footprint is bounded
+    by total blocks; the window never buffers beyond a partition's stream
+    because min needs no frame."""
     d = load_table(spark, sf_dir, "documents")
     b = (
         d.select("doc_id", words("text").alias("w"))
@@ -222,9 +224,9 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("block_hash"),
          )
     )
-    f = b.groupBy("block_hash").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("block_hash"))
     return (
-        b.join(f, "block_hash")
+        b.withColumn("first_doc", first_doc)
          .groupBy("doc_id")
          .agg(
              F.count(F.lit(1)).alias("n_blocks"),
