@@ -14,6 +14,8 @@
   --jdbc-user / --jdbc-pass             source credentials (mis:112-113)
   --catalog / --iceberg-db              Iceberg writer branch target (mis:111)
   --progress                            per-task progress + observed row counts
+  --source-format parquet|csv|json|orc  on-disk source format (engine extension;
+                                        the reference reads JDBC only)
 
 With a ``jdbc:`` source the flow is the reference's: metadata scan →
 primary-key detection → frozen MAX watermark → pushed-down snapshot read
@@ -117,6 +119,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="Iceberg catalog name: write via DDL+writeTo instead of parquet")
     p.add_argument("--iceberg-db", default="default")         # mis:111
     p.add_argument("--progress", action="store_true")
+    p.add_argument("--source-format", choices=["parquet", "csv", "json", "orc"],
+                   default="parquet",
+                   help="on-disk source format under --source-dir "
+                        "(parquet reads <t>.parquet files; csv/json/orc read "
+                        "<t>/ directories; ignored for jdbc: sources)")
     args = p.parse_args(argv)
 
     specs = ",".join(s for s in [args.table, args.tables] if s)
@@ -155,11 +162,11 @@ def main(argv: list[str] | None = None) -> int:
             jobs.append((df, src, f"{args.target_dir}/{dst}", key, infos))
         else:
             # access probe: skip unreadable tables, never crash the batch (mis:494-525)
-            if not check_table_access(spark, args.source_dir, src):
+            if not check_table_access(spark, args.source_dir, src, args.source_format):
                 print(f"SKIP  {src}: access probe failed", file=sys.stderr)
                 skipped += 1
                 continue
-            df = load_table(spark, args.source_dir, src)
+            df = load_table(spark, args.source_dir, src, args.source_format)
             key = override or detect_order_key(df.columns)
             jobs.append((df, src, f"{args.target_dir}/{dst}", key, None))
 

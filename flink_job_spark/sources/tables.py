@@ -54,25 +54,52 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def check_table_access(spark: SparkSession, sf_dir: str, name: str) -> bool:
+def check_table_access(spark: SparkSession, sf_dir: str, name: str,
+                       fmt: str = "parquet") -> bool:
     """Access probe before ingest (`SELECT FIRST 1 1 FROM t`, mis:494-525):
     failures mean SKIP the table, never crash the batch."""
     try:
-        load_table(spark, sf_dir, name).limit(1).count()
+        load_table(spark, sf_dir, name, fmt).limit(1).count()
         return True
     except Exception:
         return False
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; normalizes `events.ts` nanos → TIMESTAMP_NTZ."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: `/` is double division and loses precision on
-        # epoch-nanos magnitudes (2^53 < 1.7e18)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    return df
+# microsecond-pinned NTZ text format (Spark's JSON/CSV default truncates to ms)
+NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fmt: str = "parquet") -> DataFrame:
+    """Read one source table in any supported on-disk format.
+
+    parquet (default) reads `<dir>/<name>.parquet` (testdata layout) and
+    normalizes `events.ts` nanos → TIMESTAMP_NTZ; csv/json/orc read
+    `<dir>/<name>` directories as a generic ingest source (the engine's
+    format-agnostic source surface — the reference only ever reads JDBC).
+    CSV/JSON parse under the declared schema when one is known (SCHEMAS),
+    else schema inference; ORC carries its own schema."""
+    if fmt == "parquet":
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: `/` is double division and loses precision on
+            # epoch-nanos magnitudes (2^53 < 1.7e18)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
+    path = f"{sf_dir}/{name}"
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "csv":
+        r = spark.read.option("header", True).option("timestampNTZFormat", NTZ_FMT)
+        schema = SCHEMAS.get(name)
+        return (r.schema(schema) if schema
+                else r.option("inferSchema", True)).csv(path)
+    if fmt == "json":
+        r = spark.read.option("timestampNTZFormat", NTZ_FMT)
+        schema = SCHEMAS.get(name)
+        return (r.schema(schema).json(path) if schema else r.json(path))
+    raise ValueError(f"unsupported source format: {fmt!r}")

@@ -95,3 +95,34 @@ def test_cli_ingest_roundtrip(spark, sf_dir, tmp_path):
     # envelope + dual hash present and consistent
     assert cust.filter("lower(row_hash) != lower(row_hash_iceberg)").count() == 0
     assert set(cust.columns) >= {"row_hash", "row_hash_iceberg", "op", "load_dttm"}
+
+
+def test_cli_csv_json_orc_sources(spark, sf_dir, tmp_path):
+    """--source-format csv/json/orc: the same ingest+audit flow runs off
+    text/columnar sources — the engine's format-agnostic source surface."""
+    from flink_job_spark.sources.tables import NTZ_FMT, load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    for fmt in ["csv", "json", "orc"]:
+        src_dir = tmp_path / f"src_{fmt}"
+        w = cust.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).option("timestampNTZFormat", NTZ_FMT) \
+             .csv(str(src_dir / "customer"))
+        elif fmt == "json":
+            w.option("timestampNTZFormat", NTZ_FMT).json(str(src_dir / "customer"))
+        else:
+            w.orc(str(src_dir / "customer"))
+        tgt = str(tmp_path / f"out_{fmt}")
+        rc = main([
+            "--table", "customer",
+            "--source-dir", str(src_dir),
+            "--source-format", fmt,
+            "--target-dir", tgt,
+            "--mode", "replace",
+        ])
+        assert rc == 0, fmt
+        got = spark.read.parquet(f"{tgt}/customer")
+        assert got.count() == cust.count(), fmt
+        # the audit hash columns were stamped off the declared-schema read
+        assert "row_hash" in [c.lower() for c in got.columns], fmt
