@@ -508,3 +508,58 @@ def q_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("user_sum").over(w).cast("double"), 6
         ).alias("share"),
     )
+
+
+# --- q_transition_matrix: next-event Markov transitions ------------------------------
+
+@register(
+    "q_transition_matrix",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  AS prev_type
+         FROM events
+       ),
+       c AS (
+         SELECT prev_type, event_type AS next_type,
+                CAST(COUNT(1) AS BIGINT) AS n_transitions
+         FROM s WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type
+       )
+       SELECT prev_type, next_type, n_transitions,
+              ROUND(CAST(n_transitions AS DOUBLE) /
+                    CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                         AS DOUBLE), 6) AS p
+       FROM c""",
+    doc="next-event Markov transition matrix: for every (previous, next) "
+        "event-type pair, the transition count and conditional probability — "
+        "the clickstream path-analysis primitive",
+    tags=("analytics", "window", "agg"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() runs inside each user's (ts, event_id)-ordered partition (never
+    a global order — plan keeps the window partitioned), then transitions
+    collapse to a |types|²-row matrix via one combine-enabled shuffle; the
+    probability normalization windows over that tiny matrix, not the events.
+    The (ts, event_id) tie-break makes `prev` deterministic under equal
+    timestamps, so engines and retries agree row for row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        s.filter(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double"), 6
+        ).alias("p"),
+    )

@@ -26,11 +26,19 @@ from flink_job_spark.operators.envelope import tech_column_names, with_envelope
 
 
 def stream_snapshot_source(spark: SparkSession, src_dir: str,
-                           schema: T.StructType) -> DataFrame:
+                           schema: T.StructType,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
     """File-stream source over a parquet directory (schema required for
-    streaming reads). `maxFilesPerTrigger` is left to the trigger; at scale
-    this maps to any streaming source (Kafka, Kinesis) unchanged."""
-    return spark.readStream.schema(schema).parquet(src_dir)
+    streaming reads). `max_files_per_trigger` bounds each micro-batch — the
+    ingestion-rate control that plays the role of the reference's
+    backpressure (Flink's network backpressure has no batch analog; bounding
+    the per-epoch input is how Structured Streaming keeps sink pressure and
+    state growth flat). At scale this maps to any streaming source (Kafka
+    `maxOffsetsPerTrigger`, Kinesis) unchanged."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
 
 
 def stream_snapshot_ingest(
@@ -41,12 +49,15 @@ def stream_snapshot_ingest(
     checkpoint_dir: str,
     src_system_code: str = "mis",
     load_dttm: dt.datetime | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """availableNow snapshot: drain current input, envelope + dual-hash it,
     append to the parquet sink, commit offsets — then stop. Re-running after
     new files arrive processes ONLY the new files (the resume semantics the
-    reference builds by hand with SKIP-n)."""
-    src = stream_snapshot_source(spark, src_dir, schema)
+    reference builds by hand with SKIP-n). With `max_files_per_trigger`,
+    availableNow drains in bounded micro-batches (each committing its own
+    epoch) instead of one giant batch."""
+    src = stream_snapshot_source(spark, src_dir, schema, max_files_per_trigger)
     src_cols = list(src.columns)
     enveloped = with_envelope(src, src_system_code,
                               load_dttm=load_dttm or dt.datetime.now())

@@ -468,3 +468,12 @@ def test_triangle_count_persists_edges_no_cartesian(spark, sf_dir):
     )
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
     assert "InMemoryTableScan" in p, f"edge list must persist:\n{p}"
+
+
+def test_transition_matrix_windows_stay_partitioned(spark, sf_dir):
+    """Both windows (per-user lag, per-prev normalization) must be hash
+    partitioned — a SinglePartition exchange means a global sort crept in."""
+    q = all_queries()["q_transition_matrix"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "SinglePartition" not in p, f"transition matrix went global:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p

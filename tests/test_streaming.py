@@ -293,3 +293,28 @@ def test_scd2_stream_apply_two_snapshots(spark, sf_dir, tmp_path):
     cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
     assert sorted(map(tuple, got.select(*cols).collect())) == \
            sorted(map(tuple, expected.select(*cols).collect()))
+
+
+def test_stream_rate_limited_ingest_bounded_batches(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger=2 over an 8-file source: availableNow drains in ≥4
+    bounded micro-batches (each its own committed epoch) and the result is
+    byte-identical to the unbounded drain — ingestion-rate control without
+    correctness cost (the reference's backpressure analog, SURVEY §2.7 #44)."""
+    import os
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream_snapshot_ingest(spark, src, li.schema, tgt, ckpt,
+                           load_dttm=dt.datetime(2026, 1, 1),
+                           max_files_per_trigger=2)
+    got = spark.read.parquet(tgt)
+    assert got.count() == li.count()
+    assert got.filter(F.lower("row_hash") != F.lower("row_hash_iceberg")).count() == 0
+    # the offset log proves the drain was split into bounded epochs
+    n_epochs = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
+                    if not f.startswith(".")])
+    assert n_epochs >= 4, f"expected >=4 bounded micro-batches, got {n_epochs}"
