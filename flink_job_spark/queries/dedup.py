@@ -450,19 +450,30 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
     every node's label converges to the smallest doc_id reachable from it.
 
     Label propagation: each round joins current labels onto the (tiny,
-    near-dup-only) edge list, takes per-node MIN over self+neighbor labels,
-    and stops at the first round with no change. MIN is order-independent,
-    so the result is deterministic under any partitioning. Convergence needs
-    rounds = component diameter; near-dup clusters are shallow, and a
-    pathological chain is bounded by ``max_iters`` (production at planetary
-    scale swaps this loop for large-star/small-star contraction — O(log n)
-    rounds, same per-round plan). Each round persists the label table
-    (|docs| rows) and unpersists the previous one; the driver sees only the
-    changed-row count."""
+    near-dup-only) edge list and takes per-node MIN over self+neighbor
+    labels. MIN is order-independent, so the result is deterministic under
+    any partitioning.
+
+    Convergence check: min-label propagation is monotone non-increasing, so
+    labels changed iff SUM(component) decreased — ONE cheap aggregate action
+    per round (the naive new-vs-old join+count costs a second join job every
+    round). Rounds needed = component diameter; near-dup clusters are
+    shallow, and a pathological chain is bounded by ``max_iters``.
+
+    Scale notes, measured both ways: restricting labels to the active
+    subgraph (nodes with ≥1 edge, singletons re-attached at the end) shrinks
+    per-round shuffles from |corpus| to |edge endpoints| — the right
+    formulation at 100 TB where singletons dominate — but costs two extra
+    Spark actions (subgraph materialization + final anti-join), which at
+    bench scale outweigh the smaller shuffles. This function keeps the
+    fewest-jobs form; planetary scale additionally swaps the loop for
+    large-star/small-star contraction (O(log n) rounds, same per-round
+    plan)."""
     edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
              .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
              ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    prev_sum = None  # unknown until the first round materializes everything
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -473,16 +484,12 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
         ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 
