@@ -571,3 +571,48 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.alias("qv"),
         F.round(deq_err, 6).alias("max_abs_err"),
     )
+
+
+# --- q_label_centroids: distributed per-class mean vectors ---------------------------
+
+@register(
+    "q_label_centroids",
+    """WITH e AS (
+         SELECT label, embedding AS v,
+                unnest(range(1, len(embedding) + 1)) AS dim
+         FROM embeddings
+       )
+       SELECT label, CAST(dim AS INT) AS dim,
+              CAST(COUNT(1) AS BIGINT) AS n_vecs,
+              ROUND(CAST(SUM(CAST(CAST(v[dim] AS DOUBLE) AS DECIMAL(28,12)))
+                         AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS centroid
+       FROM e GROUP BY label, dim""",
+    doc="per-label mean embedding (class centroids), one row per (label, "
+        "dimension) — the distributed centroid-update step of k-means and "
+        "the class-prototype builder for nearest-centroid classification",
+    tags=("similarity", "agg", "vectors"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode flattens vectors to (label, dim, x) map-side, then ONE
+    combine-enabled shuffle on (label, dim) — partial sums reduce each map
+    partition to |labels|·|dims| rows before the exchange, so shuffle volume
+    is independent of corpus size. Per-dim sums ride the exact-DECIMAL
+    detour (float → double widening is exact; double addition is not
+    associative, decimal addition is) so the centroid is partition-order-free
+    and engine-identical. This is exactly how the IVF trainer
+    (q_ann_ivf_kmeans) updates centroids, exposed as a standalone operator."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return (
+        flat.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(
+                    F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                     .cast("double") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("centroid"),
+            )
+    )

@@ -477,3 +477,12 @@ def test_transition_matrix_windows_stay_partitioned(spark, sf_dir):
     p = plan(q.fn(spark, sf_dir))
     assert "SinglePartition" not in p, f"transition matrix went global:\n{p}"
     assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+
+
+def test_label_centroids_single_shuffle(spark, sf_dir):
+    """Vector flatten is map-side; ONE combine-enabled exchange on
+    (label, dim) carries |labels|·|dims| partial rows, not the corpus."""
+    q = all_queries()["q_label_centroids"]
+    p = plan(q.fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"centroid agg gained shuffles:\n{p}"
+    assert "Generate" in p, p  # the posexplode
