@@ -563,3 +563,123 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wp).cast("double"), 6
         ).alias("p"),
     )
+
+
+# --- q_rolling_distinct: sliding 7-day distinct users --------------------------------
+
+ROLL_DAYS = 7
+
+@register(
+    "q_rolling_distinct",
+    f"""WITH d AS (
+          SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events
+        ),
+        rep AS (
+          SELECT user_id, day,
+                 day + CAST(unnest(range(0, {ROLL_DAYS})) AS INTEGER) AS report_day
+          FROM d
+        ),
+        obs AS (SELECT DISTINCT day FROM d)
+        SELECT CAST(r.report_day AS TIMESTAMP) AS report_day,
+               CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS wau7,
+               CAST(COUNT(DISTINCT CASE WHEN r.day = r.report_day
+                                        THEN r.user_id END) AS BIGINT) AS dau
+        FROM rep r JOIN obs o ON r.report_day = o.day
+        GROUP BY CAST(r.report_day AS TIMESTAMP)""",
+    doc=f"sliding {ROLL_DAYS}-day distinct active users (WAU) plus same-day "
+        "DAU per observed day — the rolling-distinct metric every growth "
+        "dashboard needs and no window frame can express (COUNT DISTINCT "
+        "has no sliding frame)",
+    tags=("analytics", "window", "distinct"),
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT(DISTINCT) can't ride a window frame, so the standard
+    scale formulation replicates each distinct (user, day) to the k report
+    days it can influence (k=7 — a bounded map-side explode), joins to
+    observed days (broadcast — |days| rows), and runs ONE distinct-agg
+    shuffle keyed by report_day. Shuffle volume is k·|distinct user-days|,
+    linear in input with a small constant, versus the quadratic self-join a
+    naive BETWEEN join would cost. The same-day DAU rides the same pass as
+    a conditional distinct."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rep = d.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("i"),
+    ).select("user_id", "day", F.date_add("day", F.col("i")).alias("report_day"))
+    obs = d.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        rep.join(F.broadcast(obs), rep.report_day == obs.obs_day)
+           .drop("obs_day")
+           .groupBy(F.col("report_day").cast("timestamp_ntz").alias("report_day"))
+           .agg(
+               F.countDistinct("user_id").cast("bigint").alias("wau7"),
+               F.countDistinct(
+                   F.when(F.col("day") == F.col("report_day"), F.col("user_id"))
+               ).cast("bigint").alias("dau"),
+           )
+    )
+
+
+# --- q_outlier_mad: robust outlier detection via median absolute deviation -----------
+
+MAD_K = 3.0   # |x - median| > K·MAD flags an outlier
+
+@register(
+    "q_outlier_mad",
+    f"""WITH m AS (
+          SELECT l_returnflag,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        dev AS (
+          SELECT l.l_returnflag,
+                 abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS dv, m.med
+          FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        ),
+        s AS (
+          SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad
+          FROM dev GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               ROUND(MIN(d.med), 4) AS med,
+               ROUND(MIN(s.mad), 4) AS mad,
+               CAST(COALESCE(SUM(CASE WHEN d.dv > {MAD_K} * s.mad
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+        FROM dev d JOIN s ON d.l_returnflag = s.l_returnflag
+        GROUP BY d.l_returnflag""",
+    doc=f"robust outlier detection: flag rows more than {MAD_K:.0f}x the "
+        "median-absolute-deviation from their group median — the "
+        "heavy-tail-safe sibling of z-score filtering (mean/stddev break "
+        "under the very outliers being hunted)",
+    tags=("analytics", "quantile", "agg"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sort-based percentile reductions, each collapsing to |groups|
+    rows that BROADCAST back onto the facts — the fact table never shuffles
+    for either join, so the whole op is two scan+agg passes. At 100 TB both
+    medians swap to approx_percentile (KLL sketch, one pass, mergeable) and
+    the plan shape is unchanged. Deviations are computed with the same two
+    IEEE ops in both engines; final stats round to 4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    m = li.groupBy("l_returnflag").agg(F.percentile(price, F.lit(0.5)).alias("med"))
+    dev = (
+        li.join(F.broadcast(m), "l_returnflag")
+          .select("l_returnflag", "med", F.abs(price - F.col("med")).alias("dv"))
+    )
+    s = dev.groupBy("l_returnflag").agg(F.percentile(F.col("dv"), F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(s), "l_returnflag")
+           .groupBy("l_returnflag")
+           .agg(
+               F.count(F.lit(1)).alias("n_rows"),
+               F.round(F.min("med"), 4).alias("med"),
+               F.round(F.min("mad"), 4).alias("mad"),
+               F.coalesce(
+                   F.sum((F.col("dv") > MAD_K * F.col("mad")).cast("int")), F.lit(0)
+               ).cast("bigint").alias("n_outliers"),
+           )
+    )

@@ -486,3 +486,23 @@ def test_label_centroids_single_shuffle(spark, sf_dir):
     p = plan(q.fn(spark, sf_dir))
     assert _n_exchanges(p) <= 1, f"centroid agg gained shuffles:\n{p}"
     assert "Generate" in p, p  # the posexplode
+
+
+def test_rolling_distinct_broadcasts_observed_days(spark, sf_dir):
+    """k-day replicate is map-side (Generate), observed-days join broadcasts,
+    ONE distinct-agg shuffle keyed by report_day."""
+    q = all_queries()["q_rolling_distinct"]
+    p = plan(q.fn(spark, sf_dir))
+    assert "Generate" in p, p
+    assert "BroadcastHashJoin" in p, f"observed-days join must broadcast:\n{p}"
+
+
+def test_outlier_mad_broadcasts_both_stats(spark, sf_dir):
+    """Median and MAD reductions broadcast back — the fact side must never
+    shuffle for either join. The dev subplan is deliberately recomputed
+    (two scan passes beat caching a fact-sized frame), so the med join
+    appears twice: 3 broadcast joins, 0 shuffle joins."""
+    q = all_queries()["q_outlier_mad"]
+    p = plan(q.fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 3, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
