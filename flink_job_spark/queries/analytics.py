@@ -683,3 +683,54 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).cast("bigint").alias("n_outliers"),
            )
     )
+
+
+# --- q_abtest_summary: exact two-sample experiment readout ---------------------------
+
+@register(
+    "q_abtest_summary",
+    """WITH v AS (
+         SELECT event_type,
+                CAST(user_id % 2 AS INT) AS variant,
+                CAST(value AS DECIMAL(18,6)) AS dv,
+                CAST(CAST(value * value AS DOUBLE) AS DECIMAL(38,12)) AS dv2
+         FROM events
+       )
+       SELECT event_type, variant,
+              CAST(COUNT(1) AS BIGINT) AS n,
+              ROUND(CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS mean,
+              ROUND((CAST(SUM(dv2) AS DOUBLE)
+                     - CAST(SUM(dv) AS DOUBLE) * CAST(SUM(dv) AS DOUBLE)
+                       / CAST(COUNT(1) AS DOUBLE))
+                    / CAST(COUNT(1) - 1 AS DOUBLE), 6) AS variance
+       FROM v GROUP BY event_type, variant""",
+    doc="A/B experiment readout: per (metric, variant) count, mean, and "
+        "sample variance — variant assignment by deterministic user-id "
+        "parity; the summary a lift analysis starts from",
+    tags=("analytics", "agg", "stats"),
+)
+def q_abtest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One combine-enabled shuffle carries three partial aggregates (n, Σx,
+    Σx²). Both sums ride exact DECIMAL detours — x² is squared in double
+    (same single IEEE multiply in each engine) then cast — so the aggregates
+    are partition-order-free and the final mean/variance are one fixed
+    expression tree over exact inputs. The textbook Σx²-(Σx)²/n form is
+    exact here BECAUSE the sums are decimal: the catastrophic cancellation
+    that makes it numerically unsafe over floats never happens."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+        (F.col("value") * F.col("value")).cast("double")
+            .cast("decimal(38,12)").alias("dv2"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("dv").cast("double")
+    sx2 = F.sum("dv2").cast("double")
+    return v.groupBy("event_type", "variant").agg(
+        n.alias("n"),
+        F.round(sx / n.cast("double"), 6).alias("mean"),
+        F.round((sx2 - sx * sx / n.cast("double"))
+                / (n - F.lit(1)).cast("double"), 6).alias("variance"),
+    )
