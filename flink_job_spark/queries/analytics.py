@@ -734,3 +734,62 @@ def q_abtest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sx2 - sx * sx / n.cast("double"))
                 / (n - F.lit(1)).cast("double"), 6).alias("variance"),
     )
+
+
+# --- q_correlation: per-group Pearson correlation on exact moments -------------------
+
+@register(
+    "q_correlation",
+    """WITH m AS (
+         SELECT l_returnflag,
+                CAST(l_quantity AS DECIMAL(18,6)) AS x,
+                CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+                CAST(CAST(l_quantity * l_extendedprice AS DOUBLE)
+                     AS DECIMAL(38,10)) AS xy,
+                CAST(CAST(l_quantity * l_quantity AS DOUBLE)
+                     AS DECIMAL(38,10)) AS xx,
+                CAST(CAST(l_extendedprice * l_extendedprice AS DOUBLE)
+                     AS DECIMAL(38,10)) AS yy
+         FROM lineitem
+       )
+       SELECT l_returnflag,
+              CAST(COUNT(1) AS BIGINT) AS n,
+              ROUND((CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xy) AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                    / (sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE)
+                            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                       * sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(yy) AS DOUBLE)
+                              - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                    6) AS corr_qty_price
+       FROM m GROUP BY l_returnflag""",
+    doc="per-group Pearson correlation (quantity vs price) from exact "
+        "decimal moments n/Σx/Σy/Σxy/Σx²/Σy² — the feature-correlation scan "
+        "run before model training, engine-exact by construction",
+    tags=("analytics", "agg", "stats"),
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five decimal sums and a count in ONE combine-enabled shuffle; the
+    correlation is a fixed double expression over those exact aggregates, so
+    both engines execute the identical IEEE sequence (built-in corr() would
+    accumulate floats in engine-specific order — unusable for parity). Same
+    one-pass shape at any scale; moments merge associatively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.select(
+        "l_returnflag",
+        x.cast("decimal(18,6)").alias("x"),
+        y.cast("decimal(18,6)").alias("y"),
+        (x * y).cast("double").cast("decimal(38,10)").alias("xy"),
+        (x * x).cast("double").cast("decimal(38,10)").alias("xx"),
+        (y * y).cast("double").cast("decimal(38,10)").alias("yy"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxy, sxx, syy = (F.sum(c).cast("double") for c in ["xy", "xx", "yy"])
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )

@@ -506,3 +506,10 @@ def test_outlier_mad_broadcasts_both_stats(spark, sf_dir):
     p = plan(q.fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 3, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_correlation_single_shuffle(spark, sf_dir):
+    """Six moment aggregates ride ONE combine-enabled exchange."""
+    q = all_queries()["q_correlation"]
+    p = plan(q.fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, f"moment agg gained shuffles:\n{p}"
