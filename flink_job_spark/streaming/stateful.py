@@ -64,3 +64,102 @@ def stream_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- gap-based sessionization with event-time timeout --------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+# state: the one still-open session for this user
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def _us(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Emit every session CLOSED in this call; keep the open one in state.
+
+    A session closes two ways: (a) a later event for the same user arrives
+    more than the gap after the session's end (detected inline on the sorted
+    batch), or (b) the event-time watermark passes end+gap with no new event
+    (state timeout fires → flush). Timeout keeps state bounded: every idle
+    user's state is dropped exactly one gap after their last event."""
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "session_start": pd.to_datetime([start_us], unit="us"),
+            "session_end": pd.to_datetime([end_us], unit="us"),
+            "n_events": [n],
+        })
+        return
+
+    times: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            times.extend(_us(pdf["ts"]).tolist())
+    times.sort()
+
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = times[0]
+        n = 0
+        times = times  # first event still counted in the loop below
+
+    closed = []
+    for t in times:
+        if t - end_us > gap_us and n > 0:
+            closed.append((start_us, end_us, n))
+            start_us, n = t, 0
+        end_us = max(end_us, t)
+        n += 1
+
+    state.update((start_us, end_us, n))
+    # wake up when the watermark passes the open session's close boundary
+    state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SECONDS * 1000)
+
+    if closed:
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(closed),
+            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "n_events": [c[2] for c in closed],
+        })
+
+
+def stream_sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator: one open
+    session per user in the state store (three scalars — O(active users)
+    memory), closed sessions emitted exactly once, idle state reclaimed by
+    EventTimeTimeout. This is the classic semantics F.session_window cannot
+    express when you need the CLOSED-session event stream (not a windowed
+    aggregate) — e.g. to feed a downstream funnel join."""
+    with_time = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_time.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

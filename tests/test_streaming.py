@@ -318,3 +318,69 @@ def test_stream_rate_limited_ingest_bounded_batches(spark, sf_dir, tmp_path):
     n_epochs = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
                     if not f.startswith(".")])
     assert n_epochs >= 4, f"expected >=4 bounded micro-batches, got {n_epochs}"
+
+
+def test_stream_sessionize_emits_closed_sessions(spark, sf_dir, tmp_path):
+    """Closed sessions (in-data gap > 30 min) are emitted exactly once and
+    match the batch gaps-and-islands twin; the final still-open session per
+    user stays in state (availableNow ends before its timeout can fire) —
+    so streaming emits exactly (batch_sessions - 1) rows per user."""
+    from flink_job_spark.streaming.stateful import stream_sessionize
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sessions_ckpt")
+    q = (stream_sessionize(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(out)
+
+    # batch twin: gaps-and-islands sessions per user
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+    sess = (
+        e.withColumn("new_sess",
+                     (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("int"))
+         .withColumn("sess_id", F.sum("new_sess").over(w))
+         .groupBy("user_id", "sess_id")
+         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_counts = {r["user_id"]: r["n"] for r in
+                    sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    stream_counts = {r["user_id"]: r["n"] for r in
+                     got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert stream_counts, "no sessions emitted"
+    # the final still-open session flushes IFF the closing watermark passed
+    # its end+gap (Spark's final no-data batch fires event-time timeouts), so
+    # each user emits batch or batch-1 sessions — never more, never fewer
+    for uid, n_closed in stream_counts.items():
+        assert batch_counts[uid] - 1 <= n_closed <= batch_counts[uid], (
+            uid, n_closed, batch_counts[uid])
+    # exactly-once: no duplicate session starts per user
+    assert (got.groupBy("user_id", "session_start").count()
+               .filter(F.col("count") > 1).count()) == 0
+    # every emitted session matches a batch-twin session exactly (start + size)
+    starts = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("gap", (F.unix_micros(F.col("ts").cast("timestamp"))
+                            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))))
+        .withColumn("new_sess",
+                    (F.col("gap").isNull() | (F.col("gap") > 30 * 60 * 1_000_000))
+                    .cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    unmatched = got.join(
+        starts, ["user_id", "session_start", "n_events"], "left_anti").count()
+    assert unmatched == 0, f"{unmatched} emitted sessions don't match batch twin"
