@@ -516,6 +516,31 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(d.select("doc_id"), pairs)
 
 
+# --- q_dedup_components_star (O(log n) star-contraction variant) ---------------------
+
+@register(
+    "q_dedup_components_star",
+    f"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_NGRAM_PAIRS_SQL}) t),
+  edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+  reach(doc_id, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+  )
+  SELECT doc_id, MIN(lab) AS component FROM reach GROUP BY doc_id""",
+    doc="same clustering contract as q_dedup_components, computed by "
+        "large-star/small-star edge contraction (Kiveris et al.) — O(log n) "
+        "rounds on any graph shape vs diameter rounds for the label loop; "
+        "the variant to reach for when components can be deep",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
+    return connected_components_star(d.select("doc_id"), pairs)
+
+
 # --- q_fuzzy_editdist: blocked edit-distance near-dup pairs --------------------------
 
 FUZZY_BLOCK_WORDS = 5      # block key: first k normalized words
@@ -667,3 +692,80 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("rn") == 1)
          .select("doc_id", "content_key", "n_chars", "n_dups")
     )
+
+
+# --- large-star/small-star connected components (the O(log n) scale path) ------------
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    r = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-free and overflow-free (a SUM of full-range longs
+        # trips ANSI overflow)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (r["n"], r["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: link every LARGER neighbor to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+           .filter(F.col("v") > F.col("u"))
+           .select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small; link every in-neighbor (and u) to the min."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    with_m = oriented.withColumn("m", m)
+    relink = with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_link = with_m.select("u", F.col("m").alias("v"))
+    return (
+        relink.union(self_link)
+              .filter(F.col("u") != F.col("v"))
+              .distinct()
+    )
+
+
+def connected_components_star(docs: DataFrame, pairs: DataFrame,
+                              max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Large-star/small-star edge contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): alternate the two star operations
+    until the edge set reaches a fixpoint — at which point every edge points
+    directly at its component's minimum node. Converges in O(log n) rounds
+    on ANY graph shape (the min-label loop in :func:`connected_components`
+    needs diameter rounds — fine for shallow near-dup clusters, fatal for a
+    long chain), at the cost of a distinct() per star step. Same contract
+    as the loop version: (doc_id, component = min reachable doc_id).
+
+    Each star step references its input TWICE (a union of two selects), so
+    composing rounds quadruples the logical plan per iteration — persist()
+    caches rows but Catalyst still re-analyzes the full lineage, which OOMs
+    the driver around round 8. localCheckpoint(eager=True) materializes AND
+    truncates lineage, keeping every round's plan constant-size. On a real
+    cluster with flaky executors use rdd-reliable checkpoint() to HDFS
+    instead; local mode has no executor loss."""
+    e = (pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    prev = _edge_checksum(e)
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are (node, component-min) stars; roots + singletons
+    # label themselves
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    own = (docs.select("doc_id")
+           .join(labels.select("doc_id"), "doc_id", "left_anti")
+           .select("doc_id", F.col("doc_id").alias("component")))
+    return labels.unionByName(own)

@@ -100,3 +100,33 @@ def test_connected_components_converges_on_chain(spark):
     out = {r["doc_id"]: r["component"]
            for r in connected_components(docs, pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 99: 99}
+
+
+def test_star_cc_matches_loop_cc(spark, sf_dir):
+    """Large-star/small-star contraction returns the identical labeling as
+    the min-label loop on the real near-dup graph."""
+    from flink_job_spark.queries.dedup import (
+        connected_components, connected_components_star, q_ngram_jaccard)
+    from flink_job_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
+    a = {(r["doc_id"], r["component"])
+         for r in connected_components(d, pairs).collect()}
+    b = {(r["doc_id"], r["component"])
+         for r in connected_components_star(d, pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_converges_logarithmically_on_chain(spark):
+    """A 200-node chain has diameter 199: the min-label loop would need ~200
+    rounds; star contraction must finish (all labels = 0) within the default
+    15-iteration budget — the O(log n) claim, observed."""
+    from flink_job_spark.queries.dedup import connected_components_star
+
+    n = 200
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (spark.range(n - 1)
+             .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")))
+    labels = connected_components_star(docs, pairs)
+    assert labels.filter(F.col("component") != 0).count() == 0
