@@ -793,3 +793,143 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+# --- q_skyline_2d: Pareto frontier (min price, max quantity) -------------------------
+
+SKYLINE_BUCKET_W = 5000.0   # price-range bucket width for the parallel phase
+
+@register(
+    "q_skyline_2d",
+    """WITH p AS (SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+                  FROM lineitem),
+  g AS (SELECT price, MAX(qty) AS qty FROM p GROUP BY price),
+  s AS (SELECT price, qty,
+               MAX(qty) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prevmax
+        FROM g)
+  SELECT price, qty FROM s
+  WHERE prevmax IS NULL OR qty > prevmax""",
+    doc="2-D skyline / Pareto frontier over lineitem points (minimize "
+        "price, maximize quantity): the rows no other row beats on both "
+        "axes — the multi-objective shortlist query",
+    tags=("analytics", "window", "skyline"),
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel two-phase skyline instead of the oracle's single global
+    window. Phase 1 buckets points by price range: per-price maxima, then a
+    per-BUCKET running max — every bucket's window runs in parallel. Phase 2
+    broadcasts the tiny per-bucket maxima table, prefix-maxes it, and a
+    point survives iff its qty beats BOTH its in-bucket predecessors and
+    every lower bucket's max. Only the |buckets|-row prefix pass is serial,
+    so the plan has no global sort over the data — the structural fix that
+    makes skyline work when distinct prices no longer fit one partition.
+    The oracle computes the same frontier with one global window: a genuine
+    cross-formulation check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (li.select(F.col("l_extendedprice").alias("price"),
+                   F.col("l_quantity").alias("qty")).distinct())
+    g = (p.groupBy("price").agg(F.max("qty").alias("qty"))
+          .withColumn("bucket", F.floor(F.col("price") / F.lit(SKYLINE_BUCKET_W))))
+    local_w = (Window.partitionBy("bucket").orderBy("price")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    g = g.withColumn("local_prev", F.max("qty").over(local_w))
+    bmax = g.groupBy("bucket").agg(F.max("qty").alias("bqty"))
+    pref_w = (Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = bmax.withColumn("prev_bmax", F.max("bqty").over(pref_w)) \
+               .select("bucket", "prev_bmax")
+    joined = g.join(F.broadcast(pref), "bucket")
+    prevmax = F.greatest(
+        F.coalesce(F.col("local_prev"), F.lit(float("-inf"))),
+        F.coalesce(F.col("prev_bmax"), F.lit(float("-inf"))),
+    )
+    return (joined.filter(F.col("qty") > prevmax)
+                  .select("price", "qty"))
+
+
+# --- q_pagerank: fixed-point PageRank on the customer-supplier graph -----------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+def _pr_oracle() -> str:
+    """Unrolled PageRank CTE chain (one c{i}/r{i} pair per iteration).
+
+    Every float op is pinned to one IEEE sequence in both engines: the
+    per-edge contribution is a single divide cast to DECIMAL(38,18), the
+    per-node sum is exact decimal, and the new rank is one fused expression
+    rounded to 12 places per iteration (rounding is what keeps iterated
+    doubles from drifting apart across engines)."""
+    parts = [f"""WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(1) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n AS rank FROM deg, nn)"""]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS node,
+                    CAST(CAST(r.rank / d.outdeg AS DOUBLE) AS DECIMAL(38,18)) AS c
+             FROM edges e
+             JOIN r{i-1} r ON e.src = r.node
+             JOIN deg d ON d.src = e.src),
+    r{i} AS (SELECT node,
+                    ROUND((1 - {PR_DAMP}) / n
+                          + {PR_DAMP} * CAST(SUM(c) AS DOUBLE), 12) AS rank
+             FROM c{i}, nn GROUP BY node, n)""")
+    parts.append(f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{PR_ITERS}""")
+    return "".join(parts)
+
+
+@register(
+    "q_pagerank",
+    _pr_oracle(),
+    doc=f"PageRank (damping {PR_DAMP}, {PR_ITERS} iterations) on the "
+        "undirected customer-supplier purchase graph from orders x lineitem "
+        "— the graph-centrality scan behind influence ranking, made "
+        "engine-exact by decimal contribution sums and per-iteration "
+        "rounding",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges carry their source outdegree from the start, so each iteration
+    is exactly one join (ranks onto edges, shuffle on node id) plus one
+    combine-enabled decimal aggregation — the textbook Pregel superstep as
+    two exchanges. Three unrolled iterations keep the lineage shallow; a
+    production run at higher iteration counts would localCheckpoint every
+    few rounds like connected_components_star. Degree never changes, so the
+    (src, dst, outdeg) edge relation is computed once; every node of the
+    undirected graph has outdeg >= 1, so no dangling-mass correction is
+    needed and both engines drop the same nothing."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+           .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                    .alias("src"),
+                   F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                    .alias("dst"))
+           .distinct())
+    edges = e0.union(e0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(deg, "src").persist()
+    n = float(deg.count())
+    rank = deg.select(F.col("src").alias("node"),
+                      F.lit(1.0 / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, edges["src"] == rank["node"])
+                 .select(F.col("dst").alias("node"),
+                         (F.col("rank") / F.col("outdeg")).cast("double")
+                          .cast("decimal(38,18)").alias("c"))
+        )
+        rank = contrib.groupBy("node").agg(
+            F.round(F.lit((1 - PR_DAMP) / n)
+                    + F.lit(PR_DAMP) * F.sum("c").cast("double"), 12)
+             .alias("rank"))
+    return rank.select("node", F.round("rank", 6).alias("rank"))

@@ -659,3 +659,116 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return tri.crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+
+
+# --- q_class_weights: inverse-frequency class weights --------------------------------
+
+@register(
+    "q_class_weights",
+    """WITH c AS (SELECT label, COUNT(1) AS cnt FROM embeddings GROUP BY label)
+       SELECT label, CAST(cnt AS BIGINT) AS n,
+              ROUND(CAST(SUM(cnt) OVER () AS DOUBLE)
+                    / (CAST(COUNT(1) OVER () AS DOUBLE) * CAST(cnt AS DOUBLE)),
+                    6) AS weight
+       FROM c""",
+    doc="inverse-frequency class weights from the embedding labels: "
+        "weight = N / (k * n_label), the balanced-loss reweighting computed "
+        "before training on an imbalanced corpus (invariant: sum of "
+        "n * weight = N)",
+    tags=("prep", "agg", "ml"),
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One combine-enabled shuffle to k label counts; the N and k totals are
+    a window over the k-row aggregate (trivially small — at 100 TB the label
+    cardinality, not the corpus, bounds this step). Division order is pinned
+    to N / (k * n) in both engines so the single IEEE divide agrees."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    return c.select(
+        "label",
+        F.col("cnt").cast("bigint").alias("n"),
+        F.round(
+            F.sum("cnt").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w).cast("double")
+               * F.col("cnt").cast("double")),
+            6,
+        ).alias("weight"),
+    )
+
+
+# --- q_boilerplate_coverage: corpus-frequent block coverage per doc ------------------
+
+BOILER_DF_CAP = 2   # a block in > this many distinct docs is boilerplate
+
+@register(
+    "q_boilerplate_coverage",
+    f"""WITH w AS (
+          SELECT doc_id, {words_duck('text')} AS w FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(w, s, s + {BLOCK_WORDS} - 1), ' '))
+                   AS block_hash
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, {BLOCK_WORDS})) AS s
+                FROM w)
+        ),
+        o AS (
+          SELECT doc_id, block_hash, COUNT(1) AS n_occ
+          FROM b GROUP BY doc_id, block_hash
+        ),
+        f AS (
+          SELECT doc_id, block_hash, n_occ,
+                 COUNT(1) OVER (PARTITION BY block_hash) AS df
+          FROM o
+        )
+        SELECT doc_id,
+               CAST(SUM(n_occ) AS BIGINT) AS n_blocks,
+               CAST(COALESCE(SUM(CASE WHEN df > {BOILER_DF_CAP} THEN n_occ
+                                      ELSE 0 END), 0) AS BIGINT) AS n_boiler,
+               ROUND(CAST(COALESCE(SUM(CASE WHEN df > {BOILER_DF_CAP} THEN n_occ
+                                             ELSE 0 END), 0) AS DOUBLE)
+                     / CAST(SUM(n_occ) AS DOUBLE), 6) AS coverage
+        FROM f GROUP BY doc_id""",
+    doc=f"per-doc boilerplate coverage: fraction of its {BLOCK_WORDS}-word "
+        f"blocks whose corpus document-frequency exceeds {BOILER_DF_CAP} — "
+        "the frequency-based C4/RefinedWeb boilerplate detector that "
+        "complements q_block_dedup's earlier-doc ownership view",
+    tags=("prep", "dedup", "text"),
+)
+def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three bounded shuffles: (doc, block) occurrence rollup (combine-
+    enabled), document-frequency as a COUNT window over the already-distinct
+    (doc, block) rows — counting rows IS counting distinct docs, which
+    sidesteps Spark's unsupported COUNT(DISTINCT)-over-window — then the
+    per-doc rollup. Shuffled footprint is bounded by total distinct
+    (doc, block) pairs; no join-back rescans the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", words("text").alias("w"))
+         .select(
+             "doc_id",
+             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
+             F.col("w"),
+         )
+         .select(
+             "doc_id",
+             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
+              .alias("block_hash"),
+         )
+    )
+    o = b.groupBy("doc_id", "block_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    f = o.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("block_hash")))
+    boiler = F.coalesce(
+        F.sum(F.when(F.col("df") > BOILER_DF_CAP, F.col("n_occ"))
+               .otherwise(F.lit(0))), F.lit(0))
+    return (
+        f.groupBy("doc_id")
+         .agg(
+             F.sum("n_occ").cast("bigint").alias("n_blocks"),
+             boiler.cast("bigint").alias("n_boiler"),
+             F.round(boiler.cast("double")
+                     / F.sum("n_occ").cast("double"), 6).alias("coverage"),
+         )
+    )

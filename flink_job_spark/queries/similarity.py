@@ -616,3 +616,122 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("centroid"),
             )
     )
+
+
+# --- q_vector_dim_stats: per-dimension distribution stats ----------------------------
+
+@register(
+    "q_vector_dim_stats",
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  ex AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+                unnest(v) AS x
+         FROM e),
+  m AS (SELECT dim, x, CAST(x AS DECIMAL(18,9)) AS dx,
+               CAST(CAST(x * x AS DOUBLE) AS DECIMAL(38,12)) AS dx2
+        FROM ex)
+  SELECT dim, CAST(COUNT(1) AS BIGINT) AS n,
+         ROUND(CAST(SUM(dx) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS mean,
+         ROUND((CAST(SUM(dx2) AS DOUBLE)
+                - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dx) AS DOUBLE)
+                  / CAST(COUNT(1) AS DOUBLE))
+               / CAST(COUNT(1) - 1 AS DOUBLE), 6) AS variance,
+         MIN(x) AS vmin, MAX(x) AS vmax
+  FROM m GROUP BY dim""",
+    doc="per-dimension mean/variance/min/max across the embedding corpus "
+        "from exact decimal moments — the normalization-stats pass run "
+        "before feature scaling or whitening",
+    tags=("similarity", "agg", "stats"),
+)
+def q_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode is map-side (n·dim rows but zero pre-shuffle state); the
+    single combine-enabled shuffle carries dim-cardinality groups of four
+    partials (n, Σx, Σx², min/max). Sums ride exact DECIMAL detours so the
+    result is partition-order-free; min/max are order-free by nature. At
+    100 TB the reduce side is |dims| rows — the scan dominates, as it
+    should."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (e.select(as_double_array("embedding").alias("v"))
+           .select(F.posexplode("v").alias("dim", "x")))
+    m = ex.select(
+        "dim", "x",
+        F.col("x").cast("decimal(18,9)").alias("dx"),
+        (F.col("x") * F.col("x")).cast("double")
+            .cast("decimal(38,12)").alias("dx2"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("dx").cast("double")
+    sx2 = F.sum("dx2").cast("double")
+    return m.groupBy("dim").agg(
+        n.cast("bigint").alias("n"),
+        F.round(sx / n.cast("double"), 6).alias("mean"),
+        F.round((sx2 - sx * sx / n.cast("double"))
+                / (n - F.lit(1)).cast("double"), 6).alias("variance"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+    )
+
+
+# --- q_knn_classify: k-NN majority-vote label prediction -----------------------------
+
+KNN_K = 10
+
+@register(
+    "q_knn_classify",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+  q AS (SELECT vec_id AS qid, v AS qv, label AS true_label
+        FROM e WHERE vec_id < {N_QUERY_VECS}),
+  scored AS (
+    SELECT q.qid, q.true_label, e.label,
+           round({cosine_duck('q.qv', 'e.v')}, 6) AS score, e.vec_id
+    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+  ),
+  nn AS (
+    SELECT qid, true_label, label FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {KNN_K}
+  ),
+  votes AS (
+    SELECT qid, true_label, label, COUNT(1) AS n_votes FROM nn
+    GROUP BY qid, true_label, label
+  )
+  SELECT qid, true_label, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY n_votes DESC, label) AS vr
+        FROM votes)
+  WHERE vr = 1""",
+    doc=f"k-NN classification: majority label vote over the cosine top-{KNN_K} "
+        f"neighbors of each query vector (ties break to the smallest label) — "
+        "the label-propagation primitive behind weak-label bootstrapping",
+    tags=("similarity", "ann", "ml"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same broadcast-queries plan as q_ann_cosine_topk (the big side never
+    shuffles for scoring), plus two tiny aggregations over k·|queries| rows.
+    The vote and the winner pick both carry full deterministic tie-break
+    orders, so the prediction is stable across engines and retries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = (e.select("vec_id", as_double_array("embedding").alias("v"), "label")
+          .withColumn("nv", norm("v")))
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nv").alias("nq"), F.col("label").alias("true_label")))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "true_label", "label", "vec_id",
+                F.round(dot("qv", "v") / (F.col("nq") * F.col("nv")), 6)
+                 .alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K)
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    vw = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    return (votes.withColumn("vr", F.row_number().over(vw))
+                 .filter(F.col("vr") == 1)
+                 .select("qid", "true_label",
+                         F.col("label").alias("pred_label"), "n_votes"))
