@@ -933,3 +933,138 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMP) * F.sum("c").cast("double"), 12)
              .alias("rank"))
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- q_rfm_segments: recency/frequency/monetary customer segmentation ----------------
+
+RFM_TILES = 4
+
+@register(
+    "q_rfm_segments",
+    f"""WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(1) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT custkey, CAST(last_order AS TIMESTAMP) AS last_order,
+             frequency, monetary,
+             CAST(ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, custkey)
+                  AS BIGINT) AS r,
+             CAST(ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, custkey)
+                  AS BIGINT) AS f,
+             CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, custkey)
+                  AS BIGINT) AS m
+      FROM base
+    )
+    SELECT custkey, last_order, frequency, monetary, r, f, m,
+           r * 100 + f * 10 + m AS segment
+    FROM t""",
+    doc=f"RFM customer segmentation: per-customer recency/frequency/monetary "
+        f"rollup, each quartiled (ntile {RFM_TILES}, custkey tie-break) into "
+        "the classic 3-digit segment code marketing pipelines key on",
+    tags=("analytics", "window", "agg"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One combine-enabled shuffle to customer-grain (monetary rides the
+    exact-decimal detour), then three global ntile windows over the
+    CUSTOMER-cardinality aggregate — already |orders|/avg_freq times smaller
+    than the input. At true scale exact global quantiling is replaced by
+    approx-quantile boundaries broadcast as a map-side CASE (q_ntile
+    documents the same tradeoff); tie-breaks on custkey make every tile
+    assignment deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").cast("timestamp").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+         .cast("double").alias("monetary"),
+    )
+    r = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("last_order").desc(), F.col("custkey"))).cast("bigint")
+    f_ = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("custkey"))).cast("bigint")
+    m = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("custkey"))).cast("bigint")
+    t = (base.withColumn("r", r).withColumn("f", f_).withColumn("m", m))
+    return t.select(
+        "custkey", "last_order", "frequency", "monetary", "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment"))
+
+
+# --- q_target_encoding: leave-one-out mean target encoding ---------------------------
+
+@register(
+    "q_target_encoding",
+    """WITH t AS (
+      SELECT o_orderkey AS orderkey, o_orderpriority AS cat,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS y
+      FROM orders
+    )
+    SELECT orderkey, cat,
+           CASE WHEN COUNT(1) OVER (PARTITION BY cat) > 1
+                THEN ROUND(CAST(SUM(y) OVER (PARTITION BY cat) - y AS DOUBLE)
+                           / CAST(COUNT(1) OVER (PARTITION BY cat) - 1
+                                  AS DOUBLE), 6)
+                ELSE NULL END AS loo_mean
+    FROM t""",
+    doc="leave-one-out target encoding of order priority against order "
+        "value: each row's category mean excludes the row itself (the "
+        "leakage-free categorical feature), exact by decimal group sums",
+    tags=("analytics", "ml", "window"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category sum and count are one pass of an unbounded window
+    partitioned by category — fully parallel across categories, no
+    join-back. The LOO subtraction happens in exact decimal BEFORE the
+    single division, so the encoding is partition-order-free; singleton
+    categories yield NULL in both engines instead of a 0/0."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("y"))
+    w = Window.partitionBy("cat")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("y").over(w)
+    loo = F.when(
+        n > 1,
+        F.round((s - F.col("y")).cast("double")
+                / (n - F.lit(1)).cast("double"), 6))
+    return t.select("orderkey", "cat", loo.alias("loo_mean"))
+
+
+# --- q_quantile_normalize: per-segment rank normalization ----------------------------
+
+@register(
+    "q_quantile_normalize",
+    """SELECT c_custkey AS custkey, c_mktsegment AS segment,
+              c_acctbal AS acctbal,
+              ROUND(CAST(rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) - 1
+                         AS DOUBLE)
+                    / CAST(COUNT(1) OVER (PARTITION BY c_mktsegment) - 1
+                           AS DOUBLE), 6) AS q
+       FROM customer""",
+    doc="quantile (rank) normalization of account balance within each "
+        "market segment: maps every value onto [0,1] by its in-segment "
+        "rank — the outlier-proof feature transform",
+    tags=("analytics", "ml", "window"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank window per segment partition (parallel across segments;
+    nothing global). The custkey tie-break makes ranks — and therefore the
+    normalized feature — unique and deterministic; (rank-1)/(n-1) is a
+    single IEEE divide. At scale this is the window-shuffle on segment plus
+    a sort within partitions, exactly what the oracle computes."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    n = F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.round((F.rank().over(w) - F.lit(1)).cast("double")
+                / (n - F.lit(1)).cast("double"), 6).alias("q"))

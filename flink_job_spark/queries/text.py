@@ -403,3 +403,120 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", sliced).alias("chunk_text"),
         F.size(sliced).cast("long").alias("n_tokens"),
     )
+
+
+# --- q_inverted_index: posting lists per term ---------------------------------------
+
+@register(
+    "q_inverted_index",
+    f"""WITH p AS (
+      SELECT DISTINCT word, doc_id
+      FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
+    )
+    SELECT word, CAST(COUNT(1) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM p GROUP BY word""",
+    doc="inverted index: per term, its document frequency and the sorted "
+        "posting list of doc_ids — the search-engine primitive every "
+        "retrieval stack builds first",
+    tags=("text", "search"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + distinct reduction on (word, doc), then a combine-
+    enabled collect per word; sort_array pins posting order so the arrays
+    are engine-comparable. At 100 TB a posting list for a stop-word is the
+    skew risk — production splits lists into fixed-size segments (same
+    contract as q_dedup_minhash_lsh's doc-freq cap); the plan otherwise
+    shuffles |distinct (word, doc)| rows once."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (d.select("doc_id", F.explode(words("text")).alias("word"))
+          .distinct())
+    return (p.groupBy("word")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                  F.sort_array(F.collect_list("doc_id")).alias("postings")))
+
+
+# --- q_bm25_search: BM25 ranking for a fixed keyword query ---------------------------
+
+BM25_K1 = 1.2
+BM25_K1P1 = 2.2     # k1 + 1, spelled as a literal so both engines parse the
+                    # same double instead of computing 1.2 + 1 in-engine
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "join")
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "q_bm25_search",
+    f"""WITH w AS (
+      SELECT doc_id, {words_duck('text')} AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+    stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(1) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS word FROM w)
+      WHERE word IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               (CAST(stats.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+               * (CAST(tf.tf AS DOUBLE) * {BM25_K1P1})
+               / (CAST(tf.tf AS DOUBLE)
+                  + {BM25_K1} * (1 - {BM25_B}
+                                 + {BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                               / stats.avgdl))), 6)
+               AS DECIMAL(18,6)) AS s
+      FROM tf JOIN df USING (word)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+    FROM scored GROUP BY doc_id""",
+    doc=f"BM25 document ranking for the fixed query {BM25_QUERY} (k1="
+        f"{BM25_K1}, b={BM25_B}), rational idf N/df like q_tfidf_topk so no "
+        "libm ln() enters the score; per-term scores ride a decimal detour "
+        "into the per-doc sum so term order can't perturb the total",
+    tags=("text", "search"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The term filter lands BEFORE the tf aggregation, so only query-term
+    postings ever shuffle (|query| × |matching docs| rows, not the corpus
+    vocabulary). df and the 1-row corpus stats broadcast onto that skinny
+    spine; the score is a fixed IEEE expression tree — each divide/multiply
+    appears exactly once and in the same order as the oracle's — rounded,
+    decimal-cast, and summed exactly per doc. At 100 TB this is two bounded
+    shuffles (tf reduction, per-doc sum) over query-term rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", words("text").alias("w"))
+    dl = w.select("doc_id", F.size("w").cast("bigint").alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avgdl"))
+    tf = (w.select("doc_id", F.explode("w").alias("word"))
+           .filter(F.col("word").isin(*BM25_QUERY))
+           .groupBy("doc_id", "word")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))).persist()
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score = F.round(
+        (F.col("n").cast("double") / F.col("df").cast("double"))
+        * (tfd * F.lit(BM25_K1P1))
+        / (tfd + F.lit(BM25_K1)
+           * (F.lit(1.0) - F.lit(BM25_B)
+              + F.lit(BM25_B) * (dld / F.col("avgdl")))), 6)
+    scored = (tf.join(F.broadcast(df), "word")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(stats))
+                .select("doc_id", score.cast("decimal(18,6)").alias("s")))
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("s").cast("double").alias("score")))

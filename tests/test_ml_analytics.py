@@ -84,3 +84,72 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     assert math.isclose(total, 1.0, abs_tol=1e-3)
     assert all(r["rank"] > 0 for r in rows)
     assert len(rows) == len({r["node"] for r in rows})
+
+
+def test_inverted_index_postings_match_df(spark, sf_dir):
+    rows = all_queries()["q_inverted_index"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert len(r["postings"]) == r["df"]
+        assert r["postings"] == sorted(set(r["postings"]))
+
+
+def test_bm25_scores_positive_and_only_matching_docs(spark, sf_dir):
+    from flink_job_spark.queries.text import BM25_QUERY
+    from flink_job_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    matching = {
+        r["doc_id"]
+        for r in d.select("doc_id", words("text").alias("w"))
+                  .filter(F.arrays_overlap(
+                      "w", F.array(*[F.lit(t) for t in BM25_QUERY])))
+                  .collect()
+    }
+    rows = all_queries()["q_bm25_search"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == matching
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_rfm_tiles_are_balanced(spark, sf_dir):
+    from flink_job_spark.queries.analytics import RFM_TILES
+
+    rows = all_queries()["q_rfm_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r", "f", "m"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[dim] <= RFM_TILES
+            counts[r[dim]] = counts.get(r[dim], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n
+
+
+def test_target_encoding_loo_mean_averages_to_group_mean(spark, sf_dir):
+    """The average of a group's leave-one-out means equals the group mean
+    (each row is excluded exactly once, symmetrically)."""
+    rows = all_queries()["q_target_encoding"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    true_means = {
+        r["cat"]: r["mu"]
+        for r in o.groupBy(F.col("o_orderpriority").alias("cat"))
+                  .agg(F.avg("o_totalprice").alias("mu")).collect()
+    }
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r["cat"], []).append(r["loo_mean"])
+    for cat, vals in by_cat.items():
+        assert all(v is not None for v in vals)
+        loo_avg = sum(vals) / len(vals)
+        assert abs(loo_avg - true_means[cat]) < 1e-3 * abs(true_means[cat])
+
+
+def test_quantile_normalize_spans_unit_interval_per_segment(spark, sf_dir):
+    rows = all_queries()["q_quantile_normalize"].fn(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+        by_seg.setdefault(r["segment"], []).append(r["q"])
+    for seg, qs in by_seg.items():
+        assert min(qs) == 0.0
+        assert max(qs) == 1.0
+        assert len(set(qs)) == len(qs)  # custkey tie-break -> unique ranks
