@@ -513,3 +513,65 @@ def test_correlation_single_shuffle(spark, sf_dir):
     q = all_queries()["q_correlation"]
     p = plan(q.fn(spark, sf_dir))
     assert _n_exchanges(p) <= 1, f"moment agg gained shuffles:\n{p}"
+
+
+# --- round-2 second-wave keys: ML/analytics + retrieval ------------------------------
+
+def test_knn_classify_broadcasts_queries_and_prunes(spark, sf_dir):
+    """The query side must broadcast (the big side never shuffles for
+    scoring) and the scan must read only the three used columns."""
+    p = plan(all_queries()["q_knn_classify"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert read_schema_columns(p) <= {"vec_id", "embedding", "label"}, (
+        read_schema_columns(p))
+
+
+def test_vector_dim_stats_single_shuffle(spark, sf_dir):
+    """posexplode + one combine-enabled agg: exactly one exchange (on dim),
+    and the scan reads only the embedding column."""
+    p = plan(all_queries()["q_vector_dim_stats"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"embedding"}, read_schema_columns(p)
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    """The query-term filter must appear in the plan before any exchange —
+    only query-term postings may shuffle — and df/stats sides broadcast."""
+    p = plan(all_queries()["q_bm25_search"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    first_exchange = p.find("Exchange")
+    term_filter = p.find("spark")  # the literal query term in the Filter node
+    assert 0 <= term_filter, p
+    assert "Filter" in p, p
+
+
+def test_skyline_broadcasts_bucket_maxima(spark, sf_dir):
+    """Phase-2 prefix maxima must broadcast; no global sort of the full
+    point set may appear (only per-bucket window sorts)."""
+    p = plan(all_queries()["q_skyline_2d"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+
+
+def test_target_encoding_single_window_no_join(spark, sf_dir):
+    """LOO encoding is one category-partitioned window — a join-back
+    formulation would add a second scan + a join exchange."""
+    p = plan(all_queries()["q_target_encoding"].fn(spark, sf_dir))
+    assert "Join" not in p, f"target encoding grew a join:\n{p}"
+    assert _n_exchanges(p) == 1, p
+
+
+def test_quantile_normalize_no_global_sort(spark, sf_dir):
+    """Rank windows are per-segment: the only exchange is the segment hash
+    partitioning, never a single-partition global sort."""
+    p = plan(all_queries()["q_quantile_normalize"].fn(spark, sf_dir))
+    assert "SinglePartition" not in p, p
+    assert _n_exchanges(p) == 1, p
+
+
+def test_class_weights_two_bounded_exchanges(spark, sf_dir):
+    """Label counts shuffle once (combine-enabled); the N/k window runs on
+    the k-row label aggregate, so its single-partition exchange is bounded
+    by label cardinality — two exchanges total."""
+    p = plan(all_queries()["q_class_weights"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 2, p
+    assert "HashAggregate" in p, p
