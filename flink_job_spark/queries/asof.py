@@ -61,3 +61,58 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp"))
          - F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("gap_us"),
     ).withColumnRenamed("click_click_id", "click_id")
+
+
+@register(
+    "q_asof_forward",
+    """WITH clicks AS (
+         SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         FROM events WHERE event_type = 'click'
+       ),
+       purch AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                MAX(event_id) AS purchase_id
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+       )
+       SELECT c.click_id, c.user_id,
+              c.ts AS click_ts,
+              p.ts AS purchase_ts,
+              p.purchase_id,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_id = p.user_id AND c.ts <= p.ts""",
+    doc="forward as-of join: each click + the user's NEXT purchase at or "
+        "after it (time-to-conversion) — the same union-merge operator run "
+        "on negated microseconds, so one code path serves both directions",
+    tags=("asof", "join", "streaming"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction reversal is a coordinate flip, not a second operator:
+    'latest at or before' on -t IS 'earliest at or after' on t, and the
+    operator's right-before-left tie order keeps equal timestamps matching
+    (c.ts <= p.ts inclusive) under negation. The purchase timestamp rides
+    along as an ordinary payload column, so nothing needs un-negating on
+    the way out. Same one-shuffle union-merge plan as q_asof_join."""
+    e = load_table(spark, sf_dir, "events")
+    neg = lambda c: (-F.unix_micros(F.col(c).cast("timestamp"))).alias("ts_neg")  # noqa: E731
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"), neg("ts"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "purchase_id", F.col("ts").alias("pts"), neg("ts"))
+    )
+    joined = asof_join(clicks, purch, key="user_id",
+                       left_ts="ts_neg", right_ts="ts_neg",
+                       right_payload=["purchase_id", "pts"], prefix="p_")
+    return joined.select(
+        "click_id", "user_id", "click_ts",
+        F.col("p_pts").alias("purchase_ts"),
+        F.col("p_purchase_id").alias("purchase_id"),
+        (F.unix_micros(F.col("p_pts").cast("timestamp"))
+         - F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("gap_us"),
+    )

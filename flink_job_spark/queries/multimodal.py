@@ -165,3 +165,88 @@ def q_media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_ahash: perceptual average-hash over REAL decoded pixels ----------------
+
+AHASH_GRID = 8   # 8x8 cells -> 64-bit perceptual hash
+
+@register(
+    "q_media_ahash",
+    f"""WITH d AS (
+      SELECT doc_id, 8 + doc_id % {PNG_W_MOD} AS w, 8 + doc_id % {PNG_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, p,
+             (doc_id * 31 + (p * 3 + 0) * 7) % 256
+             + (doc_id * 31 + (p * 3 + 1) * 7) % 256
+             + (doc_id * 31 + (p * 3 + 2) * 7) % 256 AS lum3
+      FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)
+    ),
+    cells AS (
+      SELECT doc_id,
+             ((p // w) * {AHASH_GRID}) // h AS cy,
+             ((p % w) * {AHASH_GRID}) // w AS cx,
+             SUM(lum3) AS s, COUNT(1) AS n
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM cells GROUP BY doc_id
+    )
+    SELECT c.doc_id AS media_id,
+           string_agg(CASE WHEN c.s * t.nt > t.st * c.n THEN '1' ELSE '0' END,
+                      '' ORDER BY c.cy, c.cx) AS ahash_bits
+    FROM cells c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id""",
+    doc=f"{AHASH_GRID}x{AHASH_GRID} perceptual average-hash over REAL "
+        "PNG-decoded pixels: each cell's bit is 'cell mean > image mean', "
+        "decided by exact integer cross-multiplication (s*N > S*n) so the "
+        "hash — the image-dedup key — is bit-identical across engines",
+    tags=("multimodal", "png", "dedup"),
+)
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-dedup fingerprint path, distributed: encode → decode
+    (real zlib PNG codec) → channel-sum luma → 8x8 cell binning → bits, all
+    inside one Arrow-batched mapInPandas pass; pixels never leave the
+    executor and the driver sees 64 chars per image. Cell membership is
+    integer math ((x*8)//w) and every mean comparison is cross-multiplied
+    in int64, so no float ever enters the hash. Downstream near-dup mining
+    is a banded equi-join on hash substrings exactly like q_simhash_pairs —
+    at 100 TB the hash table is 64 bits/image, the cheapest index there is.
+    The oracle recomputes the bits from the closed-form pixel function in
+    pure SQL — the decoded bytes and the SQL must agree bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.png import decode_png, encode_png
+
+    g = AHASH_GRID
+
+    def ahash(it):
+        for pdf in it:
+            out_id, out_bits = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % PNG_W_MOD, 8 + i % PNG_H_MOD
+                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
+                _, _, _, decoded = decode_png(encode_png(w, h, px, 2))
+                a = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64)
+                lum3 = a.reshape(h, w, 3).sum(axis=2)
+                ys = (np.arange(h) * g) // h
+                xs = (np.arange(w) * g) // w
+                cell = ys[:, None] * g + xs[None, :]
+                s = np.bincount(cell.ravel(), weights=lum3.ravel(),
+                                minlength=g * g).astype(np.int64)
+                n = np.bincount(cell.ravel(), minlength=g * g).astype(np.int64)
+                st, nt = int(s.sum()), int(n.sum())
+                bits = "".join(
+                    "1" if int(s[b]) * nt > st * int(n[b]) else "0"
+                    for b in range(g * g) if n[b] > 0)
+                out_id.append(i)
+                out_bits.append(bits)
+            yield pd.DataFrame({"media_id": out_id, "ahash_bits": out_bits})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        ahash, schema="media_id bigint, ahash_bits string")

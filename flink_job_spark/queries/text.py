@@ -520,3 +520,40 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", score.cast("decimal(18,6)").alias("s")))
     return (scored.groupBy("doc_id")
                   .agg(F.sum("s").cast("double").alias("score")))
+
+
+# --- q_feature_hash: hashing-trick featurization -------------------------------------
+
+FEATURE_HASH_DIM = 64
+
+@register(
+    "q_feature_hash",
+    f"""SELECT doc_id,
+           CAST('0x' || substring(md5(word), 1, 8) AS BIGINT)
+             % {FEATURE_HASH_DIM} AS bucket,
+           CAST(COUNT(1) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
+    GROUP BY 1, 2""",
+    doc=f"hashing-trick featurization: term counts folded into "
+        f"{FEATURE_HASH_DIM} md5 buckets per doc — the fixed-width sparse "
+        "feature vector that needs no vocabulary pass, identical across "
+        "engines and retries",
+    tags=("text", "ml"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + one combine-enabled (doc, bucket) reduction: the
+    vocabulary never materializes anywhere, which is the point of the
+    hashing trick — the feature space is fixed at {dim} regardless of
+    corpus size, so this plan is identical at 100 TB. Bucket ids come from
+    the first 32 md5 bits (the repo-wide deterministic-hash idiom), never
+    a JVM-internal hash that another engine can't reproduce."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
+        .cast("bigint") % FEATURE_HASH_DIM
+    )
+    return (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+         .groupBy("doc_id", bucket.alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

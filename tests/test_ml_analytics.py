@@ -153,3 +153,53 @@ def test_quantile_normalize_spans_unit_interval_per_segment(spark, sf_dir):
         assert min(qs) == 0.0
         assert max(qs) == 1.0
         assert len(set(qs)) == len(qs)  # custkey tie-break -> unique ranks
+
+
+def test_asof_forward_picks_earliest_following_purchase(spark, sf_dir):
+    """Ground truth by brute force on the collected event set: the matched
+    purchase is the minimum purchase ts at or after each click."""
+    e = load_table(spark, sf_dir, "events").collect()
+    purch = {}
+    for r in e:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["ts"])
+    rows = all_queries()["q_asof_forward"].fn(spark, sf_dir).collect()
+    assert rows
+    n_matched = 0
+    for r in rows:
+        following = [t for t in purch.get(r["user_id"], [])
+                     if t >= r["click_ts"]]
+        if r["purchase_ts"] is None:
+            assert not following
+        else:
+            n_matched += 1
+            assert r["purchase_ts"] == min(following)
+            assert r["gap_us"] >= 0
+    assert n_matched > 0
+
+
+def test_feature_hash_conserves_tokens(spark, sf_dir):
+    from flink_job_spark.queries.text import FEATURE_HASH_DIM
+    from flink_job_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    true_tokens = {r["doc_id"]: r["n"]
+                   for r in d.select("doc_id",
+                                     F.size(words("text")).alias("n")).collect()}
+    rows = all_queries()["q_feature_hash"].fn(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < FEATURE_HASH_DIM
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
+    assert per_doc == true_tokens
+
+
+def test_media_ahash_is_64_balanced_bits(spark, sf_dir):
+    rows = all_queries()["q_media_ahash"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert len(rows) == d.count()
+    for r in rows:
+        bits = r["ahash_bits"]
+        assert len(bits) == 64 and set(bits) <= {"0", "1"}
+    # a constant hash would be a broken fingerprint: demand variety
+    assert len({r["ahash_bits"] for r in rows}) > 1
