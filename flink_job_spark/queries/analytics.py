@@ -1068,3 +1068,60 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.round((F.rank().over(w) - F.lit(1)).cast("double")
                 / (n - F.lit(1)).cast("double"), 6).alias("q"))
+
+
+# --- q_ema_pandas: exact exponential moving average (alpha = 1/2) --------------------
+
+@register(
+    "q_ema_pandas",
+    """WITH RECURSIVE s AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+       ),
+       ema(user_id, event_id, ts, value, rn, ema) AS (
+         SELECT user_id, event_id, ts, value, rn, value FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+                (s.value + e.ema) / 2
+         FROM s JOIN ema e ON s.user_id = e.user_id AND s.rn = e.rn + 1
+       )
+       SELECT user_id, event_id, ts, value, ema FROM ema""",
+    doc="per-user exponential moving average of event values with alpha = "
+        "1/2: the halving recurrence (x + prev)/2 keeps every step one IEEE "
+        "add plus an EXACT exponent decrement, so the sequential smoother "
+        "is engine-exact — grouped pandas scan vs recursive-CTE oracle",
+    tags=("analytics", "pandas", "stateful"),
+)
+def q_ema_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA is inherently sequential per key — the one shape DataFrame
+    windows can't express without a custom running-state operator — so it
+    rides applyInPandas: one Arrow group per user, a python loop over the
+    (ts, event_id)-sorted rows, O(rows of one user) memory. alpha = 1/2 is
+    chosen deliberately: division by two never rounds, so the only IEEE
+    rounding per step is the addition, which both engines perform on
+    identical operands in identical order. The output is deliberately NOT
+    rounded: halving produces doubles whose decimal expansions genuinely
+    end in ...5, where python round() (half-even) and SQL ROUND (half-away)
+    disagree — the raw doubles are bit-identical, a 6-digit rendering of
+    them is not. The oracle replays the same recurrence as a recursive CTE
+    join on rn."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", "event_id",
+                    F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = []
+        acc = None
+        for x in pdf["value"]:
+            acc = float(x) if acc is None else (float(x) + acc) / 2
+            out.append(acc)
+        pdf["ema"] = out
+        return pdf
+
+    return rows.groupBy("user_id").applyInPandas(
+        ema, "user_id long, event_id long, ts timestamp, value double, ema double")

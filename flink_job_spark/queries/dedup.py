@@ -769,3 +769,70 @@ def connected_components_star(docs: DataFrame, pairs: DataFrame,
            .join(labels.select("doc_id"), "doc_id", "left_anti")
            .select("doc_id", F.col("doc_id").alias("component")))
     return labels.unionByName(own)
+
+
+# --- q_dedup_incremental: new-batch-vs-corpus dedup (the production shape) -----------
+
+INCR_BATCH_MOD = 10   # doc_id % 10 == INCR_BATCH_REM plays the incoming batch
+INCR_BATCH_REM = 7
+
+@register(
+    "q_dedup_incremental",
+    f"""WITH k AS (
+      SELECT doc_id, md5({norm_text_duck('text')}) AS content_key,
+             doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM} AS is_new
+      FROM documents
+    ),
+    hist_hit AS (
+      SELECT DISTINCT content_key FROM k
+      WHERE NOT is_new AND content_key IN
+            (SELECT content_key FROM k WHERE is_new)
+    ),
+    newb AS (
+      SELECT doc_id, content_key,
+             ROW_NUMBER() OVER (PARTITION BY content_key
+                                ORDER BY doc_id) AS rn
+      FROM k WHERE is_new
+    )
+    SELECT n.doc_id, n.content_key,
+           CASE WHEN h.content_key IS NOT NULL THEN 'dup_historical'
+                WHEN n.rn > 1 THEN 'dup_in_batch'
+                ELSE 'unique' END AS verdict
+    FROM newb n LEFT JOIN hist_hit h USING (content_key)""",
+    doc="incremental dedup: classify each incoming-batch doc as a duplicate "
+        "of the historical corpus, a duplicate within its own batch, or "
+        "unique — the production admission check a continuously-growing "
+        "corpus runs per batch (batch = doc_id % 10 == 7 here)",
+    tags=("dedup", "prep", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetry is the design: the batch is small, the corpus is 100 TB.
+    The batch's distinct keys broadcast into a LEFT SEMI join against the
+    corpus, so only colliding historical keys (bounded by the batch size)
+    ever surface — the corpus is scanned once, map-side, and NEVER shuffled
+    on content_key. Within-batch ranking windows over batch-sized data.
+    Equivalent full-corpus formulations (the oracle's) shuffle everything;
+    this one shuffles the batch."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id", F.md5(norm_text("text")).alias("content_key"),
+        ((F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM).alias("is_new"))
+    newb = k.filter("is_new").persist()
+    hist_hit = (
+        k.filter(~F.col("is_new"))
+         .join(F.broadcast(newb.select("content_key").distinct()),
+               "content_key", "left_semi")
+         .select("content_key").distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("content_key").orderBy("doc_id"))
+    return (
+        newb.withColumn("rn", rn)
+            .join(F.broadcast(hist_hit.withColumn("hit", F.lit(1))),
+                  "content_key", "left")
+            .select(
+                "doc_id", "content_key",
+                F.when(F.col("hit").isNotNull(), F.lit("dup_historical"))
+                 .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+                 .otherwise(F.lit("unique")).alias("verdict"))
+    )

@@ -203,3 +203,33 @@ def test_media_ahash_is_64_balanced_bits(spark, sf_dir):
         assert len(bits) == 64 and set(bits) <= {"0", "1"}
     # a constant hash would be a broken fingerprint: demand variety
     assert len({r["ahash_bits"] for r in rows}) > 1
+
+
+def test_dedup_incremental_verdicts_partition_the_batch(spark, sf_dir):
+    from flink_job_spark.queries.dedup import INCR_BATCH_MOD, INCR_BATCH_REM
+
+    d = load_table(spark, sf_dir, "documents")
+    n_batch = d.filter(
+        (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM).count()
+    rows = all_queries()["q_dedup_incremental"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_batch
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts <= {"dup_historical", "dup_in_batch", "unique"}
+    # at most one 'unique' survivor per content key
+    uniq = [r["content_key"] for r in rows if r["verdict"] == "unique"]
+    assert len(uniq) == len(set(uniq))
+
+
+def test_ema_pandas_lies_between_running_min_and_max(spark, sf_dir):
+    """An average of observed values can never escape their range; first
+    value seeds the smoother exactly."""
+    rows = all_queries()["q_ema_pandas"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        assert seq[0]["ema"] == seq[0]["value"]
+        lo = hi = seq[0]["value"]
+        for r in seq[1:]:
+            lo, hi = min(lo, r["value"]), max(hi, r["value"])
+            assert lo <= r["ema"] <= hi
