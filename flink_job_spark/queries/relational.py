@@ -553,3 +553,101 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         zkey = zkey + F.shiftleft(F.shiftright(zx, i).bitwiseAND(1), 2 * i)
         zkey = zkey + F.shiftleft(F.shiftright(zy, i).bitwiseAND(1), 2 * i + 1)
     return o.select("o_orderkey", zkey.cast("long").alias("zkey"))
+
+
+# --- q_quality_gate: declarative data-quality expectations in one pass per table -----
+
+@register(
+    "q_quality_gate",
+    """WITH o AS (
+      SELECT 'orderkey_unique' AS rule, COUNT(1) AS n_checked,
+             COUNT(1) - COUNT(DISTINCT o_orderkey) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_not_null', COUNT(1), COUNT(1) - COUNT(o_custkey)
+      FROM orders
+      UNION ALL
+      SELECT 'totalprice_positive', COUNT(1),
+             COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_in_range', COUNT(1),
+             COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                                 OR o_orderdate >= TIMESTAMP '2030-01-01'
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'quantity_in_range', COUNT(1),
+             COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                               THEN 1 ELSE 0 END), 0)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_fk_orders', COUNT(1),
+             COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM o""",
+    doc="declarative data-quality gate: six expectation rules (uniqueness, "
+        "completeness, value ranges, referential integrity) evaluated as "
+        "single-pass aggregates and one FK probe — the Deequ-style "
+        "admission check run before any snapshot is published",
+    tags=("relational", "audit", "pipeline"),
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four orders rules ride ONE aggregation pass (one scan, one
+    reduce); the two lineitem rules share a second scan, with referential
+    integrity as a broadcast-right left join when the parent key side fits
+    (at 100 TB: a shuffled left join — the rule count never adds scans, a
+    new expectation is one more conditional aggregate in the same pass).
+    This is the same one-pass-many-aggregates discipline as
+    q_profile_table, extended with cross-table FK coverage; the reference's
+    COUNT+hash consistency audit (mis:1413-1466) is the two-rule special
+    case of this gate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    viol = lambda c: F.coalesce(F.sum(c.cast("int")), F.lit(0))  # noqa: E731
+    n = F.count(F.lit(1))
+
+    orders_rules = o.agg(
+        n.alias("_n"),
+        (n - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        (n - F.count("o_custkey")).alias("custkey_not_null"),
+        viol(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        viol((F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+             | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+             ).alias("orderdate_in_range"),
+    ).persist()  # 1 row; without the barrier every unpivot branch rescans orders
+    li_rules = (
+        li.join(F.broadcast(o.select("o_orderkey")), li["l_orderkey"] == o["o_orderkey"], "left")
+          .agg(
+              n.alias("_n"),
+              viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+                .alias("quantity_in_range"),
+              viol(F.col("o_orderkey").isNull()).alias("lineitem_fk_orders"),
+          )
+    ).persist()
+
+    def unpivot(df, rules):
+        parts = []
+        for r in rules:
+            parts.append(df.select(
+                F.lit(r).alias("rule"),
+                F.col("_n").cast("bigint").alias("n_checked"),
+                F.col(r).cast("bigint").alias("n_violations")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    rules = unpivot(orders_rules, ["orderkey_unique", "custkey_not_null",
+                                   "totalprice_positive", "orderdate_in_range"]
+                    ).unionByName(
+        unpivot(li_rules, ["quantity_in_range", "lineitem_fk_orders"]))
+    return rules.select(
+        "rule", "n_checked", "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit(1)).otherwise(F.lit(0))
+         .cast("int").alias("passed"))

@@ -233,3 +233,47 @@ def test_ema_pandas_lies_between_running_min_and_max(spark, sf_dir):
         for r in seq[1:]:
             lo, hi = min(lo, r["value"]), max(hi, r["value"])
             assert lo <= r["ema"] <= hi
+
+
+def test_quality_gate_passes_clean_testdata_and_counts_scans(spark, sf_dir):
+    """The generated testdata satisfies every expectation; the six rules
+    must each report full-table check counts."""
+    rows = {r["rule"]: r
+            for r in all_queries()["q_quality_gate"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    o_n = load_table(spark, sf_dir, "orders").count()
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    for rule, r in rows.items():
+        assert r["passed"] == 1, f"{rule} failed on clean data"
+        assert r["n_violations"] == 0
+    assert rows["orderkey_unique"]["n_checked"] == o_n
+    assert rows["lineitem_fk_orders"]["n_checked"] == li_n
+
+
+def test_quality_gate_catches_injected_violations(spark, sf_dir):
+    """Corrupt a copy of the tables and the right rules must trip — the
+    gate is only useful if violations actually surface."""
+    import os
+    import tempfile
+
+    from flink_job_spark.sources.tables import load_table as lt
+
+    o = lt(spark, sf_dir, "orders")
+    li = lt(spark, sf_dir, "lineitem")
+    with tempfile.TemporaryDirectory() as tmp:
+        bad_o = o.limit(500).union(
+            o.limit(1).select(
+                *[F.col(c) if c != "o_totalprice" else (-F.col(c)).alias(c)
+                  for c in o.columns]))
+        bad_o.write.parquet(os.path.join(tmp, "orders.parquet"))
+        li.limit(200).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "events", "documents", "embeddings"]:
+            lt(spark, sf_dir, t).limit(1).write.parquet(
+                os.path.join(tmp, f"{t}.parquet"))
+        rows = {r["rule"]: r
+                for r in all_queries()["q_quality_gate"].fn(spark, tmp).collect()}
+        assert rows["totalprice_positive"]["n_violations"] == 1
+        assert rows["totalprice_positive"]["passed"] == 0
+        # the duplicated first order row also trips uniqueness
+        assert rows["orderkey_unique"]["n_violations"] >= 1
