@@ -1,0 +1,110 @@
+"""Streaming corpus admission: incremental dedup as a Structured Streaming
+sink (the streaming twin of queries/dedup.py::q_dedup_incremental).
+
+A growing corpus admits documents batch by batch; each micro-batch must be
+classified against (a) everything admitted before it and (b) itself. The
+state that matters — the set of content keys ever admitted — never expires,
+so watermark-bounded operators don't fit; instead the stream runs through
+``foreachBatch`` against a persistent parquet key store, exactly the pattern
+a production lakehouse uses (state table + MERGE). Exactly-once effect is by
+construction, not by luck:
+
+* verdict output is written to ``out/batch_id=N`` with dynamic partition
+  overwrite — a replayed batch overwrites its own partition, never doubles it;
+* the key store is append-only and duplicate-TOLERANT (admission joins are
+  semi-joins on DISTINCT keys), so a replayed append is harmless;
+* a batch manifest records completed batch ids; replays short-circuit.
+
+At 100 TB the key store is a bucketed table and the per-batch semi-join
+broadcasts the BATCH's keys (bounded by batch size), never the corpus — the
+same asymmetry as the batch operator."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from flink_job_spark.functions.text import norm_text
+
+
+def _classify_batch(batch: DataFrame, seen_keys: DataFrame | None) -> DataFrame:
+    """(doc_id, content_key, verdict) for one batch vs the seen-key store —
+    the same broadcast-the-batch semi-join shape as q_dedup_incremental."""
+    k = batch.select(
+        "doc_id", F.md5(norm_text("text")).alias("content_key")).persist()
+    rn = F.row_number().over(
+        Window.partitionBy("content_key").orderBy("doc_id"))
+    ranked = k.withColumn("rn", rn)
+    if seen_keys is not None:
+        hit = (seen_keys.join(F.broadcast(k.select("content_key").distinct()),
+                              "content_key", "left_semi")
+                        .select("content_key").distinct()
+                        .withColumn("hit", F.lit(1)))
+        ranked = ranked.join(F.broadcast(hit), "content_key", "left")
+    else:
+        ranked = ranked.withColumn("hit", F.lit(None).cast("int"))
+    return ranked.select(
+        "doc_id", "content_key",
+        F.when(F.col("hit").isNotNull(), F.lit("dup_historical"))
+         .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+         .otherwise(F.lit("unique")).alias("verdict"))
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available document files (availableNow), classifying each
+    micro-batch against the persistent key store and appending its unique
+    keys to it. Restartable: offsets live in the streaming checkpoint, and
+    every foreachBatch effect is replay-safe (see module docstring)."""
+    keys_dir = os.path.join(state_dir, "keys")
+    manifest_dir = os.path.join(state_dir, "batches")
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        done = set()
+        try:
+            done = {r["batch_id"]
+                    for r in spark.read.parquet(manifest_dir).collect()}
+        except Exception:
+            pass
+        if batch_id in done:
+            return
+        seen = None
+        try:
+            seen = spark.read.parquet(keys_dir)
+        except Exception:
+            pass
+        verdicts = _classify_batch(batch_df, seen).persist()
+        (verdicts.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id")
+                 .parquet(out_dir))
+        (verdicts.filter(F.col("verdict") == "unique")
+                 .select("content_key")
+                 .write.mode("append").parquet(keys_dir))
+        (spark.createDataFrame([(batch_id,)], "batch_id long")
+              .write.mode("append").parquet(manifest_dir))
+        verdicts.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        .parquet(src_dir)
+        .writeStream
+        .foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

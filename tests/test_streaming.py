@@ -384,3 +384,47 @@ def test_stream_sessionize_emits_closed_sessions(spark, sf_dir, tmp_path):
     unmatched = got.join(
         starts, ["user_id", "session_start", "n_events"], "left_anti").count()
     assert unmatched == 0, f"{unmatched} emitted sessions don't match batch twin"
+
+
+def test_stream_incremental_dedup_admits_exactly_one_per_key(spark, sf_dir, tmp_path):
+    """Corpus admission over three micro-batches: one 'unique' verdict per
+    distinct content key across the WHOLE stream, duplicates classified by
+    where the dup lives (earlier batch vs same batch); re-running the drained
+    stream emits nothing new; replayed duplicates land as dup_historical."""
+    from flink_job_spark.functions.text import norm_text
+    from flink_job_spark.streaming.dedup import stream_incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # three arrival files by doc_id range
+    for lo, hi in [(0, 170), (170, 340), (340, 10 ** 9)]:
+        (d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+          .coalesce(1).write.mode("append").parquet(src))
+
+    stream_incremental_dedup(spark, src, d.schema, state, out, ckpt)
+
+    v = spark.read.parquet(out)
+    n_docs = d.count()
+    n_keys = d.select(F.md5(norm_text("text")).alias("k")).distinct().count()
+    assert v.count() == n_docs
+    assert v.filter(F.col("verdict") == "unique").count() == n_keys
+    uniq_keys = v.filter(F.col("verdict") == "unique").select("content_key")
+    assert uniq_keys.distinct().count() == n_keys  # one winner per key
+    assert v.filter(~F.col("verdict").isin(
+        "unique", "dup_in_batch", "dup_historical")).count() == 0
+
+    # drained stream: re-run is a no-op
+    stream_incremental_dedup(spark, src, d.schema, state, out, ckpt)
+    assert spark.read.parquet(out).count() == n_docs
+
+    # a replayed file of already-admitted docs → all dup_historical
+    (d.filter(F.col("doc_id") < 100).coalesce(1)
+      .write.mode("append").parquet(src))
+    stream_incremental_dedup(spark, src, d.schema, state, out, ckpt)
+    v2 = spark.read.parquet(out)
+    new_rows = v2.count() - n_docs
+    assert new_rows == d.filter(F.col("doc_id") < 100).count()
+    assert (v2.filter(F.col("verdict") == "unique").count() == n_keys)
