@@ -1125,3 +1125,100 @@ def q_ema_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rows.groupBy("user_id").applyInPandas(
         ema, "user_id long, event_id long, ts timestamp, value double, ema double")
+
+
+# --- q_linreg_moments: exact normal-equation moments for distributed OLS -------------
+
+@register(
+    "q_linreg_moments",
+    """WITH f AS (
+      SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x1,
+             CAST(l_discount AS DECIMAL(18,6)) AS x2,
+             CAST(1 AS DECIMAL(18,6)) AS x0,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+             CAST(CAST(CAST(l_quantity * l_quantity AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(38,10)) AS x1x1,
+             CAST(CAST(CAST(l_quantity * l_discount AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(38,10)) AS x1x2,
+             CAST(CAST(CAST(l_discount * l_discount AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(38,10)) AS x2x2,
+             CAST(CAST(CAST(l_quantity * l_extendedprice AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(38,10)) AS x1y,
+             CAST(CAST(CAST(l_discount * l_extendedprice AS DOUBLE) AS VARCHAR)
+                  AS DECIMAL(38,10)) AS x2y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(1) AS BIGINT) AS n,
+             CAST(CAST(ROUND(SUM(x1), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x1,
+             CAST(CAST(ROUND(SUM(x2), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x2,
+             CAST(CAST(ROUND(SUM(y), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_y,
+             CAST(CAST(ROUND(SUM(x1x1), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x1x1,
+             CAST(CAST(ROUND(SUM(x1x2), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x1x2,
+             CAST(CAST(ROUND(SUM(x2x2), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x2x2,
+             CAST(CAST(ROUND(SUM(x1y), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x1y,
+             CAST(CAST(ROUND(SUM(x2y), 4) AS DECIMAL(38,4)) AS DOUBLE) AS s_x2y
+      FROM f
+    )
+    SELECT t.term, t.value FROM m, LATERAL (VALUES
+      ('n', CAST(n AS DOUBLE)),
+      ('s_x1', s_x1), ('s_x2', s_x2), ('s_y', s_y),
+      ('s_x1x1', s_x1x1), ('s_x1x2', s_x1x2), ('s_x2x2', s_x2x2),
+      ('s_x1y', s_x1y), ('s_x2y', s_x2y)) t(term, value)""",
+    doc="normal-equation moments for OLS of price on (quantity, discount, "
+        "1): the full Gram matrix and X'y as exact decimal sums — the "
+        "distributed 99% of linear regression; the 3x3 driver-side solve is "
+        "O(1) and engine-local",
+    tags=("analytics", "ml", "agg", "stats"),
+)
+def q_linreg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS done the way a cluster should: ONE combine-enabled
+    aggregation carries all nine sufficient statistics (count, first and
+    second moments, cross-moments with y) through exact decimal detours —
+    partition-order-free, single shuffle of nine partials. Every product is
+    one IEEE double multiply cast to decimal, so the moments are
+    bit-identical across engines. Two cast traps live here, both
+    fuzz-class: (a) the oracle's products hop through VARCHAR so DuckDB
+    rounds the shortest repr like Java's BigDecimal; (b) the OUTPUT rounds
+    the exact decimal sum to scale 4 BEFORE the double cast — a scale-10
+    decimal near 1e11 exceeds 2^53 tenths-of-nanos, and DuckDB's int128/10^s
+    conversion then lands one ulp away from Java's correctly-rounded
+    BigDecimal.doubleValue. At scale 4 the scaled integer is exact in a
+    double and one IEEE divide finishes the cast identically everywhere.
+    The tiny normal-equation solve that
+    follows is driver arithmetic on nine numbers and never touches the
+    cluster. Unpivoted to (term, value) rows so the moment vector is one
+    stable comparable relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = lambda c: c.cast("double").cast("decimal(38,10)")  # noqa: E731
+    f = li.select(
+        F.col("l_quantity").cast("decimal(18,6)").alias("x1"),
+        F.col("l_discount").cast("decimal(18,6)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("y"),
+        dd(F.col("l_quantity") * F.col("l_quantity")).alias("x1x1"),
+        dd(F.col("l_quantity") * F.col("l_discount")).alias("x1x2"),
+        dd(F.col("l_discount") * F.col("l_discount")).alias("x2x2"),
+        dd(F.col("l_quantity") * F.col("l_extendedprice")).alias("x1y"),
+        dd(F.col("l_discount") * F.col("l_extendedprice")).alias("x2y"),
+    )
+    d4 = lambda c: (F.round(F.sum(c), 4).cast("decimal(38,4)")  # noqa: E731
+                    .cast("double"))
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d4("x1").alias("s_x1"),
+        d4("x2").alias("s_x2"),
+        d4("y").alias("s_y"),
+        d4("x1x1").alias("s_x1x1"),
+        d4("x1x2").alias("s_x1x2"),
+        d4("x2x2").alias("s_x2x2"),
+        d4("x1y").alias("s_x1y"),
+        d4("x2y").alias("s_x2y"),
+    ).persist()
+    terms = [("n", F.col("n").cast("double"))] + [
+        (t, F.col(t)) for t in ["s_x1", "s_x2", "s_y", "s_x1x1", "s_x1x2",
+                                "s_x2x2", "s_x1y", "s_x2y"]]
+    out = None
+    for name, col in terms:
+        row = m.select(F.lit(name).alias("term"), col.alias("value"))
+        out = row if out is None else out.unionByName(row)
+    return out

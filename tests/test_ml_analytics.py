@@ -277,3 +277,31 @@ def test_quality_gate_catches_injected_violations(spark, sf_dir):
         assert rows["totalprice_positive"]["passed"] == 0
         # the duplicated first order row also trips uniqueness
         assert rows["orderkey_unique"]["n_violations"] >= 1
+
+
+def test_linreg_moments_solve_matches_direct_lstsq(spark, sf_dir):
+    """Drive the moments through the driver-side normal-equation solve: the
+    Gram matrix must be positive definite and the solved coefficients must
+    agree with numpy's direct least-squares on the raw collected data —
+    i.e. the distributed sufficient statistics lose nothing."""
+    import numpy as np
+
+    m = {r["term"]: r["value"]
+         for r in all_queries()["q_linreg_moments"].fn(spark, sf_dir).collect()}
+    n = m["n"]
+    G = np.array([
+        [m["s_x1x1"], m["s_x1x2"], m["s_x1"]],
+        [m["s_x1x2"], m["s_x2x2"], m["s_x2"]],
+        [m["s_x1"],  m["s_x2"],  n],
+    ])
+    b = np.array([m["s_x1y"], m["s_x2y"], m["s_y"]])
+    assert np.all(np.linalg.eigvalsh(G) > 0)  # PD: solvable, no collinearity
+    w = np.linalg.solve(G, b)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = np.array(li.select("l_quantity", "l_discount",
+                             "l_extendedprice").collect())
+    X = np.column_stack([raw[:, 0], raw[:, 1], np.ones(len(raw))])
+    w_direct = np.linalg.lstsq(X, raw[:, 2], rcond=None)[0]
+    assert np.allclose(w, w_direct, rtol=1e-5), (w, w_direct)
+    assert n == len(raw)
