@@ -651,3 +651,165 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule", "n_checked", "n_violations",
         F.when(F.col("n_violations") == 0, F.lit(1)).otherwise(F.lit(0))
          .cast("int").alias("passed"))
+
+
+# --- TPC-H classics, adapted to the testdata schema ---------------------------------
+# Q1 / Q6 / Q3-style: the three canonical OLAP shapes (wide aggregate scan,
+# selective single-pass sum, join + top-k) every warehouse engine is judged
+# on. Product expressions are parenthesized identically in both engines;
+# sums ride VARCHAR-hopped decimal detours and are rounded to scale 4 in the
+# decimal domain before the final double cast (see q_linreg_moments for why).
+
+_VDEC = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10))"
+_OUT4 = "CAST(CAST(ROUND({s}, 4) AS DECIMAL(38,4)) AS DOUBLE)"
+
+
+def _vdec_col(c):
+    """Spark twin of _VDEC: double expr -> exact decimal via Java repr."""
+    return c.cast("double").cast("decimal(38,10)")
+
+
+def _out4_col(s):
+    """Spark twin of _OUT4: exact decimal sum -> scale-4 -> double."""
+    return F.round(s, 4).cast("decimal(38,4)").cast("double")
+
+
+@register(
+    "q_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+           {_OUT4.format(s='SUM(CAST(l_quantity AS DECIMAL(18,6)))')} AS sum_qty,
+           {_OUT4.format(s='SUM(CAST(l_extendedprice AS DECIMAL(18,6)))')} AS sum_base_price,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x='l_extendedprice * (1 - l_discount)')})")} AS sum_disc_price,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x='(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')})")} AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE), 6) AS avg_disc,
+           CAST(COUNT(1) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 pricing summary: the canonical wide-aggregate scan — "
+        "eight aggregates over a date-filtered lineitem in one pass, "
+        "grouped by return flag and line status",
+    tags=("relational", "agg", "tpch"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one combine-enabled shuffle to 6 groups carrying all eight
+    partials; the shipdate filter pushes to the parquet scan. disc_price
+    and charge are fixed two/three-op IEEE trees — identical parenthesization
+    in the oracle — then exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    disc_price = _vdec_col(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    charge = _vdec_col(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        * (F.lit(1) + F.col("l_tax")))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              _out4_col(F.sum(qty)).alias("sum_qty"),
+              _out4_col(F.sum(price)).alias("sum_base_price"),
+              _out4_col(F.sum(disc_price)).alias("sum_disc_price"),
+              _out4_col(F.sum(charge)).alias("sum_charge"),
+              F.round(F.sum(qty).cast("double") / n.cast("double"), 6)
+               .alias("avg_qty"),
+              F.round(F.sum(price).cast("double") / n.cast("double"), 6)
+               .alias("avg_price"),
+              F.round(F.sum(disc).cast("double") / n.cast("double"), 6)
+               .alias("avg_disc"),
+              n.cast("bigint").alias("count_order"),
+          )
+    )
+
+
+@register(
+    "q_revenue_forecast",
+    f"""SELECT {_OUT4.format(s=f"SUM({_VDEC.format(x='l_extendedprice * l_discount')})")}
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24""",
+    doc="TPC-H Q6 forecast-revenue change: the selective single-aggregate "
+        "scan — three pushed predicates, one product sum, no shuffle worth "
+        "the name",
+    tags=("relational", "agg", "tpch"),
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter trio reaches PushedFilters; what survives is one map-side
+    product and a single-row global sum — the cheapest possible plan shape,
+    and the one Q6 exists to test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _vdec_col(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24))
+          .agg(_out4_col(F.sum(rev)).alias("revenue"))
+    )
+
+
+SHIPPRIO_SEGMENT = "BUILDING"
+SHIPPRIO_DATE = "1998-03-15"
+SHIPPRIO_TOPK = 10
+
+@register(
+    "q_shipping_priority",
+    f"""SELECT l_orderkey,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x='l_extendedprice * (1 - l_discount)')})")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{SHIPPRIO_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{SHIPPRIO_DATE}'
+      AND l_shipdate > TIMESTAMP '{SHIPPRIO_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM({_VDEC.format(x='l_extendedprice * (1 - l_discount)')}) DESC,
+             l_orderkey
+    LIMIT {SHIPPRIO_TOPK}""",
+    doc=f"TPC-H Q3 shipping priority (adapted: o_orderpriority for the "
+        f"missing o_shippriority): top-{SHIPPRIO_TOPK} undelivered "
+        f"'{SHIPPRIO_SEGMENT}' orders by revenue — the join + aggregate + "
+        "top-k shape, tie-broken on the EXACT decimal revenue then orderkey",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dimension side first: the segment-filtered customer list
+    broadcasts into orders, that (already date-pruned) order list broadcasts
+    into the lineitem scan, and only surviving lines shuffle — once, on
+    orderkey — for the revenue rollup. Ordering for the top-k happens on the
+    EXACT decimal sum (ties at double precision would be engine-dependent),
+    with orderkey as the total-order tie-break; TakeOrderedAndProject fuses
+    the sort+limit."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit(SHIPPRIO_DATE).cast("timestamp")
+    rev = _vdec_col(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    joined = (
+        li.filter(F.col("l_shipdate") > cut)
+          .join(F.broadcast(o.filter(F.col("o_orderdate") < cut)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(F.broadcast(
+                    c.filter(F.col("c_mktsegment") == SHIPPRIO_SEGMENT)
+                     .select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                 .agg(F.sum(rev).alias("_rev_exact")))
+    return (agg.orderBy(F.col("_rev_exact").desc(), F.col("l_orderkey"))
+               .limit(SHIPPRIO_TOPK)
+               .select("l_orderkey", _out4_col(F.col("_rev_exact")).alias("revenue"),
+                       "o_orderdate", "o_orderpriority"))

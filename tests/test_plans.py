@@ -575,3 +575,36 @@ def test_class_weights_two_bounded_exchanges(spark, sf_dir):
     p = plan(all_queries()["q_class_weights"].fn(spark, sf_dir))
     assert _n_exchanges(p) == 2, p
     assert "HashAggregate" in p, p
+
+
+# --- TPC-H classics ------------------------------------------------------------------
+
+def test_pricing_summary_one_exchange_pushed_date(spark, sf_dir):
+    """Q1: one combine-enabled shuffle; the shipdate cutoff reaches the
+    parquet scan."""
+    p = plan(all_queries()["q_pricing_summary"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "l_shipdate" in pushed.group(1), p
+
+
+def test_revenue_forecast_all_filters_pushed_no_shuffle(spark, sf_dir):
+    """Q6: the predicate trio pushes down; the only exchange is the 1-row
+    partial→final hop of the global aggregate (map-side combine did the
+    work)."""
+    p = plan(all_queries()["q_revenue_forecast"].fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed, p
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed.group(1), (c, pushed.group(1))
+    assert _n_exchanges(p) <= 1, p
+    assert "partial_sum" in p, p  # combine-enabled: partials before the hop
+
+
+def test_shipping_priority_broadcasts_dims_and_fuses_topk(spark, sf_dir):
+    """Q3: both dimension sides broadcast (lineitem never shuffles for the
+    joins) and the sort+limit fuses into TakeOrderedAndProject."""
+    p = plan(all_queries()["q_shipping_priority"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert _n_exchanges(p) <= 1, p
