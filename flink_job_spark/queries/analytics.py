@@ -1222,3 +1222,110 @@ def q_linreg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = m.select(F.lit(name).alias("term"), col.alias("value"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- q_decay_score: recency-weighted engagement with exact halving weights -----------
+
+DECAY_NOW = "2024-02-01"   # frozen scoring instant (events span 2024-01)
+
+@register(
+    "q_decay_score",
+    f"""WITH w AS (
+      SELECT user_id,
+             CAST(CAST(CAST(
+               value / CAST(CAST(1 AS BIGINT)
+                            << date_diff('day', CAST(ts AS TIMESTAMP),
+                                         TIMESTAMP '{DECAY_NOW}') AS DOUBLE)
+               AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10)) AS dw
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(ROUND(SUM(dw), 4) AS DECIMAL(38,4)) AS DOUBLE)
+             AS decay_score
+    FROM w GROUP BY user_id""",
+    doc="recency-weighted engagement score: each event's value halves per "
+        "day of age at a frozen scoring instant — weights are exact powers "
+        "of two built by integer shift (never libm pow), so the decayed "
+        "contributions are bit-identical across engines",
+    tags=("analytics", "agg", "ml"),
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time decay without a transcendental: age-in-days indexes
+    an integer left-shift, so 2^age is exact and value/2^age costs ONE IEEE
+    divide (identical both engines). The decayed terms ride the VARCHAR-
+    hopped decimal detour into a combine-enabled per-user sum, rounded to
+    scale 4 before the double cast (the wide-decimal ulp trap). Events span
+    30 days against a frozen 'now', so shifts stay < 63 by construction;
+    map-only until the single user-keyed shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    # F.shiftleft only takes a literal shift count; the SQL form accepts a
+    # column, which is what a per-row age needs
+    shift = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"datediff(cast('{DECAY_NOW}' as date), cast(ts as date)))")
+    w = F.col("value") / shift.cast("double")
+    dw = w.cast("double").cast("decimal(38,10)")
+    return (e.select("user_id", dw.alias("dw"))
+             .groupBy("user_id")
+             .agg(F.round(F.sum("dw"), 4).cast("decimal(38,4)")
+                   .cast("double").alias("decay_score")))
+
+
+# --- q_funnel_strict3: ordered three-step funnel -------------------------------------
+
+@register(
+    "q_funnel_strict3",
+    """WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+            LEFT JOIN p ON s.user_id = p.user_id""",
+    doc="strict-order three-step funnel (signup -> first click after it -> "
+        "first purchase after that): per-user deepest stage reached with "
+        "the timestamps that got them there — the n-step generalization of "
+        "q_funnel",
+    tags=("analytics", "funnel", "join", "agg"),
+)
+def q_funnel_strict3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage pre-aggregates to one row per user BEFORE joining (MIN is
+    order-free, no tie-breaks needed), and every stage keys on user_id, so
+    one hash-partition layout flows through all three aggregates and both
+    left joins — Spark reuses the exchange instead of re-shuffling. Stage n
+    only scans events of its own type: the per-stage filters push to the
+    scan."""
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+          .join(s, "user_id")
+          .filter(F.col("ts") >= F.col("signup_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+          .join(c, "user_id")
+          .filter(F.col("ts") >= F.col("click_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    return (
+        s.join(c, "user_id", "left").join(p, "user_id", "left")
+         .select(
+             "user_id", "signup_ts", "click_ts", "purchase_ts",
+             F.when(F.col("purchase_ts").isNotNull(), F.lit(3))
+              .when(F.col("click_ts").isNotNull(), F.lit(2))
+              .otherwise(F.lit(1)).cast("int").alias("stage_reached"))
+    )

@@ -305,3 +305,33 @@ def test_linreg_moments_solve_matches_direct_lstsq(spark, sf_dir):
     w_direct = np.linalg.lstsq(X, raw[:, 2], rcond=None)[0]
     assert np.allclose(w, w_direct, rtol=1e-5), (w, w_direct)
     assert n == len(raw)
+
+
+def test_decay_score_bounded_by_undecayed_sum(spark, sf_dir):
+    """Halving weights are in (0,1]: each user's decayed score magnitude
+    can never exceed the plain sum of |value|."""
+    bounds = {r["user_id"]: r["b"]
+              for r in load_table(spark, sf_dir, "events")
+                       .groupBy("user_id")
+                       .agg(F.sum(F.abs("value")).alias("b")).collect()}
+    rows = all_queries()["q_decay_score"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(bounds)
+    for r in rows:
+        assert abs(r["decay_score"]) <= bounds[r["user_id"]] + 1e-6
+
+
+def test_funnel_strict3_stage_timestamps_are_ordered(spark, sf_dir):
+    rows = all_queries()["q_funnel_strict3"].fn(spark, sf_dir).collect()
+    assert rows
+    stages = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        stages[r["stage_reached"]] += 1
+        if r["stage_reached"] >= 2:
+            assert r["click_ts"] >= r["signup_ts"]
+        else:
+            assert r["click_ts"] is None
+        if r["stage_reached"] == 3:
+            assert r["purchase_ts"] >= r["click_ts"]
+        else:
+            assert r["purchase_ts"] is None
+    assert stages[3] > 0  # the synthetic events do convert
