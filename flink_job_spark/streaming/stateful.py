@@ -163,3 +163,60 @@ def stream_sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- streaming EMA: sequential recurrence carried across micro-batches ---------------
+
+EMA_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ema", T.DoubleType()),
+])
+# (last ema) — one double per active user
+EMA_STATE_SCHEMA = T.StructType([
+    T.StructField("ema", T.DoubleType()),
+])
+
+
+def _ema_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Continue the alpha=1/2 halving recurrence from state: the batch twin
+    (queries/analytics.py::q_ema_pandas) computes the identical sequence in
+    one group scan; here the accumulator survives micro-batch boundaries,
+    so streaming over time-ordered arrivals reproduces the batch answer
+    bit-for-bit (same IEEE adds, same exact halvings)."""
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        return
+    pdf = pd.concat(rows).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    acc = state.get[0] if state.exists else None
+    out = []
+    for x in pdf["value"]:
+        acc = float(x) if acc is None else (float(x) + acc) / 2
+        out.append(acc)
+    pdf["ema"] = out
+    state.update((acc,))
+    yield pdf[["user_id", "event_id", "ts", "value", "ema"]]
+
+
+def stream_ema(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user EMA as a custom stateful streaming operator: one double of
+    state per active user, every event emitted exactly once with its
+    smoothed value. The sequential recurrence is the op Structured
+    Streaming's built-in windows cannot express — exactly why
+    applyInPandasWithState exists. Correct only for per-user time-ordered
+    arrival (the smoother is order-sensitive by definition); late events
+    would need the asof-style union-merge replay instead."""
+    with_time = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_time.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_update,
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            stateStructType=EMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

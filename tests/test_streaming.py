@@ -428,3 +428,38 @@ def test_stream_incremental_dedup_admits_exactly_one_per_key(spark, sf_dir, tmp_
     new_rows = v2.count() - n_docs
     assert new_rows == d.filter(F.col("doc_id") < 100).count()
     assert (v2.filter(F.col("verdict") == "unique").count() == n_keys)
+
+
+def test_stream_ema_matches_batch_recurrence(spark, sf_dir, tmp_path):
+    """Stream events in three time-ordered chunks: the stateful EMA must
+    reproduce the batch q_ema_pandas sequence exactly (the accumulator
+    crosses micro-batch boundaries losslessly)."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.streaming.stateful import stream_ema
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # three files split on event TIME so per-user arrival stays ordered
+    cuts = ["2024-01-11", "2024-01-21"]
+    (e.filter(F.col("ts") < cuts[0]).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter(F.col("ts") >= cuts[1]).coalesce(1)
+      .write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(
+                  spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "out")
+    q = (stream_ema(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["user_id"], r["event_id"]): r["ema"]
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["user_id"], r["event_id"]): r["ema"]
+            for r in all_queries()["q_ema_pandas"].fn(spark, sf_dir).collect()}
+    assert got == want  # float EQUALITY: same IEEE sequence, batch == stream
