@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_job_spark.functions.text import (
+    norm_text,
+    norm_text_duck,
     word_shingles,
     word_shingles_duck,
     words,
@@ -772,3 +774,43 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.sum("n_occ").cast("double"), 6).alias("coverage"),
          )
     )
+
+
+# --- q_cross_val_folds: deterministic k-fold assignment with leakage guard -----------
+
+CV_FOLDS = 5
+
+@register(
+    "q_cross_val_folds",
+    f"""WITH k AS (
+      SELECT doc_id, md5({norm_text_duck('text')}) AS content_key FROM documents
+    ),
+    f AS (
+      SELECT doc_id, content_key,
+             CAST(CAST('0x' || substring(md5(content_key), 1, 8) AS BIGINT)
+                  % {CV_FOLDS} AS INT) AS fold
+      FROM k
+    )
+    SELECT fold, CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_keys
+    FROM f GROUP BY fold""",
+    doc=f"deterministic {CV_FOLDS}-fold cross-validation split keyed on the "
+        "CONTENT hash, not the row id — duplicate documents always land in "
+        "the same fold, so no near-identical text leaks across the "
+        "train/eval boundary; per-fold doc and distinct-content counts",
+    tags=("prep", "ml"),
+)
+def q_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold = md5 bucket of the CONTENT key: duplicates share a fold by
+    construction (the leakage failure mode of row-id splits), assignment is
+    reproducible across engines and retries, and rebalancing is impossible
+    to get wrong because nothing is sampled. Map-only until one
+    fold-cardinality aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(norm_text("text"))
+    fold = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("bigint") % CV_FOLDS).cast("int")
+    return (d.select(fold.alias("fold"), key.alias("content_key"))
+             .groupBy("fold")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.countDistinct("content_key").cast("bigint").alias("n_keys")))

@@ -335,3 +335,22 @@ def test_funnel_strict3_stage_timestamps_are_ordered(spark, sf_dir):
         else:
             assert r["purchase_ts"] is None
     assert stages[3] > 0  # the synthetic events do convert
+
+
+def test_cross_val_folds_cover_corpus_without_leakage(spark, sf_dir):
+    """Folds partition the corpus; duplicate contents never straddle a fold
+    boundary (checked directly on the underlying assignment)."""
+    from flink_job_spark.queries.prep import CV_FOLDS
+    from flink_job_spark.functions.text import norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = all_queries()["q_cross_val_folds"].fn(spark, sf_dir).collect()
+    assert {r["fold"] for r in rows} <= set(range(CV_FOLDS))
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    # leakage check: every content key maps to exactly one fold
+    key = F.md5(norm_text("text"))
+    fold = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("bigint") % CV_FOLDS).cast("int")
+    straddlers = (d.select(key.alias("k"), fold.alias("f")).distinct()
+                   .groupBy("k").count().filter(F.col("count") > 1).count())
+    assert straddlers == 0
