@@ -108,3 +108,57 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming quality gate: per-batch declarative expectations ----------------------
+
+def stream_quality_gate(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    rules: list[tuple[str, "F.Column"]],
+    ledger_dir: str,
+    checkpoint_dir: str,
+    fail_on_violation: bool = True,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Run declarative expectation rules (name, violation-condition Column)
+    against every micro-batch BEFORE its offsets commit — the streaming twin
+    of q_quality_gate, with the audited-ingest failure semantics: a
+    violating batch raises ConsistencyError inside foreachBatch, the query
+    dies, and on restart the same batch is re-evaluated; bad data never
+    advances the stream. All rules ride ONE conditional-aggregate pass over
+    the batch (adding a rule never adds a scan), and every batch appends its
+    full rule report to a parquet ledger for the audit trail."""
+    from flink_job_spark.pipeline import ConsistencyError
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for name, cond in rules:
+            aggs.append(F.coalesce(F.sum(cond.cast("int")), F.lit(0))
+                        .alias(name))
+        row = batch_df.agg(*aggs).collect()[0]
+        report = [(batch_id, name, int(row["__n"]), int(row[name]),
+                   int(row[name]) == 0) for name, _ in rules]
+        (spark.createDataFrame(
+            report,
+            "batch_id long, rule string, n_checked long, "
+            "n_violations long, passed boolean")
+         .write.mode("append").parquet(ledger_dir))
+        bad = [r for r in report if not r[4]]
+        if bad and fail_on_violation:
+            raise ConsistencyError(
+                f"batch {batch_id} failed rules: "
+                + ", ".join(f"{r[1]} ({r[3]}/{r[2]})" for r in bad))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        .parquet(src_dir)
+        .writeStream
+        .foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -463,3 +463,41 @@ def test_stream_ema_matches_batch_recurrence(spark, sf_dir, tmp_path):
     want = {(r["user_id"], r["event_id"]): r["ema"]
             for r in all_queries()["q_ema_pandas"].fn(spark, sf_dir).collect()}
     assert got == want  # float EQUALITY: same IEEE sequence, batch == stream
+
+
+def test_stream_quality_gate_blocks_corrupt_batch(spark, sf_dir, tmp_path):
+    """Batch 0 (clean) passes and its report lands in the ledger; batch 1
+    (injected negative price) raises before its offsets commit, so a rerun
+    re-evaluates the SAME corrupt batch (offsets never advanced)."""
+    import pytest
+
+    from flink_job_spark.pipeline import ConsistencyError
+    from flink_job_spark.streaming.dedup import stream_quality_gate
+
+    o = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    clean = o.limit(300)
+    corrupt = o.limit(50).select(
+        *[(-F.col(c)).alias(c) if c == "o_totalprice" else F.col(c)
+          for c in o.columns])
+    clean.coalesce(1).write.mode("append").parquet(src)
+
+    rules = [("totalprice_positive", F.col("o_totalprice") <= 0),
+             ("custkey_not_null", F.col("o_custkey").isNull())]
+    stream_quality_gate(spark, src, o.schema, rules, ledger, ckpt)
+    led = spark.read.parquet(ledger)
+    assert led.filter(~F.col("passed")).count() == 0
+
+    corrupt.coalesce(1).write.mode("append").parquet(src)
+    # the ConsistencyError surfaces wrapped in StreamingQueryException
+    with pytest.raises(Exception):
+        stream_quality_gate(spark, src, o.schema, rules, ledger, ckpt)
+    # rerun still fails: the corrupt batch's offsets were never committed
+    with pytest.raises(Exception):
+        stream_quality_gate(spark, src, o.schema, rules, ledger, ckpt)
+    led = spark.read.parquet(ledger)
+    failed = led.filter(~F.col("passed"))
+    assert failed.filter(F.col("rule") == "totalprice_positive").count() >= 1
+    assert failed.agg(F.max("n_violations")).collect()[0][0] == 50
