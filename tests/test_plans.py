@@ -608,3 +608,32 @@ def test_shipping_priority_broadcasts_dims_and_fuses_topk(spark, sf_dir):
     assert p.count("BroadcastExchange") >= 2, p
     assert "TakeOrderedAndProject" in p, p
     assert _n_exchanges(p) <= 1, p
+
+
+def test_feature_hash_single_shuffle_map_side_bucket(spark, sf_dir):
+    """Hashing-trick featurization: bucket assignment is map-side; the only
+    exchange is the (doc, bucket) reduction."""
+    p = plan(all_queries()["q_feature_hash"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"doc_id", "text"}, read_schema_columns(p)
+
+
+def test_media_ahash_no_shuffle(spark, sf_dir):
+    """The whole encode→decode→hash path is one Arrow-batched map pass."""
+    p = plan(all_queries()["q_media_ahash"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"ahash plan shuffles:\n{p}"
+    assert "ArrowEvalPython" in p or "MapInPandas" in p, p
+
+
+def test_decay_score_single_shuffle(spark, sf_dir):
+    """Decay weights are map-side integer shifts; one user-keyed exchange."""
+    p = plan(all_queries()["q_decay_score"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+
+
+def test_dedup_incremental_broadcasts_batch_keys(spark, sf_dir):
+    """The historical corpus must never shuffle on content_key — both the
+    semi-join probe and the verdict join broadcast batch-bounded sides."""
+    p = plan(all_queries()["q_dedup_incremental"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "SortMergeJoin" not in p, f"corpus shuffled for the join:\n{p}"
