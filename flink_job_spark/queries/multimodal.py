@@ -21,7 +21,7 @@ from flink_job_spark.operators.multimodal import (
     frame_sample_plan,
     resize_plan,
 )
-from flink_job_spark.queries import register
+from flink_job_spark.queries import REGISTRY, register
 from flink_job_spark.sources.tables import load_table
 
 RESIZE_MAX_SIDE = 32   # below the fake dims so the scale math is exercised
@@ -250,3 +250,101 @@ def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(
         ahash, schema="media_id bigint, ahash_bits string")
+
+
+# --- q_media_ahash_pairs: banded image near-dup mining over the perceptual hash ------
+
+AHASH_BANDS = 4          # 4 bands x 16 bits over the 64-bit hash
+AHASH_HAMMING_MAX = 6
+
+@register(
+    "q_media_ahash_pairs",
+    f"""WITH d AS (
+      SELECT doc_id, 8 + doc_id % {PNG_W_MOD} AS w, 8 + doc_id % {PNG_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, p,
+             (doc_id * 31 + (p * 3 + 0) * 7) % 256
+             + (doc_id * 31 + (p * 3 + 1) * 7) % 256
+             + (doc_id * 31 + (p * 3 + 2) * 7) % 256 AS lum3
+      FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)
+    ),
+    cells AS (
+      SELECT doc_id,
+             ((p // w) * {AHASH_GRID}) // h AS cy,
+             ((p % w) * {AHASH_GRID}) // w AS cx,
+             SUM(lum3) AS s, COUNT(1) AS n
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM cells GROUP BY doc_id),
+    bandvals AS (
+      SELECT c.doc_id,
+             (c.cy * {AHASH_GRID} + c.cx) // 16 AS band,
+             SUM(CASE WHEN c.s * t.nt > t.st * c.n THEN 1 ELSE 0 END
+                 << (15 - (c.cy * {AHASH_GRID} + c.cx) % 16)) AS bv
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS m1, b.doc_id AS m2
+      FROM bandvals a JOIN bandvals b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN band = 3 THEN bv END) AS b3
+      FROM bandvals GROUP BY doc_id
+    )
+    SELECT c.m1, c.m2,
+           CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              AS BIGINT) AS hamming
+    FROM cand c JOIN wide wa ON wa.doc_id = c.m1 JOIN wide wb ON wb.doc_id = c.m2
+    WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+        <= {AHASH_HAMMING_MAX}""",
+    doc=f"image near-dup pairs: {AHASH_BANDS}x16-bit band blocking over the "
+        f"64-bit average-hash, exact Hamming verify ≤ {AHASH_HAMMING_MAX} — "
+        "the visual-dedup miner, same LSH-band recall contract as "
+        "q_simhash_pairs (pairs sharing no exact band are not recalled)",
+    tags=("multimodal", "dedup", "lsh"),
+)
+def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashes come from the REAL decode path (q_media_ahash), persisted so
+    the codec pass runs once; candidates are a banded equi-join (never all
+    pairs), and the verify parses each 16-bit band to an int once per image
+    then spends four bit_count(xor) codegen ops per candidate. At 100 TB the
+    hash table is 8 bytes an image and band buckets hash-distribute —
+    identical economics to the text simhash miner."""
+    hashes = REGISTRY["q_media_ahash"].fn(spark, sf_dir).persist()
+    band = lambda i: (F.conv(F.substring("ahash_bits", 1 + 16 * i, 16), 2, 10)  # noqa: E731
+                      .cast("long"))
+    wide = hashes.select(
+        F.col("media_id").alias("doc_id"),
+        *[band(i).alias(f"b{i}") for i in range(AHASH_BANDS)]).persist()
+    stack = ", ".join(f"{i}, b{i}" for i in range(AHASH_BANDS))
+    bands = wide.select(
+        "doc_id", F.expr(f"stack({AHASH_BANDS}, {stack}) AS (band, bv)"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bv") == F.col("b.bv"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("m1"), F.col("b.doc_id").alias("m2"))
+        .distinct()
+    )
+    wa = wide.select(F.col("doc_id").alias("m1"),
+                     *[F.col(f"b{i}").alias(f"xa{i}") for i in range(AHASH_BANDS)])
+    wb = wide.select(F.col("doc_id").alias("m2"),
+                     *[F.col(f"b{i}").alias(f"xb{i}") for i in range(AHASH_BANDS)])
+    hamming = sum(
+        F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}")))
+        for i in range(AHASH_BANDS)).cast("long")
+    return (cand.join(wa, "m1").join(wb, "m2")
+                .select("m1", "m2", hamming.alias("hamming"))
+                .filter(F.col("hamming") <= AHASH_HAMMING_MAX))

@@ -354,3 +354,35 @@ def test_cross_val_folds_cover_corpus_without_leakage(spark, sf_dir):
     straddlers = (d.select(key.alias("k"), fold.alias("f")).distinct()
                    .groupBy("k").count().filter(F.col("count") > 1).count())
     assert straddlers == 0
+
+
+def test_media_ahash_pairs_verify_against_hashes(spark, sf_dir):
+    """Every mined pair must actually be within the Hamming budget of the
+    per-image hashes, and every within-budget pair SHARING A BAND must be
+    found (the documented LSH recall contract)."""
+    from flink_job_spark.queries.multimodal import (
+        AHASH_BANDS, AHASH_HAMMING_MAX)
+
+    hashes = {r["media_id"]: r["ahash_bits"]
+              for r in all_queries()["q_media_ahash"].fn(spark, sf_dir).collect()}
+    got = {(r["m1"], r["m2"]): r["hamming"]
+           for r in all_queries()["q_media_ahash_pairs"].fn(spark, sf_dir).collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    def shares_band(a, b):
+        return any(a[16 * i:16 * (i + 1)] == b[16 * i:16 * (i + 1)]
+                   for i in range(AHASH_BANDS))
+
+    for (m1, m2), h in got.items():
+        assert h == ham(hashes[m1], hashes[m2])
+        assert h <= AHASH_HAMMING_MAX
+    import itertools
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= AHASH_HAMMING_MAX
+        and shares_band(hashes[a], hashes[b])
+    }
+    assert set(got) == expected
