@@ -522,7 +522,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE -CAST(floor(-x * (127.0 / amax) + 0.5) AS INT) END) AS qv
     FROM scaled
   )
-  SELECT vec_id, round(scale, 6) AS scale, qv,
+  SELECT vec_id, round(scale, 6) AS scale,
+         array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+           AS qv,
          round(list_max(list_transform(
            list_zip(v, qv),
            p -> abs(p[1] - CASE WHEN scale = 0 THEN 0.0
@@ -568,7 +570,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "vec_id",
         F.round(sc, 6).alias("scale"),
-        qv.alias("qv"),
+        # serialized, not array-typed: engines render arrays differently in
+        # pandas (list vs ndarray), so the comparable form is one string
+        F.array_join(F.transform(qv, lambda x: x.cast("string")), ",")
+         .alias("qv"),
         F.round(deq_err, 6).alias("max_abs_err"),
     )
 

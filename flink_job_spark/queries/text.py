@@ -414,7 +414,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
     )
     SELECT word, CAST(COUNT(1) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+             AS postings
     FROM p GROUP BY word""",
     doc="inverted index: per term, its document frequency and the sorted "
         "posting list of doc_ids — the search-engine primitive every "
@@ -431,9 +432,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     p = (d.select("doc_id", F.explode(words("text")).alias("word"))
           .distinct())
+    postings = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string")), ",")
     return (p.groupBy("word")
              .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
-                  F.sort_array(F.collect_list("doc_id")).alias("postings")))
+                  postings.alias("postings")))
 
 
 # --- q_bm25_search: BM25 ranking for a fixed keyword query ---------------------------

@@ -89,8 +89,9 @@ def test_pagerank_conserves_mass(spark, sf_dir):
 def test_inverted_index_postings_match_df(spark, sf_dir):
     rows = all_queries()["q_inverted_index"].fn(spark, sf_dir).collect()
     for r in rows:
-        assert len(r["postings"]) == r["df"]
-        assert r["postings"] == sorted(set(r["postings"]))
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert len(ids) == r["df"]
+        assert ids == sorted(set(ids))
 
 
 def test_bm25_scores_positive_and_only_matching_docs(spark, sf_dir):

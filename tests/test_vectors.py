@@ -67,7 +67,8 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         # max_abs_err is round()ed to 6 decimals — allow half that granularity
         assert r["max_abs_err"] <= amax / 254 + 5e-7
         if r["scale"] > 0:
-            deq = np.array(r["qv"], dtype=np.float64) / (127.0 / amax)
+            deq = np.array([int(x) for x in r["qv"].split(",")],
+                           dtype=np.float64) / (127.0 / amax)
             exact = v
             cos = float(deq @ exact / (np.linalg.norm(deq) * np.linalg.norm(exact)))
             assert cos > 0.99, f"vec {r['vec_id']}: dequantized cosine {cos}"
