@@ -1329,3 +1329,35 @@ def q_funnel_strict3(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("click_ts").isNotNull(), F.lit(2))
               .otherwise(F.lit(1)).cast("int").alias("stage_reached"))
     )
+
+
+# --- q_variant_props: semi-structured props through the VARIANT type -----------------
+
+@register(
+    "q_variant_props",
+    """SELECT event_type,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS k_sum,
+              CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS k_present
+       FROM events GROUP BY event_type""",
+    doc="semi-structured props aggregated through Spark 4's VARIANT type "
+        "(parse_json once, typed variant_get at use sites) — the modern "
+        "binary-encoded JSON path that replaces per-access string reparsing; "
+        "DuckDB oracle reads the same fields via json_extract",
+    tags=("analytics", "json", "agg"),
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json builds the binary VARIANT encoding once per row at scan
+    time; every downstream field access is a typed O(1) variant_get, not a
+    JSON string re-parse (the difference between one decode and N decodes
+    per row when many fields are read). try_variant_get returns NULL on
+    missing/mistyped fields in exactly DuckDB's json_extract-cast NULL
+    semantics, so the aggregates line up engine-for-engine."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.sum("k").cast("bigint").alias("k_sum"),
+                  F.count("k").cast("bigint").alias("k_present")))
