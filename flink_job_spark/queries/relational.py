@@ -813,3 +813,34 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                .limit(SHIPPRIO_TOPK)
                .select("l_orderkey", _out4_col(F.col("_rev_exact")).alias("revenue"),
                        "o_orderdate", "o_orderpriority"))
+
+
+# --- q_group_concat: deterministic LISTAGG / string_agg ------------------------------
+
+@register(
+    "q_group_concat",
+    """SELECT r.r_name AS region,
+              CAST(COUNT(1) AS BIGINT) AS n_nations,
+              string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+    doc="per-region sorted roster of nation names as one string — the "
+        "LISTAGG / string_agg surface, made deterministic by an explicit "
+        "in-aggregate ORDER BY in both engines",
+    tags=("relational", "agg", "join"),
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list has NO deterministic order in a distributed engine —
+    the trap in every naive group-concat. sort_array after collection pins
+    it (equivalent to the oracle's ORDER BY inside string_agg), and the
+    broadcast dim join keeps the fact side shuffle-free before the tiny
+    region-cardinality aggregate."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+         .groupBy(F.col("r_name").alias("region"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+              F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+               .alias("nations"))
+    )
