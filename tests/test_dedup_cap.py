@@ -130,3 +130,43 @@ def test_star_cc_converges_logarithmically_on_chain(spark):
              .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")))
     labels = connected_components_star(docs, pairs)
     assert labels.filter(F.col("component") != 0).count() == 0
+
+
+def _uf_components(n_nodes, edges):
+    """Union-find ground truth: node -> min reachable node id."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_star_cc_fuzz_vs_union_find(spark):
+    """Random graphs — self-loops, duplicate and reversed edges, isolated
+    nodes, multiple components — star contraction must agree with
+    union-find on every one."""
+    import random
+
+    rng = random.Random(7)
+    from flink_job_spark.queries.dedup import connected_components_star
+
+    for trial in range(4):
+        n = rng.randint(2, 30)
+        m = rng.randint(0, 40)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        docs = spark.range(n).withColumnRenamed("id", "doc_id")
+        if edges:
+            pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        else:
+            pairs = spark.createDataFrame([], "d1 long, d2 long")
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components_star(docs, pairs).collect()}
+        assert got == _uf_components(n, edges), (n, sorted(edges))
