@@ -1361,3 +1361,38 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("event_type")
              .agg(F.sum("k").cast("bigint").alias("k_sum"),
                   F.count("k").cast("bigint").alias("k_present")))
+
+
+# --- q_seasonality: calendar-feature aggregation matrix ------------------------
+
+@register(
+    "q_seasonality",
+    """SELECT CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) % 7
+                   AS BIGINT) AS dow,
+              CAST(month(o_orderdate) AS BIGINT) AS mon,
+              CAST(COUNT(1) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY 1, 2""",
+    doc="seasonality matrix: order count and revenue by day-of-week x month "
+        "— the calendar-feature rollup behind demand forecasting; "
+        "day-of-week is computed from epoch days ((d+3) mod 7, 0=Monday) "
+        "because engine dayofweek() numbering disagrees (Spark 1=Sunday, "
+        "DuckDB 0=Sunday — a classic silent off-by-one)",
+    tags=("agg", "analytics", "calendar"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar features from arithmetic, not engine enums: epoch-day mod 7
+    is unambiguous everywhere (1970-01-01 was a Thursday → +3 makes Monday
+    0). Map-only feature derivation then one combine-enabled aggregate to a
+    7x12-bounded output — scan-dominated at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")) + 3, 7
+    ).cast("bigint")
+    return (
+        o.groupBy(dow.alias("dow"),
+                  F.month("o_orderdate").cast("bigint").alias("mon"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+              F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .cast("double").alias("total_price"))
+    )

@@ -348,3 +348,71 @@ def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(wa, "m1").join(wb, "m2")
                 .select("m1", "m2", hamming.alias("hamming"))
                 .filter(F.col("hamming") <= AHASH_HAMMING_MAX))
+
+
+# --- q_media_wav_rms: REAL audio codec roundtrip, oracle-checked --------------------
+
+# sample rates are 1000·2^k so duration n·1000/sr = n/2^k is binary-EXACT —
+# no rounding ever happens, so the decode-side round(_, 6) is the identity
+# and both engines agree bitwise (see verify-skill round() trap)
+WAV_SR_BASE = 4000
+WAV_AMP_MOD = 20000
+WAV_N_MOD = 256
+
+@register(
+    "q_media_wav_rms",
+    f"""SELECT doc_id AS media_id,
+               CAST({WAV_SR_BASE} * (1 << (doc_id % 4)) AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(400 + doc_id % {WAV_N_MOD} AS INT) AS n_frames,
+               CAST((400 + doc_id % {WAV_N_MOD}) * 1000 AS DOUBLE)
+                 / CAST({WAV_SR_BASE} * (1 << (doc_id % 4)) AS DOUBLE) AS duration_ms,
+               CAST(200 + (doc_id * 37) % {WAV_AMP_MOD} AS DOUBLE) AS rms
+        FROM documents""",
+    doc="REAL audio-codec roundtrip: per-doc WAV/PCM payloads are stdlib-"
+        "encoded and fully decoded (16-bit samples summed for RMS) in "
+        "mapInPandas; a ±amp square wave makes RMS equal the amplitude "
+        "EXACTLY, and power-of-two sample rates make duration binary-exact, "
+        "so plain SQL verifies the whole decode without touching bytes",
+    tags=("multimodal", "audio"),
+)
+def q_media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of q_media_png_stats: encode → decode in one
+    distributed Arrow-batched pass, payload bytes never reach the driver.
+    RMS of an alternating ±amp square wave is amp for ANY frame count (every
+    sample contributes amp² exactly; the integer sums stay < 2^53 so the
+    float accumulation is exact, and sqrt of an exact square is exact).
+    Swapping the synthetic source for an S3 binary column changes only the
+    first select."""
+    import io
+    import wave as wavmod
+
+    import pandas as pd
+
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio_meta
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sr = WAV_SR_BASE * (1 << (i % 4))
+                n = 400 + i % WAV_N_MOD
+                amp = 200 + (i * 37) % WAV_AMP_MOD
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    one = amp.to_bytes(2, "little", signed=True)
+                    neg = (-amp).to_bytes(2, "little", signed=True)
+                    wf.writeframes(b"".join(
+                        one if j % 2 == 0 else neg for j in range(n)))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "audio",
+                                "mime": "audio/wav", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return decode_audio_meta(media).select(
+        "media_id", "sample_rate", "channels", "n_frames", "duration_ms", "rms")

@@ -814,3 +814,43 @@ def q_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("fold")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                   F.countDistinct("content_key").cast("bigint").alias("n_keys")))
+
+
+# --- q_schema_evolution: mergeSchema across parquet generations ----------------
+
+@register(
+    "q_schema_evolution",
+    """SELECT CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END
+                AS c_mktsegment,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       FROM customer GROUP BY 1""",
+    doc="schema evolution: two parquet generations (gen1 lacks the "
+        "c_mktsegment column gen2 added), read as ONE dataset via "
+        "mergeSchema — old files surface NULL for the new column instead of "
+        "failing; the additive-column path every long-lived table hits",
+    tags=("formats", "source", "schema"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution the parquet-native way: the footer schemas
+    of all files union by NAME (mergeSchema=true), missing columns read as
+    NULL — no rewrite of old data, the same contract Iceberg formalizes with
+    schema-id tracking. The oracle recreates the merged view from the
+    original table, proving no rows or values are lost. At 100 TB,
+    mergeSchema's footer union is a driver-side listing cost only; pin the
+    final schema in the table catalog to skip even that."""
+    c = load_table(spark, sf_dir, "customer")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"fjs_schemaevo_{tag}")
+    even = F.col("c_custkey") % 2 == 0
+    c.filter(even).select("c_custkey", "c_name", "c_acctbal") \
+        .write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    c.filter(~even).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment") \
+        .write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2"))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+         .cast("double").alias("sum_acctbal"),
+    )

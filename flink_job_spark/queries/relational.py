@@ -844,3 +844,195 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.array_join(F.sort_array(F.collect_list("n_name")), ",")
                .alias("nations"))
     )
+
+
+# --- q_exists_late: correlated EXISTS (TPC-H Q4 shape) -------------------------
+
+LATE_FROM = "1997-01-01"
+LATE_TO = "1997-07-01"
+
+@register(
+    "q_exists_late",
+    f"""SELECT o_orderpriority, CAST(COUNT(1) AS BIGINT) AS n_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '{LATE_FROM} 00:00:00'
+         AND o.o_orderdate <  TIMESTAMP '{LATE_TO} 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority""",
+    doc="TPC-H Q4 shape: orders (in a 6-month window) having at least one "
+        "lineitem shipped after the order date, counted per priority — the "
+        "correlated-EXISTS pattern decorrelated into a conditioned semi join",
+    tags=("join", "setop", "tpch", "agg"),
+)
+def q_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated EXISTS (mis has none; TPC-H Q4 is the canonical shape)
+    becomes `left_semi` with the cross-table inequality folded into the join
+    condition: Catalyst keeps the equi-part (l_orderkey = o_orderkey) as the
+    shuffle key and evaluates the inequality as a post-join residual, so it
+    stays a hash/sort-merge semi join — never a cross product. The 6-month
+    window pushes into the orders scan; at 100 TB the semi join short-circuits
+    per key, and only (l_orderkey, l_shipdate) is read from lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(LATE_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LATE_TO).cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "left_semi")
+         .groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+# --- q_small_qty_revenue: correlated scalar-average filter (TPC-H Q17 shape) ---
+
+@register(
+    "q_small_qty_revenue",
+    """WITH pa AS (SELECT l_partkey, CAST(COUNT(1) AS BIGINT) AS n_li,
+                          SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qsum
+                   FROM lineitem GROUP BY 1)
+       SELECT p_brand, CAST(COUNT(1) AS BIGINT) AS n_small,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_revenue
+       FROM lineitem l
+       JOIN pa ON pa.l_partkey = l.l_partkey
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE CAST(l.l_quantity AS DECIMAL(18,6))
+             * CAST(2 * pa.n_li AS DECIMAL(18,0)) < pa.qsum
+       GROUP BY 1""",
+    doc="TPC-H Q17 shape: revenue from lineitems with quantity below half "
+        "their part's average, per brand — the correlated scalar-AVG subquery "
+        "decorrelated into a grouped pre-aggregate joined back; the avg "
+        "compare is cross-multiplied (2·qty·n < Σqty) so no division enters "
+        "and decimals keep both engines exact",
+    tags=("join", "agg", "tpch"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG(x) comparisons are a parity trap (division order/rounding); the
+    cross-multiplied form 2·qty·n < Σqty is pure decimal integer arithmetic.
+    Plan: one combine-enabled groupBy(l_partkey) builds the per-part stats,
+    the join back is co-partitioned on the SAME key (one shuffle each side,
+    AQE merges), and the 25-row brand dim broadcasts. Never materializes the
+    quadratic 'lineitem × its part's lineitems' the naive subquery implies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_li"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qsum"))
+    return (
+        li.join(pa, "l_partkey")
+          .filter(F.col("l_quantity").cast("decimal(18,6)")
+                  * (F.col("n_li") * 2).cast("decimal(18,0)") < F.col("qsum"))
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"),
+               F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double").alias("small_revenue"))
+    )
+
+
+# --- q_set_intersect: INTERSECT set semantics ----------------------------------
+
+INTERSECT_SPLIT = "1998-01-01"
+
+@register(
+    "q_set_intersect",
+    f"""SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '{INTERSECT_SPLIT} 00:00:00'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{INTERSECT_SPLIT} 00:00:00'""",
+    doc="INTERSECT set semantics: customers who ordered both before and "
+        "after the split date — completes the set-op coverage next to "
+        "q_set_except (the reference has no set ops, SURVEY §2.6)",
+    tags=("setop",),
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst rewrites INTERSECT to a distinct left-semi join, so both
+    sides reduce to distinct keys BEFORE matching — shuffle volume is
+    |distinct customers|, not |orders|, at any scale. Each side's date
+    predicate pushes into its own scan of the same table."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(INTERSECT_SPLIT).cast("timestamp")
+    before = o.filter(F.col("o_orderdate") < split).select(
+        F.col("o_custkey").alias("custkey"))
+    after = o.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_custkey").alias("custkey"))
+    return before.intersect(after)
+
+
+# --- q_array_ops: array construction / sort / serialize surface ----------------
+
+@register(
+    "q_array_ops",
+    """SELECT user_id,
+              CAST(len(l) AS BIGINT) AS n_types,
+              array_to_string(l, ',') AS types,
+              list_contains(l, 'purchase') AS has_purchase
+       FROM (SELECT user_id, list_sort(list_distinct(list(event_type))) AS l
+             FROM events GROUP BY 1)""",
+    doc="array-type surface: per-user sorted distinct event-type list, its "
+        "size, CSV serialization, and membership — collect_set/sort_array/"
+        "array_join/array_contains exercised end to end (sorted before any "
+        "serialization: collection order is engine- and partition-dependent)",
+    tags=("agg", "arrays"),
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set's order is nondeterministic BY DESIGN in a distributed
+    engine — every downstream use must sort first (the documented
+    array-serialization trap, SURVEY round-2 notes). One combine-enabled
+    shuffle on user_id; arrays stay bounded by the event-type domain, so
+    state per key is O(|types|), not O(events)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+         .agg(F.sort_array(F.collect_set("event_type")).alias("l"))
+         .select(
+             "user_id",
+             F.size("l").cast("bigint").alias("n_types"),
+             F.array_join("l", ",").alias("types"),
+             F.array_contains("l", "purchase").alias("has_purchase"),
+         )
+    )
+
+
+# --- q_unpivot: wide→long melt ------------------------------------------------
+
+@register(
+    "q_unpivot",
+    """SELECT l_returnflag, measure,
+              CAST(COUNT(1) AS BIGINT) AS n,
+              CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+       FROM (
+         SELECT l_returnflag, 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+       ) GROUP BY 1, 2""",
+    doc="UNPIVOT/melt: the three lineitem monetary columns turned into "
+        "(measure, value) rows and re-aggregated — the wide→long reshape "
+        "that feeds generic per-metric pipelines; the inverse of "
+        "q_pivot_events",
+    tags=("unpivot", "agg", "relational"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot is a map-side expand (each row emits k rows in
+    place — no shuffle, unlike the oracle's 3-scan UNION ALL which Spark
+    would also collapse via scan reuse); the only exchange is the bounded
+    (flag, measure) aggregate. Expansion factor k=3 is a constant — at
+    100 TB the scan stays single-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=["l_returnflag"],
+            values=["l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum(F.col("val").cast("decimal(18,6)"))
+              .cast("double").alias("sum_val"))
+    )

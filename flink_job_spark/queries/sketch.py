@@ -64,3 +64,51 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("ap")[1] - F.col("ep")[1])).alias("err_p95"),
         (F.abs(F.col("ap")[2] - F.col("ep")[2])).alias("err_p99"),
     )
+
+
+# --- q_sketch_rollup: mergeable HLL sketch states (Datasketches) --------------------
+
+HLL_LGK = 14
+
+@register(
+    "q_sketch_rollup",
+    None,  # sketch binaries/estimates are engine-specific — rows-only, self-evidencing
+    doc="mergeable-sketch rollup: per-day Datasketches HLL states unioned "
+        "into a weekly distinct-user estimate WITHOUT re-touching the raw "
+        "events — the pre-aggregation pattern that makes 100 TB dashboards "
+        "incremental; exact weekly distinct + relative error ride inline",
+    tags=("sketch", "agg", "incremental"),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property under test is MERGEABILITY: hll_sketch_agg produces a
+    binary state per day, hll_union_agg combines states — the second pass
+    reads |days| rows, not |events|. A materialized-view pipeline stores the
+    day sketches and answers any date-range distinct query by union, which
+    is exactly what this computes for ISO weeks. The exact twin joins from
+    a separate distinct pass; tests bound the relative error (HLL lgK=14
+    → ~1% rsd)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    week = F.weekofyear(day).cast("bigint")
+    daily = (
+        e.select(day.alias("day"), F.col("user_id"))
+         .groupBy("day")
+         .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
+    )
+    weekly = (
+        daily.groupBy(F.weekofyear("day").cast("bigint").alias("week"))
+             .agg(F.hll_sketch_estimate(
+                      F.hll_union_agg("sketch")).cast("bigint")
+                  .alias("approx_users"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_day_sketches"))
+    )
+    exact = (
+        e.select(week.alias("week"), "user_id").distinct()
+         .groupBy("week").agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
+    )
+    return (
+        weekly.join(exact, "week")
+              .select("week", "n_day_sketches", "exact_users", "approx_users",
+                      (F.abs(F.col("approx_users") - F.col("exact_users"))
+                       / F.col("exact_users")).alias("rel_err"))
+    )

@@ -561,3 +561,121 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("doc_id", bucket.alias("bucket"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --- q_naive_bayes: class-conditional language model counts --------------------
+
+NB_TOPK = 5
+
+@register(
+    "q_naive_bayes",
+    f"""WITH tok AS (SELECT lang, unnest({words_duck('text')}) AS word FROM documents),
+       cw AS (SELECT lang, word, CAST(COUNT(1) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+       tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM cw GROUP BY 1),
+       v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM cw)
+       SELECT lang, word, cnt,
+              CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE) AS likelihood,
+              CAST(rank AS BIGINT) AS rank
+       FROM (SELECT cw.lang, cw.word, cw.cnt, tot.tot, v.v,
+                    row_number() OVER (PARTITION BY cw.lang
+                                       ORDER BY cw.cnt DESC, cw.word) AS rank
+             FROM cw JOIN tot ON tot.lang = cw.lang CROSS JOIN v)
+       WHERE rank <= {NB_TOPK}""",
+    doc=f"naive-Bayes class model: top-{NB_TOPK} words per language class with "
+        "Laplace-smoothed likelihood (cnt+1)/(tot+V) — the class-conditional "
+        "unigram model behind weak supervision and fast doc routing; the "
+        "likelihood is ONE integer-over-integer IEEE division, so engines "
+        "agree bitwise without any transcendental",
+    tags=("text", "ml", "agg"),
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model build is two combine-enabled reductions over one word
+    explode: (lang, word) counts, then class totals + vocabulary size off
+    that vocabulary-sized table (persist(): the explode runs once). Class
+    totals and V broadcast — at 100 TB the only big shuffle carries (lang,
+    word) partial counts. Smoothing stays in exact integers until the single
+    final division; ranking ties break lexicographically."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cw = (
+        d.select("lang", F.explode(words("text")).alias("word"))
+         .groupBy("lang", "word")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ).persist()
+    tot = cw.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    v = cw.agg(F.countDistinct("word").cast("bigint").alias("v"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        cw.join(F.broadcast(tot), "lang")
+          .crossJoin(F.broadcast(v))
+          .withColumn("likelihood",
+                      (F.col("cnt") + 1).cast("double")
+                      / (F.col("tot") + F.col("v")).cast("double"))
+          .withColumn("rank", F.row_number().over(w).cast("bigint"))
+          .filter(F.col("rank") <= NB_TOPK)
+          .select("lang", "word", "cnt", "likelihood", "rank")
+    )
+
+
+# --- q_bpe_merges: the first BPE tokenizer-training iteration ------------------
+
+BPE_TOPK = 30
+
+@register(
+    "q_bpe_merges",
+    f"""WITH wf AS (
+         SELECT word, CAST(COUNT(1) AS BIGINT) AS freq
+         FROM (SELECT unnest({words_duck('text')}) AS word FROM documents)
+         GROUP BY 1
+       ),
+       pairs AS (
+         SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+         FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+               FROM wf WHERE length(word) >= 2)
+       )
+       SELECT pair, cnt, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT pair, cnt,
+                row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+         FROM (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM pairs GROUP BY 1)
+       ) WHERE rank <= {BPE_TOPK}""",
+    doc=f"BPE tokenizer training, iteration one: the top-{BPE_TOPK} most "
+        "frequent adjacent-character pairs weighted by word frequency — the "
+        "distributed inner loop of byte-pair-encoding vocabulary learning "
+        "(each merge round is this same count over the re-segmented corpus)",
+    tags=("text", "tokenizer", "agg"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at corpus scale never re-reads raw text per merge: round
+    one reduces the corpus to the (word, freq) vocabulary — shuffle volume
+    drops from tokens to distinct words — then pair counting explodes only
+    the VOCABULARY (bounded) and reduces on pair. The final top-k window is
+    global but runs over ≤|alphabet|² rows, so the single-partition sort is
+    constant-sized. sequence(1, len-1) is guarded by len>=2: Spark's
+    sequence(1, 0) counts DOWN ([1,0]) rather than returning empty — an
+    easy silent corruption."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(words("text")).alias("word"))
+         .groupBy("word")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+          .select(
+              F.explode(F.expr(
+                  "transform(sequence(1, length(word) - 1), "
+                  "i -> substring(word, i, 2))")).alias("pair"),
+              "freq",
+          )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        pairs.groupBy("pair")
+             .agg(F.sum("freq").cast("bigint").alias("cnt"))
+             .withColumn("rank", F.row_number().over(w).cast("bigint"))
+             .filter(F.col("rank") <= BPE_TOPK)
+    )

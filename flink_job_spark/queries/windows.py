@@ -470,3 +470,99 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+# --- q_window_firstlast: first/last/nth_value frame surface --------------------
+
+@register(
+    "q_window_firstlast",
+    """SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+              n_events, first_val, second_val, last_val FROM (
+         SELECT user_id, CAST(ts AS DATE) AS day,
+                row_number() OVER w AS rn,
+                CAST(COUNT(1) OVER w2 AS BIGINT) AS n_events,
+                first_value(value) OVER w2 AS first_val,
+                nth_value(value, 2) OVER w2 AS second_val,
+                last_value(value) OVER w2 AS last_val
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                      ORDER BY ts, event_id),
+                w2 AS (PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+       ) WHERE rn = 1""",
+    doc="first/last/nth_value window surface: per user-day, the first, "
+        "second, and last event value under a (ts, event_id) total order — "
+        "one output row per group via the rn=1 trick; completes the OVER "
+        "coverage (ranking, lag, running sums) with the navigation family",
+    tags=("window", "analytic"),
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value under the DEFAULT frame (… AND CURRENT ROW) is the classic
+    window bug — it returns the current row, not the partition's last. The
+    explicit unbounded-following frame is pinned in both engines. The order
+    key includes event_id so ties on ts can't flip first/last across
+    engines. One shuffle on (user_id) grain; frames evaluate in-memory per
+    partition-day group, O(group) state."""
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "user_id", "day",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w2).cast("bigint").alias("n_events"),
+            F.first("value").over(w2).alias("first_val"),
+            F.nth_value("value", 2).over(w2).alias("second_val"),
+            F.last("value").over(w2).alias("last_val"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # DATE-typed outputs render differently across engine→pandas paths;
+        # the suite's convention is TIMESTAMP (q_rolling_distinct precedent)
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
+    )
+
+
+# --- q_percentile_disc: exact discrete percentiles by rank ---------------------
+
+@register(
+    "q_percentile_disc",
+    """WITH ranked AS (
+         SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn,
+                CAST(COUNT(1) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         FROM events)
+       SELECT event_type, n,
+              MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_disc,
+              MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90_disc
+       FROM ranked GROUP BY 1, 2""",
+    doc="exact DISCRETE percentiles (p50/p90) per event_type: the value AT "
+        "rank ceil(p·n) under a total order — an actual observed value, "
+        "unlike the interpolated q_group_median; rank targets are integer "
+        "formulas ((n+1) div 2, (9n+9) div 10) so no float ever rounds",
+    tags=("quantile", "window", "agg"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc as rank selection: one per-key sort (the unavoidable
+    cost of EXACT order statistics — the constant-memory alternative is the
+    q_approx_quantiles sketch), then a conditional MAX collapses each group.
+    The count window reuses the same partition hash, so it's one shuffle
+    total. Ties are placed by the (value, event_id) total order, making the
+    selected row engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("value"))).alias("p50_disc"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                     F.col("value"))).alias("p90_disc"),
+    )

@@ -637,3 +637,114 @@ def test_dedup_incremental_broadcasts_batch_keys(spark, sf_dir):
     p = plan(all_queries()["q_dedup_incremental"].fn(spark, sf_dir))
     assert p.count("BroadcastExchange") >= 2, p
     assert "SortMergeJoin" not in p, f"corpus shuffled for the join:\n{p}"
+
+
+def test_exists_late_semi_join_with_pushed_window(spark, sf_dir):
+    """Q4 shape: the correlated EXISTS must execute as a SEMI join (never a
+    row-multiplying inner join), the date window must reach the orders scan,
+    and lineitem must be pruned to the two columns the condition touches."""
+    p = plan(all_queries()["q_exists_late"].fn(spark, sf_dir))
+    assert "LeftSemi" in p or "Semi" in p, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("o_orderdate" in s for s in pushed), pushed
+    assert {"l_orderkey", "l_shipdate"} <= read_schema_columns(p), (
+        read_schema_columns(p))
+
+
+def test_small_qty_revenue_copartitioned_join_broadcast_dim(spark, sf_dir):
+    """Q17 shape: the per-part pre-aggregate joins back on the SAME key the
+    groupBy shuffled on, and the part dim broadcasts — lineitem shuffles on
+    l_partkey only (never once per join)."""
+    p = plan(all_queries()["q_small_qty_revenue"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    # lineitem appears twice (probe + aggregate build): both shuffle on
+    # l_partkey, plus the final brand aggregate — bounded, never a cartesian
+    assert "CartesianProduct" not in p, p
+    assert "l_partkey" in p, p
+
+
+def test_set_intersect_reduces_to_distinct_before_match(spark, sf_dir):
+    """INTERSECT must rewrite to aggregate/semi-join on DISTINCT keys — both
+    date predicates push into their scans of the shared table."""
+    p = plan(all_queries()["q_set_intersect"].fn(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("o_orderdate" in s for s in pushed), pushed
+    assert "HashAggregate" in p, p
+    assert read_schema_columns(p) == {"o_custkey", "o_orderdate"}, (
+        read_schema_columns(p))
+
+
+def test_array_ops_single_shuffle(spark, sf_dir):
+    """collect_set aggregation: one combine-enabled user_id exchange; the
+    array post-processing (sort/join/contains) is map-side on the aggregate."""
+    p = plan(all_queries()["q_array_ops"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"user_id", "event_type"}, (
+        read_schema_columns(p))
+
+
+def test_window_firstlast_single_shuffle(spark, sf_dir):
+    """All four window expressions share one (user_id, day) partitioning —
+    a second Exchange would mean the frames didn't fuse."""
+    p = plan(all_queries()["q_window_firstlast"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+
+
+def test_percentile_disc_single_sort_shared_partitioning(spark, sf_dir):
+    """Rank + per-type count ride the same event_type partitioning: one
+    exchange for the windows + the tiny final aggregate."""
+    p = plan(all_queries()["q_percentile_disc"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, p
+    assert read_schema_columns(p) == {"event_type", "value", "event_id"}, (
+        read_schema_columns(p))
+
+
+def test_seasonality_map_only_derivation(spark, sf_dir):
+    """Calendar features are pure projection; the only exchange is the
+    84-cell-bounded aggregate hop."""
+    p = plan(all_queries()["q_seasonality"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"o_orderdate", "o_totalprice"}, (
+        read_schema_columns(p))
+
+
+def test_naive_bayes_broadcasts_model_stats(spark, sf_dir):
+    """Class totals and vocabulary size broadcast onto the (lang, word)
+    table; the big text explode is shuffled once on (lang, word)."""
+    p = plan(all_queries()["q_naive_bayes"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_schema_evolution_merged_scan_groups_once(spark, sf_dir):
+    """The merged read is a single parquet scan over both generations; one
+    combine-enabled aggregate exchange follows."""
+    p = plan(all_queries()["q_schema_evolution"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+
+
+def test_unpivot_expands_map_side(spark, sf_dir):
+    """The melt is an in-place Expand (k=3 rows per input row) — never a
+    shuffle; the only exchange is the bounded (flag, measure) aggregate."""
+    p = plan(all_queries()["q_unpivot"].fn(spark, sf_dir))
+    assert "Expand" in p, p
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax"}, (
+        read_schema_columns(p))
+
+
+def test_bpe_merges_reduces_to_vocabulary_first(spark, sf_dir):
+    """Pair counting must explode the vocabulary aggregate, not the raw
+    corpus: plan order is word-agg exchange → pair-agg exchange → one
+    constant-sized global top-k hop; only text is read."""
+    p = plan(all_queries()["q_bpe_merges"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 3, p
+    assert read_schema_columns(p) == {"text"}, read_schema_columns(p)
+
+
+def test_media_wav_rms_no_shuffle(spark, sf_dir):
+    """Encode→decode is one Arrow-batched map pass; bytes never shuffle."""
+    p = plan(all_queries()["q_media_wav_rms"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"wav plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p

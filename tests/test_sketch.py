@@ -19,3 +19,15 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
     spread = r["exact_p99"] - r["exact_p50"]
     for p in ("p50", "p95", "p99"):
         assert r[f"err_{p}"] <= max(0.05 * spread, 1e-9), r
+
+
+def test_sketch_rollup_union_error_bound(spark, sf_dir):
+    """Weekly estimates from unioned day sketches stay within 5% of exact
+    (lgK=14 → ~1% rsd; 5% is a generous determinism-safe bound)."""
+    from flink_job_spark.queries import all_queries
+
+    rows = all_queries()["q_sketch_rollup"].fn(spark, sf_dir).collect()
+    assert rows, "no weeks produced"
+    for r in rows:
+        assert r["n_day_sketches"] >= 1
+        assert r["rel_err"] < 0.05, (r["week"], r["rel_err"])
