@@ -1036,3 +1036,36 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("val").cast("decimal(18,6)"))
               .cast("double").alias("sum_val"))
     )
+
+
+# --- q_regex_extract: typed extraction from semi-structured strings ------------
+
+BRAND_RE = "Brand#([0-9]+)"
+
+@register(
+    "q_regex_extract",
+    f"""SELECT CAST(regexp_extract(p_brand, '{BRAND_RE}', 1) AS BIGINT) AS brand_num,
+              CAST(COUNT(1) AS BIGINT) AS n_parts,
+              CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+              MIN(p_name) AS min_name
+       FROM part GROUP BY 1""",
+    doc="regexp_extract group capture: parse the numeric id out of the "
+        "'Brand#N' code and aggregate by it — the typed-extraction step for "
+        "semi-structured string columns (the single-group sibling of "
+        "q_pii_redact's regexp_extract_all surface)",
+    tags=("text", "agg", "relational"),
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-1 capture with an identical Java∩RE2-subset pattern in both
+    engines; the cast-to-BIGINT fails loudly (null) on non-matches rather
+    than silently grouping garbage. Map-side extraction, one bounded
+    aggregate exchange."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.regexp_extract("p_brand", BRAND_RE, 1).cast("bigint")
+                   .alias("brand_num"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+              F.sum(F.col("p_retailprice").cast("decimal(18,6)"))
+               .cast("double").alias("sum_price"),
+              F.min("p_name").alias("min_name"))
+    )

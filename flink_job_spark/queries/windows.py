@@ -566,3 +566,47 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
                      F.col("value"))).alias("p90_disc"),
     )
+
+
+# --- q_moving_avg: ROWS-frame trailing moving average --------------------------
+
+MAVG_ROWS = 6   # current row + 6 preceding = 7-event trailing window
+
+@register(
+    "q_moving_avg",
+    f"""SELECT event_id, user_id,
+              CAST(sum7 AS DOUBLE) AS sum7,
+              n7,
+              CAST(sum7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS avg7
+       FROM (
+         SELECT event_id, user_id,
+                SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sum7,
+                CAST(COUNT(1) OVER w AS BIGINT) AS n7
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {MAVG_ROWS} PRECEDING AND CURRENT ROW)
+       )""",
+    doc=f"trailing moving average over the last {MAVG_ROWS + 1} events per "
+        "user (ROWS frame — the count-based sibling of q_rolling_range's "
+        "value-RANGE frame); the mean is an exact decimal sum over an exact "
+        "count with ONE final IEEE division, so engines agree bitwise",
+    tags=("window", "rolling"),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg() OVER a frame is a parity trap (engines divide in different
+    orders/precisions); sum-and-count-then-divide is not. Short frames keep
+    O(frame) running state per partition; one user_id shuffle, frames never
+    re-scan. The (ts, event_id) total order pins which rows share a frame
+    when timestamps tie."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-MAVG_ROWS, Window.currentRow))
+    return (
+        e.select(
+            "event_id", "user_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+             .cast("double").alias("sum7"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n7"),
+        )
+        .withColumn("avg7", F.col("sum7") / F.col("n7").cast("double"))
+    )

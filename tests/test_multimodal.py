@@ -205,3 +205,31 @@ def test_decode_audio_meta_real_wav(spark):
     assert math.isclose(got[1]["rms"], 12345.0)
     assert got[2]["decode_error"] and "bad wav" in got[2]["decode_error"]
     assert got[3]["decode_error"] == "not a decodable audio payload"
+
+
+def test_wav_rms_key_odd_frame_count_still_exact(spark):
+    """The q_media_wav_rms closed form must hold for ODD frame counts too:
+    RMS of an alternating ±amp square wave is amp regardless of parity
+    (every sample contributes amp² exactly)."""
+    import io
+    import wave as wavmod
+
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio_meta
+
+    def make(n, amp, sr):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wf:
+            wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(sr)
+            wf.writeframes(b"".join(
+                (amp if j % 2 == 0 else -amp).to_bytes(2, "little", signed=True)
+                for j in range(n)))
+        return buf.getvalue()
+
+    rows = [(0, "audio", "audio/wav", bytearray(make(401, 19999, 32000))),
+            (1, "audio", "audio/wav", bytearray(make(403, 201, 4000)))]
+    got = {r["media_id"]: r for r in decode_audio_meta(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert got[0]["rms"] == 19999.0 and got[1]["rms"] == 201.0
+    # power-of-two rates: duration is binary-exact, no rounding occurred
+    assert got[0]["duration_ms"] == 401 * 1000 / 32000
+    assert got[1]["duration_ms"] == 403 * 1000 / 4000

@@ -748,3 +748,20 @@ def test_media_wav_rms_no_shuffle(spark, sf_dir):
     p = plan(all_queries()["q_media_wav_rms"].fn(spark, sf_dir))
     assert "Exchange" not in p, f"wav plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
+def test_moving_avg_single_shuffle_running_frame(spark, sf_dir):
+    """The trailing ROWS frame evaluates with O(frame) running state on one
+    user_id partitioning — a second exchange or a re-sort is a regression."""
+    p = plan(all_queries()["q_moving_avg"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "RunningWindowFunction" in p or "Window" in p, p
+
+
+def test_regex_extract_map_side_bounded_agg(spark, sf_dir):
+    """Extraction is pure projection; one exchange for the 25-brand-bounded
+    aggregate; only the three touched columns are read."""
+    p = plan(all_queries()["q_regex_extract"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"p_brand", "p_retailprice", "p_name"}, (
+        read_schema_columns(p))

@@ -128,3 +128,33 @@ def test_levenshtein_twins_agree(spark, pairs):
     con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
     duck = [r[0] for r in con.execute("SELECT levenshtein(a, b) FROM t").fetchall()]
     assert got == duck
+
+
+def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
+    """q_bpe_merges vs an independent pure-python pair counter over the same
+    normalized corpus — two algorithms, same top table."""
+    import collections
+    import re as _re
+
+    import duckdb as _duck
+
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.text import BPE_TOPK
+
+    rows = all_queries()["q_bpe_merges"].fn(spark, sf_dir).collect()
+
+    con = _duck.connect()
+    texts = [r[0] for r in con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()]
+    wf = collections.Counter()
+    for t in texts:
+        normed = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        for w in normed.split(" "):
+            wf[w] += 1
+    pairs = collections.Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pairs[w[i:i + 2]] += f
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [(r["pair"], r["cnt"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == expect
