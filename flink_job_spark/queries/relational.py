@@ -1069,3 +1069,190 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("double").alias("sum_price"),
               F.min("p_name").alias("min_name"))
     )
+
+
+# --- q_grouping_sets: explicit grouping-set selection --------------------------
+
+@register(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              CAST(COUNT(1) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    doc="explicit GROUPING SETS ((status), (priority)): exactly the two "
+        "single-dimension margins, no cells and no grand total — the "
+        "hand-picked-set member of the grouping family next to q_agg_rollup "
+        "and q_cube_agg; gid disambiguates which dimension a row belongs to",
+    tags=("agg", "rollup"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE computes 2^k sets and ROLLUP k+1 — GROUPING SETS computes ONLY
+    the sets asked for: here 2 expansions per input row instead of CUBE's 4,
+    halving the pre-shuffle expand. Still one exchange, map-side partials,
+    output bounded by |statuses| + |priorities|."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+         .agg(F.grouping_id().cast("bigint").alias("gid"),
+              F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+              F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .cast("double").alias("total_price"))
+         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+                 "total_price")
+    )
+
+
+# --- q_order_count_dist: outer-join distribution (TPC-H Q13 shape) -------------
+
+@register(
+    "q_order_count_dist",
+    """SELECT c_count, CAST(COUNT(1) AS BIGINT) AS custdist FROM (
+         SELECT c.c_custkey,
+                CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+         FROM customer c LEFT OUTER JOIN orders o
+           ON o.o_custkey = c.c_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey
+       ) GROUP BY c_count""",
+    doc="TPC-H Q13 shape: how many customers placed 0, 1, 2, … non-urgent "
+        "orders — the LEFT OUTER join + two-level aggregation that keeps "
+        "zero-order customers in the distribution (an inner join silently "
+        "drops the most interesting bucket)",
+    tags=("join", "agg", "tpch"),
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(column) over the outer join counts only matched rows, so
+    no-order customers land in bucket 0 without a separate anti-join pass.
+    The non-join predicate stays in the join condition (moving it to a WHERE
+    would turn the outer join inner — the classic Q13 bug). Two shuffles:
+    custkey (join+first agg share it) then the tiny c_count distribution."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (o.o_custkey == c.c_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left_outer")
+         .groupBy("c_custkey")
+         .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+# --- q_top_supplier: argmax via scalar aggregate (TPC-H Q15 shape) -------------
+
+TOPSUP_FROM = "1997-01-01"
+TOPSUP_TO = "1997-04-01"
+
+@register(
+    "q_top_supplier",
+    f"""WITH rev AS (
+         SELECT l_suppkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '{TOPSUP_FROM} 00:00:00'
+           AND l_shipdate <  TIMESTAMP '{TOPSUP_TO} 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name,
+              CAST(r.total_rev AS DOUBLE) AS total_rev
+       FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)""",
+    doc="TPC-H Q15 shape: the supplier(s) with the maximum quarterly "
+        "revenue — argmax by scalar-aggregate subquery; the equality "
+        "compares EXACT decimals (a double re-aggregation would make 'the "
+        "max' engine-dependent and could return different winners)",
+    tags=("join", "agg", "tpch"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue view is computed ONCE and persisted (the reference trap in
+    Q15 is recomputing the view for the subquery — double scan); the 1-row
+    MAX broadcasts back as a cross join, and ties all surface (WHERE =, not
+    LIMIT 1). Decimal equality is exact, so the winner set is deterministic.
+    The supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit(TOPSUP_FROM).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(TOPSUP_TO).cast("timestamp")))
+          .groupBy("l_suppkey")
+          .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                     * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+                .alias("total_rev"))
+    ).persist()
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_rev") == F.col("max_rev"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .select("s_suppkey", "s_name",
+                   F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+# --- q_lonely_late_supplier: double correlation (TPC-H Q21 shape) --------------
+
+LATE_DAYS = 60
+
+@register(
+    "q_lonely_late_supplier",
+    f"""WITH li AS (
+         SELECT l.l_orderkey, l.l_suppkey,
+                CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                     THEN 1 ELSE 0 END AS is_late
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderstatus = 'F')
+       SELECT l_suppkey, CAST(COUNT(1) AS BIGINT) AS numwait FROM (
+         SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+         FROM li l1
+         WHERE l1.is_late = 1
+           AND EXISTS (SELECT 1 FROM li l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM li l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.is_late = 1)
+       ) GROUP BY l_suppkey""",
+    doc="TPC-H Q21 shape: suppliers who were the ONLY late supplier on "
+        "multi-supplier finished orders — EXISTS + NOT EXISTS self-"
+        "correlation collapsed into one per-order aggregate instead of two "
+        "self-joins (late flag = shipped more than "
+        f"{LATE_DAYS} days after ordering)",
+    tags=("join", "agg", "tpch", "setop"),
+)
+def q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook plan runs two lineitem self-joins (EXISTS, NOT EXISTS);
+    this plan aggregates each order ONCE — distinct suppliers, distinct LATE
+    suppliers per order — and the two existence predicates become arithmetic
+    on those counts: >1 suppliers, exactly 1 late, and you are it. One
+    orderkey shuffle replaces both self-joins; per-order state is two
+    distinct-counts + one conditional max, bounded by suppliers-per-order.
+    The is_late flag needs o_orderdate, a co-keyed orders join AQE can
+    broadcast after the status filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAY"))
+                  .cast("int").alias("is_late"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("is_late").alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+                 .groupBy(F.col("late_supp").alias("l_suppkey"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
