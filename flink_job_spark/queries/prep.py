@@ -175,6 +175,27 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOCK_WORDS = 16
 
+
+def _doc_block_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, block_hash) for every non-overlapping BLOCK_WORDS-word block.
+
+    The md5 is computed INSIDE a transform over the starts array, so only the
+    32-char scalar hash explodes. The earlier formulation exploded start
+    indexes first and sliced after — every exploded row then carried the
+    doc's FULL words array (O(blocks × doclen) row width through the explode),
+    which showed up as 2-3× degradation under full-registry memory
+    contention even though the plan shape was identical."""
+    return (
+        d.select("doc_id", words("text").alias("w"))
+         .select(
+             "doc_id",
+             F.explode(F.expr(
+                 f"transform(sequence(1, size(w), {BLOCK_WORDS}), "
+                 f"s -> md5(concat_ws(' ', slice(w, s, {BLOCK_WORDS}))))"
+             )).alias("block_hash"),
+         )
+    )
+
 @register(
     "q_block_dedup",
     f"""WITH w AS (
@@ -213,19 +234,7 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by total blocks; the window never buffers beyond a partition's stream
     because min needs no frame."""
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        d.select("doc_id", words("text").alias("w"))
-         .select(
-             "doc_id",
-             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
-             F.col("w"),
-         )
-         .select(
-             "doc_id",
-             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
-              .alias("block_hash"),
-         )
-    )
+    b = _doc_block_hashes(d)
     first_doc = F.min("doc_id").over(Window.partitionBy("block_hash"))
     return (
         b.withColumn("first_doc", first_doc)
@@ -632,19 +641,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the known hotspot — AQE skew-join splits it; degree-capping hubs first
     is the documented mitigation, same as the LSH stop-shingle cap."""
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        d.select("doc_id", words("text").alias("w"))
-         .select(
-             "doc_id",
-             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
-             F.col("w"),
-         )
-         .select(
-             "doc_id",
-             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
-              .alias("block_hash"),
-         )
-    )
+    b = _doc_block_hashes(d)
     x = b.alias("x")
     y = b.alias("y")
     e = (
@@ -746,19 +743,7 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup. Shuffled footprint is bounded by total distinct
     (doc, block) pairs; no join-back rescans the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        d.select("doc_id", words("text").alias("w"))
-         .select(
-             "doc_id",
-             F.explode(F.expr(f"sequence(1, size(w), {BLOCK_WORDS})")).alias("s"),
-             F.col("w"),
-         )
-         .select(
-             "doc_id",
-             F.md5(F.concat_ws(" ", F.expr(f"slice(w, s, {BLOCK_WORDS})")))
-              .alias("block_hash"),
-         )
-    )
+    b = _doc_block_hashes(d)
     o = b.groupBy("doc_id", "block_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     f = o.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("block_hash")))

@@ -382,26 +382,30 @@ CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
     tags=("text", "chunking"),
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-only explode: chunk starts come from sequence() over the word
-    count, each start slices its window from the one words array — the text
-    is normalized and split ONCE per doc, not once per chunk. Output rows
-    scale with total tokens / stride; no shuffle, so at 100 TB chunking rides
-    the scan exactly like the other text ops."""
+    """Map-only explode: the text is normalized and split ONCE per doc, and
+    each chunk is rendered to its (text, n_tokens) struct INSIDE a transform
+    over the starts array, so only the finished chunk explodes — exploding
+    start indexes and slicing after would carry the doc's full words array
+    in every exploded row (O(chunks × doclen) row width). Output rows scale
+    with total tokens / stride; no shuffle, so at 100 TB chunking rides the
+    scan exactly like the other text ops."""
     d = load_table(spark, sf_dir, "documents")
     chunked = d.select(
         "doc_id",
         words("text").alias("w"),
     ).select(
         "doc_id",
-        F.posexplode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias("pos", "s"),
-        F.col("w"),
+        F.posexplode(F.expr(
+            f"transform(transform(sequence(1, size(w), {CHUNK_STRIDE}), "
+            f"s -> slice(w, s, {CHUNK_TOKENS})), "
+            f"a -> named_struct('t', concat_ws(' ', a), 'n', size(a)))"
+        )).alias("pos", "c"),
     )
-    sliced = F.expr(f"slice(w, s, {CHUNK_TOKENS})")
     return chunked.select(
         "doc_id",
         (F.col("pos") + 1).cast("long").alias("chunk_idx"),
-        F.concat_ws(" ", sliced).alias("chunk_text"),
-        F.size(sliced).cast("long").alias("n_tokens"),
+        F.col("c.t").alias("chunk_text"),
+        F.col("c.n").cast("long").alias("n_tokens"),
     )
 
 
