@@ -740,3 +740,101 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("vr") == 1)
                  .select("qid", "true_label",
                          F.col("label").alias("pred_label"), "n_votes"))
+
+
+# --- q_ann_quantized: SQ8 coarse scoring + exact rerank ----------------------------
+
+ANN_SQ8_RERANK = 30   # coarse candidates per query before the exact rerank
+
+@register(
+    "q_ann_quantized",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+  qz AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> CASE
+             WHEN amax = 0 THEN 0
+             WHEN x >= 0 THEN CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)
+             ELSE -CAST(floor(-x * (127.0 / amax) + 0.5) AS BIGINT) END) AS qv
+    FROM s),
+  qd AS (SELECT vec_id, v, qv,
+                CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn2
+         FROM qz),
+  qq AS (SELECT vec_id AS qid, v AS fq, qv AS qqv, qn2 AS qn2q
+         FROM qd WHERE vec_id < {N_QUERY_VECS}),
+  coarse AS (
+    SELECT qq.qid, qd.vec_id, qd.v, qq.fq,
+           CASE WHEN qq.qn2q * qd.qn2 = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(list_zip(qq.qqv, qd.qv),
+                                                  p -> p[1] * p[2])) AS DOUBLE)
+                     / sqrt(CAST(qq.qn2q * qd.qn2 AS DOUBLE)) END AS qscore
+    FROM qd CROSS JOIN qq WHERE qd.vec_id <> qq.qid),
+  cand AS (
+    SELECT qid, vec_id, v, fq FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY qscore DESC, vec_id) AS crank
+      FROM coarse) WHERE crank <= {ANN_SQ8_RERANK})
+  SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT qid, vec_id, round((list_dot_product(fq, v) / (sqrt(list_dot_product(fq, fq)) * sqrt(list_dot_product(v, v)))), 6) AS score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round((list_dot_product(fq, v) / (sqrt(list_dot_product(fq, fq)) * sqrt(list_dot_product(v, v)))), 6) DESC, vec_id) AS rank
+    FROM cand) WHERE rank <= {TOPK}""",
+    doc=f"SQ8 ANN: int8-quantize the corpus, coarse-rank by INTEGER dot "
+        f"products over the quantized codes (4× less memory traffic — the "
+        f"production scan format), keep {ANN_SQ8_RERANK} candidates per "
+        f"query, exact-cosine rerank to top-{TOPK}; the coarse score is one "
+        "IEEE division of exact integers so both engines rank identically",
+    tags=("similarity", "ann", "quantize"),
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantize→coarse-scan→rerank pipeline every SQ8 vector index runs:
+    the wide float vectors are read ONCE to build codes; the all-candidates
+    scan touches only int8 codes (4× bandwidth), and exact floats come back
+    ONLY for the RERANK-bounded candidate set. Integer dot products and
+    squared norms are exact (≤ dim·127² ≪ 2^53), so the coarse score —
+    intdot / sqrt(n2q·n2d) — is two correctly-rounded IEEE ops on exact
+    inputs and both engines produce bit-identical ranking keys. The same
+    persist() barrier as q_embedding_quantize keeps CollapseProject from
+    inlining the amax scan into every transform lambda."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = (
+        e.select("vec_id", v.alias("v"), amax.alias("amax"))
+    ).persist()
+    am = F.col("amax")
+    qv = F.transform(
+        F.col("v"), lambda x: F.when(am == 0, F.lit(0)).otherwise(
+            F.when(x >= 0, F.floor(x * (F.lit(127.0) / am) + F.lit(0.5)))
+             .otherwise(-F.floor(-x * (F.lit(127.0) / am) + F.lit(0.5)))
+        ).cast("bigint"))
+    qd = (
+        base.select("vec_id", "v", qv.alias("qv"))
+            .withColumn("qn2", F.aggregate(
+                F.transform(F.col("qv"), lambda x: x * x),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x))
+    ).persist()
+    qq = (qd.filter(F.col("vec_id") < N_QUERY_VECS)
+            .select(F.col("vec_id").alias("qid"), F.col("v").alias("fq"),
+                    F.col("qv").alias("qqv"), F.col("qn2").alias("qn2q")))
+    intdot = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    coarse = (
+        qd.join(F.broadcast(qq), F.col("vec_id") != F.col("qid"))
+          .select("qid", "vec_id", "v", "fq",
+                  F.when(F.col("qn2q") * F.col("qn2") == 0, F.lit(0.0))
+                   .otherwise(intdot.cast("double")
+                              / F.sqrt((F.col("qn2q") * F.col("qn2"))
+                                        .cast("double"))).alias("qscore"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), F.col("vec_id"))
+    cand = (coarse.withColumn("crank", F.row_number().over(wc))
+                  .filter(F.col("crank") <= ANN_SQ8_RERANK))
+    score = F.round(dot("fq", "v") / (norm("fq") * norm("v")), 6)
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", score.alias("score"))
+            .withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= TOPK)
+    )

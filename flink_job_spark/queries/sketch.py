@@ -112,3 +112,79 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.abs(F.col("approx_users") - F.col("exact_users"))
                        / F.col("exact_users")).alias("rel_err"))
     )
+
+
+# --- q_heavy_hitters: Misra-Gries candidates + exact verification -------------------
+
+HH_K = 200   # report words with frequency > total_words / HH_K
+
+
+@register(
+    "q_heavy_hitters",
+    f"""WITH w AS (SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS word FROM documents),
+       n AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM w),
+       c AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS freq FROM w GROUP BY 1)
+       SELECT c.word, c.freq FROM c, n WHERE c.freq * {HH_K} > n.n""",
+    doc=f"heavy hitters: every word with frequency > 1/{HH_K} of the corpus "
+        "— found the bounded-memory way (per-partition Misra-Gries summaries "
+        "of ≤ {HH_K} counters, then an EXACT count restricted to the "
+        "candidate union) and verified by threshold, so the answer equals "
+        "the plain full-aggregation oracle exactly",
+    tags=("sketch", "text", "agg"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase frequent-items plan for data too wide to GROUP BY
+    cheaply: phase 1 streams each partition through a Misra-Gries summary
+    capped at HH_K counters (memory O(K) regardless of vocabulary — the
+    pigeonhole guarantee says any item with global frequency > n/K survives
+    in at least one partition's summary); phase 2 counts ONLY the candidate
+    union (broadcast, vocabulary-bounded) exactly and applies the threshold
+    as an integer cross-multiplication (freq·K > n — no division). False
+    positives from phase 1 are filtered by phase 2, so the result is EXACT,
+    which is what makes an oracle possible for a sketch-shaped operator.
+    The MG decrement loop is the textbook O(K)-amortized form; the imperative
+    per-partition state is the one legitimate mapInPandas use (no Column
+    expression can express 'evict when the summary is full')."""
+    import pandas as pd
+
+    from flink_job_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(words("text")).alias("word"))
+
+    def mg_partition(it):
+        counts: dict[str, int] = {}
+        local_n = 0
+        for pdf in it:
+            for token in pdf["word"]:
+                local_n += 1
+                if token in counts:
+                    counts[token] += 1
+                elif len(counts) < HH_K:
+                    counts[token] = 1
+                else:
+                    dead = []
+                    for k in counts:
+                        counts[k] -= 1
+                        if counts[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counts[k]
+        # one NULL-word sentinel carries the partition's total word count, so
+        # the grand total needs no third corpus scan
+        yield pd.DataFrame({"word": list(counts.keys()) + [None],
+                            "local_n": [0] * len(counts) + [local_n]})
+
+    summary = w.mapInPandas(
+        mg_partition, schema="word string, local_n long").persist()
+    cand = summary.filter(F.col("word").isNotNull()).select("word").distinct()
+    n = summary.agg(F.sum("local_n").cast("bigint").alias("n"))
+    return (
+        w.join(F.broadcast(cand), "word", "left_semi")
+         .groupBy("word")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+         .crossJoin(F.broadcast(n))
+         .filter(F.col("freq") * HH_K > F.col("n"))
+         .select("word", "freq")
+    )

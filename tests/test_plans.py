@@ -807,3 +807,23 @@ def test_lonely_late_supplier_no_self_joins(spark, sf_dir):
     assert p.count("orders.parquet") == 1, p
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     assert any("o_orderstatus" in s for s in pushed), pushed
+
+
+def test_ann_quantized_scans_embeddings_once_broadcasts_queries(spark, sf_dir):
+    """SQ8 rerank: codes build off ONE persisted embeddings scan; the query
+    set broadcasts; exact floats only touch the candidate-bounded rerank."""
+    p = plan(all_queries()["q_ann_quantized"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert p.count("BroadcastExchange") >= 1, p
+    assert p.count("embeddings.parquet") <= 1, p
+
+
+def test_heavy_hitters_two_pass_broadcast_candidates(spark, sf_dir):
+    """Misra-Gries candidates come from a bounded mapInPandas pass; the
+    exact phase joins the big word stream to the BROADCAST candidate union
+    (never a shuffle on the full vocabulary); two corpus passes by design."""
+    p = plan(all_queries()["q_heavy_hitters"].fn(spark, sf_dir))
+    assert "MapInPandas" in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert p.count("documents.parquet") <= 2, p
+    assert "SortMergeJoin" not in p, p

@@ -501,3 +501,53 @@ def test_stream_quality_gate_blocks_corrupt_batch(spark, sf_dir, tmp_path):
     failed = led.filter(~F.col("passed"))
     assert failed.filter(F.col("rule") == "totalprice_positive").count() >= 1
     assert failed.agg(F.max("n_violations")).collect()[0][0] == 50
+
+
+def test_stream_sketch_rollup_matches_batch_union(spark, sf_dir, tmp_path):
+    """Day-sketch state maintained across three micro-batches answers the
+    weekly-distinct question identically to a single batch pass over all
+    events (HLL union is register-max: commutative, associative, idempotent
+    — micro-batch boundaries must not change the merged registers), and a
+    replayed drained stream changes nothing."""
+    from flink_job_spark.streaming.sketch import (
+        HLL_LGK,
+        stream_sketch_rollup,
+        weekly_estimates,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in [(0, 3000), (3000, 6000), (6000, 10 ** 12)]:
+        (e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+          .coalesce(1).write.mode("append").parquet(src))
+
+    stream_sketch_rollup(spark, src, e.schema, state, ckpt)
+    got = {r["week"]: r["approx_users"]
+           for r in weekly_estimates(spark, state).collect()}
+
+    # single-pass batch twin over the same events, same day granularity
+    batch = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+         .groupBy("day")
+         .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
+         .groupBy(F.weekofyear("day").cast("bigint").alias("week"))
+         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+               .cast("bigint").alias("approx_users"))
+    )
+    want = {r["week"]: r["approx_users"] for r in batch.collect()}
+    assert got == want
+
+    exact = {r["week"]: r["n"] for r in
+             e.select(F.weekofyear(F.col("ts").cast("date")).cast("bigint")
+                       .alias("week"), "user_id").distinct()
+              .groupBy("week").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
+
+    # drained stream: replay is a no-op on the estimates
+    stream_sketch_rollup(spark, src, e.schema, state, ckpt)
+    got2 = {r["week"]: r["approx_users"]
+            for r in weekly_estimates(spark, state).collect()}
+    assert got2 == got
