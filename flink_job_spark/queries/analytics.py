@@ -1396,3 +1396,66 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
                .cast("double").alias("total_price"))
     )
+
+
+# --- q_cusum: sequential drift detection (CUSUM) -------------------------------------
+
+CUSUM_REF = 15.0   # reference level k: deviations above it accumulate
+CUSUM_H = 40.0     # alarm threshold h on the accumulated statistic
+
+@register(
+    "q_cusum",
+    f"""WITH RECURSIVE s AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+       ),
+       c(user_id, event_id, ts, value, rn, cusum) AS (
+         SELECT user_id, event_id, ts, value, rn,
+                greatest(0.0, value - {CUSUM_REF}) FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+                greatest(0.0, c.cusum + (s.value - {CUSUM_REF}))
+         FROM s JOIN c ON s.user_id = c.user_id AND s.rn = c.rn + 1
+       )
+       SELECT user_id, event_id, ts, value, cusum,
+              cusum > {CUSUM_H} AS alarm
+       FROM c""",
+    doc="one-sided CUSUM drift detection per user: the running statistic "
+        f"s = max(0, s + (x - {CUSUM_REF})) with an alarm above {CUSUM_H} — "
+        "the classic sequential change-detector for metric drift; every step "
+        "is one IEEE subtract, one add, and an exact max, in the same order "
+        "in both engines, so the statistic is bit-identical",
+    tags=("analytics", "pandas", "stateful"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like q_ema_pandas, CUSUM is an order-dependent recurrence no window
+    frame expresses — applyInPandas, one Arrow group per user, O(user rows)
+    memory. The recurrence is deliberately left unrounded (see the EMA
+    round()-trap note); the oracle replays it as a recursive CTE joined on
+    row number. At 100 TB this is the per-key sequential scan shape:
+    state is one double per key, and the streaming twin would carry it in
+    applyInPandasWithState exactly like streaming/stateful.py does for
+    sessions."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", "event_id",
+                    F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = []
+        acc = 0.0
+        for x in pdf["value"]:
+            acc = max(0.0, acc + (float(x) - CUSUM_REF))
+            out.append(acc)
+        pdf["cusum"] = out
+        pdf["alarm"] = [c > CUSUM_H for c in out]
+        return pdf
+
+    return rows.groupBy("user_id").applyInPandas(
+        cusum,
+        "user_id long, event_id long, ts timestamp, value double, "
+        "cusum double, alarm boolean")

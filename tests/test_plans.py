@@ -827,3 +827,11 @@ def test_heavy_hitters_two_pass_broadcast_candidates(spark, sf_dir):
     assert p.count("BroadcastExchange") >= 2, p
     assert p.count("documents.parquet") <= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cusum_single_shuffle_arrow_groups(spark, sf_dir):
+    """The CUSUM recurrence rides ONE user_id-grouped Arrow pass — a second
+    exchange or a JVM-side sort duplication is a regression."""
+    p = plan(all_queries()["q_cusum"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
+    assert _n_exchanges(p) == 1, p
