@@ -220,3 +220,60 @@ def stream_ema(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming CUSUM: numeric recurrence state carried across micro-batches ---------
+
+CUSUM_REF = 15.0
+CUSUM_H = 40.0
+
+CUSUM_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("cusum", T.DoubleType()),
+    T.StructField("alarm", T.BooleanType()),
+])
+
+CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("acc", T.DoubleType()),
+])
+
+
+def _update_cusum(key, pdfs, state: GroupState):
+    """Continue the per-user max(0, s + (x - k)) recurrence from GroupState.
+
+    State is ONE double per key — the smallest possible stateful footprint —
+    and the emitted per-row statistic is bit-identical to the batch operator
+    (queries/analytics.py::q_cusum) as long as the source delivers each
+    key's rows in event-time order across micro-batches (within a batch,
+    rows are sorted here). A production deployment would add a watermark +
+    EventTimeTimeout to retire silent keys, exactly as _sessionize does."""
+    (acc,) = state.get if state.exists else (0.0,)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    out = []
+    for x in rows["value"]:
+        acc = max(0.0, acc + (float(x) - CUSUM_REF))
+        out.append(acc)
+    state.update((acc,))
+    yield pd.DataFrame({
+        "user_id": rows["user_id"],
+        "event_id": rows["event_id"],
+        "cusum": out,
+        "alarm": [c > CUSUM_H for c in out],
+    })
+
+
+def stream_cusum(events: DataFrame) -> DataFrame:
+    """events: streaming DataFrame with (user_id, event_id, ts, value)."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cusum,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

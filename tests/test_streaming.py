@@ -551,3 +551,43 @@ def test_stream_sketch_rollup_matches_batch_union(spark, sf_dir, tmp_path):
     got2 = {r["week"]: r["approx_users"]
             for r in weekly_estimates(spark, state).collect()}
     assert got2 == got
+
+
+def test_stream_cusum_equals_batch_recurrence(spark, sf_dir, tmp_path):
+    """The CUSUM recurrence carried across three time-ordered micro-batches
+    through GroupState must be BIT-identical per event to the batch operator
+    — numeric state survives micro-batch boundaries exactly."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.streaming.stateful import stream_cusum
+
+    e = load_table(spark, sf_dir, "events")
+    # three disjoint time-ordered arrival files so every key's rows arrive
+    # in event-time order across batches (the operator's stated contract)
+    lo, hi = e.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp_ltz)), array(0.33, 0.66))"
+    ).first()[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    tsd = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    for cond in [tsd < lo, (tsd >= lo) & (tsd < hi), tsd >= hi]:
+        e.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        stream_cusum(
+            spark.readStream.schema(e.schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["event_id"]: (r["cusum"], r["alarm"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["event_id"]: (r["cusum"], r["alarm"])
+            for r in all_queries()["q_cusum"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(want)
+    assert got == want  # bit-identical doubles, not approximate
