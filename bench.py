@@ -79,6 +79,8 @@ def main() -> None:
                     baseline[m.group(1)] = float(m.group(2))
     except OSError:
         pass
+    if sf != 0.1:   # BASELINE.md entries are sf0.1 — other scales can't compare
+        baseline = {}
     suspects = [n for n, t in timings.items()
                 if t >= 0 and n in baseline and t > 2.0 * baseline[n]]
     for name in sorted(suspects)[:15]:

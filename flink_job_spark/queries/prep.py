@@ -424,8 +424,11 @@ def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- format roundtrips: CSV / JSON lines sources -------------------------------------
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    # pid-scoped: a path shared across processes races when two runs at the
+    # same scale factor overwrite gen/part files mid-read (flaky parity)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"fjs_roundtrip_{tag}_{fmt}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"fjs_roundtrip_{os.getpid()}_{tag}_{fmt}")
 
 @register(
     "q_csv_roundtrip",
@@ -825,8 +828,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema's footer union is a driver-side listing cost only; pin the
     final schema in the table catalog to skip even that."""
     c = load_table(spark, sf_dir, "customer")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(tempfile.gettempdir(), f"fjs_schemaevo_{tag}")
+    base = _roundtrip_dir(sf_dir, "schemaevo")
     even = F.col("c_custkey") % 2 == 0
     c.filter(even).select("c_custkey", "c_name", "c_acctbal") \
         .write.mode("overwrite").parquet(os.path.join(base, "gen=1"))

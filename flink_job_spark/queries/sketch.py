@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_job_spark.functions.text import words_duck
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -70,6 +71,16 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HLL_LGK = 14
 
+
+def iso_week_key(day_col: str):
+    """ISO (year*100 + week) bucket — weekofyear() alone merges week N of
+    DIFFERENT years into one bucket on any multi-year dataset (DuckDB twin:
+    isoyear(d) * 100 + weekofyear(d))."""
+    return F.expr(
+        f"extract(YEAROFWEEK FROM {day_col}) * 100 + weekofyear({day_col})"
+    ).cast("bigint")
+
+
 @register(
     "q_sketch_rollup",
     None,  # sketch binaries/estimates are engine-specific — rows-only, self-evidencing
@@ -84,26 +95,27 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary state per day, hll_union_agg combines states — the second pass
     reads |days| rows, not |events|. A materialized-view pipeline stores the
     day sketches and answers any date-range distinct query by union, which
-    is exactly what this computes for ISO weeks. The exact twin joins from
+    is exactly what this computes for ISO weeks (keyed by ISO year AND
+    week — week numbers repeat every year). The exact twin joins from
     a separate distinct pass; tests bound the relative error (HLL lgK=14
     → ~1% rsd)."""
     e = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
-    week = F.weekofyear(day).cast("bigint")
     daily = (
         e.select(day.alias("day"), F.col("user_id"))
          .groupBy("day")
          .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
     )
     weekly = (
-        daily.groupBy(F.weekofyear("day").cast("bigint").alias("week"))
+        daily.groupBy(iso_week_key("day").alias("week"))
              .agg(F.hll_sketch_estimate(
                       F.hll_union_agg("sketch")).cast("bigint")
                   .alias("approx_users"),
                   F.count(F.lit(1)).cast("bigint").alias("n_day_sketches"))
     )
     exact = (
-        e.select(week.alias("week"), "user_id").distinct()
+        e.select(day.alias("day"), "user_id")
+         .select(iso_week_key("day").alias("week"), "user_id").distinct()
          .groupBy("week").agg(F.count(F.lit(1)).cast("bigint").alias("exact_users"))
     )
     return (
@@ -121,14 +133,13 @@ HH_K = 200   # report words with frequency > total_words / HH_K
 
 @register(
     "q_heavy_hitters",
-    f"""WITH w AS (SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS word FROM documents),
+    f"""WITH w AS (SELECT unnest({words_duck('text')}) AS word FROM documents),
        n AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM w),
        c AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS freq FROM w GROUP BY 1)
        SELECT c.word, c.freq FROM c, n WHERE c.freq * {HH_K} > n.n""",
     doc=f"heavy hitters: every word with frequency > 1/{HH_K} of the corpus "
         "— found the bounded-memory way (per-partition Misra-Gries summaries "
-        "of ≤ {HH_K} counters, then an EXACT count restricted to the "
+        f"of ≤ {HH_K} counters, then an EXACT count restricted to the "
         "candidate union) and verified by threshold, so the answer equals "
         "the plain full-aggregation oracle exactly",
     tags=("sketch", "text", "agg"),

@@ -29,9 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_job_spark.queries.sketch import HLL_LGK, iso_week_key
 from flink_job_spark.streaming.scd2 import latest_generation
-
-HLL_LGK = 14
 
 
 def _day_sketches(batch: DataFrame) -> DataFrame:
@@ -89,7 +88,7 @@ def weekly_estimates(spark: SparkSession, state_root: str) -> DataFrame:
         raise ValueError(f"no committed generation under {state_root}")
     state = spark.read.parquet(os.path.join(state_root, f"gen={gen}"))
     return (
-        state.groupBy(F.weekofyear("day").cast("bigint").alias("week"))
+        state.groupBy(iso_week_key("day").alias("week"))
              .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
                    .cast("bigint").alias("approx_users"))
     )

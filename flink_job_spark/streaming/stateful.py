@@ -224,8 +224,9 @@ def stream_ema(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 # --- streaming CUSUM: numeric recurrence state carried across micro-batches ---------
 
-CUSUM_REF = 15.0
-CUSUM_H = 40.0
+# imported from the batch operator so stream/batch bit-identity cannot be
+# broken by retuning one side (queries/analytics.py is the single source)
+from flink_job_spark.queries.analytics import CUSUM_H, CUSUM_REF  # noqa: E402
 
 CUSUM_OUTPUT_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),

@@ -509,8 +509,8 @@ def test_stream_sketch_rollup_matches_batch_union(spark, sf_dir, tmp_path):
     events (HLL union is register-max: commutative, associative, idempotent
     — micro-batch boundaries must not change the merged registers), and a
     replayed drained stream changes nothing."""
+    from flink_job_spark.queries.sketch import HLL_LGK, iso_week_key
     from flink_job_spark.streaming.sketch import (
-        HLL_LGK,
         stream_sketch_rollup,
         weekly_estimates,
     )
@@ -532,7 +532,7 @@ def test_stream_sketch_rollup_matches_batch_union(spark, sf_dir, tmp_path):
         e.select(F.col("ts").cast("date").alias("day"), "user_id")
          .groupBy("day")
          .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"))
-         .groupBy(F.weekofyear("day").cast("bigint").alias("week"))
+         .groupBy(iso_week_key("day").alias("week"))
          .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
                .cast("bigint").alias("approx_users"))
     )
@@ -540,8 +540,8 @@ def test_stream_sketch_rollup_matches_batch_union(spark, sf_dir, tmp_path):
     assert got == want
 
     exact = {r["week"]: r["n"] for r in
-             e.select(F.weekofyear(F.col("ts").cast("date")).cast("bigint")
-                       .alias("week"), "user_id").distinct()
+             e.select(F.col("ts").cast("date").alias("day"), "user_id")
+              .select(iso_week_key("day").alias("week"), "user_id").distinct()
               .groupBy("week").agg(F.count(F.lit(1)).alias("n")).collect()}
     for wk, est in got.items():
         assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
