@@ -841,3 +841,57 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
          .cast("double").alias("sum_acctbal"),
     )
+
+
+# --- q_csv_badrecords: PERMISSIVE corrupt-record handling ----------------------
+
+BAD_LINES = 7
+
+@register(
+    "q_csv_badrecords",
+    f"""SELECT CAST(COUNT(1) + {BAD_LINES} AS BIGINT) AS n_rows,
+              CAST(COUNT(1) AS BIGINT) AS n_good,
+              CAST({BAD_LINES} AS BIGINT) AS n_corrupt,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       FROM customer""",
+    doc=f"fault-tolerant CSV ingestion: a source directory polluted with "
+        f"{BAD_LINES} malformed lines is read in PERMISSIVE mode — corrupt "
+        "rows surface in _corrupt_record and are COUNTED, clean rows "
+        "aggregate losslessly; the errors-as-data ingestion contract "
+        "(FAILFAST would abort a 100 TB load for one bad line, DROPMALFORMED "
+        "would hide the problem)",
+    tags=("formats", "source", "audit"),
+)
+def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third CSV mode nobody tests until production: PERMISSIVE keeps
+    the raw offending line in a side column instead of failing or silently
+    dropping. The parsed frame is cached before touching _corrupt_record —
+    Spark disallows filtering the internal corrupt column on the lazy parse
+    (SPARK-38523-adjacent restriction); at scale the cache is one pass over
+    data that was being read anyway. The oracle knows the injected count
+    closed-form and checks the clean-row aggregate against the original
+    table, proving corrupt lines contaminated nothing."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _roundtrip_dir(sf_dir, "badcsv")
+    c.write.mode("overwrite").option("header", False).csv(path)
+    # plain file I/O: a 7-row createDataFrame + text write costs ~5 s of
+    # JVM/commit overhead for what is one local file append
+    with open(os.path.join(path, "part-junk.csv"), "w") as fh:
+        for i in range(BAD_LINES):
+            fh.write(f"not_a_key_{i}|garbage\n")
+    schema = c.schema.add("_corrupt_record", "string")
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(good.cast("int")).cast("bigint").alias("n_good"),
+        F.sum((~good).cast("int")).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("c_acctbal").cast("decimal(18,2)")))
+         .cast("double").alias("sum_acctbal"),
+    )

@@ -835,3 +835,11 @@ def test_cusum_single_shuffle_arrow_groups(spark, sf_dir):
     p = plan(all_queries()["q_cusum"].fn(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
     assert _n_exchanges(p) == 1, p
+
+
+def test_csv_badrecords_single_cached_parse(spark, sf_dir):
+    """PERMISSIVE parse is cached once; good/corrupt counts and the clean
+    aggregate ride ONE aggregation over it (no second CSV parse)."""
+    p = plan(all_queries()["q_csv_badrecords"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert _n_exchanges(p) <= 1, p
