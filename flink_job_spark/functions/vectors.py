@@ -29,8 +29,15 @@ from pyspark.sql import functions as F
 
 
 def probe_dim(df: DataFrame, col: str) -> int:
-    """Driver-side one-row probe of a fixed array dim (reads one record)."""
-    row = df.select(F.size(F.col(col)).alias("d")).first()
+    """Driver-side one-row probe of a fixed array dim (reads one record).
+
+    Probes the first NON-NULL vector: size(NULL) is -1, and a -1 dim would
+    make every dot_fixed silently evaluate to 0.0; an empty/all-null column
+    raises instead of crashing downstream with NaN scores."""
+    row = (df.filter(F.col(col).isNotNull())
+             .select(F.size(F.col(col)).alias("d")).first())
+    if row is None:
+        raise ValueError(f"cannot probe vector dim: no non-null rows in {col!r}")
     return int(row["d"])
 
 

@@ -39,22 +39,32 @@ def asof_join(
     or the carried payload at duplicate timestamps is nondeterministic.
     Output: all left columns + ``{prefix}ts`` + ``{prefix}<payload>``.
     """
+    from pyspark.sql import types as T
+
     payload = right_payload if right_payload is not None else [
         c for c in right.columns if c not in (key, right_ts)
     ]
 
+    # The right row travels as ONE struct so the carried match is atomic:
+    # per-column last(ignorenulls=True) would resurrect an OLDER row's value
+    # for any column the latest row holds as NULL, emitting a chimera of
+    # several right rows instead of the as-of row (with its NULLs intact).
+    row_struct_t = T.StructType(
+        [T.StructField("ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload])
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(F.col(right_ts).alias("ts"),
+                 *[F.col(c) for c in payload]).alias("__r"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(row_struct_t).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     merged = r.unionByName(l)
@@ -64,13 +74,10 @@ def asof_join(
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = merged.select(
         "*",
-        F.last(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True)
-         .over(w).alias(f"__{prefix}ts"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__{prefix}{c}")
-          for c in payload],
+        F.last("__r", ignorenulls=True).over(w).alias("__asof"),
     )
     return carried.filter(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        F.col(f"__{prefix}ts").alias(f"{prefix}ts"),
-        *[F.col(f"__{prefix}{c}").alias(f"{prefix}{c}") for c in payload],
+        F.col("__asof.ts").alias(f"{prefix}ts"),
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload],
     )

@@ -40,9 +40,16 @@ def audit_aggregate(target: DataFrame, cutoff_pred: Column | None = None,
 
 def mismatch_topk(target: DataFrame, order_cols: list[str], k: int = 10,
                   h1: str = "row_hash", h2: str = "row_hash_iceberg") -> DataFrame:
-    """Top-k mismatching rows: filter ≠, ORDER BY key, FETCH FIRST k (mis:1432-1440)."""
+    """Top-k mismatching rows: filter ≠, ORDER BY key, FETCH FIRST k (mis:1432-1440).
+
+    Deliberate deviation from the reference's literal `<>` (mis:1436-1438):
+    the aggregate's mismatch flag counts a NULL hash as a mismatch (its CASE
+    falls through to ELSE 1), but SQL `<>` is NULL for those rows, so the
+    reference's drill-down finds NOTHING for an audit failing purely on NULL
+    hashes. Filtering on the same flag the aggregate sums keeps the two
+    planes consistent by construction."""
     return (
-        target.filter(F.lower(F.col(h1).cast("string")) != F.lower(F.col(h2).cast("string")))
+        target.filter(hash_mismatch_flag(h1, h2) == 1)
         .orderBy(*order_cols)
         .limit(max(1, k))
     )
@@ -99,6 +106,12 @@ class AuditReport:
 
 
 def run_consistency_check(table: str, source_count: int, target: DataFrame,
-                          cutoff_pred: Column | None = None) -> AuditReport:
-    row = audit_aggregate(target, cutoff_pred).first()
+                          cutoff_pred: Column | None = None,
+                          h1: str = "row_hash",
+                          h2: str = "row_hash_iceberg") -> AuditReport:
+    """h1/h2 must be the RESOLVED envelope names (tech_column_names applies a
+    `__` prefix when a source column collides, envelope.py:39-50) — auditing
+    the hardcoded defaults against such a table would compare the source's
+    own column and fail every row."""
+    row = audit_aggregate(target, cutoff_pred, h1, h2).first()
     return AuditReport(table, source_count, row["target_count"], row["hash_mismatches"])

@@ -41,8 +41,18 @@ def snapshot_diff(
     ho = hash_old if hash_old is not None else row_hash_column(old)
     hn = hash_new if hash_new is not None else row_hash_column(new)
     o = old.select(*key_cols, ho.alias("__h_old"))
-    n = new.select(*key_cols, hn.alias("__h_new"))
-    j = o.join(n, key_cols, "full_outer")
+    n = new.select(*[F.col(c).alias(f"__n_{c}") for c in key_cols],
+                   hn.alias("__h_new"))
+    # null-safe key equality: a plain equi-join never matches NULL keys, so
+    # an unchanged NULL-keyed row would churn as ADDED+REMOVED forever
+    cond = None
+    for c in key_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+        cond = e if cond is None else (cond & e)
+    j = (o.join(n, cond, "full_outer")
+          .select(*[F.coalesce(F.col(c), F.col(f"__n_{c}")).alias(c)
+                    for c in key_cols],
+                  "__h_old", "__h_new"))
     change = (
         F.when(F.col("__h_old").isNull(), F.lit(CHANGE_ADDED))
          .when(F.col("__h_new").isNull(), F.lit(CHANGE_REMOVED))

@@ -58,14 +58,17 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
     if payload is None:
         return None, None, "null payload"
     if payload[:8] == FAKE_IMG_MAGIC:
-        w, h = struct.unpack(">II", payload[8:16])
+        try:
+            w, h = struct.unpack(">II", payload[8:16])
+        except struct.error as e:   # truncated header — error is data
+            return None, None, f"bad fakeimg: {e}"
         return int(w), int(h), None
     if payload[:8] == PNG_SIGNATURE:
         # real decode: header-only IHDR read (never inflates IDAT for metadata)
         try:
             w, h, _, _ = png_meta(bytes(payload))
             return int(w), int(h), None
-        except PngFormatError as e:
+        except (PngFormatError, struct.error) as e:
             return None, None, f"bad png: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
@@ -91,6 +94,9 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     PNG payloads and emit per-image pixel statistics (mean sample value).
     Errors stay data (`decode_error`), never exceptions — one corrupt blob
     can't kill a 100 TB scan."""
+    import struct as structmod
+    import zlib
+
     from flink_job_spark.functions.png import PNG_SIGNATURE, PngFormatError, decode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,7 +111,10 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                     try:
                         w, h, ch, px = decode_png(bytes(payload))
                         luma = round(sum(px) / len(px), 6) if px else None
-                    except PngFormatError as e:
+                    except (PngFormatError, zlib.error, structmod.error) as e:
+                        # corrupt IDAT raises zlib.error, truncated headers
+                        # struct.error — ALL decode faults must stay data
+                        w = h = ch = luma = None
                         err = f"bad png: {e}"
                 else:
                     err = "not a decodable image"
@@ -262,12 +271,18 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                             dur = round(nf * 1000.0 / sr, 6) if sr else None
                             if wf.getsampwidth() == 2 and nf:
                                 frames = wf.readframes(nf)
-                                acc = 0.0
-                                for i in range(0, len(frames), 2):
-                                    s = int.from_bytes(frames[i:i + 2],
-                                                       "little", signed=True)
-                                    acc += float(s) * float(s)
-                                rms = round((acc / (len(frames) // 2)) ** 0.5, 6)
+                                # a truncated file can declare nf>0 in the
+                                # header yet return no data — no RMS, not a
+                                # ZeroDivisionError
+                                if len(frames) >= 2:
+                                    acc = 0.0
+                                    for i in range(0, len(frames), 2):
+                                        s = int.from_bytes(frames[i:i + 2],
+                                                           "little", signed=True)
+                                        acc += float(s) * float(s)
+                                    rms = round((acc / (len(frames) // 2)) ** 0.5, 6)
+                                else:
+                                    err = "bad wav: empty data chunk"
                     except (wave.Error, EOFError) as e:
                         sr = ch = nf = dur = rms = None
                         err = f"bad wav: {e}"

@@ -109,10 +109,15 @@ class IngestConfig:
 def _detect_schema_drift(spark, target_path, new_schema):
     """(added, removed) column-name sets vs the existing target, or None when
     the target doesn't exist yet / schemas agree. Reads footers only."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = set(spark.read.parquet(target_path).schema.names)
-    except Exception:  # first load: no target yet
+    except AnalysisException:  # first load: no target yet (PATH_NOT_FOUND)
         return None
+    # any OTHER failure (transient storage/permission error) must propagate:
+    # treating it as "no target" would silently skip drift detection and
+    # append a drifted schema
     new = set(new_schema.names)
     if existing == new:
         return None
@@ -199,7 +204,8 @@ def snapshot_ingest(
             log.info("Total emitted in this run: %s from %s (mis:1132-1134)",
                      obs.get.get("rows_written"), table)
         report = run_consistency_check(
-            table, src_count, target, cutoff_predicate(order_col, cutoff))
+            table, src_count, target, cutoff_predicate(order_col, cutoff),
+            h1=names["row_hash"], h2=names["row_hash_iceberg"])
         if not report.ok:
             if cfg.fail_on_consistency_error:
                 # escapes the blanket isolation below and aborts the batch,

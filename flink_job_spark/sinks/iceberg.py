@@ -155,6 +155,10 @@ def iceberg_write(spark, df, catalog: str, database: str, table: str,
               f".{quote_identifier(table)}")
     writer = df.writeTo(target)
     if mode == "replace":
-        writer.overwritePartitions()
+        # overwrite(True), NOT overwritePartitions(): dynamic overwrite only
+        # replaces partitions PRESENT in the new data, so a replace run in a
+        # new month(load_dttm) partition would leave prior months' data alive
+        from pyspark.sql import functions as F
+        writer.overwrite(F.lit(True))
     else:
         writer.append()

@@ -49,3 +49,24 @@ def test_asof_preserves_left_rowcount(spark, sf_dir):
                .groupBy("user_id", "ts").agg(F.max("event_id").alias("err_id")))
     out = asof_join(views, errors, key="user_id", right_payload=["err_id"])
     assert out.count() == views.count()  # left join: no row loss, no fanout
+
+
+def test_asof_null_payload_in_latest_row_is_kept(spark):
+    """The matched right row is atomic: a NULL payload column in the as-of
+    row must come through as NULL, never backfilled from an older row
+    (per-column carry would emit a chimera of several right rows)."""
+    import datetime as dt
+
+    from flink_job_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 1), 5.0, "a"),
+         (1, t(2024, 1, 1, 0, 2), None, "b")],
+        "k long, ts timestamp, x double, y string")
+    left = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 3))], "k long, ts timestamp")
+    row = asof_join(left, right, key="k").collect()[0]
+    assert row["asof_ts"] == t(2024, 1, 1, 0, 2)
+    assert row["asof_x"] is None        # NOT 5.0 from the older row
+    assert row["asof_y"] == "b"

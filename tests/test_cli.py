@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_job_spark.cli import detect_order_key, main, parse_table_mappings
 
 
@@ -126,3 +128,28 @@ def test_cli_csv_json_orc_sources(spark, sf_dir, tmp_path):
         assert got.count() == cust.count(), fmt
         # the audit hash columns were stamped off the declared-schema read
         assert "row_hash" in [c.lower() for c in got.columns], fmt
+
+
+def test_snapshot_diff_null_keys_do_not_churn(spark):
+    """An unchanged NULL-keyed row must not be emitted as ADDED+REMOVED on
+    every run (plain equi-joins never match NULL keys)."""
+    from flink_job_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "n")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (2, "b")], "k long, v string")
+    got = {(r["k"], r["change_type"])
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "ADDED")}
+
+
+def test_probe_dim_skips_null_vectors_and_raises_on_empty(spark):
+    from flink_job_spark.functions.vectors import probe_dim
+
+    df = spark.createDataFrame([(None,), ([1.0, 2.0, 3.0],)],
+                               "v array<double>")
+    assert probe_dim(df, "v") == 3
+    import pytest
+    with pytest.raises(ValueError, match="no non-null"):
+        probe_dim(df.filter(F.col("v").isNull()), "v")

@@ -233,3 +233,61 @@ def test_wav_rms_key_odd_frame_count_still_exact(spark):
     # power-of-two rates: duration is binary-exact, no rounding occurred
     assert got[0]["duration_ms"] == 401 * 1000 / 32000
     assert got[1]["duration_ms"] == 403 * 1000 / 4000
+
+
+def test_corrupt_payloads_stay_data_not_exceptions(spark):
+    """The errors-as-data contract under REAL corruption: truncated FAKEIMG
+    headers, valid-signature PNGs with garbage IDAT, short PNG prefixes, and
+    header-only WAVs must all come back as decode_error rows — any escaping
+    zlib/struct/ZeroDivision error would kill a 100 TB scan."""
+    import io
+    import wave as wavmod
+    import zlib
+
+    from flink_job_spark.functions.png import PNG_SIGNATURE
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_meta,
+        decode_image_meta,
+        decode_pixel_stats,
+    )
+
+    # PNG with valid signature + IHDR but corrupt IDAT bytes
+    import struct as st
+
+    def chunk(tag, body):
+        c = st.pack(">I", len(body)) + tag + body
+        return c + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = chunk(b"IHDR", st.pack(">IIBB", 4, 4, 8, 2) + b"\x00\x00\x00")
+    bad_idat = chunk(b"IDAT", b"this is not zlib data")
+    corrupt_png = PNG_SIGNATURE + ihdr + bad_idat + chunk(b"IEND", b"")
+
+    # WAV whose header declares frames but whose data chunk is empty
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+        wf.writeframes(b"\x01\x00" * 4)
+    truncated_wav = buf.getvalue()
+    truncated_wav = truncated_wav[: truncated_wav.rindex(b"data") + 8]
+
+    rows = [
+        (0, "image", "image/fake", bytearray(b"FAKEIMG1")),          # 8-byte header
+        (1, "image", "image/png", bytearray(corrupt_png)),
+        (2, "image", "image/png", bytearray(PNG_SIGNATURE + b"\x00\x01")),
+        (3, "audio", "audio/wav", bytearray(truncated_wav)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    meta = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert meta[0]["decode_error"] and "bad fakeimg" in meta[0]["decode_error"]
+    assert meta[2]["decode_error"] and "bad png" in meta[2]["decode_error"]
+
+    stats = {r["media_id"]: r for r in decode_pixel_stats(media).collect()}
+    assert stats[1]["decode_error"] and "bad png" in stats[1]["decode_error"]
+    assert stats[2]["decode_error"] and "bad png" in stats[2]["decode_error"]
+
+    audio = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    a = audio[3]
+    assert a["rms"] is None
+    assert a["decode_error"] is None or "bad wav" in a["decode_error"]

@@ -210,3 +210,22 @@ def test_scd2_apply_operator(spark):
         (3, "c"):     (t1, t2, False),   # removed: closed
         (4, "d"):     (t2, None, True),  # added: opens
     }
+
+
+def test_ingest_audits_renamed_hash_columns_on_collision(spark, sf_dir, tmp_path):
+    """A source that already owns a row_hash column: the envelope renames the
+    canonical hashes to __row_hash/__row_hash_iceberg, and the audit must
+    compare THOSE — comparing the source's own column would fail every row."""
+    from flink_job_spark.pipeline import IngestConfig, snapshot_ingest
+    from flink_job_spark.sources.tables import load_table
+
+    nat = load_table(spark, sf_dir, "nation").withColumn(
+        "row_hash", F.lit("user-data-not-ours"))
+    res = snapshot_ingest(
+        spark, nat, "nation_coll", str(tmp_path / "tgt"),
+        "n_nationkey", config=IngestConfig())
+    assert res.error is None, res.error
+    assert res.report is not None and res.report.ok, (
+        res.report.hash_mismatches if res.report else None)
+    t = spark.read.parquet(str(tmp_path / "tgt"))
+    assert "__row_hash" in t.columns and "row_hash" in t.columns
