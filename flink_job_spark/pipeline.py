@@ -60,10 +60,13 @@ class ConsistencyError(RuntimeError):
     like the reference's rethrown ConsistencyCheckException (mis:365-368).
     Carries the failing AuditReport so the caller can print the numbers."""
 
-    def __init__(self, table: str, report: "AuditReport"):
-        super().__init__(
-            f"consistency check failed for {table}: delta={report.delta} "
-            f"hash_mismatches={report.hash_mismatches}")
+    def __init__(self, table: str, report: "AuditReport | None" = None):
+        if report is not None:
+            msg = (f"consistency check failed for {table}: delta={report.delta} "
+                   f"hash_mismatches={report.hash_mismatches}")
+        else:   # message-only form (quality-gate rule failures carry no report)
+            msg = f"consistency check failed: {table}"
+        super().__init__(msg)
         self.table = table
         self.report = report
 

@@ -87,15 +87,21 @@ def doc_shingles(d: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
     return cap_shingles(sh, max_doc_freq) if max_doc_freq is not None else sh
 
 
+def hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Shingles appearing in more than ``max_doc_freq`` documents — THE
+    definition of 'hot', shared by the cap and the hot-intersection
+    correction so the two can never diverge."""
+    return (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") > max_doc_freq).select("s"))
+
+
 def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles appearing in more than ``max_doc_freq`` documents.
 
     The hot set is at most |rows|/cap shingles — broadcast it and anti-join,
     so the big shingle table never shuffles. Bounds any one shingle's
     candidate contribution to cap·(cap−1)/2 pairs on a pathological corpus."""
-    hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") > max_doc_freq).select("s"))
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh.join(F.broadcast(hot_shingles(sh, max_doc_freq)), "s", "left_anti")
 
 
 _DUCK_SHINGLES = f"""
@@ -248,8 +254,7 @@ def jaccard_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     (empty unless the corpus has stop-shingles), so
     i_full = i_capped + i_hot exactly. Pairs sharing only hot shingles never
     materialize — that is the cap's point."""
-    hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") > max_doc_freq).select("s"))
+    hot = hot_shingles(sh, max_doc_freq)
     shc = sh.join(F.broadcast(hot), "s", "left_anti")
     hot_rows = sh.join(F.broadcast(hot), "s", "left_semi")
     inter_c = (

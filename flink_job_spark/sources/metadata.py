@@ -176,8 +176,14 @@ def _from_java(v: Any) -> Any:
         return Decimal(v.toString())
     if cls == "java.sql.Timestamp":
         import datetime as dt
-        return dt.datetime.strptime(v.toString()[:23].ljust(23, "0"),
-                                    "%Y-%m-%d %H:%M:%S.%f")
+        # keep MICROSECOND precision: truncating to ms ([:23]) shifted a
+        # µs-precision cutoff BELOW the max row, silently excluding the rows
+        # that defined MAX(order_col) from their own snapshot. toString()
+        # prints 1-9 fractional digits; pad/truncate to 6 (µs — Spark's own
+        # timestamp precision).
+        base, frac = v.toString().split(".")
+        return dt.datetime.strptime(
+            f"{base}.{(frac + '000000')[:6]}", "%Y-%m-%d %H:%M:%S.%f")
     if cls == "java.sql.Date":
         import datetime as dt
         return dt.date.fromisoformat(v.toString())

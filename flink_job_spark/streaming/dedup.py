@@ -35,7 +35,7 @@ def _classify_batch(batch: DataFrame, seen_keys: DataFrame | None) -> DataFrame:
     """(doc_id, content_key, verdict) for one batch vs the seen-key store —
     the same broadcast-the-batch semi-join shape as q_dedup_incremental."""
     k = batch.select(
-        "doc_id", F.md5(norm_text("text")).alias("content_key")).persist()
+        "doc_id", F.md5(norm_text("text")).alias("content_key"))
     rn = F.row_number().over(
         Window.partitionBy("content_key").orderBy("doc_id"))
     ranked = k.withColumn("rn", rn)
@@ -81,7 +81,12 @@ def stream_incremental_dedup(
             return
         seen = None
         try:
-            seen = spark.read.parquet(keys_dir)
+            # keys are tagged with the batch that admitted them: a REPLAYED
+            # batch (crash between key append and manifest write) must not
+            # see its own keys as historical, or every unique doc would
+            # reclassify as dup_historical
+            seen = (spark.read.parquet(keys_dir)
+                    .filter(F.col("src_batch_id") != batch_id))
         except Exception:
             pass
         verdicts = _classify_batch(batch_df, seen).persist()
@@ -92,6 +97,7 @@ def stream_incremental_dedup(
                  .parquet(out_dir))
         (verdicts.filter(F.col("verdict") == "unique")
                  .select("content_key")
+                 .withColumn("src_batch_id", F.lit(batch_id))
                  .write.mode("append").parquet(keys_dir))
         (spark.createDataFrame([(batch_id,)], "batch_id long")
               .write.mode("append").parquet(manifest_dir))

@@ -128,16 +128,28 @@ def stream_snapshot_ingest_audited(
     def write_and_audit(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            (batch_df.write
-                .partitionBy("load_month")
-                .mode("append")
+            # batch_id partition + dynamic overwrite: a REPLAYED batch (crash
+            # before offset commit, or the ConsistencyError path itself)
+            # overwrites its own partition instead of appending a duplicate
+            # copy per retry
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write
+                .partitionBy("batch_id", "load_month")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
                 .parquet(target_dir))
-            n, mm = batch_df.agg(
+            n = batch_df.count()
+            # audit what actually LANDED: re-read the written partition so the
+            # count half of the gate is real (auditing the in-memory batch
+            # twice made delta == 0 by construction)
+            tgt = spark.read.parquet(target_dir).filter(
+                F.col("batch_id") == batch_id)
+            tn, mm = tgt.agg(
                 F.count(F.lit(1)),
                 F.coalesce(F.sum(hash_mismatch_flag(
                     names["row_hash"], names["row_hash_iceberg"])), F.lit(0)),
             ).first()
-            report = AuditReport(f"batch:{batch_id}", int(n), int(n), int(mm))
+            report = AuditReport(f"batch:{batch_id}", int(n), int(tn), int(mm))
             reports.append(report)
             if not report.ok and fail_on_consistency_error:
                 raise ConsistencyError(f"batch:{batch_id}", report)

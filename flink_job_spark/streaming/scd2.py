@@ -62,7 +62,10 @@ def scd2_stream_apply(
     simply opens every row; later generations run the single-join-pass
     :func:`scd2_apply` against the previous generation.
     """
-    src = stream_snapshot_source(spark, src_dir, schema)
+    # one snapshot file per micro-batch: a multi-file batch would union two
+    # FULL snapshots (two rows per key) and corrupt the dimension; the option
+    # must sit on the SOURCE — on writeStream it is silently ignored
+    src = stream_snapshot_source(spark, src_dir, schema, max_files_per_trigger=1)
     out_cols = [*key_cols, *attr_cols, "valid_from", "valid_to", "is_current"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,7 +90,6 @@ def scd2_stream_apply(
         src.writeStream
         .foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .option("maxFilesPerTrigger", "1")  # one snapshot file per micro-batch
         .trigger(availableNow=True)
         .start()
     )

@@ -84,17 +84,20 @@ def stream_enrich_join(events: DataFrame, dim: DataFrame,
                        on: str) -> DataFrame:
     """Stream-static enrichment join: every micro-batch of the stream joins
     against the (batch) dimension table, re-read per batch — the streaming
-    analog of the broadcast star join. Spark broadcasts the dim side when it
-    is under the threshold; the stream side never shuffles and needs no
-    watermark (no state is kept: static side is re-evaluated each batch, so
-    slowly-changing dims are picked up automatically)."""
-    return events.join(F.broadcast(dim), on, "left")
+    analog of the broadcast star join. No hint: Spark broadcasts the dim
+    side when it is under autoBroadcastJoinThreshold and falls back to a
+    shuffle join for an oversized dim (a forced broadcast would OOM instead);
+    the stream side needs no watermark (no state is kept: the static side is
+    re-evaluated each batch, so slowly-changing dims are picked up
+    automatically)."""
+    return events.join(dim, on, "left")
 
 
 def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
                          lower: str = "0 seconds",
                          upper: str = "10 minutes",
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         exclude_same_id: bool = False) -> DataFrame:
     """Watermarked stream-stream interval join — Flink's interval join,
     spelled Structured-Streaming-native: both sides watermark their event
     time, the join condition is an equi-key plus a bounded time range
@@ -102,7 +105,12 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
     let Spark EXPIRE buffered state — without the bound a stream-stream join
     buffers forever. State per key is O(events inside the interval window).
 
-    Output columns: key, l_event_id, l_ts, r_event_id, r_ts."""
+    ``exclude_same_id`` drops pairs with equal event_ids — ONLY correct for
+    self-joins (two independent streams may legitimately share id values and
+    must keep those matches).
+
+    Output columns: key (under its own name), l_event_id, l_ts, r_event_id,
+    r_ts."""
     l = (left.withColumn("ts", F.col("ts").cast("timestamp"))
              .withWatermark("ts", watermark)
              .select(F.col(key).alias("k"),
@@ -117,8 +125,9 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
         (l["k"] == r["k"])
         & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lower}"))
         & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {upper}"))
-        & (l["l_event_id"] != r["r_event_id"])
     )
+    if exclude_same_id:
+        cond = cond & (l["l_event_id"] != r["r_event_id"])
     return (l.join(r, cond)
-             .select(l["k"].alias("user_id"), "l_event_id", "l_ts",
+             .select(l["k"].alias(key), "l_event_id", "l_ts",
                      "r_event_id", "r_ts"))

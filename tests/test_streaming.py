@@ -241,14 +241,14 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     sl = spark.readStream.schema(schema).parquet(src)
     sr = spark.readStream.schema(schema).parquet(src)
     out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
-    q = (stream_interval_join(sl, sr, "user_id", upper="5 minutes")
+    q = (stream_interval_join(sl, sr, "user_id", upper="5 minutes", exclude_same_id=True)
          .writeStream.format("parquet")
          .option("path", out_dir).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     got = spark.read.parquet(out_dir)
 
-    want = stream_interval_join(ev, ev, "user_id", upper="5 minutes")
+    want = stream_interval_join(ev, ev, "user_id", upper="5 minutes", exclude_same_id=True)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
@@ -491,11 +491,13 @@ def test_stream_quality_gate_blocks_corrupt_batch(spark, sf_dir, tmp_path):
     assert led.filter(~F.col("passed")).count() == 0
 
     corrupt.coalesce(1).write.mode("append").parquet(src)
-    # the ConsistencyError surfaces wrapped in StreamingQueryException
-    with pytest.raises(Exception):
+    # the ConsistencyError surfaces wrapped in StreamingQueryException with
+    # its message intact — a TypeError from a bad raise would NOT match
+    from pyspark.sql.streaming import StreamingQueryException
+    with pytest.raises(StreamingQueryException, match="(?i)consistency"):
         stream_quality_gate(spark, src, o.schema, rules, ledger, ckpt)
     # rerun still fails: the corrupt batch's offsets were never committed
-    with pytest.raises(Exception):
+    with pytest.raises(StreamingQueryException, match="(?i)consistency"):
         stream_quality_gate(spark, src, o.schema, rules, ledger, ckpt)
     led = spark.read.parquet(ledger)
     failed = led.filter(~F.col("passed"))
@@ -591,3 +593,79 @@ def test_stream_cusum_equals_batch_recurrence(spark, sf_dir, tmp_path):
             for r in all_queries()["q_cusum"].fn(spark, sf_dir).collect()}
     assert len(got) == len(want)
     assert got == want  # bit-identical doubles, not approximate
+
+
+def test_scd2_stream_multi_pending_snapshots_stay_separate(spark, sf_dir, tmp_path):
+    """TWO snapshot files pending before the stream runs must become TWO
+    generations (maxFilesPerTrigger on the source) — a merged batch would
+    union two full snapshots and emit duplicate current rows per key."""
+    import datetime as dtmod
+
+    from flink_job_spark.streaming.scd2 import latest_generation, scd2_stream_apply
+
+    nat = load_table(spark, sf_dir, "nation")
+    src, dim, ckpt = (str(tmp_path / p) for p in ("src", "dim", "ckpt"))
+    snap1 = nat.select("n_nationkey", "n_name")
+    snap2 = snap1.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0,
+                         F.lit("RENAMED")).otherwise(F.col("n_name")))
+    snap1.coalesce(1).write.mode("append").parquet(src)
+    snap2.coalesce(1).write.mode("append").parquet(src)
+
+    scd2_stream_apply(spark, src, snap1.schema, dim, ckpt,
+                      key_cols=["n_nationkey"], attr_cols=["n_name"],
+                      base_ts=dtmod.datetime(2026, 1, 1))
+    assert latest_generation(dim) == 1  # two batches, two generations
+    cur = (spark.read.parquet(f"{dim}/gen=1")
+           .filter(F.col("is_current")))
+    assert cur.count() == nat.count()   # exactly ONE current row per key
+    assert cur.groupBy("n_nationkey").count().filter("count > 1").count() == 0
+    assert cur.filter((F.col("n_nationkey") == 0)
+                      & (F.col("n_name") == "RENAMED")).count() == 1
+
+
+def test_stream_audited_ingest_retry_does_not_duplicate(spark, sf_dir, tmp_path):
+    """A batch that fails the audit has already written its partition; the
+    retry must OVERWRITE it, not append a second copy — and the audit's
+    target_count comes from what actually landed on disk."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from flink_job_spark.functions.hashing import TOKEN_SEP, hash_token_column
+    from flink_job_spark.streaming.ingest import stream_snapshot_ingest_audited
+
+    src, tgt, ckpt = (str(tmp_path / p) for p in ("src", "tgt", "ckpt"))
+    nat = load_table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").parquet(src)
+
+    corrupted = F.when(F.col("n_nationkey") % 5 == 0,
+                       F.concat(F.col("n_name"), F.lit("_X"))
+                       ).otherwise(F.col("n_name"))
+    dtypes = {f.name: f.dataType for f in nat.schema.fields}
+    tokens = [hash_token_column(corrupted if n == "n_name" else F.col(n), dtypes[n])
+              for n in nat.columns]
+    bad_hash = F.md5(F.concat_ws(TOKEN_SEP, *tokens))
+
+    import datetime as dtmod
+    for _ in range(3):   # fail, retry, retry — same checkpoint, same target
+        with pytest.raises(StreamingQueryException):
+            stream_snapshot_ingest_audited(
+                spark, src, nat.schema, tgt, ckpt,
+                load_dttm=dtmod.datetime(2026, 1, 1), row_hash=bad_hash)
+    t = spark.read.parquet(tgt)
+    assert t.count() == nat.count(), "retries appended duplicate copies"
+
+
+def test_java_timestamp_conversion_keeps_microseconds(spark):
+    """The watermark cutoff read over JDBC must keep µs precision — ms
+    truncation excludes the MAX row from its own snapshot."""
+    import datetime as dtmod
+
+    from flink_job_spark.sources.metadata import _from_java
+
+    jts = spark._jvm.java.sql.Timestamp.valueOf("2026-01-01 00:00:00.123456")
+    assert _from_java(jts) == dtmod.datetime(2026, 1, 1, 0, 0, 0, 123456)
+    jts_ns = spark._jvm.java.sql.Timestamp.valueOf("2026-01-01 00:00:00.123456789")
+    assert _from_java(jts_ns) == dtmod.datetime(2026, 1, 1, 0, 0, 0, 123456)
+    jts_s = spark._jvm.java.sql.Timestamp.valueOf("2026-01-01 00:00:01")
+    assert _from_java(jts_s) == dtmod.datetime(2026, 1, 1, 0, 0, 1)
