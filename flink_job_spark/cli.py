@@ -81,20 +81,27 @@ def _load_jdbc_table(spark, url, table, key_override, args, props):
         print(f"SKIP  {table}: no columns visible", file=sys.stderr)
         return None
 
-    key = (key_override
-           or detect_primary_key(spark, url, table, props)
-           or infos[0].name)  # explicit → PK → first column (mis:231-242)
-    cutoff = read_watermark_value(spark, url, table, key, properties=props)
-    bounds = None
-    if args.parallelism > 1:
-        b = read_key_bounds(spark, url, table, key, properties=props)
-        if b is not None and all(isinstance(x, (int, float)) for x in b):
-            bounds = (b[0], b[1])
-    src = JdbcSnapshotSource(
-        url, table, [c.name for c in infos], key, cutoff=cutoff,
-        fetch_size=args.fetch_size, num_partitions=args.parallelism,
-        bounds=bounds, properties=props)
-    return src.reader(spark).load(), key, {c.name: c for c in infos}
+    try:
+        key = (key_override
+               or detect_primary_key(spark, url, table, props)
+               or infos[0].name)  # explicit → PK → first column (mis:231-242)
+        cutoff = read_watermark_value(spark, url, table, key, properties=props)
+        bounds = None
+        if args.parallelism > 1:
+            b = read_key_bounds(spark, url, table, key, properties=props)
+            if b is not None and all(isinstance(x, (int, float)) for x in b):
+                bounds = (b[0], b[1])
+        src = JdbcSnapshotSource(
+            url, table, [c.name for c in infos], key, cutoff=cutoff,
+            fetch_size=args.fetch_size, num_partitions=args.parallelism,
+            bounds=bounds, properties=props)
+        return src.reader(spark).load(), key, {c.name: c for c in infos}
+    except Exception as e:
+        # same skip-never-crash contract as the metadata scan above: a table
+        # dropped / permission revoked BETWEEN the scan and the watermark
+        # read must not abort the remaining tables (mis:202-224)
+        print(f"SKIP  {table}: source setup failed: {e}", file=sys.stderr)
+        return None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -171,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
             jobs.append((df, src, f"{args.target_dir}/{dst}", key, None))
 
     failures = 0
+    if not jobs:
+        # every requested table was skipped: exit non-zero so schedulers see
+        # a zero-rows-ingested run as a failure, not a green no-op
+        print("FAIL  no tables ingestable (all skipped)", file=sys.stderr)
+        return 1
     for start in range(0, len(jobs), args.batch_size):  # batch loop (mis:189-198)
         try:
             results = ingest_tables(spark, jobs[start:start + args.batch_size], cfg)

@@ -183,3 +183,19 @@ def duckdb_row_hash_sql(schema: T.StructType, cols: list[str] | None = None,
     dtypes = {f.name: f.dataType for f in schema.fields}
     tokens = [duckdb_hash_token_sql(n, dtypes[n], (infos or {}).get(n)) for n in names]
     return f"md5(concat_ws('{TOKEN_SEP}', {', '.join(tokens)}))"
+
+
+# --- deterministic md5 bucketing ----------------------------------------------------
+# The repo-wide sampling/sharding idiom: the first 32 bits of md5 as an
+# unsigned integer, identical across engines, retries, and partitionings
+# (never rand()). Spark builder and DuckDB twin live together so the six
+# call sites (mixture, weighted sample, CV folds, stratified sample,
+# feature hashing, train shuffle) can never drift apart.
+
+def md5_u32(col: Column) -> Column:
+    """First 32 md5 bits of ``col`` as a bigint in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def md5_u32_duck(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 8) AS BIGINT)"

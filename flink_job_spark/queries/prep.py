@@ -36,6 +36,7 @@ from flink_job_spark.functions.text import (
     ws_token_count,
     ws_token_count_duck,
 )
+from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -128,7 +129,7 @@ def _weight_case_duck() -> str:
         )
         SELECT d.source, r.n_docs,
                CAST(COALESCE(SUM(CASE WHEN
-                 CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 {md5_u32_duck("CAST(d.doc_id AS VARCHAR)")}
                    / 4294967296.0 < r.rate THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
         FROM documents d JOIN r ON d.source = r.source
         GROUP BY d.source, r.n_docs""",
@@ -159,10 +160,7 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_total") * F.lit(MIX_BUDGET_FRAC)) / F.col("n_docs"),
         ).alias("rate"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") / F.lit(4294967296.0)
-    )
+    bucket = md5_u32(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
     return (
         d.join(F.broadcast(r), "source")
          .withColumn("keep", (bucket < F.col("rate")).cast("int"))
@@ -423,12 +421,28 @@ def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- format roundtrips: CSV / JSON lines sources -------------------------------------
 
+_ROUNDTRIP_DIRS: set[str] = set()
+
+
+def _cleanup_roundtrip_dirs() -> None:
+    import shutil
+    for d in _ROUNDTRIP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     # pid-scoped: a path shared across processes races when two runs at the
-    # same scale factor overwrite gen/part files mid-read (flaky parity)
+    # same scale factor overwrite gen/part files mid-read (flaky parity);
+    # pid scoping means no later run reuses the dir, so each process removes
+    # its own copies at exit instead of accreting full-table copies in /tmp
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(),
-                        f"fjs_roundtrip_{os.getpid()}_{tag}_{fmt}")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"fjs_roundtrip_{os.getpid()}_{tag}_{fmt}")
+    if not _ROUNDTRIP_DIRS:
+        import atexit
+        atexit.register(_cleanup_roundtrip_dirs)
+    _ROUNDTRIP_DIRS.add(d)
+    return d
 
 @register(
     "q_csv_roundtrip",
@@ -593,12 +607,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to weight. Spark fuses orderBy+limit into
     TakeOrderedAndProject — each map partition keeps its local top-k, the
     driver merges k·partitions rows, nothing global ever sorts. That plan
-    survives any corpus size; k is the only memory bound."""
+    survives any corpus size; k is the only memory bound.
+
+    pow() here is libm-adjacent but NOT in the parity surface: the key never
+    leaves the plan (output is doc_id/n_chars), so engines diverge only if a
+    <=2-ulp pow difference FLIPS the order of two docs — requiring two keys
+    within ~1e-16 of each other, P ≈ 1e-11 over this corpus's pairs. The
+    keys that do emit transcendental-derived VALUES (decay, tfidf, entropy)
+    avoid libm entirely; this ranking-only use is the documented exception."""
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-         .cast("bigint") + F.lit(0.5)) / F.lit(4294967296.0)
-    )
+    u = (md5_u32(F.col("doc_id").cast("string")) + F.lit(0.5)) / F.lit(4294967296.0)
     es_key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
     return (
         d.select("doc_id", "n_chars", es_key.alias("es_key"))
@@ -775,7 +793,7 @@ CV_FOLDS = 5
     ),
     f AS (
       SELECT doc_id, content_key,
-             CAST(CAST('0x' || substring(md5(content_key), 1, 8) AS BIGINT)
+             CAST({md5_u32_duck("content_key")}
                   % {CV_FOLDS} AS INT) AS fold
       FROM k
     )
@@ -796,8 +814,7 @@ def q_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-cardinality aggregate."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(norm_text("text"))
-    fold = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
-            .cast("bigint") % CV_FOLDS).cast("int")
+    fold = (md5_u32(key) % CV_FOLDS).cast("int")
     return (d.select(fold.alias("fold"), key.alias("content_key"))
              .groupBy("fold")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -879,7 +896,11 @@ def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(path, "part-junk.csv"), "w") as fh:
         for i in range(BAD_LINES):
             fh.write(f"not_a_key_{i}|garbage\n")
-    schema = c.schema.add("_corrupt_record", "string")
+    # copy first: StructType.add mutates in place and DataFrame.schema
+    # returns the CACHED object — adding to it would corrupt c.schema for
+    # every later use in this session
+    from pyspark.sql import types as T
+    schema = T.StructType(list(c.schema.fields)).add("_corrupt_record", "string")
     parsed = (
         spark.read.schema(schema)
         .option("header", False)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -208,10 +209,10 @@ def _rate_case_col() -> F.Column:
 @register(
     "q_stratified_sample",
     f"""SELECT doc_id, lang, source, n_chars,
-               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               {md5_u32_duck("CAST(doc_id AS VARCHAR)")}
                  % 100 AS sample_bucket
         FROM documents
-        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        WHERE {md5_u32_duck("CAST(doc_id AS VARCHAR)")}
                  % 100 < {_rate_case_sql()}""",
     doc="per-language stratified sample via deterministic md5 bucket — "
         "reproducible across engines/retries/cluster sizes (never rand())",
@@ -223,10 +224,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (no shuffle, no state, plan-pinned), so at 100 TB it rides the scan.
     Unlike df.sample(), reruns and speculative tasks pick identical rows."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = md5_u32(F.col("doc_id").cast("string")) % 100
     return (
         d.withColumn("sample_bucket", bucket)
          .filter(F.col("sample_bucket") < _rate_case_col())

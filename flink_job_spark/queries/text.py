@@ -28,6 +28,7 @@ from flink_job_spark.functions.text import (
     ws_token_count,
     ws_token_count_duck,
 )
+from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -537,7 +538,7 @@ FEATURE_HASH_DIM = 64
 @register(
     "q_feature_hash",
     f"""SELECT doc_id,
-           CAST('0x' || substring(md5(word), 1, 8) AS BIGINT)
+           {md5_u32_duck("word")}
              % {FEATURE_HASH_DIM} AS bucket,
            CAST(COUNT(1) AS BIGINT) AS n
     FROM (SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents)
@@ -556,10 +557,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 32 md5 bits (the repo-wide deterministic-hash idiom), never
     a JVM-internal hash that another engine can't reproduce."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
-        .cast("bigint") % FEATURE_HASH_DIM
-    )
+    bucket = md5_u32(F.col("word")) % FEATURE_HASH_DIM
     return (
         d.select("doc_id", F.explode(words("text")).alias("word"))
          .groupBy("doc_id", bucket.alias("bucket"))

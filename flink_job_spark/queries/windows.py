@@ -94,7 +94,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_session_window",
     f"""WITH flagged AS (
-         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                 CASE WHEN CAST(ts AS TIMESTAMP)
                           - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -104,7 +104,8 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
        ),
        islands AS (
          SELECT user_id, ts,
-                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_id
          FROM flagged
        )
