@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         sketch,
         text,
+        tpch,
         windows,
     )
     return REGISTRY

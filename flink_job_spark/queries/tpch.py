@@ -1,0 +1,527 @@
+"""TPC-H completion pack: the remaining classic optimizer shapes, adapted to
+the driver schema (no partsupp / l_shipmode / c_phone — documented per key).
+
+The reference engine (damir-kalin/flink-job) has no joins at all (SURVEY
+§2.6); these keys exist because an analytics user switching onto this engine
+runs exactly these shapes. Complements the Q1/Q3/Q4/Q6/Q13/Q15/Q17/Q21 forms
+already in queries/relational.py. Conventions (see relational.py docstring):
+dimension joins broadcast, fact-fact joins stay unhinted for AQE, money sums
+go through exact DECIMAL and exit via the shared _OUT4 scale-4-then-double
+rendering, and every LIMIT-k carries a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries import register
+from flink_job_spark.queries.relational import _OUT4, _VDEC, _out4_col, _vdec_col
+from flink_job_spark.sources.tables import load_table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col():
+    return _vdec_col(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+
+
+# --- q_local_supplier_volume: TPC-H Q5 ----------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+@register(
+    "q_local_supplier_volume",
+    f"""SELECT n_name,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x=_REV)})")} AS revenue,
+           CAST(COUNT(1) AS BIGINT) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{Q5_TO} 00:00:00'
+    GROUP BY n_name""",
+    doc=f"TPC-H Q5 local supplier volume: revenue where customer and "
+        f"supplier share a nation inside region {Q5_REGION} — the 6-table "
+        "snowflake with a join predicate BETWEEN two dimensions "
+        "(c_nationkey = s_nationkey), grouped by nation",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The region filter shrinks nation to 5 keys, which broadcast into
+    supplier; the supplier⋈nation product (100 rows here, ~10M at 100 TB but
+    projected to 3 columns — still broadcastable) broadcasts into the
+    lineitem scan, so the only big-big joins are li⋈orders and ⋈customer,
+    both unhinted so AQE picks sort-merge (or skew-splits) at scale. The
+    c_nationkey = s_nationkey correlation rides the customer join condition —
+    never a post-join filter, so non-local rows die inside the join."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    local_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+         .join(F.broadcast(r.filter(F.col("r_name") == Q5_REGION)),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(local_sup), li["l_suppkey"] == F.col("s_suppkey"))
+          .join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+          .join(c, (F.col("o_custkey") == c["c_custkey"])
+                   & (c["c_nationkey"] == F.col("s_nationkey")))
+          .groupBy("n_name")
+          .agg(_out4_col(F.sum(_rev_col())).alias("revenue"),
+               F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+
+
+# --- q_trade_volume: TPC-H Q7 --------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+@register(
+    "q_trade_volume",
+    f"""SELECT supp_nation, cust_nation, l_year,
+           {_OUT4.format(s='SUM(vol)')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {_VDEC.format(x=_REV)} AS vol
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+          OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+        AND l_shipdate >= TIMESTAMP '{Q7_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q7_TO} 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year""",
+    doc=f"TPC-H Q7 volume shipping: bilateral trade between "
+        f"{Q7_NATION_A} and {Q7_NATION_B} by supplier-nation, "
+        "customer-nation and ship year — the disjunctive two-nation "
+        "pair predicate spanning two dimension role-plays",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation role-plays twice (supplier side, customer side). Each side is
+    pre-filtered to the 2-nation set BEFORE joining — the disjunction
+    ((A,B) or (B,A)) then only needs the cross-pair inequality, applied on
+    the joined row. supplier⋈n1 broadcasts into lineitem; customer⋈n2 is
+    big at scale, so that join and li⋈orders stay unhinted. The year comes
+    from l_shipdate (cast bigint to match the oracle's year())."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    sup = s.join(F.broadcast(n1), s["s_nationkey"] == F.col("nk1"))
+    cus = c.join(F.broadcast(n2), c["c_nationkey"] == F.col("nk2"))
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit(Q7_FROM).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q7_TO).cast("timestamp")))
+          .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+          .join(o, li["l_orderkey"] == o["o_orderkey"])
+          .join(cus, F.col("o_custkey") == cus["c_custkey"])
+          .filter(F.col("supp_nation") != F.col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation",
+                   F.year("l_shipdate").cast("bigint").alias("l_year"))
+          .agg(_out4_col(F.sum(_rev_col())).alias("revenue"))
+    )
+
+
+# --- q_market_share: TPC-H Q8 --------------------------------------------------
+
+Q8_MARKET_REGION = "EUROPE"
+Q8_TARGET_NATION = "NATION_3"
+Q8_PTYPE = "ECONOMY"
+
+@register(
+    "q_market_share",
+    f"""SELECT o_year,
+           ROUND(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6)
+               AS mkt_share,
+           {_OUT4.format(s='nation_vol')} AS nation_revenue,
+           {_OUT4.format(s='total_vol')} AS total_revenue
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             SUM(CASE WHEN supp_nation = '{Q8_TARGET_NATION}'
+                      THEN vol ELSE CAST(0 AS DECIMAL(38,10)) END) AS nation_vol,
+             SUM(vol) AS total_vol
+      FROM (
+        SELECT o_orderdate, n1.n_name AS supp_nation,
+               {_VDEC.format(x=_REV)} AS vol
+        FROM part, lineitem, orders, customer, nation n2, region, supplier,
+             nation n1
+        WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r_regionkey AND r_name = '{Q8_MARKET_REGION}'
+          AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+          AND p_type = '{Q8_PTYPE}')
+      GROUP BY CAST(year(o_orderdate) AS BIGINT))""",
+    doc=f"TPC-H Q8 national market share: the fraction of "
+        f"{Q8_MARKET_REGION}'s {Q8_PTYPE}-part revenue supplied by "
+        f"{Q8_TARGET_NATION}, per order year — conditional-sum ratio over "
+        "an 8-table snowflake with nation role-played twice; the share is "
+        "ONE IEEE division of two exact decimal sums",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator accumulate as EXACT decimals in the same
+    grouped pass (partial-agg friendly); the engine-sensitive division
+    happens once per year row, after rounding scale is fixed — the
+    double-division-inside-SUM form would make the share order-dependent.
+    part is projected to (p_partkey) post-filter and broadcast; the market
+    side (customer⋈nation⋈region) broadcasts its region-pruned keys;
+    supplier⋈nation broadcasts with n_name carried for the CASE."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                   "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    market_nations = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == Q8_MARKET_REGION)),
+               n["n_regionkey"] == r["r_regionkey"])
+         .select(F.col("n_nationkey").alias("mkt_nk"))
+    )
+    sup = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
+                                    F.col("n_name").alias("supp_nation"))),
+               s["s_nationkey"] == F.col("nk1"))
+         .select("s_suppkey", "supp_nation")
+    )
+    parts = p.filter(F.col("p_type") == Q8_PTYPE).select("p_partkey")
+    vol = _rev_col()
+    zero = F.lit(0).cast("decimal(38,10)")
+    joined = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+          .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+          .join(o, li["l_orderkey"] == o["o_orderkey"])
+          .join(c, F.col("o_custkey") == c["c_custkey"])
+          .join(F.broadcast(market_nations),
+                c["c_nationkey"] == F.col("mkt_nk"))
+    )
+    agg = (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+              .agg(F.sum(F.when(F.col("supp_nation") == Q8_TARGET_NATION, vol)
+                          .otherwise(zero)).alias("nation_vol"),
+                   F.sum(vol).alias("total_vol"))
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_vol").cast("double")
+                / F.col("total_vol").cast("double"), 6).alias("mkt_share"),
+        _out4_col(F.col("nation_vol")).alias("nation_revenue"),
+        _out4_col(F.col("total_vol")).alias("total_revenue"),
+    )
+
+
+# --- q_returned_items: TPC-H Q10 -----------------------------------------------
+
+Q10_FROM = "1997-01-01"
+Q10_TO = "1997-04-01"
+Q10_TOPK = 20
+
+@register(
+    "q_returned_items",
+    f"""SELECT c_custkey, c_name,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x=_REV)})")} AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{Q10_TO} 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY SUM({_VDEC.format(x=_REV)}) DESC, c_custkey
+    LIMIT {Q10_TOPK}""",
+    doc=f"TPC-H Q10 returned-item reporting: top-{Q10_TOPK} customers by "
+        "revenue lost to returns in one quarter — join + wide-group "
+        "aggregate + exact-decimal top-k (tie-broken on custkey)",
+    tags=("relational", "join", "agg", "tpch", "topk"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns ('R') and the quarter window prune lineitem/orders at the
+    scan; the surviving fact joins shuffle once on orderkey, then once on
+    custkey into the customer dim (big at scale — unhinted). The group
+    carries the customer attributes (they're functionally dependent on
+    custkey, but carrying them beats a second join-back), ranking happens
+    on the EXACT decimal revenue, and TakeOrderedAndProject fuses the
+    sort+limit so only 20 rows reach the driver side of the plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+          .join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+          .join(c, F.col("o_custkey") == c["c_custkey"])
+          .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name",
+                   "c_mktsegment")
+          .agg(F.sum(_rev_col()).alias("_rev_exact"))
+    )
+    return (
+        agg.orderBy(F.col("_rev_exact").desc(), F.col("c_custkey"))
+           .limit(Q10_TOPK)
+           .select("c_custkey", "c_name",
+                   _out4_col(F.col("_rev_exact")).alias("revenue"),
+                   "c_acctbal", "n_name", "c_mktsegment")
+    )
+
+
+# --- q_promo_revenue: TPC-H Q14 ------------------------------------------------
+
+Q14_FROM = "1997-09-01"
+Q14_TO = "1997-10-01"
+
+@register(
+    "q_promo_revenue",
+    f"""SELECT
+        ROUND(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6)
+            AS promo_pct,
+        {_OUT4.format(s='promo')} AS promo_revenue,
+        {_OUT4.format(s='total')} AS total_revenue
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_VDEC.format(x=_REV)}
+                      ELSE CAST(0 AS DECIMAL(38,10)) END) AS promo,
+             SUM({_VDEC.format(x=_REV)}) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q14_TO} 00:00:00')""",
+    doc="TPC-H Q14 promotion effect: the percentage of one month's revenue "
+        "from PROMO-type parts — conditional-sum ratio with the division "
+        "done ONCE on exact decimal sums (p_type = 'PROMO' adapts the "
+        "reference's LIKE 'PROMO%%' to this schema's enum-like p_type)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part reduces to (p_partkey, is_promo) — 9 bytes a row — before the
+    broadcast, so even a 100 TB-scale part table ships a few GB, and at
+    that scale the hint drops and AQE falls back to a partkey shuffle
+    join. The month filter is pushed to the lineitem scan; one global
+    aggregate row carries both exact sums, then the single division and
+    the *100.0 happen in a fixed order matching the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .select("p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")))
+    vol = _rev_col()
+    zero = F.lit(0).cast("decimal(38,10)")
+    agg = (
+        li.filter((F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp")))
+          .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+          .agg(F.sum(F.when(F.col("_is_promo"), vol).otherwise(zero))
+                .alias("promo"),
+               F.sum(vol).alias("total"))
+    )
+    return agg.select(
+        F.round(F.col("promo").cast("double") / F.col("total").cast("double")
+                * F.lit(100.0), 6).alias("promo_pct"),
+        _out4_col(F.col("promo")).alias("promo_revenue"),
+        _out4_col(F.col("total")).alias("total_revenue"),
+    )
+
+
+# --- q_big_orders: TPC-H Q18 ---------------------------------------------------
+
+Q18_QTY_MIN = 300
+Q18_TOPK = 10
+
+@register(
+    "q_big_orders",
+    f"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                                > {Q18_QTY_MIN})
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {Q18_TOPK}""",
+    doc=f"TPC-H Q18 large-volume customers: orders whose line quantities "
+        f"sum past {Q18_QTY_MIN}, with their customers, top-{Q18_TOPK} by "
+        "order value — the HAVING-subquery membership shape solved with "
+        "ONE lineitem aggregation reused for both the filter and the sum",
+    tags=("relational", "join", "agg", "tpch", "topk"),
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook plan scans lineitem twice (IN-subquery + outer sum);
+    here the per-order quantity aggregate is computed ONCE and the HAVING
+    becomes a filter on it. The surviving key set is tiny (half-a-dozen
+    orders per million), so it broadcasts into orders, and that result —
+    tinier still — broadcasts into customer: after the single orderkey
+    shuffle for the aggregate, NO further shuffle touches a big table.
+    Exact-decimal quantity sums; o_totalprice DESC with orderkey
+    tie-break pins the top-k."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .alias("_qty_exact"))
+          .filter(F.col("_qty_exact") > Q18_QTY_MIN)
+    )
+    return (
+        o.join(F.broadcast(qty), o["o_orderkey"] == qty["l_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+         .limit(Q18_TOPK)
+         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice",
+                 F.col("_qty_exact").cast("double").alias("total_qty"))
+    )
+
+
+# --- q_disjunctive_revenue: TPC-H Q19 ------------------------------------------
+
+Q19_ARMS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#4", 1, 35, 20, 30),
+)
+
+def _q19_arm_sql(brand: str, s0: int, s1: int, q0: int, q1: int) -> str:
+    return (f"(p_brand = '{brand}' AND p_size BETWEEN {s0} AND {s1} "
+            f"AND l_quantity BETWEEN {q0} AND {q1})")
+
+@register(
+    "q_disjunctive_revenue",
+    f"""SELECT {_OUT4.format(s=f"SUM({_VDEC.format(x=_REV)})")} AS revenue,
+           CAST(COUNT(1) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ({' OR '.join(_q19_arm_sql(*a) for a in Q19_ARMS)})""",
+    doc="TPC-H Q19 discounted revenue: three OR'd (brand, size-range, "
+        "quantity-range) conjunctions across the lineitem⋈part join — the "
+        "disjunctive-predicate shape that tests CNF extraction (the "
+        "p_brand/p_size legs must still prune part BEFORE the join)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-independent part of the disjunction (brand+size arms) is
+    applied to part BEFORE the join — Catalyst derives it via constraint
+    propagation, but stating it explicitly guarantees the part side prunes
+    even if CNF extraction declines (too many arms). The full mixed
+    predicate then runs post-join; part survives as (p_partkey, p_brand,
+    p_size) and broadcasts. One global aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                                 "p_size")
+    def arm_part(brand, s0, s1, q0, q1):
+        return (F.col("p_brand") == brand) & F.col("p_size").between(s0, s1)
+    def arm_full(brand, s0, s1, q0, q1):
+        return (arm_part(brand, s0, s1, q0, q1)
+                & F.col("l_quantity").between(q0, q1))
+    part_pred = arm_part(*Q19_ARMS[0])
+    full_pred = arm_full(*Q19_ARMS[0])
+    for a in Q19_ARMS[1:]:
+        part_pred = part_pred | arm_part(*a)
+        full_pred = full_pred | arm_full(*a)
+    return (
+        li.join(F.broadcast(p.filter(part_pred)),
+                li["l_partkey"] == p["p_partkey"])
+          .filter(full_pred)
+          .agg(_out4_col(F.sum(_rev_col())).alias("revenue"),
+               F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+
+
+# --- q_idle_rich_customers: TPC-H Q22 shape ------------------------------------
+
+Q22_CODES = ("00", "11", "22", "33", "44", "55", "66")
+Q22_RECENT = "2000-01-01"
+
+@register(
+    "q_idle_rich_customers",
+    f"""WITH avg_bal AS (
+         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(COUNT(1) AS DOUBLE) AS threshold
+         FROM customer
+         WHERE c_acctbal > 0.0
+           AND substring(c_name, 17, 2) IN {Q22_CODES!r})
+       SELECT cntrycode, CAST(COUNT(1) AS BIGINT) AS numcust,
+              {_OUT4.format(s='SUM(CAST(c_acctbal AS DECIMAL(18,6)))')}
+                  AS totacctbal
+       FROM (
+         SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
+         FROM customer c
+         WHERE substring(c_name, 17, 2) IN {Q22_CODES!r}
+           AND c_acctbal > (SELECT threshold FROM avg_bal)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '{Q22_RECENT} 00:00:00'))
+       GROUP BY cntrycode""",
+    doc="TPC-H Q22 global sales opportunity (adapted: customer-name suffix "
+        "for the missing c_phone country code; 'no orders' relaxed to 'no "
+        f"orders since {Q22_RECENT}' — this corpus has no order-less "
+        "customers): above-average-balance customers gone idle, counted "
+        "per code — scalar-average subquery + anti join",
+    tags=("relational", "join", "agg", "tpch", "setop"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global average is a 1-row aggregate broadcast back as a cross
+    join (never a driver collect); the NOT EXISTS is a LEFT ANTI join
+    against the date-pruned orders scan, shuffling only custkeys. The
+    average divides exact-decimal sum by exact count ONCE, so the
+    threshold double is bit-identical across engines; the in-code-set
+    filter prunes customer before anything shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    coded = (
+        c.withColumn("cntrycode", F.substring("c_name", 17, 2))
+         .filter(F.col("cntrycode").isin(list(Q22_CODES)))
+         .select("c_custkey", "cntrycode", "c_acctbal")
+    )
+    thr = (
+        coded.filter(F.col("c_acctbal") > 0.0)
+             .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                    .cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("threshold"))
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit(Q22_RECENT).cast("timestamp"))
+         .select("o_custkey")
+    )
+    return (
+        coded.crossJoin(F.broadcast(thr))
+             .filter(F.col("c_acctbal") > F.col("threshold"))
+             .join(recent, coded["c_custkey"] == recent["o_custkey"],
+                   "left_anti")
+             .groupBy("cntrycode")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                  _out4_col(F.sum(F.col("c_acctbal").cast("decimal(18,6)")))
+                    .alias("totacctbal"))
+    )

@@ -843,3 +843,94 @@ def test_csv_badrecords_single_cached_parse(spark, sf_dir):
     p = plan(all_queries()["q_csv_badrecords"].fn(spark, sf_dir))
     assert "InMemoryTableScan" in p, p
     assert _n_exchanges(p) <= 1, p
+
+
+# --- TPC-H completion pack (queries/tpch.py) ----------------------------------
+
+def test_local_supplier_volume_broadcast_suppliers_pushed_dates(spark, sf_dir):
+    """Q5: the region-pruned supplier⋈nation side broadcasts (lineitem never
+    shuffles for it) and the order-date window reaches the orders scan."""
+    p = plan(all_queries()["q_local_supplier_volume"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("o_orderdate" in s for s in pushed), pushed
+
+
+def test_trade_volume_nation_sides_broadcast(spark, sf_dir):
+    """Q7: both nation role-plays resolve via broadcast; the shipdate window
+    is pushed; lineitem read prunes to the five columns the query touches."""
+    p = plan(all_queries()["q_trade_volume"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_shipdate" in s for s in pushed), pushed
+    li_cols = {c for c in read_schema_columns(p) if c.startswith("l_")}
+    assert li_cols == {"l_suppkey", "l_orderkey", "l_shipdate",
+                      "l_extendedprice", "l_discount"}, li_cols
+
+
+def test_market_share_single_agg_broadcast_parts(spark, sf_dir):
+    """Q8: the type-filtered part key-set and the supplier-nation map
+    broadcast; numerator and denominator ride ONE grouped aggregation
+    (a second pass over the join for the CASE-sum is a regression)."""
+    p = plan(all_queries()["q_market_share"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 2, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("p_type" in s for s in pushed), pushed
+
+
+def test_returned_items_fuses_topk_pushes_flag(spark, sf_dir):
+    """Q10: the returnflag filter reaches the lineitem scan and the
+    sort+limit fuses into TakeOrderedAndProject (20 rows, never a global
+    sort of all customers)."""
+    p = plan(all_queries()["q_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_returnflag" in s for s in pushed), pushed
+
+
+def test_promo_revenue_broadcast_part_two_col(spark, sf_dir):
+    """Q14: part is reduced to (p_partkey, is_promo) before broadcasting —
+    the part read schema must show exactly the two source columns — and the
+    month window reaches the lineitem scan."""
+    p = plan(all_queries()["q_promo_revenue"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "SortMergeJoin" not in p, p
+    part_cols = {c for c in read_schema_columns(p) if c.startswith("p_")}
+    assert part_cols == {"p_partkey", "p_type"}, part_cols
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_shipdate" in s for s in pushed), pushed
+
+
+def test_big_orders_one_lineitem_scan_broadcast_survivors(spark, sf_dir):
+    """Q18: lineitem is scanned ONCE (the HAVING set is the reused
+    aggregate, not an IN-subquery rescan), the surviving key-set broadcasts
+    into orders, and the top-k fuses."""
+    p = plan(all_queries()["q_big_orders"].fn(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "TakeOrderedAndProject" in p, p
+    li_cols = {c for c in read_schema_columns(p) if c.startswith("l_")}
+    assert li_cols == {"l_orderkey", "l_quantity"}, li_cols
+
+
+def test_disjunctive_revenue_part_arms_prune_before_join(spark, sf_dir):
+    """Q19: the brand+size legs of the disjunction must prune the part scan
+    (PushedFilters mentioning p_brand), and part broadcasts."""
+    p = plan(all_queries()["q_disjunctive_revenue"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "SortMergeJoin" not in p, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("p_brand" in s for s in pushed), pushed
+
+
+def test_idle_rich_customers_anti_join_pruned_probe(spark, sf_dir):
+    """Q22: the NOT EXISTS runs as a LEFT ANTI join, the recent-order date
+    filter reaches the orders scan, and orders is pruned to the two columns
+    the anti join needs."""
+    p = plan(all_queries()["q_idle_rich_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in p or "Anti" in p, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("o_orderdate" in s for s in pushed), pushed
+    o_cols = {c for c in read_schema_columns(p) if c.startswith("o_")}
+    assert o_cols == {"o_custkey", "o_orderdate"}, o_cols
