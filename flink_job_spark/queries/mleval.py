@@ -1,0 +1,413 @@
+"""Model-evaluation and time-series analytics: the offline-metrics pack.
+
+A training-data engine is judged by the models trained on its output, so the
+evaluation queries — ROC AUC, feature selection, calibration — and the
+time-series diagnostics that find data drift belong in the engine next to
+the prep operators. The reference (damir-kalin/flink-job) has none of this
+(its only aggregates are COUNT/MAX/SUM audit scans, SURVEY §2.3); these are
+north-star extensions built on the repo's exactness discipline:
+
+- every ranking/threshold statistic is computed from INTEGER counts (exact,
+  associative, engine-independent) with the IEEE division(s) applied once,
+  last, in an op order the DuckDB oracle mirrors token for token;
+- running statistics over unbounded facts aggregate to a bounded domain
+  FIRST (distinct scores, days, segment-months) so the serial window runs
+  over cardinality-bounded data — the same trick as q_class_weights;
+- Pearson-style statistics ride the exact-decimal moment idiom of
+  q_correlation (built-in corr()/covar are accumulation-order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+POS_EVENT = "purchase"          # the positive class for AUC / calibration
+CHI2_TOPK = 20                  # discriminative words reported
+CHI2_MIN_DF = 5                 # ignore words rarer than this (noise floor)
+CHI2_LANG = "en"                # the class split: en vs rest
+CALIB_BIN_W = 50.0              # score-bin width over events.value
+CALIB_NBINS = 10
+CONCUR_MINUTES = 5              # event "activity interval" length
+
+
+# --- q_auc_exact: exact ROC AUC by rank statistic ------------------------------
+
+@register(
+    "q_auc_exact",
+    f"""WITH s AS (
+          SELECT value,
+                 CAST(SUM(CASE WHEN event_type = '{POS_EVENT}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+                 CAST(SUM(CASE WHEN event_type <> '{POS_EVENT}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+          FROM events GROUP BY value),
+        c AS (
+          SELECT npos, nneg,
+                 COALESCE(CAST(SUM(nneg) OVER (
+                     ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cumneg
+          FROM s)
+        SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(nneg) AS BIGINT) AS n_neg,
+               CAST(SUM(npos * (2 * cumneg + nneg)) AS DOUBLE)
+                 / CAST(2 * SUM(npos) * SUM(nneg) AS DOUBLE) AS auc
+        FROM c""",
+    doc=f"exact ROC AUC of events.value as a score for '{POS_EVENT}' events "
+        "— the Mann-Whitney rank statistic with midrank tie handling, "
+        "computed from integer pair counts (x2-scaled so ties need no "
+        "fractions) and ONE final IEEE division",
+    tags=("analytics", "ml", "eval", "window"),
+)
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC = P(score_pos > score_neg) + half P(=). Never rank the raw rows:
+    the fact stream first collapses to per-DISTINCT-SCORE (npos, nneg)
+    counts — one combine-enabled shuffle — and the serial running-negatives
+    window scans only that bounded domain (quantize scores upstream if
+    distinct values are unbounded at 100 TB). The x2 numerator
+    npos*(2*cum_neg_below + nneg) counts each beaten negative twice and
+    each tied negative once — integers end to end, so the single division
+    at the end is the only IEEE op and both engines emit the identical
+    double, unrounded."""
+    e = load_table(spark, sf_dir, "events")
+    pos = F.when(F.col("event_type") == POS_EVENT, 1).otherwise(0)
+    s = e.groupBy("value").agg(
+        F.sum(pos).cast("bigint").alias("npos"),
+        F.sum(1 - pos).cast("bigint").alias("nneg"),
+    )
+    w = (Window.orderBy("value")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = s.withColumn(
+        "cumneg", F.coalesce(F.sum("nneg").over(w).cast("bigint"), F.lit(0)))
+    return c.agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
+        (F.sum(F.col("npos") * (2 * F.col("cumneg") + F.col("nneg")))
+          .cast("double")
+         / (2 * F.sum("npos") * F.sum("nneg")).cast("double")).alias("auc"),
+    )
+
+
+# --- q_chi2_features: chi-squared feature selection ----------------------------
+
+@register(
+    "q_chi2_features",
+    f"""WITH dw AS (
+          SELECT DISTINCT doc_id, lang, word
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> ''),
+        tot AS (
+          SELECT CAST(SUM(CASE WHEN lang = '{CHI2_LANG}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c,
+                 CAST(SUM(CASE WHEN lang <> '{CHI2_LANG}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_o
+          FROM documents),
+        wc AS (
+          SELECT word,
+                 CAST(SUM(CASE WHEN lang = '{CHI2_LANG}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN lang <> '{CHI2_LANG}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b
+          FROM dw GROUP BY word)
+        SELECT word, a AS df_class, b AS df_other,
+               ((CAST(n_c + n_o AS DOUBLE)
+                 * CAST(a * (n_o - b) - b * (n_c - a) AS DOUBLE))
+                * CAST(a * (n_o - b) - b * (n_c - a) AS DOUBLE))
+               / (((CAST(a + b AS DOUBLE)
+                    * CAST((n_c - a) + (n_o - b) AS DOUBLE))
+                   * CAST(n_c AS DOUBLE)) * CAST(n_o AS DOUBLE)) AS chi2
+        FROM wc CROSS JOIN tot
+        WHERE a + b >= {CHI2_MIN_DF} AND (n_c - a) + (n_o - b) > 0
+        ORDER BY chi2 DESC, word
+        LIMIT {CHI2_TOPK}""",
+    doc=f"chi-squared feature selection: the {CHI2_TOPK} words whose "
+        f"document frequency most separates lang='{CHI2_LANG}' from the "
+        "rest — the 2x2-contingency statistic from exact integer document "
+        "counts, with the arithmetic falling to doubles only in a fixed "
+        "multiply/divide order both engines share",
+    tags=("analytics", "ml", "eval", "text"),
+)
+def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc, word) presence pairs collapse the corpus to per-word
+    class counts in one shuffle; the 2-number class-totals row broadcasts
+    back as a cross join (never a driver collect). chi2 =
+    N*(ad-bc)^2 / (df*(N-df)*Nc*No): every operand is an exact BIGINT cast
+    to double individually (all < 2^53), then multiplied/divided in ONE
+    pinned parenthesization — the all-integer numerator would overflow
+    64 bits at corpus scale, the all-double form is deterministic at any.
+    Words present in every document are excluded (zero discriminative
+    power and a zero denominator)."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", "lang",
+                 F.explode(F.split(F.col("text"), " ")).alias("word"))
+         .filter(F.col("word") != "")
+         .distinct()
+    )
+    is_c = F.when(F.col("lang") == CHI2_LANG, 1).otherwise(0)
+    tot = d.agg(F.sum(is_c).cast("bigint").alias("n_c"),
+                F.sum(1 - is_c).cast("bigint").alias("n_o"))
+    wc = dw.groupBy("word").agg(
+        F.sum(is_c).cast("bigint").alias("a"),
+        F.sum(1 - is_c).cast("bigint").alias("b"),
+    )
+    j = wc.crossJoin(F.broadcast(tot))
+    t = (F.col("a") * (F.col("n_o") - F.col("b"))
+         - F.col("b") * (F.col("n_c") - F.col("a"))).cast("double")
+    n_d = (F.col("n_c") + F.col("n_o")).cast("double")
+    df_d = (F.col("a") + F.col("b")).cast("double")
+    rest_d = ((F.col("n_c") - F.col("a"))
+              + (F.col("n_o") - F.col("b"))).cast("double")
+    chi2 = ((n_d * t) * t) / (
+        ((df_d * rest_d) * F.col("n_c").cast("double"))
+        * F.col("n_o").cast("double"))
+    return (
+        j.filter((F.col("a") + F.col("b") >= CHI2_MIN_DF)
+                 & ((F.col("n_c") - F.col("a"))
+                    + (F.col("n_o") - F.col("b")) > 0))
+         .select("word", F.col("a").alias("df_class"),
+                 F.col("b").alias("df_other"), chi2.alias("chi2"))
+         .orderBy(F.col("chi2").desc(), F.col("word"))
+         .limit(CHI2_TOPK)
+    )
+
+
+# --- q_max_concurrent: sweep-line peak concurrency -----------------------------
+
+@register(
+    "q_max_concurrent",
+    f"""WITH iv AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 CAST(ts AS TIMESTAMP) AS s,
+                 least(CAST(ts AS TIMESTAMP) + INTERVAL {CONCUR_MINUTES} MINUTE,
+                       date_trunc('day', CAST(ts AS TIMESTAMP))
+                         + INTERVAL 1 DAY) AS e
+          FROM events),
+        sweep AS (
+          SELECT day, s AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT day, e AS t, -1 AS delta FROM iv),
+        run AS (
+          SELECT day, delta,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY t, delta)
+                   AS active
+          FROM sweep)
+        SELECT CAST(day AS TIMESTAMP) AS day,
+               CAST(MAX(active) AS BIGINT) AS max_concurrent,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events
+        FROM run GROUP BY day""",
+    doc=f"peak concurrency per day: each event opens a {CONCUR_MINUTES}-"
+        "minute activity interval (clipped at midnight) and a sweep-line "
+        "counts the maximum simultaneously-open intervals — the "
+        "interval-overlap maximum no GROUP BY can express",
+    tags=("analytics", "window", "events"),
+)
+def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic +1/-1 sweep: each interval emits (start, +1) and
+    (end, -1), a per-day running sum walks them in (time, delta) order, and
+    the day's max is the answer. Ends sort before coincident starts
+    (delta -1 < +1), making intervals end-exclusive; the default RANGE
+    frame aggregates tied sweep points as one peer group in both engines,
+    so identical timestamps can't make the max order-dependent. The serial
+    window is PARTITIONED BY DAY — bounded state, every day in parallel —
+    and the explode carries two (t, delta) scalars per event, never the
+    parent row."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts"))
+    iv = e.select(
+        day.alias("day"), F.col("ts").alias("s"),
+        F.least(F.col("ts") + F.expr(f"INTERVAL {CONCUR_MINUTES} MINUTES"),
+                day + F.expr("INTERVAL 1 DAY")).alias("e"))
+    sweep = iv.select(
+        "day",
+        F.explode(F.array(
+            F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+            F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+        )).alias("ev"),
+    ).select("day", "ev.t", "ev.delta")
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    run = sweep.withColumn("active", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        F.max("active").cast("bigint").alias("max_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("bigint")
+         .alias("n_events"),
+    ).select(F.col("day").cast("timestamp").alias("day"),
+             "max_concurrent", "n_events")
+
+
+# --- q_autocorr_lag1: serial correlation of the daily revenue series -----------
+
+@register(
+    "q_autocorr_lag1",
+    """WITH daily AS (
+         SELECT date_trunc('day', o_orderdate) AS day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS rev
+         FROM orders GROUP BY 1),
+       pairs AS (
+         SELECT LAG(rev) OVER (ORDER BY day) AS x, rev AS y FROM daily),
+       m AS (
+         SELECT CAST(x AS DECIMAL(18,6)) AS x,
+                CAST(y AS DECIMAL(18,6)) AS y,
+                CAST(CAST(x * y AS DOUBLE) AS DECIMAL(38,10)) AS xy,
+                CAST(CAST(x * x AS DOUBLE) AS DECIMAL(38,10)) AS xx,
+                CAST(CAST(y * y AS DOUBLE) AS DECIMAL(38,10)) AS yy
+         FROM pairs WHERE x IS NOT NULL)
+       SELECT CAST(COUNT(1) AS BIGINT) AS n_pairs,
+              ROUND((CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xy) AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                    / (sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE)
+                            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                       * sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(yy) AS DOUBLE)
+                              - CAST(SUM(y) AS DOUBLE)
+                                * CAST(SUM(y) AS DOUBLE))),
+                    6) AS autocorr
+       FROM m""",
+    doc="lag-1 autocorrelation of the daily order-revenue series — Pearson "
+        "r between consecutive days from exact decimal moments; the drift "
+        "diagnostic that tells a pipeline whether yesterday predicts today",
+    tags=("analytics", "stats", "window", "timeseries"),
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded stages: the fact stream combines to ~2.4k exact-decimal
+    day totals (one shuffle), and only that series rides the serial LAG
+    window (partition by year at larger spans, stitching boundary pairs).
+    The (prev, cur) pairs then reuse the q_correlation moment idiom —
+    six exact decimal sums, one fixed double expression — so built-in
+    corr()'s order-dependent float accumulation never enters."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("day"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .cast("double").alias("rev"))
+    )
+    pairs = daily.select(
+        F.lag("rev").over(Window.orderBy("day")).alias("x"),
+        F.col("rev").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.select(
+        F.col("x").cast("decimal(18,6)").alias("x"),
+        F.col("y").cast("decimal(18,6)").alias("y"),
+        (F.col("x") * F.col("y")).cast("double").cast("decimal(38,10)")
+          .alias("xy"),
+        (F.col("x") * F.col("x")).cast("double").cast("decimal(38,10)")
+          .alias("xx"),
+        (F.col("y") * F.col("y")).cast("double").cast("decimal(38,10)")
+          .alias("yy"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxy, sxx, syy = (F.sum(c).cast("double") for c in ["xy", "xx", "yy"])
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(r, 6).alias("autocorr"))
+
+
+# --- q_mom_growth: month-over-month growth per segment -------------------------
+
+@register(
+    "q_mom_growth",
+    """WITH sm AS (
+         SELECT c_mktsegment, date_trunc('month', o_orderdate) AS month,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       g AS (
+         SELECT c_mktsegment, month, rev,
+                LAG(rev) OVER (PARTITION BY c_mktsegment ORDER BY month)
+                  AS prev
+         FROM sm)
+       SELECT c_mktsegment, CAST(month AS TIMESTAMP) AS month,
+              CAST(rev AS DOUBLE) AS revenue,
+              CAST(prev AS DOUBLE) AS prev_revenue,
+              ROUND((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+                    / CAST(prev AS DOUBLE), 6) AS growth
+       FROM g WHERE prev IS NOT NULL""",
+    doc="month-over-month revenue growth per market segment — the "
+        "period-over-period reporting shape: exact-decimal month totals, "
+        "a segment-partitioned LAG, and one IEEE division per output row",
+    tags=("analytics", "window", "timeseries", "join"),
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact stream reduces to (segment, month) exact totals first —
+    one shuffle — and the LAG window walks only that bounded grid,
+    partitioned by segment so nothing is serial across segments. Growth
+    divides the two exact decimals cast double once each; the first month
+    of each segment (no predecessor) is dropped, matching the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_mktsegment")
+    sm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+         .groupBy("c_mktsegment",
+                  F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    g = sm.withColumn("prev", F.lag("rev").over(w))
+    return (
+        g.filter(F.col("prev").isNotNull())
+         .select("c_mktsegment",
+                 F.col("month").cast("timestamp").alias("month"),
+                 F.col("rev").cast("double").alias("revenue"),
+                 F.col("prev").cast("double").alias("prev_revenue"),
+                 F.round((F.col("rev").cast("double")
+                          - F.col("prev").cast("double"))
+                         / F.col("prev").cast("double"), 6).alias("growth"))
+    )
+
+
+# --- q_calibration_bins: score calibration table -------------------------------
+
+@register(
+    "q_calibration_bins",
+    f"""SELECT bin,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(is_pos) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6)
+               AS pos_rate,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE), 6) AS mean_score
+    FROM (
+      SELECT CAST(least(floor(value / {CALIB_BIN_W}), {CALIB_NBINS - 1})
+                  AS BIGINT) AS bin,
+             CASE WHEN event_type = '{POS_EVENT}' THEN 1 ELSE 0 END
+               AS is_pos,
+             value
+      FROM events)
+    GROUP BY bin""",
+    doc=f"calibration table for events.value as a '{POS_EVENT}' score: "
+        f"per fixed-width score bin (w={CALIB_BIN_W:g}, top bin clamped), "
+        "the observed positive rate and mean score — the reliability-"
+        "diagram input, from integer counts with one division per cell",
+    tags=("analytics", "ml", "eval", "agg"),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side bin assignment (explicit floor — CAST-to-int rounds in one
+    engine and truncates in the other), one combine-enabled shuffle to
+    {CALIB_NBINS} cells, and per-cell rates from exact counts with the
+    division applied last. The same single-pass shape at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    binc = F.least(F.floor(F.col("value") / CALIB_BIN_W),
+                   F.lit(CALIB_NBINS - 1)).cast("bigint")
+    is_pos = F.when(F.col("event_type") == POS_EVENT, 1).otherwise(0)
+    n = F.count(F.lit(1))
+    return (
+        e.select(binc.alias("bin"), is_pos.alias("is_pos"), "value")
+         .groupBy("bin")
+         .agg(n.cast("bigint").alias("n"),
+              F.sum("is_pos").cast("bigint").alias("n_pos"),
+              F.round(F.sum("is_pos").cast("double") / n.cast("double"), 6)
+               .alias("pos_rate"),
+              F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                       .cast("double") / n.cast("double"), 6)
+               .alias("mean_score"))
+    )

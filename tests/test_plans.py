@@ -934,3 +934,65 @@ def test_idle_rich_customers_anti_join_pruned_probe(spark, sf_dir):
     assert any("o_orderdate" in s for s in pushed), pushed
     o_cols = {c for c in read_schema_columns(p) if c.startswith("o_")}
     assert o_cols == {"o_custkey", "o_orderdate"}, o_cols
+
+
+# --- ML-eval / time-series pack (queries/mleval.py) ---------------------------
+
+def test_auc_exact_bounded_serial_window(spark, sf_dir):
+    """AUC: the fact stream collapses to distinct-score counts BEFORE the
+    serial window — the plan shows a partial-aggregated HashAggregate under
+    the Window, and no more than three exchanges total (score agg, 1-part
+    window hop, final 1-row agg)."""
+    p = plan(all_queries()["q_auc_exact"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "partial_sum" in p, p
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_chi2_features_broadcast_totals_fused_topk(spark, sf_dir):
+    """Chi2: the 1-row class-totals side broadcasts back (never a shuffle,
+    never a collect) and the top-k fuses into TakeOrderedAndProject."""
+    p = plan(all_queries()["q_chi2_features"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Broadcast" in p, p
+    assert read_schema_columns(p) >= {"doc_id", "lang", "text"}, (
+        read_schema_columns(p))
+
+
+def test_max_concurrent_day_partitioned_sweep(spark, sf_dir):
+    """Sweep-line: the running sum is partitioned by day (bounded state,
+    parallel days) and the day rollup reuses that partitioning — at most
+    two exchanges; the explode emits (t, delta) scalars only."""
+    p = plan(all_queries()["q_max_concurrent"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "Generate" in p, p  # the explode
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_autocorr_day_agg_before_serial_lag(spark, sf_dir):
+    """Autocorrelation: day totals aggregate (combine-enabled) before the
+    serial LAG window; the orders read prunes to the two needed columns."""
+    p = plan(all_queries()["q_autocorr_lag1"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert read_schema_columns(p) == {"o_orderdate", "o_totalprice"}, (
+        read_schema_columns(p))
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_mom_growth_grid_agg_before_window(spark, sf_dir):
+    """MoM growth: the (segment, month) totals aggregate before the LAG
+    window walks the bounded grid — three exchanges max (join side, grid
+    agg, window re-key)."""
+    p = plan(all_queries()["q_mom_growth"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_calibration_bins_single_combine_enabled_shuffle(spark, sf_dir):
+    """Calibration: map-side bin assignment, ONE combine-enabled shuffle to
+    the bin cells; events read prunes to (event_type, value)."""
+    p = plan(all_queries()["q_calibration_bins"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "partial_count" in p or "partial_sum" in p, p
+    cols = {c for c in read_schema_columns(p) if c in ("event_type", "value")}
+    assert cols == {"event_type", "value"}, read_schema_columns(p)
