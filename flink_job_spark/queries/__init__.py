@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc,
         core,
         dedup,
+        insights,
         mleval,
         multimodal,
         prep,

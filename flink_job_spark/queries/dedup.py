@@ -217,7 +217,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_ngram_jaccard (exact, inverted-index join) -----------------------------------------
 
-_NGRAM_PAIRS_SQL = f"""WITH {_DUCK_SHINGLES},
+# the WITH-chain shared by every exact-intersection pair oracle (Jaccard
+# here, containment in insights.py): capped candidate intersections plus the
+# hot-shingle correction recovering the full-set count
+DUCK_INTER_CHAIN = f"""{_DUCK_SHINGLES},
   hot_rows AS (
     SELECT * FROM sh WHERE s IN (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_MAX_DOC_FREQ})
@@ -236,15 +239,19 @@ _NGRAM_PAIRS_SQL = f"""WITH {_DUCK_SHINGLES},
   inter AS (
     SELECT c.d1, c.d2, c.ic + COALESCE(h.ih, 0) AS i
     FROM inter_c c LEFT JOIN i_hot h ON h.d1 = c.d1 AND h.d2 = c.d2
-  )
+  )"""
+
+_NGRAM_PAIRS_SQL = f"""WITH {DUCK_INTER_CHAIN}
   SELECT i.d1, i.d2,
          CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
   FROM inter i JOIN sizes sa ON sa.doc_id = i.d1 JOIN sizes sb ON sb.doc_id = i.d2
   WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}"""
 
 
-def jaccard_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Exact full-set Jaccard pairs from a doc-freq-capped inverted index.
+def intersection_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """(d1, d2, i, sza, szb): exact full-set shingle intersections + set
+    sizes for every candidate pair from a doc-freq-capped inverted index —
+    the shared engine under Jaccard (here) and containment (insights.py).
 
     The capped self-join yields candidate pairs AND their capped-intersection
     counts in the same groupBy — no separate distinct + re-join pass (a
@@ -279,8 +286,14 @@ def jaccard_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("szb"))
+    return inter.join(za, "d1").join(zb, "d2")
+
+
+def jaccard_pairs_capped(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Exact full-set Jaccard pairs ≥ threshold (see
+    :func:`intersection_pairs_capped` for the plan rationale)."""
     return (
-        inter.join(za, "d1").join(zb, "d2")
+        intersection_pairs_capped(sh, max_doc_freq)
         .select(
             "d1", "d2",
             (F.col("i").cast("double")

@@ -1,0 +1,350 @@
+"""Operational-insight queries: co-purchase similarity, fraud/quality
+digit audits, burst detection, calendar-gap islands, OHLC bars, and
+subset-containment dedup.
+
+The reference engine's only analytics are audit scans (SURVEY §2.3); this
+pack covers the monitoring and recommendation shapes its users run
+downstream, built on the repo's parity discipline: integer/exact-decimal
+aggregation first, the engine-sensitive IEEE ops (divide, sqrt) applied
+once per output row in a pinned order, deterministic tie-breaks on every
+top-k, and serial windows only over cardinality-bounded domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_job_spark.queries import register
+from flink_job_spark.queries.dedup import (
+    DUCK_INTER_CHAIN,
+    SHINGLE_MAX_DOC_FREQ,
+    doc_shingles,
+    intersection_pairs_capped,
+)
+from flink_job_spark.sources.tables import load_table
+
+ITEMSIM_MIN_CO = 3       # ignore pairs co-purchased fewer times (noise)
+ITEMSIM_TOPK = 25
+BURST_SIGMAS = 3.0       # minutes busier than mean + 3 sigma of their day
+CONTAIN_THRESHOLD = 0.5  # |A∩B| / min(|A|,|B|)
+
+# Benford expected first-digit probabilities, log10(1+1/d) pre-rounded to 6
+# decimals so both engines compare against the IDENTICAL literal (libm log10
+# never runs inside a query).
+BENFORD_P = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691,
+             5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+             9: 0.045757}
+
+
+# --- q_item_similarity: co-purchase cosine (item-item CF) ----------------------
+
+@register(
+    "q_item_similarity",
+    f"""WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ic AS (SELECT p, CAST(COUNT(1) AS BIGINT) AS c FROM op GROUP BY p),
+        pc AS (
+          SELECT a.p AS p1, b.p AS p2, CAST(COUNT(1) AS BIGINT) AS co
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING COUNT(1) >= {ITEMSIM_MIN_CO})
+        SELECT p1, p2, co,
+               CAST(co AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE))
+                 AS cosine
+        FROM pc JOIN ic ca ON ca.p = pc.p1 JOIN ic cb ON cb.p = pc.p2
+        ORDER BY CAST(co AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) DESC,
+                 p1, p2
+        LIMIT {ITEMSIM_TOPK}""",
+    doc=f"item-item collaborative-filtering similarity: top-{ITEMSIM_TOPK} "
+        "part pairs by co-purchase cosine co/sqrt(c1*c2) (pairs co-bought "
+        f"≥{ITEMSIM_MIN_CO} times) — the recommender building block, from "
+        "integer basket counts with one sqrt+divide per pair",
+    tags=("insights", "join", "agg", "recsys", "topk"),
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The basket table collapses to DISTINCT (order, part) once and is
+    persisted — it feeds the inverted-index self-join (pairs only ever
+    materialize through a shared order, never a cross join) AND the per-item
+    counts. Co-counts and item counts are exact integers; c1*c2 < 2^53 so
+    the cosine's sqrt-then-divide is the only IEEE arithmetic, pinned in the
+    same order in the oracle. Per-item count joins broadcast (the item
+    aggregate is vocabulary-sized); top-k fuses via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"))
+            .distinct().persist())
+    ic = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pc = (
+        op.select(F.col("o"), F.col("p").alias("p1"))
+          .join(op.select(F.col("o"), F.col("p").alias("p2")), "o")
+          .filter(F.col("p1") < F.col("p2"))
+          .groupBy("p1", "p2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+          .filter(F.col("co") >= ITEMSIM_MIN_CO)
+    )
+    ca = ic.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    cb = ic.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    cosine = (F.col("co").cast("double")
+              / F.sqrt((F.col("c1") * F.col("c2")).cast("double")))
+    return (
+        pc.join(F.broadcast(ca), "p1").join(F.broadcast(cb), "p2")
+          .select("p1", "p2", "co", cosine.alias("cosine"))
+          .orderBy(F.col("cosine").desc(), "p1", "p2")
+          .limit(ITEMSIM_TOPK)
+    )
+
+
+# --- q_benford: first-digit distribution audit ---------------------------------
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in BENFORD_P.items()) + " END"
+
+@register(
+    "q_benford",
+    f"""WITH d AS (
+          SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS digit
+          FROM orders WHERE o_totalprice >= 1.0),
+        c AS (SELECT digit, CAST(COUNT(1) AS BIGINT) AS n FROM d
+              GROUP BY digit)
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER () AS DOUBLE), 6) AS observed_p,
+               {_BENFORD_CASE} AS expected_p,
+               ROUND(ROUND(CAST(n AS DOUBLE)
+                           / CAST(SUM(n) OVER () AS DOUBLE), 6)
+                     - {_BENFORD_CASE}, 6) AS excess
+        FROM c""",
+    doc="Benford first-digit audit of order values: observed vs expected "
+        "leading-digit frequencies — the classic fabricated-data detector; "
+        "expected probabilities are pre-rounded literals so no libm log10 "
+        "runs inside either engine",
+    tags=("insights", "audit", "agg", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digit comes from an EXPLICIT floor-to-bigint then string head —
+    cast-to-int rounds-to-nearest in DuckDB and truncates in Spark, the
+    floor pins truncation in both. One combine-enabled shuffle to ≤9 digit
+    cells; the corpus total rides a 9-row unbounded window (never a second
+    scan), and each cell pays one division."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+    c = (o.filter(F.col("o_totalprice") >= 1.0)
+          .select(digit.alias("digit"))
+          .groupBy("digit")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.when(F.col("digit") == "1", BENFORD_P[1])
+    for dd in range(2, 10):
+        expected = expected.when(F.col("digit") == str(dd), BENFORD_P[dd])
+    obs = F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    return c.select(
+        "digit", "n",
+        obs.alias("observed_p"),
+        expected.alias("expected_p"),
+        F.round(obs - expected, 6).alias("excess"),
+    )
+
+
+# --- q_burst_minutes: per-day z-score burst detection --------------------------
+
+@register(
+    "q_burst_minutes",
+    f"""WITH m AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                 date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+                 CAST(COUNT(1) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT d, CAST(COUNT(1) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS ss
+          FROM m GROUP BY d)
+        SELECT CAST(minute AS TIMESTAMP) AS minute, c AS n_events,
+               ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS day_mean,
+               ROUND(sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS day_sd
+        FROM m JOIN st USING (d)
+        WHERE CAST(c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + {BURST_SIGMAS} * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / CAST(n AS DOUBLE)""",
+    doc=f"burst detection: minutes whose event count exceeds their day's "
+        f"mean + {BURST_SIGMAS:g}σ (population σ from exact integer "
+        "moments) — the traffic-anomaly monitor; the threshold expression "
+        "is token-identical in both engines so the flag set is exact",
+    tags=("insights", "agg", "timeseries", "events"),
+)
+def q_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded aggregations: minute counts (one combine-enabled
+    shuffle), then day moments n/Σc/Σc² over ≤1440 minutes per day. The
+    tiny per-day stats broadcast back onto the minute rows; the z-threshold
+    compares doubles computed by the identical IEEE sequence on both
+    engines, so 'flagged' is never a rounding coin-flip. Integer moments
+    stay below 2^53 (counts are per-minute)."""
+    e = load_table(spark, sf_dir, "events")
+    m = (e.groupBy(F.date_trunc("DAY", F.col("ts")).alias("d"),
+                   F.date_trunc("MINUTE", F.col("ts")).alias("minute"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .persist())  # feeds BOTH the day moments and the probe side —
+                       # without the barrier Spark scans events twice
+    st = m.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"))
+    n_d, s_d, ss_d = (F.col(x).cast("double") for x in ("n", "s", "ss"))
+    sd = F.sqrt(n_d * ss_d - s_d * s_d) / n_d
+    return (
+        m.join(F.broadcast(st), "d")
+         .filter(F.col("c").cast("double") > s_d / n_d + BURST_SIGMAS * sd)
+         .select(F.col("minute").cast("timestamp").alias("minute"),
+                 F.col("c").alias("n_events"),
+                 F.round(s_d / n_d, 6).alias("day_mean"),
+                 F.round(sd, 6).alias("day_sd"))
+    )
+
+
+# --- q_date_gaps: calendar-spine gap islands -----------------------------------
+
+@register(
+    "q_date_gaps",
+    """WITH days AS (
+         SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders),
+       bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+       spine AS (
+         SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+         FROM bounds),
+       missing AS (
+         SELECT d FROM spine WHERE d NOT IN (SELECT d FROM days)),
+       grp AS (
+         SELECT d,
+                date_diff('day', DATE '1970-01-01', d)
+                  - ROW_NUMBER() OVER (ORDER BY d) AS g
+         FROM missing)
+       SELECT CAST(MIN(d) AS TIMESTAMP) AS gap_start,
+              CAST(MAX(d) AS TIMESTAMP) AS gap_end,
+              CAST(COUNT(1) AS BIGINT) AS n_days
+       FROM grp GROUP BY g""",
+    doc="data-freshness gap report: maximal runs of calendar days with NO "
+        "orders, found by generating the min-to-max day spine, anti-joining "
+        "observed days, and collapsing the misses with gaps-and-islands — "
+        "the pipeline-monitoring query that catches silent feed outages",
+    tags=("insights", "audit", "window", "timeseries"),
+)
+def q_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spine generates from ONE min/max aggregate row (sequence() on
+    the driver-free 1-row frame — never a driver-side range loop), missing
+    days fall out of a LEFT ANTI join, and the island id is the classic
+    date-ordinal minus row_number constant. Everything after the first
+    aggregate operates on calendar-bounded cardinality (≤ days-of-history
+    rows), so the serial window is safe at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    days = (o.select(F.date_trunc("DAY", F.col("o_orderdate")).alias("d"))
+             .distinct())
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"),
+                             F.expr("INTERVAL 1 DAY"))).alias("d"))
+    missing = spine.join(days, "d", "left_anti")
+    g = (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+         - F.row_number().over(Window.orderBy("d")))
+    return (
+        missing.withColumn("g", g)
+               .groupBy("g")
+               .agg(F.min("d").cast("timestamp").alias("gap_start"),
+                    F.max("d").cast("timestamp").alias("gap_end"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_days"))
+               .drop("g")
+    )
+
+
+# --- q_ohlc_bars: hourly open/high/low/close -----------------------------------
+
+@register(
+    "q_ohlc_bars",
+    """WITH r AS (
+         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+                ROW_NUMBER() OVER (
+                  PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  ORDER BY ts, event_id) AS rn,
+                COUNT(1) OVER (
+                  PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                  AS cnt
+         FROM events WHERE event_type = 'purchase')
+       SELECT CAST(hour AS TIMESTAMP) AS hour,
+              MAX(CASE WHEN rn = 1 THEN value END) AS open,
+              MAX(value) AS high, MIN(value) AS low,
+              MAX(CASE WHEN rn = cnt THEN value END) AS close,
+              CAST(COUNT(1) AS BIGINT) AS n_trades
+       FROM r GROUP BY hour""",
+    doc="hourly OHLC bars over purchase values: open/close are the "
+        "first/last event by (ts, event_id) — a TOTAL order, so the bar "
+        "endpoints are engine-deterministic even with tied timestamps — "
+        "high/low are plain extremes; the time-series downsampling shape",
+    tags=("insights", "window", "timeseries", "agg", "events"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hour-partitioned window ranks events by the total order
+    (ts, event_id) — first/last-value via rank-1/rank-n conditional
+    aggregates rather than first()/last() (whose result is partition-order
+    luck) or min_by/max_by on a composite (portability varies). The window
+    and the final groupBy share the hour partitioning, so the plan pays one
+    exchange; per-hour state is bounded by events-per-hour."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    hour = F.date_trunc("HOUR", F.col("ts"))
+    w = Window.partitionBy("hour").orderBy("ts", "event_id")
+    wc = Window.partitionBy("hour")
+    r = (e.select(hour.alias("hour"), "ts", "event_id", "value")
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("cnt", F.count(F.lit(1)).over(wc)))
+    return r.groupBy(F.col("hour").cast("timestamp").alias("hour")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value")))
+         .alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
+
+
+# --- q_shingle_containment: subset/quote detection -----------------------------
+
+@register(
+    "q_shingle_containment",
+    f"""WITH {DUCK_INTER_CHAIN}
+    SELECT i.d1, i.d2,
+           CAST(i.i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+             AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.d1
+                 JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE CAST(i.i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+          >= {CONTAIN_THRESHOLD}""",
+    doc=f"asymmetric near-dup detection: document pairs where the smaller "
+        f"doc's shingle set is ≥{CONTAIN_THRESHOLD:g} contained in the "
+        "other — catches quotes/excerpts/supersets that symmetric Jaccard "
+        "misses when sizes differ (same doc-freq-capped inverted index and "
+        "hot-shingle correction as q_ngram_jaccard)",
+    tags=("insights", "dedup"),
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment C = |A∩B| / min(|A|,|B|): a 20-shingle excerpt fully
+    inside a 2000-shingle doc scores 1.0 here but Jaccard 0.01 — the
+    complementary metric every corpus-dedup pipeline runs next to Jaccard.
+    Reuses :func:`intersection_pairs_capped` (one persisted shingle index,
+    candidates only through shared non-hot shingles, exact full-set
+    intersection via the hot correction); the single division per pair is
+    the only IEEE op. Recall contract: pairs sharing ONLY stop-shingles are
+    not candidates — identical to the Jaccard key, by design."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    pairs = intersection_pairs_capped(sh, SHINGLE_MAX_DOC_FREQ)
+    containment = (F.col("i").cast("double")
+                   / F.least(F.col("sza"), F.col("szb")).cast("double"))
+    return (
+        pairs.select("d1", "d2", containment.alias("containment"))
+             .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )

@@ -996,3 +996,61 @@ def test_calibration_bins_single_combine_enabled_shuffle(spark, sf_dir):
     assert "partial_count" in p or "partial_sum" in p, p
     cols = {c for c in read_schema_columns(p) if c in ("event_type", "value")}
     assert cols == {"event_type", "value"}, read_schema_columns(p)
+
+
+# --- operational-insights pack (queries/insights.py) ---------------------------
+
+def test_item_similarity_persisted_baskets_broadcast_counts(spark, sf_dir):
+    """Co-purchase CF: the distinct basket table is computed once
+    (persisted) and reused for pairs + item counts; the per-item count
+    joins broadcast; top-k fuses. A nested-loop pair join is a regression."""
+    p = plan(all_queries()["q_item_similarity"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_benford_two_bounded_exchanges(spark, sf_dir):
+    """Benford: one combine-enabled shuffle to <=9 digit cells, one 9-row
+    window hop for the total — the fact table is read once, one column."""
+    p = plan(all_queries()["q_benford"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, p
+    assert read_schema_columns(p) == {"o_totalprice"}, read_schema_columns(p)
+
+
+def test_burst_minutes_broadcast_day_stats(spark, sf_dir):
+    """Burst detection: minute counts shuffle once, day moments aggregate
+    from them, and the tiny day-stats side broadcasts back — the minute
+    table never shuffles again for the join."""
+    p = plan(all_queries()["q_burst_minutes"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "InMemoryTableScan" in p, p
+    assert p.count("events.parquet") <= 1, p
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_date_gaps_anti_join_pruned_scan(spark, sf_dir):
+    """Calendar gaps: the missing-day set comes from a LEFT ANTI join and
+    orders is read once, one column (o_orderdate)."""
+    p = plan(all_queries()["q_date_gaps"].fn(spark, sf_dir))
+    assert "LeftAnti" in p or "Anti" in p, p
+    assert read_schema_columns(p) == {"o_orderdate"}, read_schema_columns(p)
+
+
+def test_ohlc_bars_single_hour_partitioning(spark, sf_dir):
+    """OHLC: the rank window and the bar aggregate share the hour
+    partitioning — no more than two exchanges — and the purchase filter
+    reaches the events scan."""
+    p = plan(all_queries()["q_ohlc_bars"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, p
+    assert "Window" in p, p
+
+
+def test_shingle_containment_reuses_persisted_index(spark, sf_dir):
+    """Containment rides the SAME persisted shingle index machinery as
+    Jaccard: in-memory scans, equi-joins only."""
+    p = plan(all_queries()["q_shingle_containment"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert "NestedLoop" not in p, p
