@@ -116,3 +116,79 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("p_pts").cast("timestamp"))
          - F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("gap_us"),
     )
+
+
+# --- q_first_touch: attribution window via forward as-of -----------------------
+
+ATTRIB_DAYS = 7
+
+@register(
+    "q_first_touch",
+    f"""WITH clicks AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                MIN(event_id) AS click_id
+         FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       ),
+       purch AS (
+         SELECT event_id AS purchase_id, user_id,
+                CAST(ts AS TIMESTAMP) AS ts,
+                CAST(ts AS TIMESTAMP) - INTERVAL {ATTRIB_DAYS} DAY
+                  AS boundary
+         FROM events WHERE event_type = 'purchase'
+       ),
+       j AS MATERIALIZED (
+         SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+                c.ts AS click_ts, c.click_id
+         FROM purch p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.boundary <= c.ts)
+       SELECT purchase_id, user_id, purchase_ts, click_ts, click_id,
+              epoch_us(purchase_ts) - epoch_us(click_ts) AS age_us
+       FROM j WHERE click_ts <= purchase_ts""",
+    doc=f"first-touch attribution: each purchase credited to the user's "
+        f"EARLIEST click inside the trailing {ATTRIB_DAYS}-day window — "
+        "reduced to a forward as-of join FROM THE WINDOW BOUNDARY "
+        "(earliest click ≥ t−7d, kept if ≤ t), so the marketing-"
+        "attribution shape rides the same one-shuffle union-merge "
+        "operator as q_asof_join instead of a range join",
+    tags=("asof", "join", "streaming", "analytics"),
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'First click within a trailing window' looks like a range join
+    (purchases × every click in 7 days), but it is an as-of in disguise:
+    the earliest click AT OR AFTER the window's left edge, checked against
+    the right edge afterwards. Negated microseconds turn the operator's
+    latest-at-or-before into earliest-at-or-after (q_asof_forward
+    precedent); clicks pre-deduplicate per (user, ts) keeping MIN event_id
+    (the 'first touch' tie rule, mirrored in the oracle), and purchases
+    with no click in the window fall out of the final bound check exactly
+    like the oracle's WHERE (fenced behind a MATERIALIZED CTE there —
+    DuckDB otherwise pushes the upper bound INTO the ASOF join and rejects
+    it as a second inequality). One shuffle, no per-key range blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    boundary_neg = (
+        -(F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.lit(ATTRIB_DAYS * 86_400_000_000))).alias("ts_neg")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+        .select("user_id", "click_id", F.col("ts").alias("click_ts"),
+                (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("ts_neg"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"), boundary_neg)
+    )
+    joined = asof_join(purch, clicks, key="user_id",
+                       left_ts="ts_neg", right_ts="ts_neg",
+                       right_payload=["click_id", "click_ts"], prefix="c_")
+    return (
+        joined.filter(F.col("c_click_ts") <= F.col("purchase_ts"))
+              .select("purchase_id", "user_id", "purchase_ts",
+                      F.col("c_click_ts").alias("click_ts"),
+                      F.col("c_click_id").alias("click_id"),
+                      (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                       - F.unix_micros(F.col("c_click_ts").cast("timestamp")))
+                      .alias("age_us"))
+    )

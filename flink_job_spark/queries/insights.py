@@ -348,3 +348,185 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("d1", "d2", containment.alias("containment"))
              .filter(F.col("containment") >= CONTAIN_THRESHOLD)
     )
+
+
+# --- q_pareto_cover: smallest revenue-covering part set ------------------------
+
+PARETO_NUM, PARETO_DEN = 4, 5   # keep parts until cum revenue >= 4/5 (80%)
+
+@register(
+    "q_pareto_cover",
+    f"""WITH pr AS (
+          SELECT l_partkey,
+                 SUM(CAST(CAST(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DOUBLE) AS VARCHAR)
+                          AS DECIMAL(38,10))) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        c AS (
+          SELECT l_partkey, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                 SUM(rev) OVER () AS total
+          FROM pr)
+        SELECT l_partkey,
+               CAST(CAST(ROUND(rev, 4) AS DECIMAL(38,4)) AS DOUBLE)
+                 AS revenue,
+               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                 AS cum_share
+        FROM c
+        WHERE (cum - rev) * {PARETO_DEN} < total * {PARETO_NUM}""",
+    doc=f"Pareto cover: the smallest prefix of parts (by exact-decimal "
+        f"revenue, partkey tie-break) whose cumulative revenue reaches "
+        f"{PARETO_NUM}/{PARETO_DEN} of the total — the 80/20 shortlist "
+        "query; membership is decided by EXACT decimal cross-"
+        "multiplication, never a rounded share",
+    tags=("insights", "agg", "window", "topk"),
+)
+def q_pareto_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact stream combines to per-part exact-decimal revenue first
+    (one shuffle); the running and grand totals ride windows over that
+    bounded aggregate. The crossing row must be IN the answer, so the
+    predicate is cum_before < target on exact decimals — comparing a
+    rounded double share would flip membership of near-boundary rows
+    between engines. The serial ORDER BY window runs over part
+    cardinality; at catalog scale split it bucketed two-phase like
+    q_skyline_2d (per-bucket prefix sums + broadcast bucket totals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) \
+        .cast("double").cast("decimal(38,10)")
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    wc = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    c = (pr.withColumn("cum", F.sum("rev").over(wc))
+           .withColumn("total", F.sum("rev").over(wt)))
+    return (
+        c.filter((F.col("cum") - F.col("rev")) * PARETO_DEN
+                 < F.col("total") * PARETO_NUM)
+         .select("l_partkey",
+                 F.round(F.col("rev"), 4).cast("decimal(38,4)")
+                  .cast("double").alias("revenue"),
+                 F.round(F.col("cum").cast("double")
+                         / F.col("total").cast("double"), 6)
+                  .alias("cum_share"))
+    )
+
+
+# --- q_hhi_concentration: Herfindahl market concentration ----------------------
+
+_SQ10 = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10))"
+
+@register(
+    "q_hhi_concentration",
+    f"""WITH r AS (
+          SELECT c_mktsegment,
+                 CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+                           AS DECIMAL(38,4)) AS DOUBLE) / 1000000.0 AS rm
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_custkey),
+        m AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(1) AS BIGINT) AS n_customers,
+                 CAST(CAST(ROUND(SUM({_SQ10.format(x='rm * rm')}), 4)
+                           AS DECIMAL(38,4)) AS DOUBLE) AS sumsq,
+                 CAST(CAST(ROUND(SUM({_SQ10.format(x='rm')}), 4)
+                           AS DECIMAL(38,4)) AS DOUBLE) AS tot
+          FROM r GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_customers,
+               ROUND(sumsq / (tot * tot), 8) AS hhi
+        FROM m""",
+    doc="Herfindahl-Hirschman concentration index per market segment: "
+        "Σ rᵢ² / (Σ rᵢ)² over per-customer revenue — the market-"
+        "concentration audit; algebraically equal to the sum of squared "
+        "shares but with ONE division, because summing per-customer "
+        "share divisions would be accumulation-order-dependent",
+    tags=("insights", "agg", "stats", "join"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two combine-enabled shuffles: (segment, customer) exact-decimal
+    revenue, then segment moments. Revenues rescale to millions BEFORE
+    squaring — rᵢ² at raw magnitude (~10¹⁴) would push the decimal sums
+    past the 2⁵³ scaled-integer bound where decimal→double casts diverge
+    by 1 ulp between engines (the documented wide-decimal trap); at ~10²
+    the scale-4 rounding idiom stays exact. The only IEEE ops are the
+    fixed rescale/square/divide chain, token-identical in the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_mktsegment")
+    out4 = lambda col: F.round(col, 4).cast("decimal(38,4)").cast("double")  # noqa: E731
+    sq10 = lambda col: col.cast("double").cast("decimal(38,10)")  # noqa: E731
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+         .groupBy("c_mktsegment", "o_custkey")
+         .agg((out4(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+               / F.lit(1000000.0)).alias("rm"))
+    )
+    m = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        out4(F.sum(sq10(F.col("rm") * F.col("rm")))).alias("sumsq"),
+        out4(F.sum(sq10(F.col("rm")))).alias("tot"),
+    )
+    return m.select(
+        "c_mktsegment", "n_customers",
+        F.round(F.col("sumsq") / (F.col("tot") * F.col("tot")), 8)
+         .alias("hhi"))
+
+
+# --- q_gini: inequality coefficient per segment --------------------------------
+
+@register(
+    "q_gini",
+    f"""WITH x AS (
+          SELECT c_mktsegment,
+                 CAST(c_acctbal AS DOUBLE) / 1000.0 AS xk,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS i
+          FROM customer WHERE c_acctbal > 0.0),
+        m AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(1) AS BIGINT) AS n,
+                 CAST(CAST(ROUND(SUM({_SQ10.format(x='i * xk')}), 4)
+                           AS DECIMAL(38,4)) AS DOUBLE) AS s1,
+                 CAST(CAST(ROUND(SUM({_SQ10.format(x='xk')}), 4)
+                           AS DECIMAL(38,4)) AS DOUBLE) AS sx
+          FROM x GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+               ROUND((2.0 * s1) / (CAST(n AS DOUBLE) * sx)
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+                 AS gini
+        FROM m""",
+    doc="Gini inequality coefficient of positive account balances per "
+        "market segment — G = 2Σi·x⁽ᵢ⁾/(nΣx) − (n+1)/n over the "
+        "(balance, custkey)-ranked values; the rank-weighted sums ride "
+        "exact decimal detours so G is engine-exact to the last division",
+    tags=("insights", "agg", "stats", "window"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank i comes from a segment-partitioned window with a total
+    order (balance, custkey) — ties would otherwise permute i·x between
+    engines. i·x products rescale balances to thousands so the decimal
+    sums stay inside the exact scale-4 casting envelope at any customer
+    count; the closed-form G then costs three divisions in pinned order.
+    Per-segment ranking serializes within a segment — at extreme
+    cardinality switch to the two-phase bucketed ranking of
+    q_skyline_2d (bucket offsets + in-bucket ranks)."""
+    cst = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    out4 = lambda col: F.round(col, 4).cast("decimal(38,4)").cast("double")  # noqa: E731
+    sq10 = lambda col: col.cast("double").cast("decimal(38,10)")  # noqa: E731
+    x = (cst.filter(F.col("c_acctbal") > 0.0)
+            .select("c_mktsegment",
+                    (F.col("c_acctbal").cast("double") / F.lit(1000.0))
+                    .alias("xk"),
+                    F.row_number().over(w).alias("i")))
+    m = x.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        out4(F.sum(sq10(F.col("i") * F.col("xk")))).alias("s1"),
+        out4(F.sum(sq10(F.col("xk")))).alias("sx"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "c_mktsegment", "n",
+        F.round((F.lit(2.0) * F.col("s1")) / (n_d * F.col("sx"))
+                - (n_d + F.lit(1.0)) / n_d, 6).alias("gini"))

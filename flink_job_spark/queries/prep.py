@@ -916,3 +916,74 @@ def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(good, F.col("c_acctbal").cast("decimal(18,2)")))
          .cast("double").alias("sum_acctbal"),
     )
+
+
+# --- q_pack_bins: whole-document next-fit bin packing --------------------------------
+
+BINPACK_BUDGET = 128  # whitespace tokens per packed context window
+
+@register(
+    "q_pack_bins",
+    f"""WITH RECURSIVE s AS (
+          SELECT source, doc_id, {ws_token_count_duck('text')} AS t,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+          FROM documents),
+        p(source, doc_id, t, rn, bin, fill) AS (
+          SELECT source, doc_id, t, rn, CAST(1 AS BIGINT), t
+          FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.source, s.doc_id, s.t, s.rn,
+                 CASE WHEN p.fill + s.t > {BINPACK_BUDGET}
+                      THEN p.bin + 1 ELSE p.bin END,
+                 CASE WHEN p.fill + s.t > {BINPACK_BUDGET}
+                      THEN s.t ELSE p.fill + s.t END
+          FROM s JOIN p ON s.source = p.source AND s.rn = p.rn + 1)
+        SELECT source, doc_id, t AS n_tokens,
+               CAST(bin AS BIGINT) AS bin_idx,
+               CAST(fill AS BIGINT) AS bin_fill
+        FROM p""",
+    doc=f"whole-document next-fit packing: walk each source's docs in "
+        f"doc_id order and open a new bin whenever adding the next doc "
+        f"would exceed {BINPACK_BUDGET} tokens — the no-split sibling of "
+        "q_sequence_pack for pipelines that must not truncate documents; "
+        "grouped pandas scan vs recursive-CTE oracle",
+    tags=("prep", "pandas", "stateful"),
+)
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit is inherently sequential — bin state resets when the budget
+    trips, which no cumulative-sum-and-divide can express (q_sequence_pack's
+    floor(offset/budget) works only because IT splits documents at
+    boundaries; keeping docs whole makes the remainder carry) — so it rides
+    applyInPandas: one Arrow group per source, a python loop over the
+    doc_id-sorted rows, two integers of state. Pure integer arithmetic, so
+    batch, oracle, and any replay agree bit-for-bit. An over-budget doc
+    occupies a bin alone (fill > budget), same as the oracle's CASE."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select("source", "doc_id", ws_token_count("text").alias("t"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 1, 0
+        first = True
+        for t in pdf["t"]:
+            t = int(t)
+            if first:
+                b, fill, first = 1, t, False
+            elif fill + t > BINPACK_BUDGET:
+                b, fill = b + 1, t
+            else:
+                fill += t
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf.rename(columns={"t": "n_tokens"})
+
+    return rows.groupBy("source").applyInPandas(
+        pack,
+        "source string, doc_id long, n_tokens long, bin_idx long, "
+        "bin_fill long")

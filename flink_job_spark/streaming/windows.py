@@ -131,3 +131,35 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
     return (l.join(r, cond)
              .select(l["k"].alias(key), "l_event_id", "l_ts",
                      "r_event_id", "r_ts"))
+
+
+def stream_ohlc_agg(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "1 hour",
+                    event_type: str = "purchase") -> DataFrame:
+    """Streaming OHLC bars — the event-time twin of queries/insights.py's
+    q_ohlc_bars, emitted per watermark-closed hour.
+
+    open/close need the first/last value in event-time order, which a
+    streaming aggregate can't get from a rank (no windows over unbounded
+    streams): min_by/max_by over a TOTAL-ORDER key do it in O(1) state per
+    bar. The key packs (µs-within-hour, event_id) into one BIGINT —
+    micros-within-hour × 10^7 + event_id — which orders exactly like the
+    batch twin's (ts, event_id) rank inside an hour-aligned window (valid
+    while event_id < 10^7 per hour; widen the multiplier with the id
+    domain). high/low/count are plain aggregates. All values pass through
+    unchanged (no arithmetic), so stream ≡ batch bit-for-bit."""
+    e = (_with_event_time(events)
+         .filter(F.col("event_type") == event_type))
+    okey = ((F.unix_micros(F.col("ts")) % F.lit(3_600_000_000))
+            * F.lit(10_000_000) + F.col("event_id"))
+    return (
+        e.withWatermark("ts", watermark)
+         .groupBy(F.window("ts", window).alias("w"))
+         .agg(F.min_by("value", okey).alias("open"),
+              F.max("value").alias("high"),
+              F.min("value").alias("low"),
+              F.max_by("value", okey).alias("close"),
+              F.count(F.lit(1)).cast("bigint").alias("n_trades"))
+         .select(F.col("w.start").cast("timestamp_ntz").alias("hour"),
+                 "open", "high", "low", "close", "n_trades")
+    )

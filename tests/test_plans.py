@@ -1023,6 +1023,8 @@ def test_burst_minutes_broadcast_day_stats(spark, sf_dir):
     """Burst detection: minute counts shuffle once, day moments aggregate
     from them, and the tiny day-stats side broadcasts back — the minute
     table never shuffles again for the join."""
+    spark.catalog.clearCache()  # a prior parity run leaves m cached; the
+    # already-cached plan shape differs (test_ivf_recall precedent)
     p = plan(all_queries()["q_burst_minutes"].fn(spark, sf_dir))
     assert p.count("BroadcastExchange") >= 1, p
     assert "SortMergeJoin" not in p, p
@@ -1054,3 +1056,53 @@ def test_shingle_containment_reuses_persisted_index(spark, sf_dir):
     p = plan(all_queries()["q_shingle_containment"].fn(spark, sf_dir))
     assert "InMemoryTableScan" in p, p
     assert "NestedLoop" not in p, p
+
+
+def test_pack_bins_single_grouped_arrow_pass(spark, sf_dir):
+    """Next-fit packing: ONE source-grouped Arrow pass carries the whole
+    recurrence; the documents read prunes to (source, doc_id, text)."""
+    p = plan(all_queries()["q_pack_bins"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"source", "doc_id", "text"}, (
+        read_schema_columns(p))
+
+
+def test_pareto_cover_aggregates_before_serial_window(spark, sf_dir):
+    """Pareto cover: lineitem combines to per-part revenue BEFORE the
+    serial prefix window; the scan reads exactly the three fact columns."""
+    p = plan(all_queries()["q_pareto_cover"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "partial_sum" in p, p
+    assert read_schema_columns(p) == {"l_partkey", "l_extendedprice",
+                                      "l_discount"}, read_schema_columns(p)
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_first_touch_is_union_merge_not_range_join(spark, sf_dir):
+    """First-touch attribution must ride the as-of union-merge (two
+    shuffles max, no nested-loop range join)."""
+    p = plan(all_queries()["q_first_touch"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_hhi_two_bounded_aggregations(spark, sf_dir):
+    """HHI: (segment, customer) revenue then segment moments — the fact
+    side shuffles for the join/agg, never more than three exchanges, with
+    map-side partials."""
+    p = plan(all_queries()["q_hhi_concentration"].fn(spark, sf_dir))
+    assert "partial_sum" in p, p
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_gini_pruned_scan_single_window(spark, sf_dir):
+    """Gini: the positive-balance filter pushes down, the scan reads only
+    the three needed columns, and rank + moments share one segment
+    partitioning."""
+    p = plan(all_queries()["q_gini"].fn(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("c_acctbal" in s for s in pushed), pushed
+    assert read_schema_columns(p) == {"c_mktsegment", "c_acctbal",
+                                      "c_custkey"}, read_schema_columns(p)
+    assert _n_exchanges(p) <= 2, p

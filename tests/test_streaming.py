@@ -669,3 +669,36 @@ def test_java_timestamp_conversion_keeps_microseconds(spark):
     assert _from_java(jts_ns) == dtmod.datetime(2026, 1, 1, 0, 0, 0, 123456)
     jts_s = spark._jvm.java.sql.Timestamp.valueOf("2026-01-01 00:00:01")
     assert _from_java(jts_s) == dtmod.datetime(2026, 1, 1, 0, 0, 1)
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    """Every watermark-closed hourly bar from the stream equals the batch
+    q_ohlc_bars row exactly — open/close prove the min_by/max_by total-order
+    key reproduces the batch rank endpoints."""
+    from flink_job_spark.streaming.windows import stream_ohlc_agg
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    events = load_table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (stream_ohlc_agg(stream).writeStream.format("memory")
+         .queryName("ohlc").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ohlc")
+    from flink_job_spark.queries import all_queries
+    exp = (all_queries()["q_ohlc_bars"].fn(spark, sf_dir)
+           .withColumnRenamed("open", "e_open")
+           .withColumnRenamed("high", "e_high")
+           .withColumnRenamed("low", "e_low")
+           .withColumnRenamed("close", "e_close")
+           .withColumnRenamed("n_trades", "e_n")
+           .withColumn("hour", F.col("hour").cast("timestamp_ntz")))
+    assert got.count() >= exp.count() - 2  # append emits closed bars only
+    j = got.join(exp, "hour", "inner")
+    assert j.count() == got.count()
+    bad = j.filter((F.col("open") != F.col("e_open"))
+                   | (F.col("high") != F.col("e_high"))
+                   | (F.col("low") != F.col("e_low"))
+                   | (F.col("close") != F.col("e_close"))
+                   | (F.col("n_trades") != F.col("e_n")))
+    assert bad.count() == 0, bad.collect()[:5]
