@@ -22,6 +22,11 @@ from flink_job_spark.queries.dedup import (
     doc_shingles,
     intersection_pairs_capped,
 )
+from flink_job_spark.queries.relational import (
+    _VDEC,
+    _out4_col,
+    _vdec_col,
+)
 from flink_job_spark.sources.tables import load_table
 
 ITEMSIM_MIN_CO = 3       # ignore pairs co-purchased fewer times (noise)
@@ -169,9 +174,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(n AS DOUBLE), 6) AS day_sd
         FROM m JOIN st USING (d)
         WHERE CAST(c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-              + {BURST_SIGMAS} * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
-                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                / CAST(n AS DOUBLE)""",
+              + {BURST_SIGMAS} * (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                  / CAST(n AS DOUBLE))""",
     doc=f"burst detection: minutes whose event count exceeds their day's "
         f"mean + {BURST_SIGMAS:g}σ (population σ from exact integer "
         "moments) — the traffic-anomaly monitor; the threshold expression "
@@ -212,7 +217,8 @@ def q_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_date_gaps",
     """WITH days AS (
-         SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders),
+         SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders
+         WHERE o_orderdate IS NOT NULL),
        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
        spine AS (
          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
@@ -242,7 +248,11 @@ def q_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate operates on calendar-bounded cardinality (≤ days-of-history
     rows), so the serial window is safe at any fact scale."""
     o = load_table(spark, sf_dir, "orders")
-    days = (o.select(F.date_trunc("DAY", F.col("o_orderdate")).alias("d"))
+    # NULL order dates must not enter the spine NOR the observed set: the
+    # oracle's NOT IN would go all-NULL and report zero gaps while the anti
+    # join kept reporting every miss — filter them out in BOTH engines
+    days = (o.filter(F.col("o_orderdate").isNotNull())
+             .select(F.date_trunc("DAY", F.col("o_orderdate")).alias("d"))
              .distinct())
     bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(
@@ -415,8 +425,6 @@ def q_pareto_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_hhi_concentration: Herfindahl market concentration ----------------------
 
-_SQ10 = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10))"
-
 @register(
     "q_hhi_concentration",
     f"""WITH r AS (
@@ -428,9 +436,9 @@ _SQ10 = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10))"
         m AS (
           SELECT c_mktsegment,
                  CAST(COUNT(1) AS BIGINT) AS n_customers,
-                 CAST(CAST(ROUND(SUM({_SQ10.format(x='rm * rm')}), 4)
+                 CAST(CAST(ROUND(SUM({_VDEC.format(x='rm * rm')}), 4)
                            AS DECIMAL(38,4)) AS DOUBLE) AS sumsq,
-                 CAST(CAST(ROUND(SUM({_SQ10.format(x='rm')}), 4)
+                 CAST(CAST(ROUND(SUM({_VDEC.format(x='rm')}), 4)
                            AS DECIMAL(38,4)) AS DOUBLE) AS tot
           FROM r GROUP BY c_mktsegment)
         SELECT c_mktsegment, n_customers,
@@ -454,18 +462,16 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey",
                                                      "c_mktsegment")
-    out4 = lambda col: F.round(col, 4).cast("decimal(38,4)").cast("double")  # noqa: E731
-    sq10 = lambda col: col.cast("double").cast("decimal(38,10)")  # noqa: E731
     r = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
          .groupBy("c_mktsegment", "o_custkey")
-         .agg((out4(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+         .agg((_out4_col(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
                / F.lit(1000000.0)).alias("rm"))
     )
     m = r.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        out4(F.sum(sq10(F.col("rm") * F.col("rm")))).alias("sumsq"),
-        out4(F.sum(sq10(F.col("rm")))).alias("tot"),
+        _out4_col(F.sum(_vdec_col(F.col("rm") * F.col("rm")))).alias("sumsq"),
+        _out4_col(F.sum(_vdec_col(F.col("rm")))).alias("tot"),
     )
     return m.select(
         "c_mktsegment", "n_customers",
@@ -486,9 +492,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         m AS (
           SELECT c_mktsegment,
                  CAST(COUNT(1) AS BIGINT) AS n,
-                 CAST(CAST(ROUND(SUM({_SQ10.format(x='i * xk')}), 4)
+                 CAST(CAST(ROUND(SUM({_VDEC.format(x='i * xk')}), 4)
                            AS DECIMAL(38,4)) AS DOUBLE) AS s1,
-                 CAST(CAST(ROUND(SUM({_SQ10.format(x='xk')}), 4)
+                 CAST(CAST(ROUND(SUM({_VDEC.format(x='xk')}), 4)
                            AS DECIMAL(38,4)) AS DOUBLE) AS sx
           FROM x GROUP BY c_mktsegment)
         SELECT c_mktsegment, n,
@@ -513,8 +519,6 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_skyline_2d (bucket offsets + in-bucket ranks)."""
     cst = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    out4 = lambda col: F.round(col, 4).cast("decimal(38,4)").cast("double")  # noqa: E731
-    sq10 = lambda col: col.cast("double").cast("decimal(38,10)")  # noqa: E731
     x = (cst.filter(F.col("c_acctbal") > 0.0)
             .select("c_mktsegment",
                     (F.col("c_acctbal").cast("double") / F.lit(1000.0))
@@ -522,8 +526,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("i")))
     m = x.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        out4(F.sum(sq10(F.col("i") * F.col("xk")))).alias("s1"),
-        out4(F.sum(sq10(F.col("xk")))).alias("sx"),
+        _out4_col(F.sum(_vdec_col(F.col("i") * F.col("xk")))).alias("s1"),
+        _out4_col(F.sum(_vdec_col(F.col("xk")))).alias("sx"),
     )
     n_d = F.col("n").cast("double")
     return m.select(

@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_job_spark.queries import register
+from flink_job_spark.queries.relational import (
+    _OUT4,
+    _VDEC,
+    _out4_col,
+    _vdec_col,
+)
 from flink_job_spark.sources.tables import load_table
 
 POS_EVENT = "purchase"          # the positive class for AUC / calibration
@@ -44,7 +50,7 @@ CONCUR_MINUTES = 5              # event "activity interval" length
                                THEN 1 ELSE 0 END) AS BIGINT) AS npos,
                  CAST(SUM(CASE WHEN event_type <> '{POS_EVENT}'
                                THEN 1 ELSE 0 END) AS BIGINT) AS nneg
-          FROM events GROUP BY value),
+          FROM events WHERE value IS NOT NULL GROUP BY value),
         c AS (
           SELECT npos, nneg,
                  COALESCE(CAST(SUM(nneg) OVER (
@@ -75,7 +81,9 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, unrounded."""
     e = load_table(spark, sf_dir, "events")
     pos = F.when(F.col("event_type") == POS_EVENT, 1).otherwise(0)
-    s = e.groupBy("value").agg(
+    # NULL scores are unrankable AND sort differently across engines
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST ascending) — drop them in both
+    s = e.filter(F.col("value").isNotNull()).groupBy("value").agg(
         F.sum(pos).cast("bigint").alias("npos"),
         F.sum(1 - pos).cast("bigint").alias("nneg"),
     )
@@ -245,28 +253,28 @@ def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_autocorr_lag1",
-    """WITH daily AS (
+    f"""WITH daily AS (
          SELECT date_trunc('day', o_orderdate) AS day,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                  AS rev
+                {_OUT4.format(s="SUM(CAST(o_totalprice AS DECIMAL(18,6)))")}
+                  / 1000000.0 AS rev
          FROM orders GROUP BY 1),
        pairs AS (
          SELECT LAG(rev) OVER (ORDER BY day) AS x, rev AS y FROM daily),
        m AS (
-         SELECT CAST(x AS DECIMAL(18,6)) AS x,
-                CAST(y AS DECIMAL(18,6)) AS y,
-                CAST(CAST(x * y AS DOUBLE) AS DECIMAL(38,10)) AS xy,
-                CAST(CAST(x * x AS DOUBLE) AS DECIMAL(38,10)) AS xx,
-                CAST(CAST(y * y AS DOUBLE) AS DECIMAL(38,10)) AS yy
+         SELECT {_VDEC.format(x="x")} AS x,
+                {_VDEC.format(x="y")} AS y,
+                {_VDEC.format(x="x * y")} AS xy,
+                {_VDEC.format(x="x * x")} AS xx,
+                {_VDEC.format(x="y * y")} AS yy
          FROM pairs WHERE x IS NOT NULL)
        SELECT CAST(COUNT(1) AS BIGINT) AS n_pairs,
-              ROUND((CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xy) AS DOUBLE)
-                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-                    / (sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE)
-                            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
-                       * sqrt(CAST(COUNT(1) AS DOUBLE) * CAST(SUM(yy) AS DOUBLE)
-                              - CAST(SUM(y) AS DOUBLE)
-                                * CAST(SUM(y) AS DOUBLE))),
+              ROUND((CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s="SUM(xy)")}
+                     - {_OUT4.format(s="SUM(x)")} * {_OUT4.format(s="SUM(y)")})
+                    / (sqrt(CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s="SUM(xx)")}
+                            - {_OUT4.format(s="SUM(x)")} * {_OUT4.format(s="SUM(x)")})
+                       * sqrt(CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s="SUM(yy)")}
+                              - {_OUT4.format(s="SUM(y)")}
+                                * {_OUT4.format(s="SUM(y)")})),
                     6) AS autocorr
        FROM m""",
     doc="lag-1 autocorrelation of the daily order-revenue series — Pearson "
@@ -278,32 +286,35 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two bounded stages: the fact stream combines to ~2.4k exact-decimal
     day totals (one shuffle), and only that series rides the serial LAG
     window (partition by year at larger spans, stitching boundary pairs).
-    The (prev, cur) pairs then reuse the q_correlation moment idiom —
-    six exact decimal sums, one fixed double expression — so built-in
-    corr()'s order-dependent float accumulation never enters."""
+    Day totals rescale to MILLIONS before any product — q_correlation's
+    moment idiom is engine-exact only while the repr-detour decimals and
+    their sums stay inside the scale-4 casting envelope, and raw day
+    revenues (~1e6, products ~1e13) are outside it (review-verified: the
+    direct double→DECIMAL(38,10) cast itself diverges between engines at
+    that magnitude). After the rescale every product is ~1-100 and every
+    sum fits; x/y/products all take the shared repr-string route (_VDEC)
+    and the sums exit through the shared scale-4 rounding (_OUT4),
+    token-identical to the oracle."""
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("day"))
-         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-               .cast("double").alias("rev"))
+         .agg((_out4_col(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+               / F.lit(1000000.0)).alias("rev"))
     )
     pairs = daily.select(
         F.lag("rev").over(Window.orderBy("day")).alias("x"),
         F.col("rev").alias("y"),
     ).filter(F.col("x").isNotNull())
     m = pairs.select(
-        F.col("x").cast("decimal(18,6)").alias("x"),
-        F.col("y").cast("decimal(18,6)").alias("y"),
-        (F.col("x") * F.col("y")).cast("double").cast("decimal(38,10)")
-          .alias("xy"),
-        (F.col("x") * F.col("x")).cast("double").cast("decimal(38,10)")
-          .alias("xx"),
-        (F.col("y") * F.col("y")).cast("double").cast("decimal(38,10)")
-          .alias("yy"),
+        _vdec_col(F.col("x")).alias("x"),
+        _vdec_col(F.col("y")).alias("y"),
+        _vdec_col(F.col("x") * F.col("y")).alias("xy"),
+        _vdec_col(F.col("x") * F.col("x")).alias("xx"),
+        _vdec_col(F.col("y") * F.col("y")).alias("yy"),
     )
     n = F.count(F.lit(1)).cast("double")
-    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
-    sxy, sxx, syy = (F.sum(c).cast("double") for c in ["xy", "xx", "yy"])
+    sx, sy = _out4_col(F.sum("x")), _out4_col(F.sum("y"))
+    sxy, sxx, syy = (_out4_col(F.sum(c)) for c in ["xy", "xx", "yy"])
     r = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return m.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

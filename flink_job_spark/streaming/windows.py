@@ -142,15 +142,23 @@ def stream_ohlc_agg(events: DataFrame, window: str = "1 hour",
     open/close need the first/last value in event-time order, which a
     streaming aggregate can't get from a rank (no windows over unbounded
     streams): min_by/max_by over a TOTAL-ORDER key do it in O(1) state per
-    bar. The key packs (µs-within-hour, event_id) into one BIGINT —
-    micros-within-hour × 10^7 + event_id — which orders exactly like the
-    batch twin's (ts, event_id) rank inside an hour-aligned window (valid
-    while event_id < 10^7 per hour; widen the multiplier with the id
-    domain). high/low/count are plain aggregates. All values pass through
+    bar. The key packs (µs-within-WINDOW, event_id) into one BIGINT —
+    micros-within-window × 10^7 + event_id — which orders exactly like the
+    batch twin's (ts, event_id) rank inside an epoch-aligned window (valid
+    while event_id < 10^7 per bar; widen the multiplier with the id
+    domain). The modulus is derived from the ``window`` argument — a
+    hard-coded hour would silently invert open/close for any other bar
+    width. high/low/count are plain aggregates. All values pass through
     unchanged (no arithmetic), so stream ≡ batch bit-for-bit."""
+    import pandas as pd
+
+    win_us = int(pd.Timedelta(window).value // 1000)
+    if win_us * 10_000_000 >= 2 ** 63:
+        raise ValueError(f"window {window!r} too wide for the packed "
+                         "ordering key (max ~10 days)")
     e = (_with_event_time(events)
          .filter(F.col("event_type") == event_type))
-    okey = ((F.unix_micros(F.col("ts")) % F.lit(3_600_000_000))
+    okey = ((F.unix_micros(F.col("ts")) % F.lit(win_us))
             * F.lit(10_000_000) + F.col("event_id"))
     return (
         e.withWatermark("ts", watermark)

@@ -702,3 +702,39 @@ def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
                    | (F.col("close") != F.col("e_close"))
                    | (F.col("n_trades") != F.col("e_n")))
     assert bad.count() == 0, bad.collect()[:5]
+
+
+def test_stream_ohlc_non_hour_window_endpoints(spark, sf_dir, tmp_path):
+    """Regression (review finding): a 2-hour bar must still order open/close
+    by event time — the ordering-key modulus follows the window width, so
+    an event at :59 cannot out-rank one at 1:01 of the same bar."""
+    from flink_job_spark.streaming.windows import stream_ohlc_agg
+
+    src = _events_micro(spark, sf_dir, tmp_path)
+    events = load_table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (stream_ohlc_agg(stream, window="2 hours").writeStream
+         .format("memory").queryName("ohlc2h").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ohlc2h")
+    # batch reference computed directly with a 2h-truncated rank
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase"))
+    twoh = F.timestamp_micros(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 7_200_000_000)
+        .cast("bigint") * 7_200_000_000).cast("timestamp_ntz")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("hour").orderBy("ts", "event_id")
+    wc = W.partitionBy("hour")
+    r = (e.select(twoh.alias("hour"), "ts", "event_id", "value")
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("cnt", F.count(F.lit(1)).over(wc)))
+    exp = r.groupBy("hour").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("e_open"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value")))
+         .alias("e_close"))
+    j = got.join(exp, "hour", "inner")
+    assert j.count() == got.count()
+    assert j.filter((F.col("open") != F.col("e_open"))
+                    | (F.col("close") != F.col("e_close"))).count() == 0
