@@ -38,6 +38,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from flink_job_spark.queries import (  # noqa: F401
         analytics,
         asof,
+        behavior,
         cdc,
         core,
         dedup,

@@ -1,0 +1,297 @@
+"""Behavioral and growth-curve analytics: session path mining, grouped
+regression, seasonal indices, and corpus vocabulary growth.
+
+Fourth-wave north-star extensions (the reference has no analytics at all,
+SURVEY §2.3). House discipline throughout: sequences are ordered by a TOTAL
+order (ts, event_id) so path strings are engine-deterministic; calendar
+features come from epoch-day arithmetic, never engine dayofweek() enums
+(q_seasonality precedent); regression/ratio statistics aggregate exact
+decimal moments and spend their IEEE divisions last, in an op order the
+oracle mirrors; growth curves turn "running distinct" — undistributable as
+stated — into a per-word first-occurrence aggregate plus a bounded cumsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_job_spark.functions.text import words, words_duck, ws_token_count, ws_token_count_duck
+from flink_job_spark.queries import register
+from flink_job_spark.queries.relational import _OUT4, _VDEC, _out4_col, _vdec_col
+from flink_job_spark.queries.windows import SESSION_GAP_MIN
+from flink_job_spark.sources.tables import load_table
+
+PATH_LEN = 3        # leading events kept per session path
+PATH_TOPK = 15
+VOCAB_CHECKPOINT = 50   # vocabulary-growth curve sampled every N documents
+
+
+# --- q_session_paths: top entry paths through the product ----------------------
+
+@register(
+    "q_session_paths",
+    f"""WITH flagged AS (
+         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN CAST(ts AS TIMESTAMP)
+                          - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '{SESSION_GAP_MIN} minutes'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       islands AS (
+         SELECT user_id, event_type, ts, event_id,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged),
+       ranked AS (
+         SELECT user_id, sid, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                   ORDER BY ts, event_id) AS rn
+         FROM islands),
+       paths AS (
+         SELECT concat_ws('>',
+                  MAX(CASE WHEN rn = 1 THEN event_type END),
+                  MAX(CASE WHEN rn = 2 THEN event_type END),
+                  MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+         FROM ranked WHERE rn <= {PATH_LEN}
+         GROUP BY user_id, sid)
+       SELECT path, CAST(COUNT(1) AS BIGINT) AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY COUNT(1) DESC, path
+       LIMIT {PATH_TOPK}""",
+    doc=f"session path mining: the top-{PATH_TOPK} opening event sequences "
+        f"(first {PATH_LEN} events of each {SESSION_GAP_MIN}-minute-gap "
+        "session, '>'-joined) — the clickstream entry-path report; paths "
+        "are deterministic because every ordering is the (ts, event_id) "
+        "total order",
+    tags=("analytics", "window", "session", "topk"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (the q_session_window oracle's own
+    construction), a per-session rank, and the path assembled by rank-slot
+    conditional aggregates — concat_ws drops NULL slots in both engines, so
+    1- and 2-event sessions produce 'view' / 'view>click' rather than
+    dangling separators. Both windows and the session rollup share the
+    user_id partitioning; the path count is one more combine-enabled
+    shuffle on a tiny domain; top-k fuses."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps don't cast to numbers — epoch µs via the LTZ detour
+    # (session TZ is UTC, value-preserving); the lag default mirrors the
+    # oracle's 1970 sentinel so the first event always opens a session
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    prev = F.coalesce(F.lag(F.col("ts"), 1).over(wu),
+                      F.lit("1970-01-01").cast("timestamp_ntz"))
+    flagged = e.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.when(us(F.col("ts")) - us(prev)
+               > SESSION_GAP_MIN * 60 * 1_000_000, 1)
+         .otherwise(0).alias("new_session"))
+    islands = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = islands.withColumn("rn", F.row_number().over(ws))
+    slot = lambda i: F.max(F.when(F.col("rn") == i, F.col("event_type")))  # noqa: E731
+    paths = (
+        ranked.filter(F.col("rn") <= PATH_LEN)
+              .groupBy("user_id", "sid")
+              .agg(F.concat_ws(">", *[slot(i) for i in
+                                      range(1, PATH_LEN + 1)]).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+             .orderBy(F.col("n_sessions").desc(), "path")
+             .limit(PATH_TOPK)
+    )
+
+
+# --- q_group_ols_slope: per-group simple regression ----------------------------
+
+@register(
+    "q_group_ols_slope",
+    f"""WITH m AS (
+         SELECT p_brand,
+                CAST(l_quantity AS DECIMAL(18,6)) AS x,
+                CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+                {_VDEC.format(x='l_quantity * l_extendedprice')} AS xy,
+                {_VDEC.format(x='l_quantity * l_quantity')} AS xx
+         FROM lineitem JOIN part ON l_partkey = p_partkey)
+       SELECT p_brand, CAST(COUNT(1) AS BIGINT) AS n,
+              ROUND((CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s='SUM(xy)')}
+                     - {_OUT4.format(s='SUM(x)')} * {_OUT4.format(s='SUM(y)')})
+                    / (CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s='SUM(xx)')}
+                       - {_OUT4.format(s='SUM(x)')} * {_OUT4.format(s='SUM(x)')}),
+                    6) AS slope,
+              ROUND(({_OUT4.format(s='SUM(y)')}
+                     - ((CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s='SUM(xy)')}
+                         - {_OUT4.format(s='SUM(x)')} * {_OUT4.format(s='SUM(y)')})
+                        / (CAST(COUNT(1) AS DOUBLE) * {_OUT4.format(s='SUM(xx)')}
+                           - {_OUT4.format(s='SUM(x)')} * {_OUT4.format(s='SUM(x)')}))
+                       * {_OUT4.format(s='SUM(x)')})
+                    / CAST(COUNT(1) AS DOUBLE), 6) AS intercept
+       FROM m GROUP BY p_brand""",
+    doc="per-brand simple OLS of price on quantity: slope and intercept "
+        "from the five exact decimal moments in ONE grouped pass — the "
+        "grouped-regression sibling of the global q_linreg_moments; the "
+        "engine-sensitive divisions happen once per group in pinned order",
+    tags=("analytics", "ml", "stats", "agg", "join"),
+)
+def q_group_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle: part's brand column broadcasts onto lineitem, the five
+    moments (n, Σx, Σy, Σxy, Σx²) partial-aggregate map-side, and the
+    closed-form slope/intercept is a fixed double expression over the
+    scale-4-rounded exact sums — the UNROUNDED slope feeds the intercept
+    so the published pair is self-consistent, and both round only at
+    output. Built-in regr_slope() accumulates floats in partition order —
+    unusable for parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+          .select("p_brand",
+                  F.col("l_quantity").cast("decimal(18,6)").alias("x"),
+                  F.col("l_extendedprice").cast("decimal(18,6)").alias("y"),
+                  _vdec_col(F.col("l_quantity") * F.col("l_extendedprice"))
+                    .alias("xy"),
+                  _vdec_col(F.col("l_quantity") * F.col("l_quantity"))
+                    .alias("xx"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = _out4_col(F.sum("x")), _out4_col(F.sum("y"))
+    sxy, sxx = _out4_col(F.sum("xy")), _out4_col(F.sum("xx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"))
+
+
+# --- q_seasonal_index: day-of-week demand index --------------------------------
+
+@register(
+    "q_seasonal_index",
+    f"""WITH daily AS (
+         SELECT date_trunc('day', o_orderdate) AS day,
+                CAST((datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 3) % 7
+                     AS BIGINT) AS dow,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         FROM orders GROUP BY 1, 2),
+       dw AS (
+         SELECT dow, CAST(COUNT(1) AS BIGINT) AS n_days,
+                {_OUT4.format(s='SUM(rev)')} AS s
+         FROM daily GROUP BY dow),
+       tot AS (
+         SELECT CAST(SUM(n_days) AS BIGINT) AS n_all,
+                {_OUT4.format(s='SUM(CAST(CAST(s AS VARCHAR) AS DECIMAL(38,10)))')}
+                  AS s_all
+         FROM dw)
+       SELECT dow, n_days,
+              ROUND(s / CAST(n_days AS DOUBLE), 4) AS mean_rev,
+              ROUND((s / CAST(n_days AS DOUBLE))
+                    / (s_all / CAST(n_all AS DOUBLE)), 6) AS seasonal_index
+       FROM dw CROSS JOIN tot""",
+    doc="day-of-week seasonal index: each weekday's mean daily revenue as "
+        "a ratio to the overall mean daily revenue — the demand-planning "
+        "multiplier; day-of-week from epoch-day arithmetic ((d+3) mod 7, "
+        "0=Monday) because engine dayofweek() numbering disagrees",
+    tags=("analytics", "agg", "calendar", "timeseries"),
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three bounded stages: exact-decimal day totals (one fact shuffle),
+    a 7-row weekday rollup, and a 1-row grand total broadcast back as a
+    cross join. The index divides two means computed by the identical
+    pinned sequence; the grand total re-sums the weekday subtotals through
+    the repr-decimal route so both engines add the same seven numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = F.pmod(
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1970-01-01").cast("date")) + 3, 7).cast("bigint")
+    daily = (
+        o.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+                  dow.alias("dow"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .alias("rev"))
+    )
+    dw = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _out4_col(F.sum("rev")).alias("s"))
+    tot = dw.agg(
+        F.sum("n_days").cast("bigint").alias("n_all"),
+        _out4_col(F.sum(F.col("s").cast("string").cast("decimal(38,10)")))
+          .alias("s_all"))
+    mean_rev = F.col("s") / F.col("n_days").cast("double")
+    mean_all = F.col("s_all") / F.col("n_all").cast("double")
+    return dw.crossJoin(F.broadcast(tot)).select(
+        "dow", "n_days",
+        F.round(mean_rev, 4).alias("mean_rev"),
+        F.round(mean_rev / mean_all, 6).alias("seasonal_index"))
+
+
+# --- q_vocab_growth: Heaps-law corpus growth curve ------------------------------
+
+@register(
+    "q_vocab_growth",
+    f"""WITH firsts AS (
+         SELECT w, MIN(doc_id) AS first_doc
+         FROM (SELECT doc_id, unnest({words_duck('text')}) AS w
+               FROM documents)
+         GROUP BY w),
+       new_words AS (
+         SELECT first_doc AS doc_id, CAST(COUNT(1) AS BIGINT) AS nw
+         FROM firsts GROUP BY first_doc),
+       per_doc AS (
+         SELECT d.doc_id, {ws_token_count_duck('d.text')} AS toks,
+                COALESCE(nw.nw, 0) AS nw
+         FROM documents d LEFT JOIN new_words nw ON nw.doc_id = d.doc_id),
+       cum AS (
+         SELECT doc_id,
+                CAST(SUM(toks) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_tokens,
+                CAST(SUM(nw) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_vocab
+         FROM per_doc)
+       SELECT doc_id, cum_tokens, cum_vocab
+       FROM cum WHERE doc_id % {VOCAB_CHECKPOINT} = {VOCAB_CHECKPOINT - 1}""",
+    doc=f"vocabulary growth curve (Heaps' law): cumulative distinct words "
+        f"vs cumulative tokens at every {VOCAB_CHECKPOINT}th document in "
+        "doc_id order — the corpus-diversity diagnostic; 'running "
+        "distinct' is made distributable by charging each word to its "
+        "FIRST document and cumsumming those counts",
+    tags=("analytics", "text", "window", "prep"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a document order cannot be distributed
+    as stated, but vocab(d) = |{words first seen at doc ≤ d}| — so one
+    word→min(doc_id) shuffle (combine-enabled), a per-doc new-word count,
+    and a cumsum over the DOCUMENT-bounded spine replace it exactly. The
+    serial window walks docs, not words; at corpus scale checkpoint the
+    spine into buckets and prefix-sum bucket subtotals (q_skyline_2d's
+    two-phase trick). Pure integers end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    firsts = (
+        d.select("doc_id", F.explode(words("text")).alias("w"))
+         .groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_words = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
+                       .agg(F.count(F.lit(1)).cast("bigint").alias("nw")))
+    per_doc = (
+        d.select("doc_id", ws_token_count("text").alias("toks"))
+         .join(new_words, "doc_id", "left")
+         .select("doc_id", "toks",
+                 F.coalesce(F.col("nw"), F.lit(0)).alias("nw"))
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_doc.select(
+        "doc_id",
+        F.sum("toks").over(wc).cast("bigint").alias("cum_tokens"),
+        F.sum("nw").over(wc).cast("bigint").alias("cum_vocab"))
+    return cum.filter(
+        F.col("doc_id") % VOCAB_CHECKPOINT == VOCAB_CHECKPOINT - 1)

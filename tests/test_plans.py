@@ -1106,3 +1106,42 @@ def test_gini_pruned_scan_single_window(spark, sf_dir):
     assert read_schema_columns(p) == {"c_mktsegment", "c_acctbal",
                                       "c_custkey"}, read_schema_columns(p)
     assert _n_exchanges(p) <= 2, p
+
+
+# --- behavioral / growth-curve pack (queries/behavior.py) ----------------------
+
+def test_session_paths_shares_user_partitioning(spark, sf_dir):
+    """Path mining: the gap flag, island sum, and per-session rank all ride
+    the user_id partitioning — at most three exchanges incl. the tiny path
+    count — and the top-k fuses."""
+    p = plan(all_queries()["q_session_paths"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_group_ols_one_shuffle_broadcast_brand(spark, sf_dir):
+    """Grouped OLS: brand broadcasts onto lineitem, five moments in ONE
+    combine-enabled shuffle."""
+    p = plan(all_queries()["q_group_ols_slope"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "partial_sum" in p, p
+    assert _n_exchanges(p) == 1, p
+
+
+def test_seasonal_index_broadcast_grand_total(spark, sf_dir):
+    """Seasonal index: day totals -> 7-row weekday rollup -> 1-row grand
+    total broadcast back; the orders scan reads two columns."""
+    p = plan(all_queries()["q_seasonal_index"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"o_orderdate", "o_totalprice"}, (
+        read_schema_columns(p))
+    assert "Broadcast" in p, p
+
+
+def test_vocab_growth_word_agg_before_doc_spine(spark, sf_dir):
+    """Vocabulary growth: the word->first-doc aggregate is combine-enabled
+    and the serial cumsum walks the DOC spine, not words; docs read once
+    per branch (spine + explode), never more."""
+    p = plan(all_queries()["q_vocab_growth"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "partial_min" in p or "partial_count" in p, p
+    assert p.count("documents.parquet") <= 2, p
