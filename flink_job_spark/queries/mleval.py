@@ -40,6 +40,55 @@ CALIB_NBINS = 10
 CONCUR_MINUTES = 5              # event "activity interval" length
 
 
+def auc_rank_statistic(scored: DataFrame) -> DataFrame:
+    """Exact AUC over (value, pos) rows — the fuzzable core of q_auc_exact
+    (tests/test_behavior_properties.py checks it against brute-force pair
+    counting). ``pos`` is 0/1; NULL values must already be filtered."""
+    s = scored.groupBy("value").agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nneg"),
+    )
+    w = (Window.orderBy("value")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = s.withColumn(
+        "cumneg", F.coalesce(F.sum("nneg").over(w).cast("bigint"), F.lit(0)))
+    return c.agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
+        # try_divide: a single-class corpus has zero rankable pairs — AUC is
+        # NULL, not a job-killing ANSI divide-by-zero (fuzz-found)
+        F.try_divide(
+            F.sum(F.col("npos") * (2 * F.col("cumneg") + F.col("nneg")))
+             .cast("double"),
+            (2 * F.sum("npos") * F.sum("nneg")).cast("double")).alias("auc"),
+    )
+
+
+def sweep_max_concurrent(e: DataFrame, minutes: int = CONCUR_MINUTES) -> DataFrame:
+    """Sweep-line peak concurrency over a ``ts`` column — the fuzzable core
+    of q_max_concurrent (fuzzed against brute-force interval counting)."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    iv = e.select(
+        day.alias("day"), F.col("ts").alias("s"),
+        F.least(F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES"),
+                day + F.expr("INTERVAL 1 DAY")).alias("e"))
+    sweep = iv.select(
+        "day",
+        F.explode(F.array(
+            F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+            F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+        )).alias("ev"),
+    ).select("day", "ev.t", "ev.delta")
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    run = sweep.withColumn("active", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        F.max("active").cast("bigint").alias("max_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("bigint")
+         .alias("n_events"),
+    ).select(F.col("day").cast("timestamp").alias("day"),
+             "max_concurrent", "n_events")
+
+
 # --- q_auc_exact: exact ROC AUC by rank statistic ------------------------------
 
 @register(
@@ -83,21 +132,9 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.when(F.col("event_type") == POS_EVENT, 1).otherwise(0)
     # NULL scores are unrankable AND sort differently across engines
     # (Spark NULLS FIRST vs DuckDB NULLS LAST ascending) — drop them in both
-    s = e.filter(F.col("value").isNotNull()).groupBy("value").agg(
-        F.sum(pos).cast("bigint").alias("npos"),
-        F.sum(1 - pos).cast("bigint").alias("nneg"),
-    )
-    w = (Window.orderBy("value")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    c = s.withColumn(
-        "cumneg", F.coalesce(F.sum("nneg").over(w).cast("bigint"), F.lit(0)))
-    return c.agg(
-        F.sum("npos").cast("bigint").alias("n_pos"),
-        F.sum("nneg").cast("bigint").alias("n_neg"),
-        (F.sum(F.col("npos") * (2 * F.col("cumneg") + F.col("nneg")))
-          .cast("double")
-         / (2 * F.sum("npos") * F.sum("nneg")).cast("double")).alias("auc"),
-    )
+    scored = (e.filter(F.col("value").isNotNull())
+               .select("value", pos.alias("pos")))
+    return auc_rank_statistic(scored)
 
 
 # --- q_chi2_features: chi-squared feature selection ----------------------------
@@ -227,26 +264,7 @@ def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the explode carries two (t, delta) scalars per event, never the
     parent row."""
     e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("DAY", F.col("ts"))
-    iv = e.select(
-        day.alias("day"), F.col("ts").alias("s"),
-        F.least(F.col("ts") + F.expr(f"INTERVAL {CONCUR_MINUTES} MINUTES"),
-                day + F.expr("INTERVAL 1 DAY")).alias("e"))
-    sweep = iv.select(
-        "day",
-        F.explode(F.array(
-            F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
-            F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
-        )).alias("ev"),
-    ).select("day", "ev.t", "ev.delta")
-    w = Window.partitionBy("day").orderBy("t", "delta")
-    run = sweep.withColumn("active", F.sum("delta").over(w))
-    return run.groupBy("day").agg(
-        F.max("active").cast("bigint").alias("max_concurrent"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("bigint")
-         .alias("n_events"),
-    ).select(F.col("day").cast("timestamp").alias("day"),
-             "max_concurrent", "n_events")
+    return sweep_max_concurrent(e)
 
 
 # --- q_autocorr_lag1: serial correlation of the daily revenue series -----------

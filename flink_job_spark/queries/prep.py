@@ -922,6 +922,39 @@ def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BINPACK_BUDGET = 128  # whitespace tokens per packed context window
 
+PACK_SCHEMA = ("source string, doc_id long, n_tokens long, bin_idx long, "
+               "bin_fill long")
+
+
+def pack_next_fit(rows: DataFrame, budget: int = BINPACK_BUDGET) -> DataFrame:
+    """Next-fit packing of (source, doc_id, t) rows — the fuzzable core of
+    q_pack_bins (tests/test_behavior_properties.py runs it against a
+    brute-force reference on arbitrary inputs)."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 1, 0
+        first = True
+        for t in pdf["t"]:
+            t = int(t)
+            if first:
+                b, fill, first = 1, t, False
+            elif fill + t > budget:
+                b, fill = b + 1, t
+            else:
+                fill += t
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf.rename(columns={"t": "n_tokens"})
+
+    return rows.groupBy("source").applyInPandas(pack, PACK_SCHEMA)
+
+
+
 @register(
     "q_pack_bins",
     f"""WITH RECURSIVE s AS (
@@ -959,31 +992,6 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-sorted rows, two integers of state. Pure integer arithmetic, so
     batch, oracle, and any replay agree bit-for-bit. An over-budget doc
     occupies a bin alone (fill > budget), same as the oracle's CASE."""
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents")
     rows = d.select("source", "doc_id", ws_token_count("text").alias("t"))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, fills = [], []
-        b, fill = 1, 0
-        first = True
-        for t in pdf["t"]:
-            t = int(t)
-            if first:
-                b, fill, first = 1, t, False
-            elif fill + t > BINPACK_BUDGET:
-                b, fill = b + 1, t
-            else:
-                fill += t
-            bins.append(b)
-            fills.append(fill)
-        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
-        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
-        return pdf.rename(columns={"t": "n_tokens"})
-
-    return rows.groupBy("source").applyInPandas(
-        pack,
-        "source string, doc_id long, n_tokens long, bin_idx long, "
-        "bin_fill long")
+    return pack_next_fit(rows)

@@ -525,3 +525,47 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   _out4_col(F.sum(F.col("c_acctbal").cast("decimal(18,6)")))
                     .alias("totacctbal"))
     )
+
+
+# --- q_sql_pricing: the SQL-text API surface ------------------------------------
+
+SQLQ_DATE = "1998-08-01"
+
+@register(
+    "q_sql_pricing",
+    f"""SELECT l_returnflag, l_linestatus,
+           {_OUT4.format(s='SUM(CAST(l_quantity AS DECIMAL(18,6)))')}
+               AS sum_qty,
+           {_OUT4.format(s=f"SUM({_VDEC.format(x=_REV)})")} AS sum_disc_price,
+           CAST(COUNT(1) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{SQLQ_DATE} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+    doc="the spark.sql() TEXT-API surface: a Q1-shaped aggregate submitted "
+        "as a SQL string over a registered temp view — proves a user can "
+        "drive this engine with plain SQL (dialect note: Spark spells the "
+        "repr detour CAST(x AS STRING), DuckDB CAST(x AS VARCHAR); "
+        "everything else is shared ANSI)",
+    tags=("relational", "agg", "tpch", "sqlapi"),
+)
+def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every other key drives the DataFrame API; this one goes through
+    createOrReplaceTempView + spark.sql so the SQL-text entry point is a
+    TESTED surface, not a claim. Catalyst compiles both APIs to the same
+    plan — the plan pin asserts this key gets the identical
+    one-combine-shuffle shape as q_pricing_summary. The view name is
+    prefixed to avoid clobbering a user's own registrations."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fjs_sql_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4)
+                         AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(ROUND(SUM(CAST(CAST(CAST(
+                        l_extendedprice * (1 - l_discount) AS DOUBLE)
+                        AS STRING) AS DECIMAL(38,10))), 4)
+                         AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(1) AS BIGINT) AS count_order
+        FROM fjs_sql_lineitem
+        WHERE l_shipdate <= TIMESTAMP '{SQLQ_DATE} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")

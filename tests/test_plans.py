@@ -1145,3 +1145,13 @@ def test_vocab_growth_word_agg_before_doc_spine(spark, sf_dir):
     assert "Window" in p, p
     assert "partial_min" in p or "partial_count" in p, p
     assert p.count("documents.parquet") <= 2, p
+
+
+def test_sql_api_compiles_to_same_shape(spark, sf_dir):
+    """The SQL-text key must get the SAME physical shape as the DataFrame
+    Q1: one combine-enabled exchange, shipdate pushed to the scan."""
+    p = plan(all_queries()["q_sql_pricing"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "partial_sum" in p, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_shipdate" in s for s in pushed), pushed
