@@ -23,6 +23,7 @@ from flink_job_spark.queries.dedup import (
     intersection_pairs_capped,
 )
 from flink_job_spark.queries.relational import (
+    _OUT4,
     _VDEC,
     _out4_col,
     _vdec_col,
@@ -43,6 +44,32 @@ BENFORD_P = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691,
 
 
 # --- q_item_similarity: co-purchase cosine (item-item CF) ----------------------
+
+def copurchase_counts(li: DataFrame):
+    """(pairs, item_counts, basket_count): the shared co-purchase engine
+    under q_item_similarity, q_lift_rules, and q_recommend_topn.
+
+    The basket table collapses to DISTINCT (order, part) once and is
+    persisted — it feeds the inverted-index self-join (pairs only ever
+    materialize through a shared order, never a cross join), the per-item
+    counts, AND the basket total. All counts are exact integers."""
+    op = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"))
+            .distinct().persist())
+    ic = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pc = (
+        op.select(F.col("o"), F.col("p").alias("p1"))
+          .join(op.select(F.col("o"), F.col("p").alias("p2")), "o")
+          .filter(F.col("p1") < F.col("p2"))
+          .groupBy("p1", "p2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+          .filter(F.col("co") >= ITEMSIM_MIN_CO)
+    )
+    nb = op.select("o").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    return pc, ic, nb
+
+
 
 @register(
     "q_item_similarity",
@@ -68,26 +95,12 @@ BENFORD_P = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691,
     tags=("insights", "join", "agg", "recsys", "topk"),
 )
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The basket table collapses to DISTINCT (order, part) once and is
-    persisted — it feeds the inverted-index self-join (pairs only ever
-    materialize through a shared order, never a cross join) AND the per-item
-    counts. Co-counts and item counts are exact integers; c1*c2 < 2^53 so
-    the cosine's sqrt-then-divide is the only IEEE arithmetic, pinned in the
+    """See :func:`copurchase_counts` for the plan. c1*c2 < 2^53 so the
+    cosine's sqrt-then-divide is the only IEEE arithmetic, pinned in the
     same order in the oracle. Per-item count joins broadcast (the item
     aggregate is vocabulary-sized); top-k fuses via TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (li.select(F.col("l_orderkey").alias("o"),
-                    F.col("l_partkey").alias("p"))
-            .distinct().persist())
-    ic = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    pc = (
-        op.select(F.col("o"), F.col("p").alias("p1"))
-          .join(op.select(F.col("o"), F.col("p").alias("p2")), "o")
-          .filter(F.col("p1") < F.col("p2"))
-          .groupBy("p1", "p2")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
-          .filter(F.col("co") >= ITEMSIM_MIN_CO)
-    )
+    pc, ic, _ = copurchase_counts(li)
     ca = ic.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
     cb = ic.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
     cosine = (F.col("co").cast("double")
@@ -534,3 +547,158 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "n",
         F.round((F.lit(2.0) * F.col("s1")) / (n_d * F.col("sx"))
                 - (n_d + F.lit(1.0)) / n_d, 6).alias("gini"))
+
+
+# --- q_lift_rules: association-rule support/confidence/lift --------------------
+
+LIFT_TOPK = 20
+
+@register(
+    "q_lift_rules",
+    f"""WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ic AS (SELECT p, CAST(COUNT(1) AS BIGINT) AS c FROM op GROUP BY p),
+        nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM op),
+        pc AS (
+          SELECT a.p AS p1, b.p AS p2, CAST(COUNT(1) AS BIGINT) AS co
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING COUNT(1) >= {ITEMSIM_MIN_CO})
+        SELECT p1, p2, co,
+               ROUND(CAST(co AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+               ROUND(CAST(co AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+                 AS confidence,
+               ROUND((CAST(co AS DOUBLE) * CAST(n AS DOUBLE))
+                     / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+        FROM pc JOIN ic ca ON ca.p = pc.p1 JOIN ic cb ON cb.p = pc.p2
+             CROSS JOIN nb
+        ORDER BY (CAST(co AS DOUBLE) * CAST(n AS DOUBLE))
+                 / CAST(ca.c * cb.c AS DOUBLE) DESC, p1, p2
+        LIMIT {LIFT_TOPK}""",
+    doc=f"association rules: top-{LIFT_TOPK} part pairs by lift "
+        "(co·N/(c1·c2)) with support and p1→p2 confidence — the "
+        "market-basket rule miner on the same exact basket counts as "
+        "q_item_similarity; each metric is one pinned division",
+    tags=("insights", "join", "agg", "recsys", "topk"),
+)
+def q_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same :func:`copurchase_counts` engine (persisted basket table,
+    inverted-index pair join, broadcast item counts); the basket total is
+    a 1-row broadcast cross join. lift > 1 means the pair co-occurs more
+    than independence predicts — all three metrics divide exact integers
+    once, so the ranking is engine-deterministic with the (p1, p2)
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc, ic, nb = copurchase_counts(li)
+    ca = ic.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    cb = ic.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    n_d = F.col("n_baskets").cast("double")
+    lift = ((F.col("co").cast("double") * n_d)
+            / (F.col("c1") * F.col("c2")).cast("double"))
+    return (
+        pc.join(F.broadcast(ca), "p1").join(F.broadcast(cb), "p2")
+          .crossJoin(F.broadcast(nb))
+          .select("p1", "p2", "co",
+                  F.round(F.col("co").cast("double") / n_d, 6)
+                   .alias("support"),
+                  F.round(F.col("co").cast("double")
+                          / F.col("c1").cast("double"), 6)
+                   .alias("confidence"),
+                  F.round(lift, 6).alias("lift"),
+                  lift.alias("_lift_raw"))
+          .orderBy(F.col("_lift_raw").desc(), "p1", "p2")
+          .limit(LIFT_TOPK)
+          .drop("_lift_raw")
+    )
+
+
+# --- q_recommend_topn: item-CF recommendations ---------------------------------
+
+REC_TOPN = 3
+
+@register(
+    "q_recommend_topn",
+    f"""WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ic AS (SELECT p, CAST(COUNT(1) AS BIGINT) AS c FROM op GROUP BY p),
+        pc AS (
+          SELECT a.p AS p1, b.p AS p2, CAST(COUNT(1) AS BIGINT) AS co
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING COUNT(1) >= {ITEMSIM_MIN_CO}),
+        sims AS (
+          SELECT p1, p2,
+                 {_VDEC.format(x='CAST(co AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE))')}
+                   AS cos
+          FROM pc JOIN ic ca ON ca.p = pc.p1 JOIN ic cb ON cb.p = pc.p2),
+        edges AS (
+          SELECT p1 AS owned, p2 AS cand, cos FROM sims
+          UNION ALL
+          SELECT p2 AS owned, p1 AS cand, cos FROM sims),
+        hist AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS p
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        scored AS (
+          SELECT h.cust, e.cand,
+                 {_OUT4.format(s='SUM(e.cos)')} AS score,
+                 CAST(COUNT(1) AS BIGINT) AS n_paths
+          FROM hist h JOIN edges e ON e.owned = h.p
+          WHERE NOT EXISTS (SELECT 1 FROM hist h2
+                            WHERE h2.cust = h.cust AND h2.p = e.cand)
+          GROUP BY h.cust, e.cand),
+        ranked AS (
+          SELECT cust, cand, score, n_paths,
+                 ROW_NUMBER() OVER (PARTITION BY cust
+                                    ORDER BY score DESC, cand) AS rn
+          FROM scored)
+        SELECT cust, cand, score, n_paths, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {REC_TOPN}""",
+    doc=f"item-CF recommendations: top-{REC_TOPN} unowned parts per "
+        "customer, scored by the exact-decimal SUM of co-purchase cosines "
+        "from the customer's owned parts — the end-to-end recommender on "
+        "the q_item_similarity graph, with owned items anti-joined out",
+    tags=("insights", "join", "agg", "recsys", "window", "topk"),
+)
+def q_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop scoring: the similarity edge list (both directions of each
+    undirected pair) joins the customer→part ownership table on the owned
+    end, candidate scores accumulate as EXACT decimals (each cosine takes
+    the repr-detour — a double SUM would be accumulation-order-dependent
+    across partitions), owned candidates fall out of an anti join, and a
+    per-customer rank keeps the top-{REC_TOPN} with a candidate tie-break.
+    The edge list is pair-count bounded (broadcastable); ownership
+    shuffles once on the part key and once for the (cust, cand) rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pc, ic, _ = copurchase_counts(li)
+    ca = ic.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    cb = ic.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    cos = _vdec_col(F.col("co").cast("double")
+                    / F.sqrt((F.col("c1") * F.col("c2")).cast("double")))
+    sims = (pc.join(F.broadcast(ca), "p1").join(F.broadcast(cb), "p2")
+              .select("p1", "p2", cos.alias("cos")))
+    edges = (sims.select(F.col("p1").alias("owned"),
+                         F.col("p2").alias("cand"), "cos")
+                 .unionByName(
+                     sims.select(F.col("p2").alias("owned"),
+                                 F.col("p1").alias("cand"), "cos")))
+    hist = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .select(F.col("o_custkey").alias("cust"),
+                      F.col("l_partkey").alias("p"))
+              .distinct().persist())
+    owned_pairs = hist.select(F.col("cust").alias("oc"),
+                              F.col("p").alias("op"))
+    scored = (
+        hist.join(F.broadcast(edges), hist["p"] == F.col("owned"))
+            .join(owned_pairs,
+                  (F.col("cust") == F.col("oc"))
+                  & (F.col("cand") == F.col("op")),
+                  "left_anti")
+            .groupBy("cust", "cand")
+            .agg(_out4_col(F.sum("cos")).alias("score"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("score").desc(),
+                                           F.col("cand"))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+                  .filter(F.col("rn") <= REC_TOPN))

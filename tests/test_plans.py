@@ -1155,3 +1155,24 @@ def test_sql_api_compiles_to_same_shape(spark, sf_dir):
     assert "partial_sum" in p, p
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     assert any("l_shipdate" in s for s in pushed), pushed
+
+
+def test_lift_rules_broadcast_counts_fused_topk(spark, sf_dir):
+    """Association rules: same basket engine as item-similarity — persisted
+    distinct baskets, broadcast item counts and basket total, fused top-k."""
+    spark.catalog.clearCache()
+    p = plan(all_queries()["q_lift_rules"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_recommend_topn_broadcast_edges_no_cartesian(spark, sf_dir):
+    """Recommender: the similarity edge list broadcasts into ownership
+    (pair-count bounded), owned candidates leave via an anti join, and no
+    nested-loop join appears anywhere in the two-hop plan."""
+    spark.catalog.clearCache()
+    p = plan(all_queries()["q_recommend_topn"].fn(spark, sf_dir))
+    assert "LeftAnti" in p or "Anti" in p, p
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "CartesianProduct" not in p, p
