@@ -295,3 +295,84 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nw").over(wc).cast("bigint").alias("cum_vocab"))
     return cum.filter(
         F.col("doc_id") % VOCAB_CHECKPOINT == VOCAB_CHECKPOINT - 1)
+
+
+# --- q_holt_forecast: Holt linear-trend smoothing -------------------------------
+
+@register(
+    "q_holt_forecast",
+    f"""WITH RECURSIVE daily AS (
+         SELECT c_mktsegment AS seg, date_trunc('day', o_orderdate) AS day,
+                {_OUT4.format(s='SUM(CAST(o_totalprice AS DECIMAL(18,6)))')}
+                  AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       s AS (
+         SELECT seg, day, x,
+                ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day) AS rn
+         FROM daily),
+       h(seg, day, x, rn, l, b) AS (
+         SELECT seg, day, x, rn, x, CAST(0.0 AS DOUBLE) FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.seg, s.day, s.x, s.rn,
+                (s.x + (h.l + h.b)) / 2,
+                (((s.x + (h.l + h.b)) / 2 - h.l) + h.b) / 2
+         FROM s JOIN h ON s.seg = h.seg AND s.rn = h.rn + 1)
+       SELECT seg AS c_mktsegment, CAST(day AS TIMESTAMP) AS day, x,
+              l AS level, b AS trend, l + b AS forecast
+       FROM h""",
+    doc="Holt linear-trend smoothing (alpha = beta = 1/2) of each "
+        "segment's daily revenue: level/trend recurrences built ONLY from "
+        "adds, subtracts and exact halvings, so the whole forecast series "
+        "is engine-exact unrounded — grouped pandas scan vs recursive-CTE "
+        "oracle; the one-step-ahead forecast is level + trend",
+    tags=("analytics", "timeseries", "pandas", "stateful"),
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two coupled sequential recurrences (level, trend) — the forecasting
+    sibling of q_ema_pandas, impossible for any window frame. alpha = beta
+    = 1/2 keeps every step to IEEE adds plus exponent decrements, so
+    python's C doubles, Spark, and DuckDB's recursive CTE agree BIT-FOR-BIT
+    and the output is deliberately unrounded (the halving-tie round()
+    trap). One Arrow group per segment; day totals exit the exact decimal
+    sum through the shared scale-4 rendering before the recurrence so both
+    engines smooth the identical x series."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_mktsegment")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+         .groupBy(F.col("c_mktsegment"),
+                  F.date_trunc("DAY", F.col("o_orderdate")).alias("day"))
+         .agg(_out4_col(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
+               .alias("x"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ls, bs = [], []
+        level = trend = None
+        for x in pdf["x"]:
+            x = float(x)
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = (x + (level + trend)) / 2
+                trend = ((new_level - level) + trend) / 2
+                level = new_level
+            ls.append(level)
+            bs.append(trend)
+        pdf["level"] = ls
+        pdf["trend"] = bs
+        pdf["forecast"] = [lv + tr for lv, tr in zip(ls, bs)]
+        return pdf
+
+    return (
+        daily.groupBy("c_mktsegment").applyInPandas(
+            holt, "c_mktsegment string, day timestamp_ntz, x double, "
+                  "level double, trend double, forecast double")
+             .select("c_mktsegment", F.col("day").cast("timestamp")
+                     .alias("day"), "x", "level", "trend", "forecast")
+    )

@@ -1176,3 +1176,13 @@ def test_recommend_topn_broadcast_edges_no_cartesian(spark, sf_dir):
     assert "LeftAnti" in p or "Anti" in p, p
     assert p.count("BroadcastExchange") >= 1, p
     assert "CartesianProduct" not in p, p
+
+
+def test_holt_forecast_grouped_arrow_single_exchange_chain(spark, sf_dir):
+    """Holt smoothing: day totals aggregate, then ONE segment-grouped Arrow
+    pass carries both recurrences — no extra exchanges beyond the join/agg/
+    group chain, no nested loop."""
+    p = plan(all_queries()["q_holt_forecast"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
+    assert "NestedLoop" not in p, p
+    assert _n_exchanges(p) <= 3, p
