@@ -1459,3 +1459,155 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum,
         "user_id long, event_id long, ts timestamp, value double, "
         "cusum double, alarm boolean")
+
+
+# --- q_seat_allocation: largest-remainder proportional apportionment -----------------
+
+ALLOC_SEATS = 1000  # budget units to apportion across nations by revenue share
+
+# exact integer cents from a double price: repr-detour into DECIMAL(19,8)
+# (width > 18 forces DuckDB's INT128 decimal storage so the x100 cannot
+# overflow the raw int64 path), scale by 100, floor, cast — every step
+# deterministic and identical in both engines
+_CENTS = ("CAST(FLOOR(CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR)"
+          " AS DECIMAL(19,8)) * 100) AS BIGINT)")
+
+
+def cents_col(c):
+    """Spark twin of _CENTS: double -> exact integer cents."""
+    return F.floor(
+        c.cast("double").cast("string").cast("decimal(19,8)") * F.lit(100)
+    ).cast("bigint")
+
+
+@register(
+    "q_seat_allocation",
+    f"""WITH rev AS (
+          SELECT n_name, CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT)
+                   AS rev_cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name),
+        quota AS (
+          SELECT n_name, rev_cents,
+                 ({ALLOC_SEATS} * rev_cents) // SUM(rev_cents) OVER () AS base,
+                 ({ALLOC_SEATS} * rev_cents) % SUM(rev_cents) OVER () AS rem
+          FROM rev),
+        ranked AS (
+          SELECT n_name, rev_cents, base, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk,
+                 {ALLOC_SEATS} - SUM(base) OVER () AS leftover
+          FROM quota)
+        SELECT n_name, rev_cents,
+               CAST(base AS BIGINT) AS base_seats,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS seats
+        FROM ranked""",
+    doc=f"largest-remainder (Hamilton) apportionment of {ALLOC_SEATS} budget "
+        "units across nations by revenue share — floor quotas from integer "
+        "division of exact cents, the leftover seats to the largest "
+        "remainders with a deterministic (remainder DESC, name) tie-break; "
+        "the allocation sums to exactly the budget and the whole plan is "
+        "integer arithmetic (the operator behind proportional sampling "
+        "budgets, shard quotas, and any exact-total split)",
+    tags=("analytics", "alloc", "agg", "window"),
+)
+def q_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue aggregates as exact integer cents (repr-detour decimal, x100,
+    floor) — the orders-customer key shuffle
+    is the plan's only big exchange, the 25-row nation dimension is
+    broadcast, and the groupBy lands on n_name with map-side combine. The scalar total and leftover ride
+    whole-partition windows over the aggregated 25 rows — serial, but over
+    dimension cardinality, not facts, so the plan is 100 TB-safe. Every
+    quota step is bigint division/modulo (floor semantics, all operands
+    positive, identical in both engines); no IEEE op anywhere, and
+    Sum(seats) == budget exactly — the property float shares can't give."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+         .groupBy("n_name")
+         .agg(F.sum(cents_col(F.col("o_totalprice"))).cast("bigint")
+               .alias("rev_cents"))
+    )
+    w_all = Window.partitionBy()
+    quota = rev.select(
+        "n_name", "rev_cents",
+        F.expr(f"({ALLOC_SEATS} * rev_cents) div "
+               f"(sum(rev_cents) OVER ())").alias("base"),
+        (F.lit(ALLOC_SEATS) * F.col("rev_cents")
+         % F.sum("rev_cents").over(w_all)).alias("rem"),
+    )
+    ranked = quota.select(
+        "n_name", "rev_cents", "base", "rem",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), "n_name")).alias("rk"),
+        (F.lit(ALLOC_SEATS) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name", "rev_cents",
+        F.col("base").cast("bigint").alias("base_seats"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+                          .otherwise(0)).cast("bigint").alias("seats"),
+    )
+
+
+# --- q_weighted_median: revenue-weighted median quantity per flag --------------------
+
+@register(
+    "q_weighted_median",
+    f"""WITH g AS (
+          SELECT l_returnflag, l_quantity AS qty,
+                 CAST(SUM({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS w
+          FROM lineitem GROUP BY l_returnflag, l_quantity),
+        c AS (
+          SELECT l_returnflag, qty, w,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM g)
+        SELECT l_returnflag,
+               MIN(qty) AS w_median_qty,
+               CAST(MAX(tot) AS BIGINT) AS total_weight_cents
+        FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag""",
+    doc="weighted median: the smallest l_quantity whose cumulative "
+        "revenue-cent weight reaches half the group total — 'half the money "
+        "is spent at or below this quantity', robust where the unweighted "
+        "median ignores order value; the crossing test 2*cum >= tot is pure "
+        "integer comparison (no halving, no IEEE)",
+    tags=("analytics", "quantile", "agg", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weights collapse to the (flag, quantity) grid FIRST — one
+    combine-enabled shuffle bounds the serial cumulative window to grid
+    cardinality (|distinct qty| rows per flag), never fact rows: the same
+    bounded-domain discipline as q_class_weights. Weights are exact integer
+    cents (shared repr-detour idiom), the half-total crossing is the
+    integer inequality 2*cum >= tot, and the answer is MIN over crossing
+    rows — every step order-free and engine-exact; no division appears at
+    all, which is the point (percentile interpolation is where engines
+    drift)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+          .agg(F.sum(cents_col(F.col("l_extendedprice"))).cast("bigint")
+                .alias("w"))
+    )
+    w_cum = (Window.partitionBy("l_returnflag").orderBy("qty")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag", "qty", "w",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+         .groupBy("l_returnflag")
+         .agg(F.min("qty").alias("w_median_qty"),
+              F.max("tot").cast("bigint").alias("total_weight_cents"))
+    )

@@ -376,3 +376,91 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("c_mktsegment", F.col("day").cast("timestamp")
                      .alias("day"), "x", "level", "trend", "forecast")
     )
+
+
+# --- q_stock_balance: clamped running inventory balance ------------------------------
+
+STOCK_SUPP_MAX = 25  # suppliers tracked (bounds the oracle's recursion width)
+
+
+@register(
+    "q_stock_balance",
+    f"""WITH RECURSIVE s AS (
+         SELECT l_suppkey AS supp,
+                CASE WHEN l_returnflag = 'R' THEN l_quantity
+                     ELSE -l_quantity END AS delta,
+                ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey,
+                                            l_linenumber) AS rn
+         FROM lineitem WHERE l_suppkey <= {STOCK_SUPP_MAX}),
+       h(supp, rn, bal, peak, n_clamped) AS (
+         SELECT supp, rn,
+                GREATEST(CAST(0 AS DOUBLE), delta),
+                GREATEST(CAST(0 AS DOUBLE), delta),
+                CASE WHEN delta < 0 THEN 1 ELSE 0 END
+         FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.supp, s.rn,
+                GREATEST(CAST(0 AS DOUBLE), h.bal + s.delta),
+                GREATEST(h.peak,
+                         GREATEST(CAST(0 AS DOUBLE), h.bal + s.delta)),
+                h.n_clamped + CASE WHEN h.bal + s.delta < 0
+                                   THEN 1 ELSE 0 END
+         FROM s JOIN h ON s.supp = h.supp AND s.rn = h.rn + 1)
+       SELECT supp AS l_suppkey,
+              CAST(MAX(rn) AS BIGINT) AS n_moves,
+              MAX(CASE WHEN rn = mx THEN bal END) AS final_balance,
+              MAX(peak) AS peak_balance,
+              CAST(MAX(CASE WHEN rn = mx THEN n_clamped END) AS BIGINT)
+                AS n_clamped
+       FROM (SELECT h.*, MAX(rn) OVER (PARTITION BY supp) AS mx FROM h)
+       GROUP BY supp""",
+    doc="clamped running inventory: returns (+qty) and shipments (-qty) per "
+        "supplier replayed in (shipdate, orderkey, linenumber) order with the "
+        "balance floored at zero after every move — the non-linear recurrence "
+        "(max-of-sum) no window cumsum can express; reports final balance, "
+        "peak, and how many shipments hit an empty shelf",
+    tags=("analytics", "stateful", "pandas", "inventory"),
+)
+def q_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clamp makes each step depend non-linearly on the last — the same
+    class as q_pack_bins' budget reset, so the engine shape is the grouped
+    Arrow scan: ONE shuffle on l_suppkey, each group a single pandas pass
+    carrying O(1) state (balance, peak, clamp count). Deltas are TPC-H
+    integer-valued quantities, and both engines replay the identical
+    (shipdate, orderkey, linenumber) total order, so the IEEE add sequence
+    — and therefore every balance — is bit-for-bit reproducible against the
+    recursive-CTE oracle. max(0, x+d) with d != 0 can't produce -0.0 (x-x
+    rounds to +0.0 in IEEE), so GREATEST needs no sign normalization."""
+    import pandas as pd
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_suppkey") <= STOCK_SUPP_MAX)
+          .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                  "l_returnflag", "l_quantity"))
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber"]).reset_index(drop=True)
+        bal = peak = 0.0
+        n_clamped = 0
+        for rf, qty in zip(pdf["l_returnflag"], pdf["l_quantity"]):
+            delta = float(qty) if rf == "R" else -float(qty)
+            nxt = bal + delta
+            if nxt < 0:
+                n_clamped += 1
+                nxt = 0.0
+            bal = nxt
+            if bal > peak:
+                peak = bal
+        return pd.DataFrame({
+            "l_suppkey": [pdf["l_suppkey"].iloc[0]],
+            "n_moves": [len(pdf)],
+            "final_balance": [bal],
+            "peak_balance": [peak],
+            "n_clamped": [n_clamped],
+        })
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        replay, "l_suppkey bigint, n_moves bigint, final_balance double, "
+                "peak_balance double, n_clamped bigint")

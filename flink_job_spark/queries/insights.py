@@ -702,3 +702,84 @@ def q_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            F.col("cand"))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .filter(F.col("rn") <= REC_TOPN))
+
+
+# --- q_twap: time-weighted average value per (event_type, day) ---------------------
+
+# repr-detour into DECIMAL(19,10): wide enough to force DuckDB's INT128
+# decimal storage (width 18 multiplies in raw int64 and overflows on
+# value x microsecond products) yet narrow enough that the product with
+# the DECIMAL(11,0) duration -> (31,10) sums exactly inside DECIMAL(38,10)
+_TWAP_VAL = "CAST(CAST(CAST({x} AS DOUBLE) AS VARCHAR) AS DECIMAL(19,10))"
+
+
+@register(
+    "q_twap",
+    f"""WITH ev AS (
+          SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                 {_TWAP_VAL.format(x='value')} AS v
+          FROM events WHERE value IS NOT NULL),
+        seg AS (
+          SELECT event_type, day, v,
+                 epoch_us(COALESCE(
+                     lead(ts) OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id),
+                     day + INTERVAL 1 DAY) ) - epoch_us(ts) AS dur_us
+          FROM ev)
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+               CAST(COUNT(1) AS BIGINT) AS n_events,
+               CAST(SUM(dur_us // 1000000) AS BIGINT) AS active_s,
+               CAST(CAST(ROUND(SUM(v * CAST(dur_us // 1000000 AS DECIMAL(5,0))), 4)
+                         AS DECIMAL(38,4)) AS DOUBLE)
+                 / CAST(NULLIF(SUM(dur_us // 1000000), 0) AS DOUBLE) AS twap
+        FROM seg GROUP BY event_type, day""",
+    doc="TWAP: time-weighted average of events.value per (event_type, day) — "
+        "each observation holds until the next one of the same type that day "
+        "(last one holds to midnight), weights are exact integer microsecond "
+        "durations, the value x duration products accumulate in exact decimal, "
+        "and the ONE IEEE division lands last — the fair average for "
+        "irregularly-sampled gauges (price feeds, queue depths) where the "
+        "arithmetic mean over-weights busy periods",
+    tags=("analytics", "timeseries", "window", "agg"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-until-next weighting: LEAD over the (ts, event_id) total order
+    within a (type, day) partition, defaulting to midnight, makes every
+    day's weights sum to [first observation -> midnight] exactly. One
+    shuffle on (event_type, day) carries both the LEAD window and the
+    rollup. Same-ts observations get zero duration except the last in the
+    total order — deterministic in both engines. The weighted sum rides
+    DECIMAL(18,10) x DECIMAL(14,0) products (exact, associative — a double
+    dot product would be partition-order-dependent); the division is the
+    plan's only IEEE op. Weights are whole seconds (floored
+    integer division of the exact microsecond span — sub-second residue is
+    dropped by definition) and the weighted sum exits through the scale-4
+    _OUT4 envelope, keeping BOTH division operands exactly representable
+    doubles: decimal->double conversion at microsecond-weighted magnitudes
+    is where the engines drift by 1 ulp. A day whose only
+    observations sit inside the final second floors to zero total weight —
+    TWAP is NULL there (try_divide / NULLIF), not a job-killing ANSI error."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    day = F.date_trunc("DAY", F.col("ts"))
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    ev = e.select(
+        "event_type", day.alias("day"), "ts", "event_id",
+        F.col("value").cast("double").cast("string")
+         .cast("decimal(19,10)").alias("v"),
+    )
+    seg = ev.select(
+        "event_type", "day", "v",
+        (us(F.coalesce(F.lead("ts").over(w),
+                       F.col("day") + F.expr("INTERVAL 1 DAY")))
+         - us(F.col("ts"))).alias("dur_us"),
+    )
+    seg = seg.withColumn("dur_s", F.expr("dur_us div 1000000"))
+    return seg.groupBy("event_type", F.col("day").cast("timestamp").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dur_s").cast("bigint").alias("active_s"),
+        F.try_divide(
+            F.round(F.sum(F.col("v") * F.col("dur_s").cast("decimal(5,0)")), 4)
+             .cast("decimal(38,4)").cast("double"),
+            F.nullif(F.sum("dur_s"), F.lit(0)).cast("double")).alias("twap"),
+    )

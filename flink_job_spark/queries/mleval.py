@@ -440,3 +440,86 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("double") / n.cast("double"), 6)
                .alias("mean_score"))
     )
+
+
+# --- q_rolling_corr: trailing 7-day revenue/volume correlation -----------------------
+
+CORR_FRAME = 7  # trailing window length, in observed days
+
+
+@register(
+    "q_rolling_corr",
+    f"""WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(SUM(CAST(FLOOR(CAST(CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR) AS DECIMAL(19,8)) * 100) AS BIGINT)) AS BIGINT) // 10000 AS x,
+                 CAST(COUNT(1) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT day, x, y,
+                 CAST(COUNT(1) OVER w AS BIGINT) AS n,
+                 SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                 SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+                 SUM(x * y) OVER w AS sxy
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN {CORR_FRAME - 1} PRECEDING
+                       AND CURRENT ROW))
+        SELECT CAST(day AS TIMESTAMP) AS day, x AS rev_h, y AS n_orders, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                 AS corr{CORR_FRAME}
+        FROM m""",
+    doc=f"trailing {CORR_FRAME}-day Pearson correlation between daily revenue "
+        "and daily order count — the co-movement drift monitor; every moment "
+        "(sums, squares, cross products) is BIGINT-exact over the frame "
+        "(revenue floored to $100 units keeps squares far from overflow) and "
+        "the only IEEE ops are the final sqrt/multiply/divide in a pinned "
+        "order; zero-variance frames yield NULL, not a crash",
+    tags=("analytics", "timeseries", "window", "ml"),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-fact series aggregates to the bounded day grid first
+    (one combine-enabled shuffle); the five moment sums then ride ONE
+    serial window over day cardinality — O(days), not O(orders), and the
+    frame is ROWS-based so ties cannot exist (day is the grouping key).
+    Flooring revenue to $100 units puts x ~ 1e5 even at 100 TB day volumes,
+    so n*sxx ~ 7e10 sits 8 orders of magnitude inside BIGINT; the
+    correlation numerator/denominator are exact integers cast to double
+    (all well under 2^53 - exactly representable), leaving sqrt, one
+    multiply and one divide as the only rounding steps — identical IEEE
+    tokens in both engines. corr is NULL over constant frames (NULLIF /
+    try_divide), e.g. the first row's n=1 frame."""
+    from flink_job_spark.queries.analytics import cents_col
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("day"))
+         .agg(F.sum(cents_col(F.col("o_totalprice"))).cast("bigint")
+               .alias("cents"),
+              F.count(F.lit(1)).cast("bigint").alias("y"))
+         .select("day", F.expr("cents div 10000").alias("x"), "y")
+    )
+    w = (Window.orderBy("day")
+               .rowsBetween(-(CORR_FRAME - 1), Window.currentRow))
+    m = daily.select(
+        "day", "x", "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).alias("sx"), F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    return m.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("x").alias("rev_h"), F.col("y").alias("n_orders"), "n",
+        F.try_divide(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+              .cast("double"),
+            F.nullif(
+                F.sqrt((F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy")
+                          - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0))).alias(f"corr{CORR_FRAME}"),
+    )

@@ -611,3 +611,85 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("avg7", F.col("sum7") / F.col("n7").cast("double"))
     )
+
+
+# --- q_interval_union: merge overlapping activity intervals ------------------------
+
+IVU_MINUTES = 5  # each event opens a [ts, ts+5min) activity interval
+
+
+@register(
+    "q_interval_union",
+    f"""WITH iv AS (
+          SELECT user_id, event_id, ts AS s,
+                 ts + INTERVAL {IVU_MINUTES} MINUTE AS e
+          FROM events),
+        flagged AS (
+          SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                      OR s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_iv,
+                 event_id
+          FROM iv),
+        islands AS (
+          SELECT user_id, s, e,
+                 SUM(new_iv) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged),
+        merged AS (
+          SELECT user_id, island, min(s) AS s0, max(e) AS e1
+          FROM islands GROUP BY user_id, island)
+        SELECT user_id,
+               CAST(COUNT(1) AS BIGINT) AS n_intervals,
+               CAST(SUM(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS covered_us
+        FROM merged GROUP BY user_id""",
+    doc=f"interval union/coalescing: each event opens a {IVU_MINUTES}-minute "
+        "activity interval; overlapping or touching intervals per user are "
+        "merged (running-max island detection) and reported as merged-interval "
+        "count + exact covered microseconds — the classic uptime/billing "
+        "coverage operator (no double arithmetic anywhere: timestamps compare, "
+        "durations are integer epoch-microsecond differences)",
+    tags=("window", "intervals", "islands"),
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing as gaps-and-islands: a new island starts where the
+    interval's start exceeds the running max of all previous ends (running
+    max, NOT lag(e) — with variable-length intervals an earlier interval can
+    outlast its successor; the running max is what makes the merge correct in
+    general). One user_id shuffle carries the flagging window, the island
+    rollup, and the per-user rollup — the partitioning is reused across all
+    three, so at 100 TB this is a single exchange whose per-key state is the
+    O(1) running max. Durations are exact integer microseconds via the
+    epoch-µs LTZ detour (NTZ timestamps don't cast to numbers); no IEEE op
+    in the whole plan."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    iv = e.select(
+        "user_id", "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {IVU_MINUTES} MINUTES")).alias("e"),
+    )
+    w_prev = (Window.partitionBy("user_id").orderBy("s", "event_id")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id", "s", "e", "event_id",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+         .otherwise(0).alias("new_iv"),
+    )
+    w_run = (Window.partitionBy("user_id").orderBy("s", "event_id")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    islands = flagged.withColumn("island", F.sum("new_iv").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1"))
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(us(F.col("e1")) - us(F.col("s0"))).cast("bigint")
+         .alias("covered_us"),
+    )

@@ -1186,3 +1186,57 @@ def test_holt_forecast_grouped_arrow_single_exchange_chain(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
     assert "NestedLoop" not in p, p
     assert _n_exchanges(p) <= 3, p
+
+
+def test_interval_union_single_user_exchange(spark, sf_dir):
+    """Interval coalescing: the flagging window, island rollup, and per-user
+    rollup all reuse ONE user_id partitioning — a second fact-side exchange
+    means the shared-partitioning contract broke."""
+    p = plan(all_queries()["q_interval_union"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_twap_single_type_day_exchange(spark, sf_dir):
+    """TWAP: the LEAD window and the rollup share the (event_type, day)
+    partitioning; the filter on value must reach the scan."""
+    p = plan(all_queries()["q_twap"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 1, p
+    assert "PushedFilters: [IsNotNull(value)" in p, p
+
+
+def test_seat_allocation_broadcast_nation_integer_plan(spark, sf_dir):
+    """Apportionment: nation broadcasts, the orders-customer key shuffle is
+    the only big exchange; the 25-row quota windows may repartition but
+    never nested-loop."""
+    p = plan(all_queries()["q_seat_allocation"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_weighted_median_grid_then_window(spark, sf_dir):
+    """Weighted median: facts collapse to the (flag, qty) grid in one
+    combine-enabled shuffle before any serial window touches the data."""
+    p = plan(all_queries()["q_weighted_median"].fn(spark, sf_dir))
+    assert "partial_sum" in p or "HashAggregate" in p, p
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_rolling_corr_day_grid_before_window(spark, sf_dir):
+    """Rolling correlation: the serial moment window runs over the bounded
+    day grid (post-aggregate), and only the day column plus the two inputs
+    are read."""
+    p = plan(all_queries()["q_rolling_corr"].fn(spark, sf_dir))
+    assert read_schema_columns(p) <= {"o_orderdate", "o_totalprice"}, (
+        read_schema_columns(p))
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_stock_balance_pushed_filter_grouped_arrow(spark, sf_dir):
+    """Clamped balance: the supplier cap reaches the parquet scan and the
+    replay is ONE grouped Arrow pass on the l_suppkey shuffle."""
+    p = plan(all_queries()["q_stock_balance"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_suppkey" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert _n_exchanges(p) <= 1, p
