@@ -1611,3 +1611,84 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.min("qty").alias("w_median_qty"),
               F.max("tot").cast("bigint").alias("total_weight_cents"))
     )
+
+
+# --- q_bfs_reach: breadth-first hop levels over the supply graph ---------------
+
+BFS_MAX_HOPS = 3
+BFS_SEED_NATION = 0
+
+
+@register(
+    "q_bfs_reach",
+    f"""WITH RECURSIVE sym AS (
+          SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION
+          SELECT DISTINCT o_custkey * 2 + 1, l_suppkey * 2
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        bfs AS (
+          SELECT s_suppkey * 2 AS node, 0 AS lvl
+          FROM supplier WHERE s_nationkey = {BFS_SEED_NATION}
+          UNION
+          SELECT sym.b, bfs.lvl + 1
+          FROM bfs JOIN sym ON sym.a = bfs.node
+          WHERE bfs.lvl < {BFS_MAX_HOPS})
+       SELECT CAST(lvl AS BIGINT) AS lvl,
+              CAST(COUNT(1) AS BIGINT) AS n_nodes,
+              CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_suppliers,
+              CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_customers
+       FROM (SELECT node, MIN(lvl) AS lvl FROM bfs GROUP BY node)
+       GROUP BY 1 ORDER BY 1""",
+    doc=f"breadth-first reach: min-hop levels (<= {BFS_MAX_HOPS}) from "
+        f"nation-{BFS_SEED_NATION} suppliers over the undirected "
+        "supplier-customer trade graph — frontier-expansion BFS as "
+        "iterative joins vs a recursive-CTE oracle",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS, the level-synchronous formulation: each hop is ONE
+    equi-join of the (persisted, distinct) symmetric edge list against the
+    current frontier plus an anti-join against the visited set — never a
+    path enumeration, so the work per hop is bounded by |edges|, not by
+    path counts (the oracle's recursive CTE gets the same bound from
+    UNION-distinct semantics). Node ids pack the bipartite namespace into
+    one int64 (supplier -> 2k, customer -> 2k+1): every shuffle hashes an
+    8-byte key instead of a string, and the side tag comes back as
+    node % 2. Frontiers persist() because each feeds both the visited
+    union and the next expansion; at 100 TB the edge list is the only
+    data-sized table and it shuffles once per hop on the join key.
+    Unreached nodes never appear (BFS emits levels, not NULL sentinels).
+    Levels are a fixed unroll of {BFS_MAX_HOPS} — lineage stays shallow,
+    no driver-side convergence loop."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ed = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select((F.col("l_suppkey") * 2).alias("a"),
+                    (F.col("o_custkey") * 2 + 1).alias("b"))
+            .distinct())
+    sym = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+    seeds = (load_table(spark, sf_dir, "supplier")
+             .filter(F.col("s_nationkey") == BFS_SEED_NATION)
+             .select((F.col("s_suppkey") * 2).alias("node")))
+    visited = seeds.withColumn("lvl", F.lit(0)).persist()
+    frontier = seeds
+    for lvl in range(1, BFS_MAX_HOPS + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "a"), "a")
+                  .select(F.col("b").alias("node")).distinct())
+        new = (nxt.join(visited.select("node"), "node", "left_anti")
+                  .withColumn("lvl", F.lit(lvl)).persist())
+        visited = visited.union(new).persist()
+        frontier = new.select("node")
+    return (
+        visited.groupBy(F.col("lvl").cast("bigint").alias("lvl"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                    F.sum(F.when(F.col("node") % 2 == 0, 1)
+                           .otherwise(0)).cast("bigint").alias("n_suppliers"),
+                    F.sum(F.when(F.col("node") % 2 == 1, 1)
+                           .otherwise(0)).cast("bigint").alias("n_customers"))
+               .orderBy("lvl")
+    )

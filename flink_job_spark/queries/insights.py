@@ -783,3 +783,58 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("decimal(38,4)").cast("double"),
             F.nullif(F.sum("dur_s"), F.lit(0)).cast("double")).alias("twap"),
     )
+
+
+# --- q_bitmap_active_days: bit_or day-of-month bitmap rollup --------------------
+
+@register(
+    "q_bitmap_active_days",
+    """WITH per AS (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS ym,
+                 bit_or(CAST(1 AS BIGINT) << (dayofmonth(o_orderdate) - 1))
+                   AS day_bitmap
+          FROM orders GROUP BY 1, 2)
+       SELECT ym,
+              CAST(COUNT(1) AS BIGINT) AS n_customers,
+              CAST(SUM(bit_count(day_bitmap)) AS BIGINT) AS total_active_days,
+              CAST(MAX(bit_count(day_bitmap)) AS BIGINT) AS max_active_days,
+              CAST(SUM(CASE WHEN bit_count(day_bitmap) >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS multi_day_customers
+       FROM per GROUP BY ym ORDER BY ym""",
+    doc="bitmap-index rollup: per (customer, month) the active order days "
+        "packed into one int64 via bit_or(1 << day-1), then a monthly "
+        "popcount rollup — the compressed-bitmap presence idiom that keeps "
+        "distinct-day state at 8 bytes/group instead of a day list",
+    tags=("insights", "bitmap", "agg"),
+)
+def q_bitmap_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month fits an int64 bitmap (31 < 64), so DISTINCT days per
+    (customer, month) collapses to a bit_or aggregate — combine-enabled,
+    constant 8-byte state, no exact-distinct hash set. At 100 TB the first
+    shuffle is the only data-sized exchange; the month rollup above it is
+    ~thousands of rows. bit_count(xor-free popcount) stays in codegen in
+    both engines; all outputs are exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint").alias("ym"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "dayofmonth(o_orderdate) - 1)").alias("day_bit"),
+        )
+        .groupBy("o_custkey", "ym")
+        .agg(F.bit_or("day_bit").alias("day_bitmap"))
+    )
+    pc = F.bit_count("day_bitmap")
+    return (
+        per.groupBy("ym")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(pc).cast("bigint").alias("total_active_days"),
+                F.max(pc).cast("bigint").alias("max_active_days"),
+                F.sum(F.when(pc >= 2, 1).otherwise(0)).cast("bigint")
+                 .alias("multi_day_customers"))
+           .orderBy("ym")
+    )

@@ -995,3 +995,66 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rows = d.select("source", "doc_id", ws_token_count("text").alias("t"))
     return pack_next_fit(rows)
+
+
+# --- q_k_anonymity: quasi-identifier suppression audit --------------------------
+
+KANON_K = 5          # minimum group size an equivalence class may publish at
+KANON_BAND = 2000.0  # acctbal generalization width (the coarsening step)
+
+
+@register(
+    "q_k_anonymity",
+    f"""WITH cells AS (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 CAST(FLOOR(c_acctbal / {KANON_BAND}) AS BIGINT) AS band,
+                 CAST(COUNT(1) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2, 3)
+       SELECT CASE WHEN n >= {KANON_K} THEN CAST(nat AS VARCHAR)
+                   ELSE '*' END AS nation_qi,
+              CASE WHEN n >= {KANON_K} THEN seg ELSE '*' END AS segment_qi,
+              CASE WHEN n >= {KANON_K} THEN CAST(band AS VARCHAR)
+                   ELSE '*' END AS band_qi,
+              CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(COUNT(1) AS BIGINT) AS n_cells
+       FROM cells GROUP BY 1, 2, 3
+       ORDER BY nation_qi, segment_qi, band_qi""",
+    doc=f"k-anonymity suppression (k={KANON_K}): customers generalize to the "
+        f"(nation, segment, balance-band-of-{KANON_BAND:g}) quasi-identifier; "
+        "equivalence classes smaller than k collapse into one suppressed "
+        "'*' bucket — the privacy gate a training-data release runs before "
+        "publishing grouped records",
+    tags=("prep", "privacy", "agg"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two combine-enabled aggregations and nothing else: the first builds
+    the equivalence-class histogram (the only data-sized shuffle — at
+    100 TB it's one exchange on the QI key), the second folds sub-k cells
+    into the suppressed bucket over cell-count-sized input. The band is
+    FLOOR of the same IEEE double division in both engines (cast AFTER
+    floor — DuckDB CAST(double AS BIGINT) rounds). Publishing n >= k cells
+    and only the aggregate mass of the rest is exactly the k-anonymity
+    contract: no published row set smaller than k."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(F.col("c_nationkey").alias("nat"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.floor(F.col("c_acctbal") / KANON_BAND)
+                  .cast("bigint").alias("band"))
+         .groupBy("nat", "seg", "band")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    keep = F.col("n") >= KANON_K
+    return (
+        cells.select(
+            F.when(keep, F.col("nat").cast("string")).otherwise("*")
+             .alias("nation_qi"),
+            F.when(keep, F.col("seg")).otherwise("*").alias("segment_qi"),
+            F.when(keep, F.col("band").cast("string")).otherwise("*")
+             .alias("band_qi"),
+            "n")
+        .groupBy("nation_qi", "segment_qi", "band_qi")
+        .agg(F.sum("n").cast("bigint").alias("n_rows"),
+             F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .orderBy("nation_qi", "segment_qi", "band_qi")
+    )

@@ -1254,3 +1254,77 @@ def q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .groupBy(F.col("late_supp").alias("l_suppkey"))
                  .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+# --- q_bloom_semi_join: runtime-filter (bloom) pruned semi join -----------------
+
+BLOOM_BITS = 1 << 20   # m: fixed bloom width -> 16384 int64 words (128 KiB)
+BLOOM_PRICE_MIN = 300000.0
+
+
+def _bloom_pos(key, seed: int):
+    """Bit position of hash #seed for `key` in the m-bit bloom filter."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+@register(
+    "q_bloom_semi_join",
+    f"""SELECT CAST(COUNT(1) AS BIGINT) AS n_items,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem
+       WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_totalprice > {BLOOM_PRICE_MIN})""",
+    doc="runtime-filter join: lineitems of urgent high-value orders, with a "
+        "distributed 2-hash bloom filter (1M bits packed into 16K int64 "
+        "words via bit_or) pruning the probe side BEFORE the exact "
+        "semi-join — the fixed-size join-pruning pattern for selective "
+        "filters on the build side",
+    tags=("relational", "join", "bloom", "agg"),
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom is built AS AN AGGREGATE (explode 2 positions/key ->
+    bit_or per 64-bit word), so its size is fixed at m/8 bytes no matter
+    how many keys the build side holds — unlike broadcasting the key set,
+    this stays broadcastable at any build-side scale. Probe rows check
+    both bits via two broadcast joins on the word index (map-side, no
+    probe shuffle); only bloom survivors (true matches + ~|probe|/4000
+    false positives at these parameters) reach the exact equi-join that
+    restores precise semantics. At 100 TB the final join shuffles only
+    the pruned survivors; the oracle is the plain IN-subquery the pattern
+    is transparent to."""
+    o = load_table(spark, sf_dir, "orders")
+    sel = (o.filter((F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_totalprice") > BLOOM_PRICE_MIN))
+             .select("o_orderkey").persist())
+    words = (
+        sel.select(F.explode(F.array(_bloom_pos(F.col("o_orderkey"), 0),
+                                     _bloom_pos(F.col("o_orderkey"), 1)))
+                    .alias("pos"))
+           .select(F.expr("shiftright(pos, 6)").alias("w"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(pos % 64 AS INT))").alias("bit"))
+           .groupBy("w").agg(F.bit_or("bit").alias("mask"))
+    )
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .withColumn("p0", _bloom_pos(F.col("l_orderkey"), 0))
+          .withColumn("p1", _bloom_pos(F.col("l_orderkey"), 1)))
+    w0 = words.select(F.col("w").alias("w0"), F.col("mask").alias("m0"))
+    w1 = words.select(F.col("w").alias("w1"), F.col("mask").alias("m1"))
+    hit = "({m} & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+    cand = (
+        li.join(F.broadcast(w0), F.expr("shiftright(p0, 6)") == F.col("w0"))
+          .filter(F.expr(hit.format(m="m0", p="p0")))
+          .join(F.broadcast(w1), F.expr("shiftright(p1, 6)") == F.col("w1"))
+          .filter(F.expr(hit.format(m="m1", p="p1")))
+    )
+    exact = cand.join(sel, cand.l_orderkey == sel.o_orderkey)
+    return exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+         .alias("sum_qty"),
+    )

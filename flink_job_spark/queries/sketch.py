@@ -199,3 +199,77 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("freq") * HH_K > F.col("n"))
          .select("word", "freq")
     )
+
+
+
+# --- q_source_minhash: corpus-level MinHash signatures + pairwise Jaccard -------
+
+MINHASH_K = 16  # permutations; agreement/K estimates Jaccard (sd ~ 0.25/sqrt K)
+
+
+def _source_minhash_oracle() -> str:
+    from flink_job_spark.functions.hashing import md5_u32_duck
+    from flink_job_spark.functions.text import word_shingles_duck, words_duck
+    mins = ", ".join(
+        "MIN({h}) AS h{i}".format(h=md5_u32_duck(f"'{i}|' || sh"), i=i)
+        for i in range(MINHASH_K))
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""WITH sh AS (
+          SELECT DISTINCT source, unnest({word_shingles_duck(words_duck('text'))}) AS sh
+          FROM documents),
+        sig AS (SELECT source, {mins} FROM sh GROUP BY source)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST({agree} AS BIGINT) AS n_agree,
+              CAST({agree} AS DOUBLE) / {MINHASH_K} AS est_jaccard
+       FROM sig a JOIN sig b ON a.source < b.source
+       ORDER BY source_a, source_b"""
+
+
+@register(
+    "q_source_minhash",
+    _source_minhash_oracle(),
+    doc=f"corpus-level MinHash: {MINHASH_K}-permutation signatures per "
+        "document SOURCE (min over md5(seed|shingle) of the source's "
+        "distinct shingle set) and pairwise signature agreement as the "
+        "estimated cross-source Jaccard — the mergeable set-similarity "
+        "sketch, deterministic in both engines",
+    tags=("sketch", "minhash", "similarity"),
+)
+def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature is an AGGREGATE (K independent MINs over hashed
+    shingles), so it partial-aggregates map-side and merges associatively —
+    the property that makes MinHash a rollup sketch: source signatures
+    union by element-wise min without touching raw shingles again. The
+    only data-sized work is the shingle explode + distinct; the pairwise
+    stage is sources^2 over K smallints. Unlike q_dedup_minhash_lsh (per-
+    document banding for candidate JOINS), this measures corpus overlap
+    per SOURCE pair. Estimates are deterministic md5 mins, not samples —
+    both engines compute identical signatures, so the driver hash-check
+    holds despite MinHash being an approximation of Jaccard."""
+    from flink_job_spark.functions.hashing import md5_u32
+    from flink_job_spark.functions.text import word_shingles, words
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.withColumn("w", words("text"))
+            .select("source", F.explode(word_shingles("w")).alias("sh"))
+            .distinct())
+    sig = sh.groupBy("source").agg(*[
+        F.min(md5_u32(F.concat(F.lit(f"{i}|"), F.col("sh"))))
+         .alias(f"h{i}")
+        for i in range(MINHASH_K)])
+    a = sig.select(F.col("source").alias("source_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    b = sig.select(F.col("source").alias("source_b"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    agree = None
+    for i in range(MINHASH_K):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+         .select("source_a", "source_b",
+                 agree.cast("bigint").alias("n_agree"),
+                 (agree.cast("double") / MINHASH_K).alias("est_jaccard"))
+         .orderBy("source_a", "source_b")
+    )

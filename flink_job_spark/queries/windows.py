@@ -693,3 +693,121 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(us(F.col("e1")) - us(F.col("s0"))).cast("bigint")
          .alias("covered_us"),
     )
+
+
+# --- q_percent_rank: relative-standing window functions ------------------------
+
+@register(
+    "q_percent_rank",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd,
+              CAST(FLOOR(cume_dist() OVER w * 10) AS BIGINT) AS decile
+       FROM customer WHERE c_nationkey = 1
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)""",
+    doc="relative standing inside each market segment: percent_rank, "
+        "cume_dist, and the cume_dist-derived decile bucket for nation-1 "
+        "customers — the rank-normalization window family",
+    tags=("windows", "rank"),
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist are rank-based (ties share a value), so an
+    ORDER BY on the raw balance alone is deterministic — no row_number
+    tie-break needed. Both engines evaluate (rank-1)/(n-1) and rank/n as a
+    single double division of exact int64 operands, so the values are
+    bit-identical. The nation filter is pushed to the scan; each segment
+    partition sorts once and feeds all three window expressions (one
+    exchange + one sort in the plan). The decile floors the SAME cume_dist
+    double in both engines before the bigint cast (DuckDB CAST rounds,
+    so the FLOOR must happen first — engine-parity trap)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 1)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    cd = F.cume_dist().over(w)
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        cd.alias("cd"),
+        F.floor(cd * 10).cast("bigint").alias("decile"),
+    )
+
+
+# --- q_percentile_cont: exact interpolated quantiles ----------------------------
+
+@register(
+    "q_percentile_cont",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25_qty,
+              quantile_cont(l_quantity, 0.5)  AS p50_qty,
+              quantile_cont(l_quantity, 0.75) AS p75_qty,
+              quantile_cont(l_extendedprice, 0.9) AS p90_price,
+              CAST(COUNT(1) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="exact interpolated percentiles (PERCENTILE_CONT semantics): "
+        "quantity quartiles + the p90 price per return flag — the "
+        "linear-interpolation quantile family next to q_percentile_disc's "
+        "discrete picks and q_approx_quantiles' sketch",
+    tags=("windows", "quantile", "agg"),
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both engines interpolate lower + (upper-lower)*frac on the sorted
+    group; the quartile fracs are dyadic (exact doubles) and the operands
+    come off the same sorted doubles, so the arithmetic is bit-identical
+    (verified engine-to-engine including the non-dyadic 0.9). Exact
+    percentile holds O(group values) state — the correctness baseline;
+    at 100 TB the constant-memory path is the KLL/GK sketch in
+    q_approx_quantiles, with this key as its exactness oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+          .agg(F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+               F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+               F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+               F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+               F.count(F.lit(1)).cast("bigint").alias("n"))
+          .orderBy("l_returnflag")
+    )
+
+
+# --- q_time_rollup: multi-resolution time hierarchy (hypertable rollup) ---------
+
+@register(
+    "q_time_rollup",
+    """WITH g AS (
+         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                user_id
+         FROM events)
+       SELECT day, hour,
+              CAST(GROUPING(day)*2 + GROUPING(hour) AS BIGINT) AS grain,
+              CAST(COUNT(1) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM g
+       GROUP BY ROLLUP(day, hour)
+       ORDER BY grain, day, hour""",
+    doc="hypertable-style multi-resolution rollup: ONE pass over events "
+        "produces the hour grain, the day grain, and the grand total "
+        "(GROUP BY ROLLUP over the date_trunc hierarchy), each with exact "
+        "event and distinct-user counts",
+    tags=("windows", "rollup", "agg", "timeseries"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate ladder (minute->hour->day) as one ROLLUP:
+    Spark expands the grouping sets BEFORE the shuffle and partial-aggs
+    each grain map-side, so the exchange carries ~(hours + days + 1)
+    groups per partition, not 3x the input. grain decodes grouping_id
+    (0=hour rows, 1=day rows, 3=grand total). COUNT(DISTINCT user_id) is
+    exact — Spark plans the distinct expansion; the sketch alternative
+    for 100 TB is q_approx_distinct. NULL day/hour only on super-grain
+    rows, exactly as the oracle's ROLLUP emits them."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        e.select(day, hour, "user_id")
+         .rollup("day", "hour")
+         .agg(F.grouping_id().cast("bigint").alias("grain"),
+              F.count(F.lit(1)).cast("bigint").alias("n_events"),
+              F.countDistinct("user_id").cast("bigint").alias("n_users"))
+         .select("day", "hour", "grain", "n_events", "n_users")
+         .orderBy("grain", "day", "hour")
+    )

@@ -1240,3 +1240,55 @@ def test_stock_balance_pushed_filter_grouped_arrow(spark, sf_dir):
     assert "LessThanOrEqual(l_suppkey" in p, p
     assert "FlatMapGroupsInPandas" in p, p
     assert _n_exchanges(p) <= 1, p
+
+
+def test_percent_rank_pushes_nation_filter_single_sort(spark, sf_dir):
+    """Nation filter reaches the scan; one exchange (segment hash) and one
+    sort feed all three rank expressions."""
+    p = plan(all_queries()["q_percent_rank"].fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "EqualTo(c_nationkey,1)" in pushed.group(1), p
+    assert _n_exchanges(p) == 1, p
+    assert "Window" in p, p
+
+
+def test_bitmap_active_days_two_aggs_pruned_scan(spark, sf_dir):
+    """Bitmap rollup reads only (custkey, orderdate); bit_or is a real
+    partial aggregate (two HashAggregate pairs, two exchanges total)."""
+    p = plan(all_queries()["q_bitmap_active_days"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"o_custkey", "o_orderdate"}, p
+    assert _n_exchanges(p) == 3, p  # 2 hash aggs + final presentation sort
+    assert "CartesianProduct" not in p
+
+
+def test_bfs_reach_no_cartesian_prunes_edges(spark, sf_dir):
+    """Every hop is an equi-join; the edge build reads only the two key
+    columns of each fact table."""
+    p = plan(all_queries()["q_bfs_reach"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    cols = read_schema_columns(p)
+    assert cols <= {"l_orderkey", "l_suppkey", "o_orderkey", "o_custkey",
+                    "s_suppkey", "s_nationkey"}, cols
+
+
+def test_k_anonymity_two_aggs_only(spark, sf_dir):
+    """Histogram then suppression-fold: exactly two hash aggregations, the
+    second over cell counts, and a 3-column pruned scan."""
+    p = plan(all_queries()["q_k_anonymity"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"c_nationkey", "c_mktsegment",
+                                      "c_acctbal"}, p
+    assert _n_exchanges(p) == 3, p  # 2 hash aggs + final presentation sort
+    assert "Join" not in p, p
+
+
+def test_bloom_semi_join_broadcasts_filter_words(spark, sf_dir):
+    """The bloom word table broadcasts (the probe side never shuffles to
+    check membership) and the probe scan is pruned to key+quantity."""
+    p = plan(all_queries()["q_bloom_semi_join"].fn(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "CartesianProduct" not in p
+    cols = read_schema_columns(p)
+    assert "l_quantity" in cols and "l_orderkey" in cols, cols
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("1-URGENT" in s for s in pushed), pushed
