@@ -287,3 +287,49 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# --- 12. q_table_checksum: order-independent table fingerprint ---
+
+_ORD_HASH_W1 = "CAST('0x' || substr(rh, 1, 8) AS BIGINT)"
+_ORD_HASH_W2 = "CAST('0x' || substr(rh, 9, 8) AS BIGINT)"
+
+
+@register(
+    "q_table_checksum",
+    f"""WITH h AS (
+          SELECT {duckdb_row_hash_sql(SCHEMAS['orders'])} AS rh FROM orders)
+       SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM({_ORD_HASH_W1}) AS BIGINT) AS sum_hi,
+              CAST(SUM({_ORD_HASH_W2}) AS BIGINT) AS sum_lo,
+              CAST(bit_xor({_ORD_HASH_W1}) AS BIGINT) AS xor_hi,
+              CAST(bit_xor({_ORD_HASH_W2}) AS BIGINT) AS xor_lo
+       FROM h""",
+    doc="order-independent table fingerprint: canonical per-row MD5 "
+        "(the full reference token canonicalization) folded into "
+        "commutative SUM and XOR checksums plus the row count — the "
+        "one-row table-level form of the reference's row-wise "
+        "consistency audit (mis:1413-1468)",
+    tags=("audit", "hash", "agg"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends the audit family from row-wise compare (q_hash_mismatch_*)
+    to a constant-size table digest: every row's canonical MD5 splits into
+    two u32 words folded by SUM and XOR — both commutative/associative, so
+    the digest is partition-order independent and partial-aggregates
+    map-side (one exchange carrying 32 bytes per partition at ANY scale).
+    Two engines computing the digest independently agreeing on
+    (n, sums, xors) certifies table equality with collision probability
+    ~2^-64 without moving either table — the cheap cross-system
+    consistency gate a 100 TB replication check wants."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(row_hash_column(o).alias("rh"))
+    w1 = F.conv(F.substring("rh", 1, 8), 16, 10).cast("bigint")
+    w2 = F.conv(F.substring("rh", 9, 8), 16, 10).cast("bigint")
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(w1).cast("bigint").alias("sum_hi"),
+        F.sum(w2).cast("bigint").alias("sum_lo"),
+        F.bit_xor(w1).cast("bigint").alias("xor_hi"),
+        F.bit_xor(w2).cast("bigint").alias("xor_lo"),
+    )

@@ -523,3 +523,75 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - F.col("sy") * F.col("sy")).cast("double")),
                 F.lit(0.0))).alias(f"corr{CORR_FRAME}"),
     )
+
+
+# --- q_ks_test: two-sample Kolmogorov-Smirnov distance --------------------------
+
+KS_A, KS_B = "click", "view"
+
+
+@register(
+    "q_ks_test",
+    f"""WITH g AS (
+          SELECT value,
+                 CAST(SUM(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+          FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+          GROUP BY value),
+        cum AS (
+          SELECT SUM(c1) OVER (ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(c2) OVER (ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS cum2,
+                 SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+          FROM g)
+       SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+              CAST(MAX(n2) AS BIGINT) AS n2,
+              CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+              CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+                AS d_stat
+       FROM cum""",
+    doc=f"two-sample Kolmogorov-Smirnov distance between the '{KS_A}' and "
+        f"'{KS_B}' value distributions — the distribution-shift test, "
+        "computed entirely in exact integers (max |cum1*n2 - cum2*n1| over "
+        "the merged value grid) with ONE final division",
+    tags=("mleval", "stats", "window"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance = max_v |F1(v) - F2(v)|; cross-multiplying by n1*n2
+    turns every comparison into int64 arithmetic (counts ~1e5, products
+    ~1e10 — exact), so both engines take the max over IDENTICAL integers
+    and the single closing division is the only IEEE op. The value grid
+    collapses to DISTINCT observed values first (combine-enabled shuffle);
+    the cumulative window then sorts the grid, whose size is bounded by
+    the value domain, not the event count — the property that keeps the
+    serial window safe at 100 TB. Ties are handled exactly: evaluating at
+    grid points after grouping IS the right-continuous empirical CDF."""
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin(KS_A, KS_B)))
+    g = (e.groupBy("value")
+          .agg(F.sum(F.when(F.col("event_type") == KS_A, 1).otherwise(0))
+                .cast("bigint").alias("c1"),
+               F.sum(F.when(F.col("event_type") == KS_B, 1).otherwise(0))
+                .cast("bigint").alias("c2")))
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = g.select(
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"))
+    d = F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        d.cast("bigint").alias("d_num"),
+        (d.cast("double")
+         / (F.max("n1").cast("double") * F.max("n2").cast("double")))
+        .alias("d_stat"),
+    )

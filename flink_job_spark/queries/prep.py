@@ -1058,3 +1058,42 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).cast("bigint").alias("n_cells"))
         .orderBy("nation_qi", "segment_qi", "band_qi")
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    """SELECT p_brand,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              MIN(p_name) AS min_name,
+              MAX(p_partkey) AS max_key
+       FROM part GROUP BY p_brand""",
+    doc="XML source/sink roundtrip: write `part` as element-per-row XML, "
+        "read it back under the declared schema, aggregate — proves the "
+        "XML codec path (entity escaping, decimals-from-text, typed "
+        "elements) is lossless against the parquet original",
+    tags=("formats", "source", "sink"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ships the XML data source natively (the former spark-xml
+    package): rowTag framing on read, element-per-column on write. The
+    declared StructType drives parsing so doubles come back typed, and
+    p_name's punctuation exercises entity escaping. The aggregate goes
+    through exact DECIMAL before the final double cast, so it is
+    partition-order-free. XML files split per-file (rowTag framing is not
+    line-splittable like CSV/JSONL) — at 100 TB you write many medium
+    files, which the parallel write here already does."""
+    p = load_table(spark, sf_dir, "part")
+    path = _roundtrip_dir(sf_dir, "xml")
+    (p.write.mode("overwrite").format("xml")
+      .option("rootTag", "parts").option("rowTag", "part").save(path))
+    back = (spark.read.schema(p.schema).format("xml")
+            .option("rowTag", "part").load(path))
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_price"),
+        F.min("p_name").alias("min_name"),
+        F.max("p_partkey").alias("max_key"),
+    )

@@ -1328,3 +1328,55 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
          .alias("sum_qty"),
     )
+
+
+# --- q_skew_salted_join: hot-key join via salt + replicated broadcast -----------
+
+SKEW_SALTS = 16
+
+
+@register(
+    "q_skew_salted_join",
+    f"""SELECT event_type,
+              {md5_u32_duck('event_type')} % 100 AS type_weight,
+              CAST(COUNT(1) AS BIGINT) AS n_events,
+              CAST(SUM({{c}}) * ({md5_u32_duck('event_type')} % 100)
+                   AS BIGINT) AS weighted_cents
+       FROM events GROUP BY event_type ORDER BY event_type""".format(
+        c="CAST(FLOOR(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR)"
+          " AS DECIMAL(19,8)) * 100) AS BIGINT)"),
+    doc="skew-proof dimension join: events (5 hot event_type keys) join a "
+        f"per-type weight dim via salting — big side salts into {SKEW_SALTS} "
+        "deterministic buckets, the dim replicates across all salts and "
+        "broadcasts, so no reducer ever receives a whole hot key",
+    tags=("relational", "join", "skew"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered face of operators/skew.py: a fact table whose join
+    key has only a handful of values (every key is hot — the worst case
+    for a shuffle join, where 5 reducers would own 100% of the data) joins
+    its dimension through salted_broadcast_left: xxhash-salt the big side,
+    explode the dim x{SKEW_SALTS}, broadcast-join on (key, salt). The big
+    side never shuffles on the hot key; the downstream per-type aggregate
+    is safe because partial aggregation combines map-side before its
+    exchange. The dim derives each type's weight as md5_u32 % 100 — both
+    engines compute it identically, which lets the oracle state the join
+    as a closed-form single-table aggregate while the Spark plan exercises
+    the real replicated join. Sums use the exact-cents idiom."""
+    from flink_job_spark.operators.skew import salted_broadcast_left
+    from flink_job_spark.queries.analytics import cents_col
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    dim = (e.select("event_type").distinct()
+            .withColumn("type_weight",
+                        F.pmod(md5_u32(F.col("event_type")), F.lit(100))))
+    joined = salted_broadcast_left(e, dim, "event_type", "event_id",
+                                   n_salts=SKEW_SALTS)
+    return (
+        joined.groupBy("event_type", "type_weight")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   (F.sum(cents_col(F.col("value")))
+                    * F.col("type_weight").cast("bigint")).cast("bigint")
+                   .alias("weighted_cents"))
+              .orderBy("event_type")
+    )

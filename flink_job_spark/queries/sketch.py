@@ -208,16 +208,16 @@ MINHASH_K = 16  # permutations; agreement/K estimates Jaccard (sd ~ 0.25/sqrt K)
 
 
 def _source_minhash_oracle() -> str:
-    from flink_job_spark.functions.hashing import md5_u32_duck
     from flink_job_spark.functions.text import word_shingles_duck, words_duck
     mins = ", ".join(
-        "MIN({h}) AS h{i}".format(h=md5_u32_duck(f"'{i}|' || sh"), i=i)
+        "MIN(CAST('0x' || substr(md5('{s}|' || sh), {p}, 8) AS BIGINT)) "
+        "AS h{i}".format(s=i // 4, p=1 + 8 * (i % 4), i=i)
         for i in range(MINHASH_K))
     agree = " + ".join(
         f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K))
     return f"""WITH sh AS (
-          SELECT DISTINCT source, unnest({word_shingles_duck(words_duck('text'))}) AS sh
+          SELECT source, unnest({word_shingles_duck(words_duck('text'))}) AS sh
           FROM documents),
         sig AS (SELECT source, {mins} FROM sh GROUP BY source)
        SELECT a.source AS source_a, b.source AS source_b,
@@ -242,21 +242,26 @@ def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles), so it partial-aggregates map-side and merges associatively —
     the property that makes MinHash a rollup sketch: source signatures
     union by element-wise min without touching raw shingles again. The
-    only data-sized work is the shingle explode + distinct; the pairwise
+    only data-sized work is the shingle explode + one combine-enabled
+    aggregation (min needs no distinct first); the pairwise
     stage is sources^2 over K smallints. Unlike q_dedup_minhash_lsh (per-
     document banding for candidate JOINS), this measures corpus overlap
     per SOURCE pair. Estimates are deterministic md5 mins, not samples —
     both engines compute identical signatures, so the driver hash-check
     holds despite MinHash being an approximation of Jaccard."""
-    from flink_job_spark.functions.hashing import md5_u32
     from flink_job_spark.functions.text import word_shingles, words
     d = load_table(spark, sf_dir, "documents")
+    # no DISTINCT before the MIN (min over the multiset = min over the
+    # set), and only FOUR md5 evaluations per shingle occurrence: each
+    # 128-bit digest yields 4 independent u32 lanes, so K=16 permutations
+    # cost 4 hashes + 16 cheap substring/conv extractions per row
     sh = (d.withColumn("w", words("text"))
-            .select("source", F.explode(word_shingles("w")).alias("sh"))
-            .distinct())
+            .select("source", F.explode(word_shingles("w")).alias("sh"),
+                    *[F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))
+                       .alias(f"m{s}") for s in range(4)]))
     sig = sh.groupBy("source").agg(*[
-        F.min(md5_u32(F.concat(F.lit(f"{i}|"), F.col("sh"))))
-         .alias(f"h{i}")
+        F.min(F.conv(F.substring(f"m{i // 4}", 1 + 8 * (i % 4), 8), 16, 10)
+               .cast("bigint")).alias(f"h{i}")
         for i in range(MINHASH_K)])
     a = sig.select(F.col("source").alias("source_a"),
                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])

@@ -681,3 +681,69 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("rank", F.row_number().over(w).cast("bigint"))
              .filter(F.col("rank") <= BPE_TOPK)
     )
+
+
+# --- q_udtf_chunks: Python UDTF (table function) API surface --------------------
+
+UDTF_CHUNK_WORDS = 50
+
+
+@register(
+    "q_udtf_chunks",
+    f"""WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \t\n]+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        idx AS (
+          SELECT doc_id, ws,
+                 unnest(range((len(ws) + {UDTF_CHUNK_WORDS - 1})
+                              // {UDTF_CHUNK_WORDS})) AS chunk_idx
+          FROM w)
+       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(len(list_slice(ws, chunk_idx * {UDTF_CHUNK_WORDS} + 1,
+                                  (chunk_idx + 1) * {UDTF_CHUNK_WORDS}))
+                   AS BIGINT) AS n_words,
+              array_to_string(
+                  list_slice(ws, chunk_idx * {UDTF_CHUNK_WORDS} + 1,
+                             (chunk_idx + 1) * {UDTF_CHUNK_WORDS}), ' ')
+                AS chunk
+       FROM idx""",
+    doc=f"Python UDTF surface: a user-defined TABLE function exploding each "
+        f"document into {UDTF_CHUNK_WORDS}-word training chunks via "
+        "`FROM documents, LATERAL word_chunker(...)` — the one-row-in/"
+        "many-rows-out extension point, registered and driven through the "
+        "SQL text API",
+    tags=("text", "udtf", "sqlapi", "python"),
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's UDTF is the supported escape hatch when one input row must
+    yield a VARIABLE number of output rows under imperative logic; this
+    one is deliberately simple (fixed word windows — q_doc_chunks does the
+    same shape in pure Column algebra) because the thing under test is the
+    API path: class registration, LATERAL correlation against a real
+    table, schema declaration, and executor-side Python fan-out. The UDTF
+    runs per-partition with no shuffle (plan-pinned); word splitting is
+    Python str.split vs the oracle's regex split, identical on any
+    whitespace. For bulk production chunking prefer the Column-algebra
+    form; the UDTF wins when chunk boundaries need real code (tokenizers,
+    sentence models)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, n_words bigint, "
+                     "chunk string")
+    class WordChunker:
+        def eval(self, doc_id: int, text: str):
+            ws = (text or "").split()
+            k = UDTF_CHUNK_WORDS
+            for i in range((len(ws) + k - 1) // k):
+                part = ws[i * k:(i + 1) * k]
+                yield doc_id, i, len(part), " ".join(part)
+
+    spark.udtf.register("fjs_word_chunker", WordChunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "fjs_udtf_documents")
+    return spark.sql(
+        "SELECT f.doc_id, f.chunk_idx, f.n_words, f.chunk "
+        "FROM fjs_udtf_documents d, "
+        "LATERAL fjs_word_chunker(d.doc_id, d.text) f")

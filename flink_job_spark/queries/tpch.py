@@ -569,3 +569,48 @@ def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fjs_sql_lineitem
         WHERE l_shipdate <= TIMESTAMP '{SQLQ_DATE} 00:00:00'
         GROUP BY l_returnflag, l_linestatus""")
+
+
+# --- q_sql_lateral: correlated LATERAL subquery (decorrelation surface) ---------
+
+LATERAL_TOPN = 2
+
+@register(
+    "q_sql_lateral",
+    f"""SELECT n_name, c_custkey, c_acctbal
+       FROM nation,
+            LATERAL (SELECT c_custkey, c_acctbal
+                     FROM customer
+                     WHERE c_nationkey = n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey
+                     LIMIT {LATERAL_TOPN})
+       ORDER BY n_name, c_acctbal DESC, c_custkey""",
+    doc=f"correlated LATERAL subquery: for every nation the top-{LATERAL_TOPN} "
+        "customers by balance — the per-row-subquery surface; Catalyst "
+        "decorrelates the lateral into a ranked join instead of running "
+        "one subquery per outer row",
+    tags=("relational", "sqlapi", "lateral", "topk"),
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL is the SQL spelling of 'a subquery that sees the current
+    outer row'. Executed naively that is |outer| separate queries; both
+    engines instead decorrelate — Spark rewrites the correlated LIMIT
+    into a window-ranked join (the plan pin asserts a single Window +
+    joins, no per-row iteration). The ORDER BY inside the lateral carries
+    the full-tuple tie-break (acctbal DESC, custkey) so the k-th row is
+    engine-independent. At scale this is exactly q_group_topk's shape;
+    what this key adds is the LATERAL decorrelation path of the SQL text
+    API."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "fjs_sql_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "fjs_sql_customer")
+    return spark.sql(f"""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM fjs_sql_nation,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM fjs_sql_customer
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT {LATERAL_TOPN})
+        ORDER BY n_name, c_acctbal DESC, c_custkey""")

@@ -1292,3 +1292,80 @@ def test_bloom_semi_join_broadcasts_filter_words(spark, sf_dir):
     assert "l_quantity" in cols and "l_orderkey" in cols, cols
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     assert any("1-URGENT" in s for s in pushed), pushed
+
+
+def test_percentile_cont_one_agg_pruned(spark, sf_dir):
+    """Exact percentile is one (object-hash) aggregation: one data
+    exchange plus the presentation sort, over a 3-column scan."""
+    p = plan(all_queries()["q_percentile_cont"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"l_returnflag", "l_quantity",
+                                      "l_extendedprice"}, p
+    assert _n_exchanges(p) == 2, p
+    assert "Join" not in p, p
+
+
+def test_time_rollup_expands_before_shuffle(spark, sf_dir):
+    """ROLLUP expands grouping sets map-side (Expand node below the
+    exchange) and the scan reads only ts + user_id."""
+    p = plan(all_queries()["q_time_rollup"].fn(spark, sf_dir))
+    assert "Expand" in p, p
+    assert read_schema_columns(p) == {"ts", "user_id"}, p
+    assert "Join" not in p, p
+
+
+def test_source_minhash_broadcasts_pairwise_stage(spark, sf_dir):
+    """Signatures aggregate through shuffles; the sources x sources
+    pairwise stage is a broadcast (nested-loop on the < predicate), never
+    a shuffle of signatures."""
+    p = plan(all_queries()["q_source_minhash"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert read_schema_columns(p) == {"source", "text"}, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_table_checksum_single_exchange_full_width(spark, sf_dir):
+    """A table digest is ONE partial-aggregated exchange (32 bytes per
+    partition); the row hash necessarily reads every column."""
+    p = plan(all_queries()["q_table_checksum"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "Join" not in p, p
+    assert read_schema_columns(p) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"}, read_schema_columns(p)
+
+
+def test_skew_salted_join_never_shuffles_fact_on_key(spark, sf_dir):
+    """The fact side joins via broadcast on (key, salt) — a SortMergeJoin
+    or fact-side hashpartitioning on event_type alone is the regression
+    this pins against."""
+    p = plan(all_queries()["q_skew_salted_join"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    cols = read_schema_columns(p)
+    assert "event_id" in cols and "value" in cols, cols
+
+
+def test_sql_lateral_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL LIMIT must decorrelate into a ranked join —
+    a Window node in ONE plan, never a subquery per outer row."""
+    p = plan(all_queries()["q_sql_lateral"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "Join" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ks_test_prunes_and_pushes_type_filter(spark, sf_dir):
+    """KS reads only (event_type, value), pushes the IN filter, and needs
+    at most grid-agg + serial window + final agg exchanges."""
+    p = plan(all_queries()["q_ks_test"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"event_type", "value"}, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("In(event_type" in s for s in pushed), pushed
+    assert _n_exchanges(p) <= 3, p
+
+
+def test_udtf_chunks_is_shuffle_free(spark, sf_dir):
+    """The UDTF fan-out runs where the rows live: scan -> Python eval ->
+    project, no Exchange anywhere."""
+    p = plan(all_queries()["q_udtf_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in p, p
