@@ -1619,6 +1619,28 @@ BFS_MAX_HOPS = 3
 BFS_SEED_NATION = 0
 
 
+def bfs_levels(edges: DataFrame, seeds: DataFrame,
+               max_hops: int) -> DataFrame:
+    """Level-synchronous BFS: ``edges`` (a, b — treated as undirected),
+    ``seeds`` (node) at level 0; returns (node, lvl) with lvl = min hop
+    count <= max_hops. One equi-join + one anti-join per hop; each
+    frontier persists because it feeds both the visited union and the
+    next expansion."""
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    sym = sym.persist()
+    visited = seeds.select("node").withColumn("lvl", F.lit(0)).persist()
+    frontier = seeds.select("node")
+    for lvl in range(1, max_hops + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "a"), "a")
+                  .select(F.col("b").alias("node")).distinct())
+        new = (nxt.join(visited.select("node"), "node", "left_anti")
+                  .withColumn("lvl", F.lit(lvl)).persist())
+        visited = visited.union(new).persist()
+        frontier = new.select("node")
+    return visited
+
+
 @register(
     "q_bfs_reach",
     f"""WITH RECURSIVE sym AS (
@@ -1669,20 +1691,10 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("l_suppkey") * 2).alias("a"),
                     (F.col("o_custkey") * 2 + 1).alias("b"))
             .distinct())
-    sym = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
     seeds = (load_table(spark, sf_dir, "supplier")
              .filter(F.col("s_nationkey") == BFS_SEED_NATION)
              .select((F.col("s_suppkey") * 2).alias("node")))
-    visited = seeds.withColumn("lvl", F.lit(0)).persist()
-    frontier = seeds
-    for lvl in range(1, BFS_MAX_HOPS + 1):
-        nxt = (sym.join(frontier.withColumnRenamed("node", "a"), "a")
-                  .select(F.col("b").alias("node")).distinct())
-        new = (nxt.join(visited.select("node"), "node", "left_anti")
-                  .withColumn("lvl", F.lit(lvl)).persist())
-        visited = visited.union(new).persist()
-        frontier = new.select("node")
+    visited = bfs_levels(ed, seeds, BFS_MAX_HOPS)
     return (
         visited.groupBy(F.col("lvl").cast("bigint").alias("lvl"))
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),

@@ -572,11 +572,19 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid points after grouping IS the right-continuous empirical CDF."""
     e = (load_table(spark, sf_dir, "events")
          .filter(F.col("event_type").isin(KS_A, KS_B)))
-    g = (e.groupBy("value")
-          .agg(F.sum(F.when(F.col("event_type") == KS_A, 1).otherwise(0))
-                .cast("bigint").alias("c1"),
-               F.sum(F.when(F.col("event_type") == KS_B, 1).otherwise(0))
-                .cast("bigint").alias("c2")))
+    tagged = e.select("value",
+                      F.when(F.col("event_type") == KS_A, 1).otherwise(0)
+                       .alias("is_a"))
+    return ks_stat(tagged)
+
+
+def ks_stat(tagged: DataFrame) -> DataFrame:
+    """Two-sample KS over ``tagged`` (value double, is_a 0/1): one row
+    (n1, n2, d_num, d_stat) with d_num = max |cum1*n2 - cum2*n1| over the
+    distinct-value grid — all-integer until the single closing division."""
+    g = (tagged.groupBy("value")
+         .agg(F.sum("is_a").cast("bigint").alias("c1"),
+              F.sum(1 - F.col("is_a")).cast("bigint").alias("c2")))
     wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
                                                Window.currentRow)
     wall = Window.rowsBetween(Window.unboundedPreceding,

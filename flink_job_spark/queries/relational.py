@@ -1299,19 +1299,36 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = (o.filter((F.col("o_orderpriority") == "1-URGENT")
                     & (F.col("o_totalprice") > BLOOM_PRICE_MIN))
              .select("o_orderkey").persist())
+    exact = bloom_pruned_join(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+        sel, "l_orderkey", "o_orderkey")
+    return exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+         .alias("sum_qty"),
+    )
+
+
+def bloom_pruned_join(big: DataFrame, sel: DataFrame, big_key: str,
+                      sel_key: str) -> DataFrame:
+    """Exact inner equi-join of ``big`` to ``sel``, with the probe side
+    pre-pruned by a distributed 2-hash bloom filter over ``sel``'s keys
+    (built as a bit_or aggregate over 64-bit words, broadcast twice).
+    False positives are removed by the final equi-join, so the result is
+    EXACTLY big ⋈ sel for any inputs — the property the fuzz suite pins."""
     words = (
-        sel.select(F.explode(F.array(_bloom_pos(F.col("o_orderkey"), 0),
-                                     _bloom_pos(F.col("o_orderkey"), 1)))
+        sel.select(F.explode(F.array(_bloom_pos(F.col(sel_key), 0),
+                                     _bloom_pos(F.col(sel_key), 1)))
                     .alias("pos"))
            .select(F.expr("shiftright(pos, 6)").alias("w"),
                    F.expr("shiftleft(CAST(1 AS BIGINT), "
                           "CAST(pos % 64 AS INT))").alias("bit"))
            .groupBy("w").agg(F.bit_or("bit").alias("mask"))
     )
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_quantity")
-          .withColumn("p0", _bloom_pos(F.col("l_orderkey"), 0))
-          .withColumn("p1", _bloom_pos(F.col("l_orderkey"), 1)))
+    li = (big.withColumn("p0", _bloom_pos(F.col(big_key), 0))
+             .withColumn("p1", _bloom_pos(F.col(big_key), 1)))
     w0 = words.select(F.col("w").alias("w0"), F.col("mask").alias("m0"))
     w1 = words.select(F.col("w").alias("w1"), F.col("mask").alias("m1"))
     hit = "({m} & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
@@ -1321,13 +1338,8 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(w1), F.expr("shiftright(p1, 6)") == F.col("w1"))
           .filter(F.expr(hit.format(m="m1", p="p1")))
     )
-    exact = cand.join(sel, cand.l_orderkey == sel.o_orderkey)
-    return exact.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
-         .alias("sum_qty"),
-    )
+    return (cand.join(sel, F.col(big_key) == F.col(sel_key))
+                .drop("p0", "p1", "w0", "m0", "w1", "m1"))
 
 
 # --- q_skew_salted_join: hot-key join via salt + replicated broadcast -----------

@@ -69,3 +69,22 @@ def test_block_dedup_bounds(spark, sf_dir):
 
 def test_pack_budget_sanity():
     assert PACK_BUDGET > 0
+
+
+def test_k_anonymity_invariants(spark, sf_dir):
+    """Every published equivalence class holds >= k rows; the suppressed
+    bucket absorbs exactly the rest (mass conservation)."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.prep import KANON_K
+
+    rows = all_queries()["q_k_anonymity"].fn(spark, sf_dir).collect()
+    total = sum(r["n_rows"] for r in rows)
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_customers
+    for r in rows:
+        if r["nation_qi"] != "*":
+            assert r["n_cells"] == 1
+            assert r["n_rows"] >= KANON_K, r
+        else:
+            assert r["segment_qi"] == "*" and r["band_qi"] == "*"
+    assert sum(1 for r in rows if r["nation_qi"] == "*") <= 1

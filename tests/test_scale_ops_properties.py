@@ -1,0 +1,131 @@
+"""Property-based fuzz of the wave-16/17/18 scale operators: for ANY small
+random input the distributed implementation must agree with a brute-force
+python reference — BFS frontier expansion vs naive level search, the
+bloom-pruned join vs the plain join (exactness regardless of false
+positives), the KS integer cross-product vs a direct CDF walk, and the
+day-bitmap popcount vs a plain distinct set."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_job_spark.queries.analytics import bfs_levels
+from flink_job_spark.queries.mleval import ks_stat
+from flink_job_spark.queries.relational import bloom_pruned_join
+
+# --- BFS ------------------------------------------------------------------------
+
+EDGE = T.StructType([T.StructField("a", T.LongType()),
+                     T.StructField("b", T.LongType())])
+NODE = T.StructType([T.StructField("node", T.LongType())])
+
+edges_st = st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                    min_size=0, max_size=20)
+seeds_st = st.sets(st.integers(0, 9), min_size=1, max_size=3)
+
+
+def brute_bfs(edges, seeds, max_hops):
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lvl = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {n for f in frontier for n in adj[f]} - lvl.keys()
+        for n in nxt:
+            lvl[n] = h
+        frontier = nxt
+    return lvl
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_st, seeds=seeds_st)
+def test_bfs_levels_match_brute_force(spark, edges, seeds):
+    ed = spark.createDataFrame(edges, EDGE) if edges else \
+        spark.createDataFrame([], EDGE)
+    sd = spark.createDataFrame([(s,) for s in sorted(seeds)], NODE)
+    got = {r["node"]: r["lvl"] for r in bfs_levels(ed, sd, 3).collect()}
+    assert got == brute_bfs(edges, seeds, 3)
+
+
+# --- bloom-pruned join ----------------------------------------------------------
+
+BIG = T.StructType([T.StructField("k", T.LongType()),
+                    T.StructField("payload", T.LongType())])
+SEL = T.StructType([T.StructField("sk", T.LongType())])
+
+big_st = st.lists(st.tuples(st.integers(0, 30), st.integers(0, 100)),
+                  min_size=0, max_size=24)
+sel_st = st.sets(st.integers(0, 30), min_size=0, max_size=8)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(big=big_st, sel=sel_st)
+def test_bloom_pruned_join_is_exact(spark, big, sel):
+    """False positives must be invisible: the pruned join equals the plain
+    inner join for every input, including empty sides."""
+    b = spark.createDataFrame(big, BIG) if big else \
+        spark.createDataFrame([], BIG)
+    s = spark.createDataFrame([(k,) for k in sorted(sel)], SEL) if sel else \
+        spark.createDataFrame([], SEL)
+    got = sorted((r["k"], r["payload"])
+                 for r in bloom_pruned_join(b, s, "k", "sk").collect())
+    want = sorted((k, p) for k, p in big if k in sel)
+    assert got == want
+
+
+# --- KS statistic ---------------------------------------------------------------
+
+TAGGED = T.StructType([T.StructField("value", T.DoubleType()),
+                       T.StructField("is_a", T.IntegerType())])
+
+ks_rows = st.lists(
+    st.tuples(st.sampled_from([0.0, 0.25, 0.5, 1.0, 2.0, 3.5]),
+              st.integers(0, 1)),
+    min_size=2, max_size=24).filter(
+        lambda rows: any(p for _, p in rows) and any(1 - p for _, p in rows))
+
+
+def brute_ks(rows):
+    a = sorted(v for v, p in rows if p == 1)
+    b = sorted(v for v, p in rows if p == 0)
+    grid = sorted({v for v, _ in rows})
+    n1, n2 = len(a), len(b)
+    d_num = max(abs(sum(x <= g for x in a) * n2 - sum(x <= g for x in b) * n1)
+                for g in grid)
+    return n1, n2, d_num, d_num / (n1 * n2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ks_rows)
+def test_ks_stat_matches_cdf_walk(spark, rows):
+    df = spark.createDataFrame(rows, TAGGED)
+    r = ks_stat(df).collect()[0]
+    n1, n2, d_num, d = brute_ks(rows)
+    assert (r["n1"], r["n2"], r["d_num"]) == (n1, n2, d_num)
+    assert r["d_stat"] == d  # same exact ints, one identical division
+
+
+# --- day bitmap -----------------------------------------------------------------
+
+days_st = st.lists(st.integers(1, 31), min_size=1, max_size=20)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(days=days_st)
+def test_day_bitmap_popcount_equals_distinct(spark, days):
+    df = spark.createDataFrame([(d,) for d in days], "day int")
+    r = (df.select(F.expr("shiftleft(CAST(1 AS BIGINT), day - 1)")
+                    .alias("bit"))
+           .agg(F.bit_count(F.bit_or("bit")).alias("n")).collect()[0])
+    assert r["n"] == len(set(days))
