@@ -1629,14 +1629,19 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame,
     sym = edges.union(edges.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
     sym = sym.persist()
-    visited = seeds.select("node").withColumn("lvl", F.lit(0)).persist()
-    frontier = seeds.select("node")
+    # persist ONLY the per-level frontier frames (each is read twice: the
+    # visited anti-join and the next expansion); the visited union is a
+    # lineage union of already-persisted pieces, so persisting it too
+    # would re-cache every earlier level at every hop (O(hops^2) cache)
+    level0 = seeds.select("node").withColumn("lvl", F.lit(0)).persist()
+    visited = level0
+    frontier = level0.select("node")
     for lvl in range(1, max_hops + 1):
         nxt = (sym.join(frontier.withColumnRenamed("node", "a"), "a")
                   .select(F.col("b").alias("node")).distinct())
         new = (nxt.join(visited.select("node"), "node", "left_anti")
                   .withColumn("lvl", F.lit(lvl)).persist())
-        visited = visited.union(new).persist()
+        visited = visited.union(new)
         frontier = new.select("node")
     return visited
 

@@ -192,3 +192,77 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - F.unix_micros(F.col("c_click_ts").cast("timestamp")))
                       .alias("age_us"))
     )
+
+
+# --- q_asof_nearest: nearest-in-time match (either direction) ------------------
+
+@register(
+    "q_asof_nearest",
+    """WITH clicks AS (
+         SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         FROM events WHERE event_type = 'click'
+       ),
+       purch AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                MAX(event_id) AS purchase_id
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+       )
+       SELECT c.click_id, c.user_id, c.ts AS click_ts,
+              p.ts AS near_ts, p.purchase_id AS near_purchase_id,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM clicks c LEFT JOIN LATERAL (
+          SELECT ts, purchase_id FROM purch
+          WHERE purch.user_id = c.user_id
+          ORDER BY abs(epoch_us(purch.ts) - epoch_us(c.ts)), purch.ts
+          LIMIT 1) p ON TRUE""",
+    doc="nearest as-of join: each click + the user's CLOSEST purchase in "
+        "time, before or after (ties to the earlier row) — completes the "
+        "as-of family (backward / forward / nearest) by composing the two "
+        "directional carries and taking the smaller gap",
+    tags=("asof", "join", "streaming"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest(t) = argmin over {latest right <= t, earliest right >= t}
+    of |gap| — so the operator is the backward carry composed with the
+    forward carry (the negated-time trick of q_asof_forward), then a pure
+    Column pick of the smaller gap, ties to the earlier (backward) side,
+    matching the oracle's (absdiff, ts) lateral order. Two union-merge
+    sorts on the same (user, time) key; a fused single-sort variant would
+    carry both directions in one window pass — composition is chosen so
+    all three directions share ONE audited operator. NULL semantics fall
+    out: a user with only later purchases gets the forward match, only
+    earlier gets backward, neither gets NULLs."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"), F.col("ts").alias("ts")))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id")))
+    back = asof_join(clicks, purch, key="user_id", left_ts="ts",
+                     right_ts="ts", right_payload=["purchase_id"],
+                     prefix="prev_")
+    neg = (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("ts_neg")
+    purch_n = purch.select("user_id", "purchase_id",
+                           F.col("ts").alias("pts"),
+                           (-F.unix_micros(F.col("ts").cast("timestamp")))
+                           .alias("ts_neg"))
+    both = asof_join(back.withColumn("ts_neg", neg), purch_n,
+                     key="user_id", left_ts="ts_neg", right_ts="ts_neg",
+                     right_payload=["purchase_id", "pts"], prefix="next_")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_prev = us("click_ts") - us("prev_ts")
+    gap_next = us("next_pts") - us("click_ts")
+    use_prev = (F.col("prev_ts").isNotNull()
+                & (F.col("next_pts").isNull() | (gap_prev <= gap_next)))
+    near_ts = F.when(use_prev, F.col("prev_ts")).otherwise(F.col("next_pts"))
+    near_id = F.when(use_prev, F.col("prev_purchase_id")) \
+               .otherwise(F.col("next_purchase_id"))
+    return both.select(
+        "click_id", "user_id", "click_ts",
+        near_ts.cast("timestamp_ntz").alias("near_ts"),
+        near_id.alias("near_purchase_id"),
+        (us("near_ts") - us("click_ts")).alias("gap_us"),
+    )

@@ -1317,29 +1317,40 @@ def bloom_pruned_join(big: DataFrame, sel: DataFrame, big_key: str,
     pre-pruned by a distributed 2-hash bloom filter over ``sel``'s keys
     (built as a bit_or aggregate over 64-bit words, broadcast twice).
     False positives are removed by the final equi-join, so the result is
-    EXACTLY big ⋈ sel for any inputs — the property the fuzz suite pins."""
+    EXACTLY big ⋈ sel for any inputs — the property the fuzz suite pins.
+    Internal columns are __bloom_-prefixed and the probe side keeps only
+    the caller's columns, so colliding names (including big_key ==
+    sel_key) cannot be captured or clobbered."""
+    skey = sel.select(F.col(sel_key).alias("__bloom_sk")).persist()
     words = (
-        sel.select(F.explode(F.array(_bloom_pos(F.col(sel_key), 0),
-                                     _bloom_pos(F.col(sel_key), 1)))
-                    .alias("pos"))
-           .select(F.expr("shiftright(pos, 6)").alias("w"),
-                   F.expr("shiftleft(CAST(1 AS BIGINT), "
-                          "CAST(pos % 64 AS INT))").alias("bit"))
-           .groupBy("w").agg(F.bit_or("bit").alias("mask"))
+        skey.select(F.explode(F.array(_bloom_pos(F.col("__bloom_sk"), 0),
+                                      _bloom_pos(F.col("__bloom_sk"), 1)))
+                    .alias("__bloom_pos"))
+            .select(F.expr("shiftright(__bloom_pos, 6)").alias("__bloom_w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(__bloom_pos % 64 AS INT))")
+                     .alias("__bloom_bit"))
+            .groupBy("__bloom_w")
+            .agg(F.bit_or("__bloom_bit").alias("__bloom_mask"))
     )
-    li = (big.withColumn("p0", _bloom_pos(F.col(big_key), 0))
-             .withColumn("p1", _bloom_pos(F.col(big_key), 1)))
-    w0 = words.select(F.col("w").alias("w0"), F.col("mask").alias("m0"))
-    w1 = words.select(F.col("w").alias("w1"), F.col("mask").alias("m1"))
+    li = (big.withColumn("__bloom_p0", _bloom_pos(F.col(big_key), 0))
+             .withColumn("__bloom_p1", _bloom_pos(F.col(big_key), 1)))
+    w0 = words.select(F.col("__bloom_w").alias("__bloom_w0"),
+                      F.col("__bloom_mask").alias("__bloom_m0"))
+    w1 = words.select(F.col("__bloom_w").alias("__bloom_w1"),
+                      F.col("__bloom_mask").alias("__bloom_m1"))
     hit = "({m} & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
     cand = (
-        li.join(F.broadcast(w0), F.expr("shiftright(p0, 6)") == F.col("w0"))
-          .filter(F.expr(hit.format(m="m0", p="p0")))
-          .join(F.broadcast(w1), F.expr("shiftright(p1, 6)") == F.col("w1"))
-          .filter(F.expr(hit.format(m="m1", p="p1")))
+        li.join(F.broadcast(w0),
+                F.expr("shiftright(__bloom_p0, 6)") == F.col("__bloom_w0"))
+          .filter(F.expr(hit.format(m="__bloom_m0", p="__bloom_p0")))
+          .join(F.broadcast(w1),
+                F.expr("shiftright(__bloom_p1, 6)") == F.col("__bloom_w1"))
+          .filter(F.expr(hit.format(m="__bloom_m1", p="__bloom_p1")))
+          .select(*big.columns, F.col(big_key).alias("__bloom_bk"))
     )
-    return (cand.join(sel, F.col(big_key) == F.col(sel_key))
-                .drop("p0", "p1", "w0", "m0", "w1", "m1"))
+    return (cand.join(skey, F.col("__bloom_bk") == F.col("__bloom_sk"))
+                .drop("__bloom_bk", "__bloom_sk"))
 
 
 # --- q_skew_salted_join: hot-key join via salt + replicated broadcast -----------
@@ -1347,16 +1358,17 @@ def bloom_pruned_join(big: DataFrame, sel: DataFrame, big_key: str,
 SKEW_SALTS = 16
 
 
+_VALUE_CENTS = ("CAST(FLOOR(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR)"
+                " AS DECIMAL(19,8)) * 100) AS BIGINT)")
+
 @register(
     "q_skew_salted_join",
     f"""SELECT event_type,
               {md5_u32_duck('event_type')} % 100 AS type_weight,
               CAST(COUNT(1) AS BIGINT) AS n_events,
-              CAST(SUM({{c}}) * ({md5_u32_duck('event_type')} % 100)
+              CAST(SUM({_VALUE_CENTS}) * ({md5_u32_duck('event_type')} % 100)
                    AS BIGINT) AS weighted_cents
-       FROM events GROUP BY event_type ORDER BY event_type""".format(
-        c="CAST(FLOOR(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR)"
-          " AS DECIMAL(19,8)) * 100) AS BIGINT)"),
+       FROM events GROUP BY event_type ORDER BY event_type""",
     doc="skew-proof dimension join: events (5 hot event_type keys) join a "
         f"per-type weight dim via salting — big side salts into {SKEW_SALTS} "
         "deterministic buckets, the dim replicates across all salts and "
@@ -1391,4 +1403,61 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("type_weight").cast("bigint")).cast("bigint")
                    .alias("weighted_cents"))
               .orderBy("event_type")
+    )
+
+
+# --- q_null_safe_join: IS NOT DISTINCT FROM join semantics ----------------------
+
+NULLSAFE_HIDDEN_NATION = 0  # nation whose key is masked to NULL on both sides
+
+
+@register(
+    "q_null_safe_join",
+    f"""WITH c AS (
+          SELECT nullif(c_nationkey, {NULLSAFE_HIDDEN_NATION}) AS k,
+                 c_acctbal
+          FROM customer),
+        n AS (
+          SELECT nullif(n_nationkey, {NULLSAFE_HIDDEN_NATION}) AS k, n_name
+          FROM nation)
+       SELECT COALESCE(CAST(n.k AS VARCHAR), '<null>') AS join_key,
+              n.n_name,
+              CAST(COUNT(1) AS BIGINT) AS n_customers,
+              CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_positive
+       FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+       GROUP BY 1, 2 ORDER BY 1""",
+    doc="null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): "
+        "keys masked to NULL on both sides still pair up exactly once — "
+        "the three-valued-logic edge where a plain equi-join silently "
+        "drops every NULL-keyed row",
+    tags=("relational", "join", "nullsemantics"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst treats EqualNullSafe as a true equi-join key (hash/
+    broadcast join, NULLs hashing to one bucket — plan-pinned to a
+    broadcast join, no cartesian fallback), so the NULL group co-locates
+    like any other key. That is also the scale warning the docstring
+    carries: a null-safe key makes NULL a JOIN KEY, so a null-heavy fact
+    side concentrates on one reducer exactly like any hot key — salt it
+    (operators/skew.py) if NULLs dominate. The '<null>' sentinel labels
+    the NULL bucket in the output, COALESCE applied AFTER the join in
+    both engines."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.nullif(F.col("c_nationkey"),
+                          F.lit(NULLSAFE_HIDDEN_NATION)).alias("k"),
+                 "c_acctbal"))
+    n = (load_table(spark, sf_dir, "nation")
+         .select(F.nullif(F.col("n_nationkey"),
+                          F.lit(NULLSAFE_HIDDEN_NATION)).alias("nk"),
+                 "n_name"))
+    return (
+        c.join(F.broadcast(n), c.k.eqNullSafe(n.nk))
+         .groupBy(F.coalesce(F.col("nk").cast("string"), F.lit("<null>"))
+                   .alias("join_key"),
+                  "n_name")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+              F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+               .cast("bigint").alias("n_positive"))
+         .orderBy("join_key")
     )

@@ -1369,3 +1369,23 @@ def test_udtf_chunks_is_shuffle_free(spark, sf_dir):
     project, no Exchange anywhere."""
     p = plan(all_queries()["q_udtf_chunks"].fn(spark, sf_dir))
     assert "Exchange" not in p, p
+
+
+def test_asof_nearest_is_window_merge_not_join(spark, sf_dir):
+    """Nearest-match composes two union-merge carries: window passes over
+    (user, time), never a row-pairing join or cartesian."""
+    p = plan(all_queries()["q_asof_nearest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("Window") >= 2, p
+    assert read_schema_columns(p) == {"event_id", "user_id", "ts",
+                                      "event_type"}, p
+
+
+def test_null_safe_join_stays_hash_equi_join(spark, sf_dir):
+    """EqualNullSafe must plan as a broadcast HASH join (NULL is a join
+    key) — a nested-loop fallback would be quadratic."""
+    p = plan(all_queries()["q_null_safe_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -82,6 +82,17 @@ def test_bloom_pruned_join_is_exact(spark, big, sel):
     assert got == want
 
 
+def test_bloom_pruned_join_survives_colliding_names(spark):
+    """Internal columns are namespaced: a probe side that already carries
+    p0/w0/mask-style names, and big_key == sel_key, must both work."""
+    b = spark.createDataFrame([(1, 7), (2, 8), (3, 9)],
+                              "k long, p0 long")
+    s = spark.createDataFrame([(1,), (3,)], "k long")
+    got = sorted((r["k"], r["p0"])
+                 for r in bloom_pruned_join(b, s, "k", "k").collect())
+    assert got == [(1, 7), (3, 9)]
+
+
 # --- KS statistic ---------------------------------------------------------------
 
 TAGGED = T.StructType([T.StructField("value", T.DoubleType()),
