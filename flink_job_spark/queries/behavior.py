@@ -464,3 +464,63 @@ def q_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_suppkey").applyInPandas(
         replay, "l_suppkey bigint, n_moves bigint, final_balance double, "
                 "peak_balance double, n_clamped bigint")
+
+
+# --- q_cep_pattern: strict-contiguity event pattern (CEP / MATCH_RECOGNIZE) -----
+
+CEP_GAP_DAYS = 1  # each step must follow within this window
+
+
+@register(
+    "q_cep_pattern",
+    f"""WITH seq AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2,
+                 lead(CAST(ts AS TIMESTAMP), 1) OVER w AS ts1,
+                 lead(CAST(ts AS TIMESTAMP), 2) OVER w AS ts2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, ts AS click1_ts, ts1 AS click2_ts, ts2 AS purchase_ts
+       FROM seq
+       WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+         AND ts1 <= ts + INTERVAL '{CEP_GAP_DAYS} days'
+         AND ts2 <= ts1 + INTERVAL '{CEP_GAP_DAYS} days'""",
+    doc="complex-event-processing pattern match (Flink CEP / SQL "
+        "MATCH_RECOGNIZE with STRICT contiguity): click -> click -> "
+        f"purchase as three CONSECUTIVE events per user, each within "
+        f"{CEP_GAP_DAYS} day(s) of the previous — every match instance "
+        "emitted, overlapping matches allowed",
+    tags=("behavior", "cep", "window", "flink-parity"),
+)
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict contiguity (MATCH_RECOGNIZE's default NEXT semantics, Flink
+    CEP's .next()) makes pattern matching a pure window expression: two
+    lead()s over the per-user total order expose the following two events,
+    and the pattern + time predicates filter match instances — no joins,
+    no state machine, one shuffle + one sort. Relaxed contiguity
+    ('followed-by', skipping unrelated events in between) is the
+    q_funnel_strict3 family instead; the two keys together cover both CEP
+    contiguity modes. Every row can start a match, so overlapping
+    instances emit naturally, exactly like CEP's AFTER MATCH SKIP TO NEXT
+    ROW."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.col("ts"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("ts", 2).over(w).alias("ts2"))
+    gap = F.expr(f"INTERVAL {CEP_GAP_DAYS} DAYS")
+    return (
+        seq.filter((F.col("event_type") == "click")
+                   & (F.col("t1") == "click")
+                   & (F.col("t2") == "purchase")
+                   & (F.col("ts1") <= F.col("ts") + gap)
+                   & (F.col("ts2") <= F.col("ts1") + gap))
+           .select("user_id",
+                   F.col("ts").alias("click1_ts"),
+                   F.col("ts1").alias("click2_ts"),
+                   F.col("ts2").alias("purchase_ts"))
+    )

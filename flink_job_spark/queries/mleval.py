@@ -603,3 +603,88 @@ def ks_stat(tagged: DataFrame) -> DataFrame:
          / (F.max("n1").cast("double") * F.max("n2").cast("double")))
         .alias("d_stat"),
     )
+
+
+# --- q_rbo_rankings: rank-biased overlap of two top-K rankings ------------------
+
+RBO_K = 20
+RBO_SPLIT = "1996-01-01"  # era boundary: ranking A ships before, B after
+
+
+@register(
+    "q_rbo_rankings",
+    f"""WITH rev AS (
+          SELECT l_partkey AS k,
+                 CASE WHEN l_shipdate < TIMESTAMP '{RBO_SPLIT} 00:00:00'
+                      THEN 0 ELSE 1 END AS h,
+                 CAST(SUM(CAST(FLOOR(CAST(CAST(CAST(l_extendedprice
+                      AS DOUBLE) AS VARCHAR) AS DECIMAL(19,8)) * 100)
+                      AS BIGINT)) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        ra AS (SELECT k, row_number() OVER (ORDER BY c DESC, k) AS pa
+               FROM rev WHERE h = 0),
+        rb AS (SELECT k, row_number() OVER (ORDER BY c DESC, k) AS pb
+               FROM rev WHERE h = 1),
+        com AS (SELECT pa, pb FROM ra JOIN rb ON ra.k = rb.k
+                WHERE pa <= {RBO_K} AND pb <= {RBO_K}),
+        depths AS (SELECT unnest(range(1, {RBO_K + 1})) AS d),
+        xd AS (SELECT d,
+                      CAST(SUM(CASE WHEN pa <= d AND pb <= d
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x
+               FROM depths LEFT JOIN com ON TRUE GROUP BY d),
+        acc AS (SELECT d, x,
+                       SUM((CAST(x AS DOUBLE) / d)
+                           / CAST(1 << (d - 1) AS DOUBLE))
+                         OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+                FROM xd)
+       SELECT CAST(d AS BIGINT) AS k, x AS x_k, 0.5 * s AS rbo
+       FROM acc WHERE d = {RBO_K}""",
+    doc=f"rank-biased overlap (p=1/2, depth {RBO_K}) between the top-part-"
+        "by-revenue rankings of two shipping eras — the top-weighted "
+        "ranking-similarity metric; every weight is a power of two so the "
+        "only inexact op is the per-depth x/d division, folded in pinned "
+        "order in both engines",
+    tags=("mleval", "ranking", "stats"),
+)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO = (1-p) Σ_d p^(d-1) · X_d/d over agreement depths: X_d counts
+    items both rankings place in their top d. p=1/2 makes every geometric
+    weight an exact dyadic double (computed as division by 1<<(d-1), not
+    libm pow), so cross-engine equality needs only the same fold order —
+    the cumulative window ordered by d, closed at d=K. The rankings order
+    by EXACT revenue cents with a key tie-break; the depth×overlap join
+    is a ≤K×K literal-range cross — constant work above the one
+    data-sized aggregation, so the 100 TB cost is the revenue groupBy."""
+    from flink_job_spark.queries.analytics import cents_col
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.select(F.col("l_partkey").alias("k"),
+                     F.when(F.col("l_shipdate")
+                            < F.lit(RBO_SPLIT).cast("timestamp_ntz"), 0)
+                      .otherwise(1).alias("h"),
+                     cents_col(F.col("l_extendedprice")).alias("cents"))
+             .groupBy("k", "h")
+             .agg(F.sum("cents").cast("bigint").alias("c")))
+    wr = Window.orderBy(F.col("c").desc(), "k")
+    ra = (rev.filter(F.col("h") == 0)
+             .select("k", F.row_number().over(wr).alias("pa")))
+    rb = (rev.filter(F.col("h") == 1)
+             .select("k", F.row_number().over(wr).alias("pb")))
+    com = (ra.join(rb, "k")
+             .filter((F.col("pa") <= RBO_K) & (F.col("pb") <= RBO_K))
+             .select("pa", "pb"))
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (depths.join(com, F.lit(True), "left")
+                .groupBy("d")
+                .agg(F.sum(F.when((F.col("pa") <= F.col("d"))
+                                  & (F.col("pb") <= F.col("d")), 1)
+                            .otherwise(0)).cast("bigint").alias("x")))
+    ws = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    term = ((F.col("x").cast("double") / F.col("d"))
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(d - 1 AS INT)) AS DOUBLE)"))
+    acc = xd.select("d", "x", F.sum(term).over(ws).alias("s"))
+    return (acc.filter(F.col("d") == RBO_K)
+               .select(F.col("d").cast("bigint").alias("k"),
+                       F.col("x").alias("x_k"),
+                       (F.lit(0.5) * F.col("s")).alias("rbo")))

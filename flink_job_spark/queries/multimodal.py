@@ -416,3 +416,54 @@ def q_media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     return decode_audio_meta(media).select(
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms", "rms")
+
+
+# --- q_binaryfile_scan: whole-file binary ingestion (binaryFile source) ---------
+
+@register(
+    "q_binaryfile_scan",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5
+       FROM documents""",
+    doc="binaryFile source: ingest a directory of opaque per-document blob "
+        "files (the object-store layout image/audio corpora arrive in) as "
+        "(path, length, content) rows, parse the id from the filename, "
+        "fingerprint the bytes — proven lossless against the table the "
+        "blobs were materialized from",
+    tags=("multimodal", "formats", "source"),
+)
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('binaryFile') is the ingestion path for corpora
+    that live as one FILE per item (images, audio, PDFs) rather than rows
+    in a table: each file becomes (path, modificationTime, length,
+    content). The operator under test is that scan — id-from-path
+    parsing, byte length, and an md5 fingerprint, all JVM-side on the
+    binary content. The blob directory is materialized once per process
+    by the harness (driver loop — it stands in for the object store that
+    already holds the files in production; the scan itself is fully
+    distributed and file-parallel). pathGlobFilter prunes non-blob files
+    the way a real bucket listing would."""
+    import os
+
+    from flink_job_spark.queries.prep import _roundtrip_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _roundtrip_dir(sf_dir, "blobs")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for doc_id, text in d.select("doc_id", "text").toLocalIterator():
+            with open(os.path.join(path, f"{doc_id}.blob"), "wb") as f:
+                f.write(text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.blob").load(path))
+    doc_id = F.regexp_extract(
+        F.col("path"), r"(\d+)\.blob$", 1).cast("bigint")
+    return files.select(
+        doc_id.alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

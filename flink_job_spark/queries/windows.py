@@ -811,3 +811,59 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("day", "hour", "grain", "n_events", "n_users")
          .orderBy("grain", "day", "hour")
     )
+
+
+# --- q_count_windows: Flink-style count windows (every N events per key) --------
+
+COUNT_WINDOW_N = 5
+
+
+@register(
+    "q_count_windows",
+    f"""WITH seq AS (
+          SELECT user_id, ts, value,
+                 (row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1)
+                   // {COUNT_WINDOW_N} AS win_idx
+          FROM events)
+       SELECT user_id, CAST(win_idx AS BIGINT) AS win_idx,
+              CAST(COUNT(1) AS BIGINT) AS n_events,
+              MIN(ts) AS win_start,
+              MAX(ts) AS win_end,
+              CAST(SUM(CAST(FLOOR(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR)
+                   AS DECIMAL(19,8)) * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+       FROM seq GROUP BY 1, 2""",
+    doc=f"count windows (Flink countWindow parity): every {COUNT_WINDOW_N} "
+        "consecutive events per user form a window regardless of time — "
+        "row_number under the (ts, event_id) total order integer-divided "
+        "by N, then an ordinary per-window aggregate; the trailing partial "
+        "window is emitted like Flink's trigger-on-close",
+    tags=("windows", "streaming", "flink-parity"),
+)
+def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ecosystem's third window family next to time and
+    session windows: windows close by ELEMENT COUNT. Batch formulation is
+    rank-then-integer-divide under a total order (deterministic where
+    Flink's runtime assignment is arrival-order-dependent); the window
+    aggregate reuses the same user_id partition hash as the ranking
+    window, so the whole key is one shuffle + one sort. Sums go through
+    the exact-cents idiom; at 100 TB per-user sequences sort within
+    partitions, nothing global."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(
+        F.col("value").cast("double").cast("string").cast("decimal(19,8)")
+        * F.lit(100)).cast("bigint")
+    seq = e.select(
+        "user_id", "ts",
+        cents.alias("cents"),
+        F.floor((F.row_number().over(w) - 1) / COUNT_WINDOW_N)
+         .cast("bigint").alias("win_idx"))
+    return (
+        seq.groupBy("user_id", "win_idx")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.min("ts").alias("win_start"),
+                F.max("ts").alias("win_end"),
+                F.sum("cents").cast("bigint").alias("value_cents"))
+    )

@@ -278,3 +278,86 @@ def stream_cusum(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming count windows: Flink countWindow across micro-batches ----------------
+
+from flink_job_spark.queries.windows import COUNT_WINDOW_N  # noqa: E402
+
+COUNTWIN_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("win_idx", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("win_start", T.TimestampType()),
+    T.StructField("win_end", T.TimestampType()),
+    T.StructField("value_cents", T.LongType()),
+])
+
+# (next window index, fill count, cents sum, min/max event-time micros)
+COUNTWIN_STATE_SCHEMA = T.StructType([
+    T.StructField("win_idx", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("cents", T.LongType()),
+    T.StructField("min_us", T.LongType()),
+    T.StructField("max_us", T.LongType()),
+])
+
+
+def _count_window_update(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState):
+    """Fill the open window from state; every time it reaches
+    COUNT_WINDOW_N rows, emit it closed and start the next. Only CLOSED
+    windows are emitted (Flink's countWindow trigger); the partial tail
+    stays in state — the batch twin's trailing-partial rows are the one
+    intended difference, excluded in the equivalence test. cents arrive
+    pre-computed by the JVM cents idiom, so the sums are the same exact
+    integers as the batch plan's."""
+    win_idx, n, cents, min_us, max_us = (
+        state.get if state.exists else (0, 0, 0, None, None))
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        return
+    pdf = pd.concat(rows).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    (uid,) = key
+    out = []
+    for ts, c in zip(pdf["ts"], pdf["cents"]):
+        us = int(pd.Timestamp(ts).value) // 1000
+        n += 1
+        cents += int(c)
+        min_us = us if min_us is None else min(min_us, us)
+        max_us = us if max_us is None else max(max_us, us)
+        if n == COUNT_WINDOW_N:
+            out.append((uid, win_idx, n,
+                        pd.Timestamp(min_us * 1000),
+                        pd.Timestamp(max_us * 1000), cents))
+            win_idx, n, cents, min_us, max_us = win_idx + 1, 0, 0, None, None
+    state.update((win_idx, n, cents, min_us, max_us))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "win_idx", "n_events",
+                                         "win_start", "win_end",
+                                         "value_cents"])
+
+
+def stream_count_windows(events: DataFrame) -> DataFrame:
+    """Flink countWindow(N) as a custom stateful operator: windows close
+    by ELEMENT COUNT, which no built-in Structured Streaming window
+    expresses (time/session windows only) — the state is five scalars per
+    active user. The cents projection runs JVM-side BEFORE the Python
+    operator so the streamed sums are the identical exact integers as the
+    batch q_count_windows plan. Requires per-user time-ordered arrival,
+    like every sequential operator in this module."""
+    from flink_job_spark.queries.analytics import cents_col
+    with_cents = (events
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withColumn("cents", cents_col(F.col("value"))))
+    return (
+        with_cents
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_window_update,
+            outputStructType=COUNTWIN_OUTPUT_SCHEMA,
+            stateStructType=COUNTWIN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1389,3 +1389,37 @@ def test_null_safe_join_stays_hash_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_count_windows_single_exchange(spark, sf_dir):
+    """The rank window partitions by user_id and the (user, win_idx)
+    aggregate reuses that clustering — one exchange for the whole key."""
+    p = plan(all_queries()["q_count_windows"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert read_schema_columns(p) == {"user_id", "ts", "event_id",
+                                      "value"}, p
+
+
+def test_rbo_rankings_data_work_is_one_aggregate(spark, sf_dir):
+    """Everything above the revenue groupBy is constant-size (top-K and
+    literal depth ranges): pruned 3-column scan, no cartesian on data."""
+    p = plan(all_queries()["q_rbo_rankings"].fn(spark, sf_dir))
+    assert read_schema_columns(p) == {"l_partkey", "l_shipdate",
+                                      "l_extendedprice"}, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cep_pattern_is_one_window_pass(spark, sf_dir):
+    """Strict-contiguity CEP = two leads over one per-user sort: one
+    exchange, no joins, pruned scan."""
+    p = plan(all_queries()["q_cep_pattern"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "Join" not in p, p
+    assert read_schema_columns(p) == {"user_id", "event_id", "event_type",
+                                      "ts"}, p
+
+
+def test_binaryfile_scan_is_map_only(spark, sf_dir):
+    """Whole-file binary ingestion + fingerprinting never shuffles."""
+    p = plan(all_queries()["q_binaryfile_scan"].fn(spark, sf_dir))
+    assert "Exchange" not in p, p

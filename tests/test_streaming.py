@@ -738,3 +738,46 @@ def test_stream_ohlc_non_hour_window_endpoints(spark, sf_dir, tmp_path):
     assert j.count() == got.count()
     assert j.filter((F.col("open") != F.col("e_open"))
                     | (F.col("close") != F.col("e_close"))).count() == 0
+
+
+def test_stream_count_windows_equals_batch_closed_windows(spark, sf_dir, tmp_path):
+    """Count windows close across micro-batch boundaries: streaming in
+    three time-ordered chunks must emit exactly the batch key's FULL
+    windows (the partial tail stays in state by design)."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.windows import COUNT_WINDOW_N
+    from flink_job_spark.streaming.stateful import stream_count_windows
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    cuts = ["2024-01-11", "2024-01-21"]
+    (e.filter(F.col("ts") < cuts[0]).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter(F.col("ts") >= cuts[1]).coalesce(1)
+      .write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "out")
+    q = (stream_count_windows(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["user_id"], r["win_idx"]):
+           (r["n_events"], r["win_start"], r["win_end"], r["value_cents"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["user_id"], r["win_idx"]):
+            (r["n_events"],
+             r["win_start"].replace(tzinfo=None) if r["win_start"] else None,
+             r["win_end"].replace(tzinfo=None) if r["win_end"] else None,
+             r["value_cents"])
+            for r in all_queries()["q_count_windows"].fn(spark, sf_dir)
+                     .filter(F.col("n_events") == COUNT_WINDOW_N).collect()}
+    got = {k: (n, s.replace(tzinfo=None) if s else None,
+               e2.replace(tzinfo=None) if e2 else None, c)
+           for k, (n, s, e2, c) in got.items()}
+    assert got == want
