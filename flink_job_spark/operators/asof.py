@@ -81,3 +81,49 @@ def asof_join(
         F.col("__asof.ts").alias(f"{prefix}ts"),
         *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "near_",
+) -> DataFrame:
+    """Nearest as-of join: every ``left`` row + the ``right`` row whose
+    timestamp is CLOSEST in either direction (ties to the earlier right
+    row). Composition of the backward carry and the forward carry (the
+    negated-micros coordinate flip), then a pure Column pick of the
+    smaller absolute gap — all three as-of directions share the one
+    audited union-merge operator. ``right`` should be unique per
+    (key, right_ts), like asof_join."""
+    payload = right_payload if right_payload is not None else [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    back = asof_join(left, right, key, left_ts, right_ts, payload,
+                     prefix="__nb_")
+    right_neg = right.select(
+        F.col(key), *[F.col(c) for c in payload],
+        F.col(right_ts).alias("__nr_ts"),
+        (-us(right_ts)).alias("__nn_ts"))
+    both = asof_join(back.withColumn("__nn_ts", -us(left_ts)),
+                     right_neg, key, "__nn_ts", "__nn_ts",
+                     payload + ["__nr_ts"], prefix="__nf_")
+    gap_prev = us(left_ts) - us("__nb_ts")
+    gap_next = us("__nf___nr_ts") - us(left_ts)
+    use_prev = (F.col("__nb_ts").isNotNull()
+                & (F.col("__nf___nr_ts").isNull() | (gap_prev <= gap_next)))
+    near_ts = F.when(use_prev, F.col("__nb_ts")) \
+               .otherwise(F.col("__nf___nr_ts"))
+    return both.select(
+        *[F.col(c) for c in left.columns],
+        near_ts.alias(f"{prefix}ts"),
+        *[F.when(use_prev, F.col(f"__nb_{c}")).otherwise(F.col(f"__nf_{c}"))
+           .alias(f"{prefix}{c}") for c in payload],
+    )

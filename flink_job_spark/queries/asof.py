@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_job_spark.operators.asof import asof_join
+from flink_job_spark.operators.asof import asof_join, asof_nearest_join
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -241,28 +241,12 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("purchase_id")))
-    back = asof_join(clicks, purch, key="user_id", left_ts="ts",
-                     right_ts="ts", right_payload=["purchase_id"],
-                     prefix="prev_")
-    neg = (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("ts_neg")
-    purch_n = purch.select("user_id", "purchase_id",
-                           F.col("ts").alias("pts"),
-                           (-F.unix_micros(F.col("ts").cast("timestamp")))
-                           .alias("ts_neg"))
-    both = asof_join(back.withColumn("ts_neg", neg), purch_n,
-                     key="user_id", left_ts="ts_neg", right_ts="ts_neg",
-                     right_payload=["purchase_id", "pts"], prefix="next_")
+    joined = asof_nearest_join(clicks, purch, key="user_id",
+                               right_payload=["purchase_id"], prefix="near_")
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    gap_prev = us("click_ts") - us("prev_ts")
-    gap_next = us("next_pts") - us("click_ts")
-    use_prev = (F.col("prev_ts").isNotNull()
-                & (F.col("next_pts").isNull() | (gap_prev <= gap_next)))
-    near_ts = F.when(use_prev, F.col("prev_ts")).otherwise(F.col("next_pts"))
-    near_id = F.when(use_prev, F.col("prev_purchase_id")) \
-               .otherwise(F.col("next_purchase_id"))
-    return both.select(
+    return joined.select(
         "click_id", "user_id", "click_ts",
-        near_ts.cast("timestamp_ntz").alias("near_ts"),
-        near_id.alias("near_purchase_id"),
+        F.col("near_ts").cast("timestamp_ntz").alias("near_ts"),
+        F.col("near_purchase_id"),
         (us("near_ts") - us("click_ts")).alias("gap_us"),
     )

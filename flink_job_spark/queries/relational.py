@@ -1461,3 +1461,43 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("bigint").alias("n_positive"))
          .orderBy("join_key")
     )
+
+
+# --- q_argmax_struct: sort-free deterministic arg-max ---------------------------
+
+@register(
+    "q_argmax_struct",
+    """WITH m AS (
+          SELECT c_nationkey,
+                 max(struct_pack(bal := c_acctbal, key := c_custkey)) AS s,
+                 CAST(COUNT(1) AS BIGINT) AS n_customers
+          FROM customer GROUP BY c_nationkey)
+       SELECT c_nationkey, s.bal AS top_acctbal,
+              CAST(s.key AS BIGINT) AS top_custkey, n_customers
+       FROM m ORDER BY c_nationkey""",
+    doc="deterministic arg-max WITHOUT a sort: the per-nation richest "
+        "customer via max(struct(balance, key)) — lexicographic struct "
+        "ordering makes the aggregate combine-enabled AND tie-broken, the "
+        "constant-memory alternative to a rank-window top-1",
+    tags=("relational", "agg", "argmax"),
+)
+def q_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max as ONE partial-aggregable MAX over a struct whose field
+    order IS the ordering (value first, tie-break key second): every
+    partition keeps 16 bytes per group and the merge is associative — no
+    per-group sort, no window, no shuffle of raw rows beyond the one
+    aggregation exchange (plan-pinned: no Window/Sort below the agg).
+    max_by() has nondeterministic ties; packing the tie-break INTO the
+    compared struct removes them. Both engines compare structs
+    lexicographically, so the oracle is the same one-aggregate shape.
+    This is the scale-preferred form of q_group_topk's k=1 case."""
+    c = load_table(spark, sf_dir, "customer")
+    m = (c.groupBy("c_nationkey")
+          .agg(F.max(F.struct(F.col("c_acctbal").alias("bal"),
+                              F.col("c_custkey").alias("key"))).alias("s"),
+               F.count(F.lit(1)).cast("bigint").alias("n_customers")))
+    return (m.select("c_nationkey",
+                     F.col("s.bal").alias("top_acctbal"),
+                     F.col("s.key").cast("bigint").alias("top_custkey"),
+                     "n_customers")
+             .orderBy("c_nationkey"))

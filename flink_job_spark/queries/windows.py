@@ -815,6 +815,26 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_count_windows: Flink-style count windows (every N events per key) --------
 
+def count_windows(e: DataFrame, n: int) -> DataFrame:
+    """Count-window assignment + aggregate over (user_id, ts, event_id,
+    cents): rank under the (ts, event_id) total order, integer-divide by
+    ``n``, aggregate per (user, window). Shared by the batch key and the
+    fuzz suite; the streaming twin is streaming/stateful.py::
+    stream_count_windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "cents",
+        F.floor((F.row_number().over(w) - 1) / n)
+         .cast("bigint").alias("win_idx"))
+    return (
+        seq.groupBy("user_id", "win_idx")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.min("ts").alias("win_start"),
+                F.max("ts").alias("win_end"),
+                F.sum("cents").cast("bigint").alias("value_cents"))
+    )
+
+
 COUNT_WINDOW_N = 5
 
 
@@ -851,19 +871,9 @@ def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-cents idiom; at 100 TB per-user sequences sort within
     partitions, nothing global."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cents = F.floor(
         F.col("value").cast("double").cast("string").cast("decimal(19,8)")
         * F.lit(100)).cast("bigint")
-    seq = e.select(
-        "user_id", "ts",
-        cents.alias("cents"),
-        F.floor((F.row_number().over(w) - 1) / COUNT_WINDOW_N)
-         .cast("bigint").alias("win_idx"))
-    return (
-        seq.groupBy("user_id", "win_idx")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                F.min("ts").alias("win_start"),
-                F.max("ts").alias("win_end"),
-                F.sum("cents").cast("bigint").alias("value_cents"))
-    )
+    return count_windows(
+        e.select("user_id", "ts", "event_id", cents.alias("cents")),
+        COUNT_WINDOW_N)

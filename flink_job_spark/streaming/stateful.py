@@ -361,3 +361,74 @@ def stream_count_windows(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming CEP: strict-contiguity pattern match across micro-batches ------------
+
+from flink_job_spark.queries.behavior import CEP_GAP_DAYS  # noqa: E402
+
+CEP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("click1_ts", T.TimestampType()),
+    T.StructField("click2_ts", T.TimestampType()),
+    T.StructField("purchase_ts", T.TimestampType()),
+])
+
+# the last two events per user: (type, event-time micros) x 2
+CEP_STATE_SCHEMA = T.StructType([
+    T.StructField("t1", T.StringType()),
+    T.StructField("us1", T.LongType()),
+    T.StructField("t2", T.StringType()),
+    T.StructField("us2", T.LongType()),
+])
+
+_CEP_GAP_US = CEP_GAP_DAYS * 86400 * 1_000_000
+
+
+def _cep_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Strict contiguity needs exactly the previous TWO events per user in
+    state (the Flink CEP NFA for a 3-step next()-pattern is a 2-slot
+    buffer): on each arrival, match (click, click, purchase) against
+    (buf1, buf2, current) with the per-step time bounds, emit the match,
+    then shift the buffer. Identical matches to the batch key's two-lead
+    window for per-user time-ordered arrival."""
+    t1, us1, t2, us2 = state.get if state.exists else (None, None, None, None)
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        return
+    pdf = pd.concat(rows).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    (uid,) = key
+    out = []
+    for et, ts in zip(pdf["event_type"], pdf["ts"]):
+        us = int(pd.Timestamp(ts).value) // 1000
+        if (t1 == "click" and t2 == "click" and et == "purchase"
+                and us2 is not None and us1 is not None
+                and us2 <= us1 + _CEP_GAP_US and us <= us2 + _CEP_GAP_US):
+            out.append((uid, pd.Timestamp(us1 * 1000),
+                        pd.Timestamp(us2 * 1000), pd.Timestamp(us * 1000)))
+        t1, us1, t2, us2 = t2, us2, et, us
+    state.update((t1, us1, t2, us2))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "click1_ts",
+                                         "click2_ts", "purchase_ts"])
+
+
+def stream_cep_pattern(events: DataFrame) -> DataFrame:
+    """Flink-CEP-style pattern matching as a custom stateful operator:
+    the batch twin (queries/behavior.py::q_cep_pattern) expresses strict
+    contiguity with two lead()s; streaming keeps a 2-event buffer per
+    user in GroupState so matches close across micro-batch boundaries —
+    the smallest NFA state a next()-chain needs. Requires per-user
+    time-ordered arrival like every sequential operator here."""
+    with_time = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_time
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cep_update,
+            outputStructType=CEP_OUTPUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

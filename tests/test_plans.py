@@ -1423,3 +1423,13 @@ def test_binaryfile_scan_is_map_only(spark, sf_dir):
     """Whole-file binary ingestion + fingerprinting never shuffles."""
     p = plan(all_queries()["q_binaryfile_scan"].fn(spark, sf_dir))
     assert "Exchange" not in p, p
+
+
+def test_argmax_struct_has_no_window_or_sort_below_agg(spark, sf_dir):
+    """arg-max must stay ONE combine-enabled aggregation: no rank window,
+    no per-group sort; the only exchanges are the agg + presentation sort."""
+    p = plan(all_queries()["q_argmax_struct"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert _n_exchanges(p) == 2, p
+    assert read_schema_columns(p) == {"c_nationkey", "c_acctbal",
+                                      "c_custkey"}, p

@@ -140,3 +140,100 @@ def test_day_bitmap_popcount_equals_distinct(spark, days):
                     .alias("bit"))
            .agg(F.bit_count(F.bit_or("bit")).alias("n")).collect()[0])
     assert r["n"] == len(set(days))
+
+
+# --- count windows --------------------------------------------------------------
+
+import datetime as _dt
+
+CW = T.StructType([T.StructField("user_id", T.LongType()),
+                   T.StructField("ts", T.TimestampNTZType()),
+                   T.StructField("event_id", T.LongType()),
+                   T.StructField("cents", T.LongType())])
+
+cw_rows = st.lists(
+    st.tuples(st.integers(0, 2),      # user
+              st.integers(0, 20),     # ts offset (ties allowed)
+              st.integers(0, 500)),   # cents
+    min_size=1, max_size=24)
+
+
+def brute_count_windows(rows, n):
+    out = {}
+    by_user = {}
+    for eid, (u, toff, c) in enumerate(rows):
+        by_user.setdefault(u, []).append((toff, eid, c))
+    for u, evs in by_user.items():
+        for i, (toff, eid, c) in enumerate(sorted(evs)):
+            w = i // n
+            k = (u, w)
+            ts = _dt.datetime(2024, 1, 1) + _dt.timedelta(minutes=toff)
+            if k not in out:
+                out[k] = [0, ts, ts, 0]
+            agg = out[k]
+            agg[0] += 1
+            agg[1] = min(agg[1], ts)
+            agg[2] = max(agg[2], ts)
+            agg[3] += c
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=cw_rows)
+def test_count_windows_match_brute_force(spark, rows):
+    from flink_job_spark.queries.windows import count_windows
+    data = [(u, _dt.datetime(2024, 1, 1) + _dt.timedelta(minutes=toff),
+             eid, c) for eid, (u, toff, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, CW)
+    got = {(r["user_id"], r["win_idx"]):
+           (r["n_events"], r["win_start"], r["win_end"], r["value_cents"])
+           for r in count_windows(df, 3).collect()}
+    assert got == brute_count_windows(rows, 3)
+
+
+# --- nearest as-of ---------------------------------------------------------------
+
+NL = T.StructType([T.StructField("k", T.LongType()),
+                   T.StructField("ts", T.TimestampNTZType()),
+                   T.StructField("lid", T.LongType())])
+NR = T.StructType([T.StructField("k", T.LongType()),
+                   T.StructField("ts", T.TimestampNTZType()),
+                   T.StructField("val", T.LongType())])
+
+near_left = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                     min_size=1, max_size=12)
+near_right = st.sets(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                     min_size=0, max_size=12)
+
+
+def _t(m):
+    return _dt.datetime(2024, 1, 1) + _dt.timedelta(minutes=m)
+
+
+def brute_nearest(left, right):
+    out = {}
+    for lid, (k, lt) in enumerate(left):
+        cands = [(abs(lt - rt), rt) for (rk, rt) in right if rk == k]
+        if not cands:
+            out[lid] = (None, None)
+        else:
+            _, rt = min(cands)          # ties -> smaller rt (earlier)
+            out[lid] = (_t(rt), rt * 10)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=near_left, right=near_right)
+def test_asof_nearest_matches_brute_argmin(spark, left, right):
+    from flink_job_spark.operators.asof import asof_nearest_join
+    ldf = spark.createDataFrame(
+        [(k, _t(m), lid) for lid, (k, m) in enumerate(left)], NL)
+    rdf = spark.createDataFrame(
+        [(k, _t(m), m * 10) for (k, m) in sorted(right)], NR) if right else \
+        spark.createDataFrame([], NR)
+    got = {r["lid"]: (r["near_ts"], r["near_val"])
+           for r in asof_nearest_join(ldf, rdf, key="k",
+                                      right_payload=["val"]).collect()}
+    assert got == brute_nearest(left, right)

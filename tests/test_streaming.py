@@ -781,3 +781,39 @@ def test_stream_count_windows_equals_batch_closed_windows(spark, sf_dir, tmp_pat
                e2.replace(tzinfo=None) if e2 else None, c)
            for k, (n, s, e2, c) in got.items()}
     assert got == want
+
+
+def test_stream_cep_pattern_equals_batch_matches(spark, sf_dir, tmp_path):
+    """The 2-event CEP buffer must find exactly the batch key's match
+    instances even when a pattern straddles a micro-batch boundary."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.streaming.stateful import stream_cep_pattern
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    cuts = ["2024-01-11", "2024-01-21"]
+    (e.filter(F.col("ts") < cuts[0]).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])).coalesce(1)
+      .write.mode("append").parquet(src))
+    (e.filter(F.col("ts") >= cuts[1]).coalesce(1)
+      .write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "out")
+    q = (stream_cep_pattern(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    naive = lambda t: t.replace(tzinfo=None)  # noqa: E731
+    got = sorted((r["user_id"], naive(r["click1_ts"]), naive(r["click2_ts"]),
+                  naive(r["purchase_ts"]))
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["user_id"], naive(r["click1_ts"]), naive(r["click2_ts"]),
+                   naive(r["purchase_ts"]))
+                  for r in all_queries()["q_cep_pattern"]
+                          .fn(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
