@@ -877,3 +877,35 @@ def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_windows(
         e.select("user_id", "ts", "event_id", cents.alias("cents")),
         COUNT_WINDOW_N)
+
+
+# --- q_running_median: expanding-frame order statistic --------------------------
+
+@register(
+    "q_running_median",
+    """SELECT user_id, event_id, ts, value,
+              median(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_median
+       FROM events""",
+    doc="running median per user: the expanding-frame ORDER STATISTIC "
+        "window (median of everything seen so far at each event) — the "
+        "robust online location estimate that running mean cannot give; "
+        "interpolated on even counts, identically in both engines",
+    tags=("windows", "quantile", "timeseries"),
+)
+def q_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics over an EXPANDING frame: each row's aggregate sees
+    the full per-user prefix under the (ts, event_id) total order. Both
+    engines interpolate lower+(upper-lower)*0.5 on even prefixes from the
+    same sorted doubles, so the emitted medians are bit-identical. Cost is
+    the per-user prefix buffer — bounded by the largest single user's
+    history, NOT the table (one shuffle + one sort per user partition);
+    the constant-memory alternative at extreme per-key cardinality is a
+    streaming quantile sketch (q_approx_quantiles family)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "user_id", "event_id", "ts", "value",
+        F.percentile("value", F.lit(0.5)).over(w).alias("run_median"))

@@ -1433,3 +1433,13 @@ def test_argmax_struct_has_no_window_or_sort_below_agg(spark, sf_dir):
     assert _n_exchanges(p) == 2, p
     assert read_schema_columns(p) == {"c_nationkey", "c_acctbal",
                                       "c_custkey"}, p
+
+
+def test_running_median_one_sort_pruned(spark, sf_dir):
+    """Expanding-frame median: one exchange + one sort per user partition,
+    4-column scan, no joins."""
+    p = plan(all_queries()["q_running_median"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    assert "Join" not in p, p
+    assert read_schema_columns(p) == {"user_id", "event_id", "ts",
+                                      "value"}, p
