@@ -104,7 +104,14 @@ def asof_nearest_join(
     ]
 
     def us(c):
-        return F.unix_micros(F.col(c).cast("timestamp"))
+        # tz-free epoch micros: timestampdiff over TIMESTAMP_NTZ never
+        # routes through the session timezone, so ordering and gaps stay
+        # monotonic even under a DST session tz (an LTZ->NTZ cast of an
+        # LTZ input still renders via the session tz — this operator
+        # follows the repo's NTZ-everywhere convention, SURVEY §1.2)
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" CAST({c} AS TIMESTAMP_NTZ))")
 
     back = asof_join(left, right, key, left_ts, right_ts, payload,
                      prefix="__nb_")

@@ -870,12 +870,11 @@ def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, so the whole key is one shuffle + one sort. Sums go through
     the exact-cents idiom; at 100 TB per-user sequences sort within
     partitions, nothing global."""
+    from flink_job_spark.queries.analytics import cents_col
     e = load_table(spark, sf_dir, "events")
-    cents = F.floor(
-        F.col("value").cast("double").cast("string").cast("decimal(19,8)")
-        * F.lit(100)).cast("bigint")
     return count_windows(
-        e.select("user_id", "ts", "event_id", cents.alias("cents")),
+        e.select("user_id", "ts", "event_id",
+                 cents_col(F.col("value")).alias("cents")),
         COUNT_WINDOW_N)
 
 

@@ -237,3 +237,23 @@ def test_asof_nearest_matches_brute_argmin(spark, left, right):
            for r in asof_nearest_join(ldf, rdf, key="k",
                                       right_payload=["val"]).collect()}
     assert got == brute_nearest(left, right)
+
+
+def test_asof_nearest_is_dst_safe(spark):
+    """Regression: the micros used for ordering/gaps must be tz-free.
+    Under a fall-back-DST session timezone an NTZ->LTZ routing makes the
+    01:00-02:00 hour ambiguous and picks the farther match."""
+    from flink_job_spark.operators.asof import asof_nearest_join
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        left = spark.createDataFrame(
+            [(1, _dt.datetime(2024, 11, 3, 1, 30), 0)], NL)
+        right = spark.createDataFrame(
+            [(1, _dt.datetime(2024, 11, 3, 1, 0), 10),
+             (1, _dt.datetime(2024, 11, 3, 1, 45), 20)], NR)
+        r = asof_nearest_join(left, right, key="k",
+                              right_payload=["val"]).collect()
+        assert r[0]["near_val"] == 20  # 15 min beats 30 min
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
