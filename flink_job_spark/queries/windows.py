@@ -908,3 +908,104 @@ def q_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "ts", "value",
         F.percentile("value", F.lit(0.5)).over(w).alias("run_median"))
+
+
+# --- q_gapfill_lerp: resample + linear interpolation ----------------------------
+
+@register(
+    "q_gapfill_lerp",
+    """WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(1) AS DOUBLE) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.hour
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.h0, b.h1, INTERVAL '1 hour')) AS hour) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.hour, h.avg_value AS observed_avg
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour
+    ),
+    ctx AS (
+      SELECT event_type, hour, observed_avg,
+             last_value(observed_avg IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN observed_avg IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER wb AS ph,
+             first_value(observed_avg IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN observed_avg IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER wf AS nh
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour, observed_avg,
+           CASE WHEN observed_avg IS NOT NULL THEN observed_avg
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+                        / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+           END AS filled_lerp
+    FROM ctx""",
+    doc="time-series resample + LINEAR interpolation: interior gaps fill "
+        "with the value on the straight line between the surrounding "
+        "observations (edges stay NULL — no extrapolation) — the lerp "
+        "companion to q_gapfill_locf's step fill",
+    tags=("timeseries", "window"),
+)
+def q_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same resample/grid skeleton as q_gapfill_locf, plus the forward
+    window: each gap row sees (prev value, prev hour) from the backward
+    carry and (next value, next hour) from the forward carry — both
+    directions read the SAME per-series sort, so the plan stays one
+    exchange + one sort. The interpolation fraction divides tz-free epoch
+    micros (timestampdiff over NTZ — never the session timezone), and the
+    lerp is written prev + (next-prev)*frac in BOTH engines: identical
+    IEEE op order, bit-identical fills. Observed rows short-circuit to
+    their own value (du=0 would give the same answer; the CASE makes the
+    semantics explicit)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("observed_avg"))
+    ).persist()
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence("h0", "h1",
+                                     F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    wb = (Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_hour = F.when(F.col("observed_avg").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "event_type", "hour", "observed_avg",
+        F.last("observed_avg", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("observed_avg", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"))
+    us = lambda c: F.expr(  # noqa: E731  (tz-free epoch micros)
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({c} AS TIMESTAMP_NTZ))")
+    frac = ((us("hour") - us("ph")).cast("double")
+            / (us("nh") - us("ph")).cast("double"))
+    lerp = (F.when(F.col("observed_avg").isNotNull(), F.col("observed_avg"))
+             .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+             .otherwise(F.col("pv")
+                        + (F.col("nv") - F.col("pv")) * frac))
+    return ctx.select("event_type", "hour", "observed_avg",
+                      lerp.alias("filled_lerp"))

@@ -1443,3 +1443,12 @@ def test_running_median_one_sort_pruned(spark, sf_dir):
     assert "Join" not in p, p
     assert read_schema_columns(p) == {"user_id", "event_id", "ts",
                                       "value"}, p
+
+
+def test_gapfill_lerp_one_sort_both_directions(spark, sf_dir):
+    """Backward and forward carries share one per-series sort: a second
+    sort or exchange for the forward window is the regression."""
+    p = plan(all_queries()["q_gapfill_lerp"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) Sort", p)) <= 2, p  # series sort + join side
+    assert read_schema_columns(p) == {"event_type", "ts", "value"}, p
