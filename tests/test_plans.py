@@ -1452,3 +1452,13 @@ def test_gapfill_lerp_one_sort_both_directions(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert len(re.findall(r"\(\d+\) Sort", p)) <= 2, p  # series sort + join side
     assert read_schema_columns(p) == {"event_type", "ts", "value"}, p
+
+
+def test_bitmap_overlap_intersects_words_not_members(spark, sf_dir):
+    """One member-level shuffle (bitmap build); the pair stage joins
+    word-indexed masks and broadcasts the size lookups — no member-level
+    self-join, no cartesian."""
+    p = plan(all_queries()["q_bitmap_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert read_schema_columns(p) == {"event_type", "user_id"}, p
