@@ -1501,3 +1501,88 @@ def q_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s.key").cast("bigint").alias("top_custkey"),
                      "n_customers")
              .orderBy("c_nationkey"))
+
+
+# --- q_array_hof: higher-order array functions (transform/filter/aggregate) -----
+
+HOF_SCALE = 1_000_000  # dims floor-scale to integers -> order-free exact sums
+
+
+@register(
+    "q_array_hof",
+    f"""SELECT vec_id,
+              CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+                AS n_pos,
+              CAST(list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {HOF_SCALE})
+                        AS BIGINT))) AS BIGINT) AS sum_scaled,
+              CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+                AS argmax_dim
+       FROM embeddings""",
+    doc="higher-order array functions over the embedding column: "
+        "filter (positive-dim count), transform+aggregate (exact "
+        "floor-scaled integer sum — order-free, unlike a float fold), and "
+        "array_max/array_position argmax — the lambda-expression surface, "
+        "map-only and codegen-resident",
+    tags=("arrays", "hof", "vectors"),
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambdas run INSIDE the JVM row pipeline (no UDF, no shuffle — the
+    plan pin asserts zero exchanges): filter/size counts positive dims,
+    transform floors each dim to a scaled BIGINT so the aggregate sum is
+    exact integers (a raw float fold would be engine-fold-order-sensitive
+    — the documented float-parity trap), and array_position(array_max)
+    takes the FIRST maximal dim in both engines. float->double casts are
+    exact by IEEE widening."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scaled = F.expr(
+        f"aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * {HOF_SCALE}) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    return e.select(
+        "vec_id",
+        F.size(F.expr("filter(embedding, x -> x > 0)")).cast("bigint")
+         .alias("n_pos"),
+        scaled.alias("sum_scaled"),
+        F.expr("array_position(embedding, array_max(embedding))")
+         .cast("bigint").alias("argmax_dim"),
+    )
+
+
+# --- q_rank_variants: rank vs dense_rank vs row_number under ties ---------------
+
+RANKV_NATION = 3
+
+
+@register(
+    "q_rank_variants",
+    f"""SELECT c_custkey, c_mktsegment, c_acctbal,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+       FROM customer WHERE c_nationkey = {RANKV_NATION}
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)""",
+    doc="the three ranking functions side by side under ties: rank (gaps "
+        "after tie groups), dense_rank (no gaps), row_number (total order "
+        "via the explicit c_custkey tie-break — the only one that NEEDS "
+        "one) — per market segment by balance",
+    tags=("windows", "rank"),
+)
+def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank are tie-stable (equal balances share a value), so
+    ordering by the raw balance alone is deterministic; row_number is NOT
+    — it gets the full-tuple (balance, custkey) order, the repo-wide
+    LIMIT/row_number discipline. All three share one partition sort: the
+    two window specs order by the same leading key, so Catalyst plans a
+    single exchange + sort (pinned)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_nationkey") == RANKV_NATION))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+    )

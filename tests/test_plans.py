@@ -1462,3 +1462,19 @@ def test_bitmap_overlap_intersects_words_not_members(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastExchange") >= 2, p
     assert read_schema_columns(p) == {"event_type", "user_id"}, p
+
+
+def test_array_hof_is_shuffle_free(spark, sf_dir):
+    """Lambda HOFs run in the row pipeline: no Exchange, 2-column scan."""
+    p = plan(all_queries()["q_array_hof"].fn(spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert read_schema_columns(p) == {"vec_id", "embedding"}, p
+
+
+def test_rank_variants_share_one_sort(spark, sf_dir):
+    """Both window specs lead with the same key: one exchange, and the
+    nation filter reaches the scan."""
+    p = plan(all_queries()["q_rank_variants"].fn(spark, sf_dir))
+    assert _n_exchanges(p) == 1, p
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "EqualTo(c_nationkey,3)" in pushed.group(1), p
