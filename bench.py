@@ -1,7 +1,11 @@
 """BENCH harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is a compact JSON object
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {slowest 25},
+"n_queries": N, "queries_full": "BENCH_FULL.json", "sf": ...} sized to fit
+the driver's stdout tail window; the full per-query map is printed on the
+line before it AND written to the BENCH_FULL.json sidecar.
 
 Each query is forced with the noop sink (full computation, no driver
 collect) — the honest per-query wall-clock of the whole plan.
@@ -95,11 +99,34 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    full = {
         "metric": "total_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": sf,
+    }
+    # The full per-query map (200+ keys) exceeds the driver's stdout tail
+    # window on a single line, which truncated the r02 headline number.
+    # Write the full map to a sidecar, print it first for humans, and make
+    # the LAST stdout line a compact JSON the driver can always parse:
+    # total + sf + n_queries + only the slowest keys (bounded size).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"BENCH WARN: could not write {sidecar}: {e}", file=sys.stderr)
+    print(json.dumps(full))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    print(json.dumps({
+        "metric": "total_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_full": "BENCH_FULL.json",
         "sf": sf,
     }))
     spark.stop()
