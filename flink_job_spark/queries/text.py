@@ -683,6 +683,127 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_bpe_train: multi-round BPE tokenizer training ---------------------------
+#
+# Full iterative byte-pair-encoding vocabulary learning (N merge rounds), the
+# loop whose single iteration q_bpe_merges isolates. Words are represented as
+# '#'-wrapped symbol strings ("abc" -> "#a##b##c#"); a merge of pair (L, R) is
+# replace(ws, '#L##R#', '#LR#') — leftmost non-overlapping in BOTH engines
+# (Java String.replace / DuckDB replace), which IS greedy left-to-right BPE
+# application. '#' cannot collide: the training vocabulary is restricted to
+# ^[a-z]+$ words (the standard lowercase-alpha alphabet restriction).
+
+BPE_TRAIN_ROUNDS = 10
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB twin: vK = vocabulary after K merges, pK = pair
+    counts over vK-1, bK = round-K winner. Loop count is a compile-time
+    constant, so the iterative algorithm is expressible as one SQL string."""
+    parts = [
+        """wf AS (
+      SELECT word, CAST(COUNT(1) AS BIGINT) AS freq
+      FROM (SELECT unnest(%s) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+    )""" % words_duck("text"),
+        r"""v0 AS (
+      SELECT regexp_replace(word, '(.)', '#\1#', 'g') AS ws, freq FROM wf
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""s{k} AS (
+      SELECT string_split(trim(ws, '#'), '##') AS s, freq FROM v{k - 1}
+    )""")
+        parts.append(f"""p{k} AS (
+      SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT) + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT s, freq, unnest(range(1, len(s))) AS i FROM s{k})
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""b{k} AS (
+      SELECT {k} AS round, lhs, rhs, lhs || rhs AS merged, cnt
+      FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )""")
+        parts.append(f"""v{k} AS (
+      SELECT replace(ws, '#' || b.lhs || '##' || b.rhs || '#',
+                     '#' || b.lhs || b.rhs || '#') AS ws, freq
+      FROM v{k - 1}, b{k} b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}"
+                               for k in range(1, rounds + 1))
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT CAST(round AS BIGINT) AS round, lhs, rhs, "
+              f"merged, cnt FROM ({union})")
+
+
+@register(
+    "q_bpe_train",
+    _bpe_train_oracle(BPE_TRAIN_ROUNDS),
+    doc=f"BPE tokenizer training, full loop: {BPE_TRAIN_ROUNDS} merge rounds "
+        "over the word-frequency vocabulary — each round counts adjacent "
+        "symbol pairs (weighted by word freq), merges the winner everywhere, "
+        "and records (round, lhs, rhs, merged, cnt); deterministic tie-break "
+        "(cnt DESC, lhs, rhs)",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer never re-reads the corpus per round: ONE corpus explode
+    reduces text to the (word, freq) vocabulary (shuffle volume drops from
+    tokens to distinct words, exactly the optimization HF `tokenizers` uses),
+    and every subsequent round is vocabulary-sized — split the symbol string,
+    explode adjacent pairs, one combine-enabled (lhs, rhs) shuffle, take the
+    global argmax (1-row collect, the same driver-iterated pattern as
+    kmeans_lite_centroids, similarity.py), then a map-only replace. Per-round
+    state on the driver is one (lhs, rhs, cnt) triple; the merge table it
+    accumulates is O(rounds). The per-round vocabulary is persisted and the
+    previous round's unpersisted, so lineage stays one round deep. At 100 TB
+    the corpus explode dominates and runs once; rounds cost |vocab| each."""
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(words("text")).alias("word"))
+         .filter(F.col("word").rlike("^[a-z]+$"))
+         .groupBy("word")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+         .select(F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
+    ).persist()
+    merges = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        sdf = (
+            v.select(F.expr("split(btrim(ws, '#'), '##')").alias("s"), "freq")
+             .filter(F.size("s") >= 2)  # sequence(1, 0) counts DOWN in Spark
+        )
+        pairs = sdf.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> struct(element_at(s, i) AS lhs, "
+                "element_at(s, i + 1) AS rhs))")).alias("pr"),
+        )
+        top = (
+            pairs.groupBy("pr.lhs", "pr.rhs")
+                 .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                 .orderBy(F.desc("cnt"), "lhs", "rhs")
+                 .limit(1)
+                 .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
+        merges.append((k, lhs, rhs, lhs + rhs, cnt))
+        nxt = v.select(
+            F.replace(F.col("ws"), F.lit(f"#{lhs}##{rhs}#"),
+                      F.lit(f"#{lhs}{rhs}#")).alias("ws"),
+            "freq",
+        ).persist()
+        nxt.count()  # materialize before dropping the parent round
+        v.unpersist()
+        v = nxt
+    v.unpersist()
+    return spark.createDataFrame(
+        merges, "round bigint, lhs string, rhs string, merged string, "
+                "cnt bigint")
+
+
 # --- q_udtf_chunks: Python UDTF (table function) API surface --------------------
 
 UDTF_CHUNK_WORDS = 50

@@ -1478,3 +1478,51 @@ def test_rank_variants_share_one_sort(spark, sf_dir):
     assert _n_exchanges(p) == 1, p
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert pushed and "EqualTo(c_nationkey,3)" in pushed.group(1), p
+
+
+def test_bpe_train_rounds_read_cache_not_corpus(spark, sf_dir):
+    """q_bpe_train's per-round pair count must read the persisted (word,
+    freq) VOCABULARY, never re-explode the corpus: the round plan has zero
+    parquet scans (InMemoryTableScan only) and exactly one pair-count
+    Exchange."""
+    from flink_job_spark.functions.text import words
+    from flink_job_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(words("text")).alias("word"))
+         .filter(F.col("word").rlike("^[a-z]+$"))
+         .groupBy("word")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+         .select(F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
+    ).persist()
+    try:
+        v.count()
+        sdf = (
+            v.select(F.expr("split(btrim(ws, '#'), '##')").alias("s"), "freq")
+             .filter(F.size("s") >= 2)
+        )
+        pairs = sdf.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> struct(element_at(s, i) AS lhs, "
+                "element_at(s, i + 1) AS rhs))")).alias("pr"),
+        )
+        best = (pairs.groupBy("pr.lhs", "pr.rhs")
+                     .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                     .orderBy(F.desc("cnt"), "lhs", "rhs").limit(1))
+        p = plan(best)
+        # NB: formatted explain prints the cached relation's ORIGINAL child
+        # subtree (its parquet scan) under InMemoryTableScan even though
+        # execution reads cached blocks — so pin the cache node, not the
+        # absence of the scan text.
+        assert "InMemoryTableScan" in p, f"round does not read the cache:\n{p}"
+        # the printed cached subtree contributes its build-time exchanges
+        # (corpus explode -> word groupBy); the live round itself is ONE
+        # pair-count Exchange + TakeOrderedAndProject on top of the cache.
+        live = p.split("InMemoryTableScan", 1)[0]
+        assert _n_exchanges(live) <= 1, f"pair count gained shuffles:\n{p}"
+        assert "TakeOrderedAndProject" in live, p
+    finally:
+        v.unpersist()

@@ -158,3 +158,56 @@ def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
     expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
     got = [(r["pair"], r["cnt"]) for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == expect
+
+
+def test_bpe_train_matches_pure_python(spark, sf_dir):
+    """q_bpe_train vs an independent pure-python BPE trainer (symbol-list
+    representation, no string-replace trick) over the same vocabulary —
+    different algorithm and data structure, identical merge list."""
+    import collections
+    import re as _re
+
+    import duckdb as _duck
+
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.text import BPE_TRAIN_ROUNDS
+
+    rows = all_queries()["q_bpe_train"].fn(spark, sf_dir).collect()
+
+    con = _duck.connect()
+    texts = [r[0] for r in con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()]
+    wf = collections.Counter()
+    for t in texts:
+        normed = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        for w in normed.split(" "):
+            if _re.fullmatch(r"[a-z]+", w):
+                wf[w] += 1
+    vocab = {tuple(w): f for w, f in wf.items()}
+    expect = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((k, lhs, rhs, lhs + rhs, cnt))
+        nxt = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        vocab = nxt
+    got = [(r["round"], r["lhs"], r["rhs"], r["merged"], r["cnt"])
+           for r in sorted(rows, key=lambda r: r["round"])]
+    assert got == expect
