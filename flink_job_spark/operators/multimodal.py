@@ -8,13 +8,17 @@ schemas and batch shapes are real and tested.
 
 Container note: no imaging/codec library ships in this environment, so
 decoding is layered: **PNG is decoded for real** (pure-stdlib zlib codec,
-functions/png.py — header-only for metadata, full unfilter for pixels) and
-**WAV/PCM is decoded for real** (stdlib ``wave``, :func:`decode_audio_meta`);
-a deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
-dims) exercises the plumbing with zero codec cost; JPEG and compressed
-audio/video remain STUBS that raise ``NotImplementedError`` / degrade to
-``decode_error``. Swapping a stub for Pillow/ffmpeg changes ONE function
-body, no plan shape.
+functions/png.py — header-only for metadata, full unfilter for pixels),
+**BMP is decoded for real** (raw-DIB codec, functions/bmp.py — BGR
+deinterleave, row padding, bottom-up/top-down) and **WAV/PCM is decoded and
+feature-extracted for real** (stdlib ``wave`` + numpy FFT,
+:func:`decode_audio_meta` / :func:`audio_features`); a deterministic FAKE
+format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian dims) exercises the
+plumbing with zero codec cost. Remaining STUBS — documented rationale: the
+JPEG family (DCT+huffman), compressed audio (mp3/ogg) and video ALL require
+a codec library (Pillow/ffmpeg) that is not in this container; they raise
+``NotImplementedError`` / degrade to ``decode_error`` rows. Swapping a stub
+for Pillow/ffmpeg changes ONE function body, no plan shape.
 """
 
 from __future__ import annotations
@@ -70,12 +74,21 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             return int(w), int(h), None
         except (PngFormatError, struct.error) as e:
             return None, None, f"bad png: {e}"
+    if payload[:2] == b"BM":
+        # real decode: header-only DIB read (never touches pixel rows)
+        from flink_job_spark.functions.bmp import BmpFormatError, bmp_meta
+
+        try:
+            w, h, _ = bmp_meta(bytes(payload))
+            return int(w), int(h), None
+        except (BmpFormatError, struct.error) as e:
+            return None, None, f"bad bmp: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
     # remaining real formats (JPEG/...) need an image lib not present here
     raise NotImplementedError(
-        "JPEG/other image decoding requires an imaging library (Pillow/"
-        "opencv); PNG and the FAKEIMG1 test format are decodable here"
+        "JPEG-family image decoding requires a DCT codec library (Pillow/"
+        "opencv); PNG, BMP and the FAKEIMG1 test format are decodable here"
     )
 
 
@@ -116,6 +129,16 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                         # struct.error — ALL decode faults must stay data
                         w = h = ch = luma = None
                         err = f"bad png: {e}"
+                elif bytes(payload[:2]) == b"BM":
+                    from flink_job_spark.functions.bmp import (
+                        BmpFormatError, decode_bmp)
+
+                    try:
+                        w, h, ch, px = decode_bmp(bytes(payload))
+                        luma = round(sum(px) / len(px), 6) if px else None
+                    except (BmpFormatError, structmod.error) as e:
+                        w = h = ch = luma = None
+                        err = f"bad bmp: {e}"
                 else:
                     err = "not a decodable image"
                 out["width"].append(w); out["height"].append(h)
@@ -305,3 +328,98 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("zcr", T.DoubleType()),            # zero-crossing rate
+    T.StructField("peak", T.DoubleType()),           # max |sample|
+    T.StructField("mean_abs", T.DoubleType()),       # mean |sample|
+    T.StructField("dominant_bin", T.LongType()),     # argmax |rfft|
+    T.StructField("dominant_freq_hz", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV/PCM payloads: zero-crossing
+    rate, peak / mean absolute amplitude, and the dominant spectral bin via
+    an actual FFT (numpy rfft) — the features language/music/speech routing
+    pipelines gate on. Distributed over Arrow-batched mapInPandas; errors
+    are data (`decode_error`), never exceptions. 16-bit mono PCM only (the
+    normalized training-corpus layout); compressed codecs stay stubbed
+    (module docstring)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["sample_rate", "n_frames", "zcr", "peak", "mean_abs",
+                "dominant_bin", "dominant_freq_hz", "decode_error"]
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                sr = nf = zcr = peak = mabs = dbin = dfreq = err = None
+                if payload is None:
+                    err = "null payload"
+                elif bytes(payload[:4]) != b"RIFF":
+                    err = "not a decodable audio payload"
+                else:
+                    try:
+                        with wave.open(io.BytesIO(bytes(payload))) as wf:
+                            sr = wf.getframerate()
+                            nf = wf.getnframes()
+                            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                                err = "features need 16-bit mono PCM"
+                                nf = None
+                            else:
+                                frames = wf.readframes(nf)
+                                s = np.frombuffer(frames, dtype="<i2")
+                                nf = len(s)
+                                if nf < 2:
+                                    err = "bad wav: too few samples"
+                                    nf = nf or None
+                                else:
+                                    sgn = np.sign(s).astype(np.int64)
+                                    # a zero sample carries the previous sign
+                                    # (standard ZCR convention: count strict
+                                    # sign FLIPS only): gather each position's
+                                    # last nonzero sign via a running max of
+                                    # nonzero indices
+                                    nz = sgn != 0
+                                    idx = np.maximum.accumulate(
+                                        np.where(nz, np.arange(nf), -1))
+                                    carried = np.where(idx >= 0, sgn[idx], 0)
+                                    flips = int(np.count_nonzero(
+                                        carried[1:] * carried[:-1] < 0))
+                                    zcr = float(flips) / float(nf - 1)
+                                    a = np.abs(s.astype(np.int64))
+                                    peak = float(int(a.max()))
+                                    mabs = float(int(a.sum())) / float(nf)
+                                    mags = np.abs(np.fft.rfft(
+                                        s.astype(np.float64)))
+                                    dbin = int(np.argmax(mags))
+                                    dfreq = (float(dbin * sr) / float(nf)
+                                             if sr else None)
+                    except (wave.Error, EOFError) as e:
+                        sr = nf = zcr = peak = mabs = dbin = dfreq = None
+                        err = f"bad wav: {e}"
+                for k, v in zip(keys, [sr, nf, zcr, peak, mabs,
+                                       dbin, dfreq, err]):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "zcr": cols["zcr"],
+                "peak": cols["peak"],
+                "mean_abs": cols["mean_abs"],
+                "dominant_bin": pd.array(cols["dominant_bin"], dtype="Int64"),
+                "dominant_freq_hz": cols["dominant_freq_hz"],
+                "decode_error": cols["decode_error"],
+            })
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

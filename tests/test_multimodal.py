@@ -33,7 +33,7 @@ def test_decode_image_meta(spark):
     assert (by_id[1]["width"], by_id[1]["height"]) == (640, 480)
     assert (by_id[2]["width"], by_id[2]["height"]) == (100, 2000)
     assert by_id[3]["decode_error"] == "not an image"
-    assert "imaging library" in by_id[4]["decode_error"]  # stub surfaces as data
+    assert "codec library" in by_id[4]["decode_error"]  # stub surfaces as data
     assert by_id[5]["decode_error"] == "null payload"
 
 
@@ -291,3 +291,164 @@ def test_corrupt_payloads_stay_data_not_exceptions(spark):
     a = audio[3]
     assert a["rms"] is None
     assert a["decode_error"] is None or "bad wav" in a["decode_error"]
+
+
+# --- BMP codec --------------------------------------------------------------
+
+
+def test_bmp_roundtrip_both_row_orders():
+    """decode(encode(px)) == px for every width mod-4 padding class, both
+    bottom-up and top-down row order."""
+    from flink_job_spark.functions.bmp import bmp_meta, decode_bmp, encode_bmp
+
+    for w in (1, 2, 3, 4, 5, 7, 8):        # strides 3,6,9,12,15,21,24 — all pads
+        for h in (1, 2, 5):
+            for top_down in (False, True):
+                px = bytes(((w * 131 + h * 17 + i * 7) % 256)
+                           for i in range(w * h * 3))
+                data = encode_bmp(w, h, px, top_down=top_down)
+                assert bmp_meta(data) == (w, h, 24)
+                assert decode_bmp(data) == (w, h, 3, px), (w, h, top_down)
+
+
+def test_bmp_rejects_malformed():
+    import pytest as _pytest
+
+    from flink_job_spark.functions.bmp import BmpFormatError, decode_bmp, encode_bmp
+
+    good = encode_bmp(4, 2, bytes(range(24)))
+    with _pytest.raises(BmpFormatError):
+        decode_bmp(b"XX" + good[2:])             # bad signature
+    with _pytest.raises(BmpFormatError):
+        decode_bmp(good[:20])                    # truncated header
+    with _pytest.raises(BmpFormatError):
+        decode_bmp(good[:-4])                    # truncated pixel rows
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8                              # bpp=8 (palettized)
+    with _pytest.raises(BmpFormatError):
+        decode_bmp(bytes(bad_bpp))
+    with _pytest.raises(BmpFormatError):
+        encode_bmp(2, 2, b"\x00" * 5)            # pixel buffer mismatch
+
+
+def test_decode_pixel_stats_handles_bmp_and_corrupt_bmp(spark):
+    """BMP payloads flow through the same stats operator as PNG; corrupt
+    DIBs become decode_error rows, never exceptions."""
+    from flink_job_spark.functions.bmp import encode_bmp
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    px = bytes((i * 11) % 256 for i in range(3 * 2 * 3))
+    good = encode_bmp(3, 2, px)
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixel_stats(
+            spark.createDataFrame(
+                [(1, "image", "image/bmp", bytearray(good)),
+                 (2, "image", "image/bmp", bytearray(good[:30]))],
+                "media_id long, kind string, mime string, payload binary")
+        ).collect()
+    }
+    ok = rows[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (3, 2, 3)
+    assert ok["mean_luma"] == round(sum(px) / len(px), 6)
+    assert ok["decode_error"] is None
+    assert rows[2]["decode_error"].startswith("bad bmp")
+    assert rows[2]["mean_luma"] is None
+
+
+def test_decode_image_meta_reads_bmp_header_only(spark):
+    from flink_job_spark.functions.bmp import encode_bmp
+    from flink_job_spark.operators.multimodal import decode_image_meta
+
+    data = encode_bmp(6, 4, bytes(6 * 4 * 3))
+    r = decode_image_meta(
+        spark.createDataFrame(
+            [(9, "image", "image/bmp", bytearray(data))],
+            "media_id long, kind string, mime string, payload binary")
+    ).collect()[0]
+    assert (r["width"], r["height"], r["decode_error"]) == (6, 4, None)
+
+
+# --- audio features ---------------------------------------------------------
+
+
+def _wav_bytes(samples, sr=8000, channels=1, width=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(sr)
+        if width == 2:
+            wf.writeframes(b"".join(
+                int(s).to_bytes(2, "little", signed=True) for s in samples))
+        else:
+            wf.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_audio_features_sine_dominant_bin(spark):
+    """Independent spectral check: a 5-cycle sine in 64 samples must have
+    dominant_bin 5 — validates the rfft path against first principles, not
+    the square-wave closed form the oracle uses."""
+    import math
+
+    from flink_job_spark.operators.multimodal import audio_features
+
+    n, f, amp = 64, 5, 10000
+    samples = [round(amp * math.sin(2 * math.pi * f * j / n)) for j in range(n)]
+    r = audio_features(
+        spark.createDataFrame(
+            [(1, "audio", "audio/wav", bytearray(_wav_bytes(samples)))],
+            "media_id long, kind string, mime string, payload binary")
+    ).collect()[0]
+    assert r["dominant_bin"] == f
+    assert r["decode_error"] is None
+    assert r["n_frames"] == n
+    assert r["peak"] == float(amp)
+    assert abs(r["dominant_freq_hz"] - f * 8000 / n) < 1e-9
+
+
+def test_audio_features_zcr_zero_carry_convention(spark):
+    """Zero samples carry the previous sign: [+5, 0, -5, 0, +5] has exactly
+    2 strict sign flips -> zcr = 2/4; leading zeros have no sign and cannot
+    flip: [0, 0, +5, -5] -> 1/3."""
+    from flink_job_spark.operators.multimodal import audio_features
+
+    rows = {
+        r["media_id"]: r
+        for r in audio_features(
+            spark.createDataFrame(
+                [(1, "audio", "audio/wav",
+                  bytearray(_wav_bytes([5, 0, -5, 0, 5]))),
+                 (2, "audio", "audio/wav",
+                  bytearray(_wav_bytes([0, 0, 5, -5])))],
+                "media_id long, kind string, mime string, payload binary")
+        ).collect()
+    }
+    assert rows[1]["zcr"] == 2 / 4
+    assert rows[2]["zcr"] == 1 / 3
+
+
+def test_audio_features_errors_stay_data(spark):
+    from flink_job_spark.operators.multimodal import audio_features
+
+    stereo = _wav_bytes([1, 2, 3, 4], channels=2)
+    rows = {
+        r["media_id"]: r
+        for r in audio_features(
+            spark.createDataFrame(
+                [(1, "audio", "audio/wav", bytearray(stereo)),
+                 (2, "audio", "audio/mp3", bytearray(b"ID3\x03rubbish")),
+                 (3, "audio", "audio/wav", None),
+                 (4, "audio", "audio/wav", bytearray(b"RIFFxxxx"))],
+                "media_id long, kind string, mime string, payload binary")
+        ).collect()
+    }
+    assert rows[1]["decode_error"] == "features need 16-bit mono PCM"
+    assert rows[2]["decode_error"] == "not a decodable audio payload"
+    assert rows[3]["decode_error"] == "null payload"
+    assert rows[4]["decode_error"].startswith("bad wav")
+    assert all(rows[i]["zcr"] is None for i in (1, 2, 3, 4))
