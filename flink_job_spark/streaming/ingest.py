@@ -124,6 +124,25 @@ def stream_snapshot_ingest_audited(
     )
 
     reports: list[AuditReport] = []
+    q = (
+        out.writeStream
+        .foreachBatch(_audited_batch_sink(spark, target_dir, names, reports,
+                                          fail_on_consistency_error))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports
+
+
+def _audited_batch_sink(spark: SparkSession, target_dir: str, names: dict,
+                        reports: list, fail_on_consistency_error: bool):
+    """The shared write-and-audit ``foreachBatch`` body: idempotent
+    batch_id-partitioned dynamic overwrite, then audit what actually LANDED
+    (re-read from the sink) before the epoch's offsets may commit."""
+    from flink_job_spark.operators.audit import AuditReport, hash_mismatch_flag
+    from flink_job_spark.pipeline import ConsistencyError
 
     def write_and_audit(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -156,9 +175,60 @@ def stream_snapshot_ingest_audited(
         finally:
             batch_df.unpersist()
 
+    return write_and_audit
+
+
+def stream_paged_ingest_audited(
+    spark: SparkSession,
+    cutoff: int,
+    target_dir: str,
+    checkpoint_dir: str,
+    fetch_size: int = 1000,
+    src_system_code: str = "mis",
+    load_dttm: dt.datetime | None = None,
+    fail_on_consistency_error: bool = True,
+    row_hash=None,
+):
+    """The FULL reference-pipeline streaming twin, end to end: the paged
+    keyed-cursor SOURCE (sources/paged.py — the reference's fetch-size-paged
+    JDBC read whose streaming offset log carries the last committed key)
+    composed with the audited exactly-once SINK (`_audited_batch_sink` —
+    per-epoch COUNT + dual-hash mismatch gate before offsets commit).
+
+    Semantics under failure, proven in tests/test_streaming.py:
+    - a restart with a HIGHER cutoff and the same checkpoint reads only
+      (committed_key, new_cutoff] — nothing re-read, nothing skipped;
+    - an injected hash corruption raises ConsistencyError inside
+      foreachBatch BEFORE the epoch's offsets commit, so a corrected restart
+      reprocesses that epoch and the sink holds each key exactly once.
+
+    Returns the per-batch :class:`AuditReport` ledger."""
+    from flink_job_spark.sources.paged import register_paged_source
+
+    register_paged_source(spark)
+    src = (
+        spark.readStream.format("paged_cursor")
+        .option("cutoff", cutoff)
+        .option("fetch_size", fetch_size)
+        .load()
+    )
+    src_cols = list(src.columns)
+    enveloped = with_envelope(src, src_system_code,
+                              load_dttm=load_dttm or dt.datetime.now(),
+                              row_hash=row_hash)
+    names = tech_column_names(src_cols)
+    out = (
+        enveloped
+        .withColumn(names["row_hash_iceberg"],
+                    F.expr(row_hash_sql_expr(src.schema, src_cols)))
+        .withColumn("load_month",
+                    F.date_format(F.col(names["load_dttm"]), "yyyy-MM"))
+    )
+    reports: list = []
     q = (
         out.writeStream
-        .foreachBatch(write_and_audit)
+        .foreachBatch(_audited_batch_sink(spark, target_dir, names, reports,
+                                          fail_on_consistency_error))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
