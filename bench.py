@@ -37,7 +37,7 @@ def main() -> None:
         sf = None
 
     from flink_job_spark.queries import all_queries
-    from flink_job_spark.session import get_spark
+    from flink_job_spark.session import get_spark, unpersist_all
 
     spark = get_spark("flink_job_spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,8 +68,9 @@ def main() -> None:
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
         # queries persist() reused subplans; drop them so cached blocks from
-        # one query don't squeeze execution memory of the next
-        spark.catalog.clearCache()
+        # one query don't squeeze execution memory of the next — including
+        # localCheckpoint blocks clearCache can't see (session.unpersist_all)
+        unpersist_all(spark)
 
     # outlier re-measurement pass (see module docstring)
     baseline: dict[str, float] = {}
@@ -96,7 +97,7 @@ def main() -> None:
                                 round(time.perf_counter() - t0, 3))
         except Exception:
             pass
-        spark.catalog.clearCache()
+        unpersist_all(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {

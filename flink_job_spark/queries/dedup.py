@@ -770,16 +770,32 @@ def connected_components_star(docs: DataFrame, pairs: DataFrame,
     truncates lineage, keeping every round's plan constant-size. On a real
     cluster with flaky executors use rdd-reliable checkpoint() to HDFS
     instead; local mode has no executor loss."""
+    from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
     e = (pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
          .filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
+    round_ids = persistent_rdd_ids(spark) - before
     prev = _edge_checksum(e)
     for _ in range(max_iters):
+        before = persistent_rdd_ids(spark)
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_ids = persistent_rdd_ids(spark) - before
+        # the superseded round's checkpoint blocks are dead the moment the
+        # new round is materialized; ContextCleaner never reclaims them
+        # in-session, so drop them here or a deep graph leaks one block set
+        # per round for the life of the driver
+        unpersist_rdd_ids(spark, round_ids)
+        round_ids = new_ids
         cur = _edge_checksum(e)
         if cur == prev:
             break
         prev = cur
+    # NB: the FINAL round's checkpoint stays alive — it backs the returned
+    # DataFrame. The sweep protocol (bench.py / the driver) reclaims it via
+    # session.unpersist_all() after the result is consumed.
     # fixpoint edges are (node, component-min) stars; roots + singletons
     # label themselves
     labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))

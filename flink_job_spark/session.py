@@ -49,3 +49,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # runtime-settable AQE knobs the skew-sensitive joins rely on
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """IDs of every currently persisted RDD (catalog-cached DataFrames AND
+    raw/localCheckpoint persists that `clearCache` cannot see)."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int],
+                      blocking: bool = False) -> None:
+    """Unpersist specific RDD ids (no-op for ids already gone). Used by
+    iterative operators to drop a superseded round's localCheckpoint —
+    ContextCleaner does NOT reclaim checkpoint blocks while the session
+    lives, so without this a long driver session accumulates one block set
+    per iteration."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in ids:
+        opt = m.get(rid)
+        if opt.isDefined():
+            opt.get().unpersist(blocking)
+
+
+def unpersist_all(spark: SparkSession, blocking: bool = False) -> None:
+    """Sweep-protocol cache release: `clearCache()` plus explicit unpersist
+    of RDD-level leftovers (localCheckpoint blocks of an already-consumed
+    result). Call BETWEEN queries, after the previous result is fully
+    materialized — a DataFrame whose plan still depends on a dropped
+    checkpoint cannot be recomputed."""
+    spark.catalog.clearCache()
+    unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking)
