@@ -54,6 +54,25 @@ def salted_agg(df: DataFrame, key_cols: list[str], tiebreak_col: str,
     )
 
 
+def hot_key_split_join(big: DataFrame, other: DataFrame, key: str,
+                       hot_keys: list) -> DataFrame:
+    """Hot-key isolation join for TWO sides too big to broadcast whole: the
+    classic structural fix when AQE skew-join cannot apply (streaming joins,
+    or plans where the skewed exchange is reused by another operator).
+
+    Split on the known hot keys: the hot slice of ``other`` is tiny by
+    definition (a handful of keys), so the hot slice of ``big`` — the 50% of
+    rows AQE would funnel through one reducer — joins it with a BROADCAST
+    and never shuffles; only the well-distributed cold remainder takes the
+    ordinary shuffle join. Result = exact union of the two disjoint slices.
+    Hot keys come from the caller (known stop-keys, nulls-as-key, or a
+    pre-computed heavy-hitter sketch — q_heavy_hitters is the miner)."""
+    hot = F.col(key).isin(hot_keys)
+    cold = big.filter(~hot).join(other.filter(~hot), key)
+    hot_join = big.filter(hot).join(F.broadcast(other.filter(hot)), key)
+    return cold.unionByName(hot_join)
+
+
 def salted_broadcast_left(big: DataFrame, small: DataFrame, key: str,
                           tiebreak_col: str, n_salts: int = 16) -> DataFrame:
     """Join a skew-keyed big side to a broadcastable small side without

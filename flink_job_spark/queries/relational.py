@@ -1406,6 +1406,50 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_skew_split_join: hot-key isolation join (split + broadcast hot slice) ----
+
+SPLIT_HOT_TYPES = ["click", "view"]   # statically-known hot keys
+
+@register(
+    "q_skew_split_join",
+    f"""SELECT event_type,
+              event_type IN ('click', 'view') AS is_hot,
+              CAST(COUNT(1) AS BIGINT) AS n_events,
+              CAST(SUM({_VALUE_CENTS}) AS BIGINT) AS sum_cents
+       FROM events GROUP BY 1, 2 ORDER BY 1""",
+    doc="hot-key isolation join: the fact splits on a statically-known hot "
+        "key list — the hot slice joins its (tiny by definition) dim slice "
+        "via broadcast with NO shuffle, only the well-distributed cold "
+        "remainder takes the ordinary shuffle join; the structural skew fix "
+        "that also works where AQE skew-join cannot apply (streaming, reused "
+        "exchanges). A/B-measured 2.9-4.1x over naive at 60M rows with a "
+        "50%-hot key (BASELINE.md, Skew A/B evidence)",
+    tags=("relational", "join", "skew"),
+)
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered face of operators/skew.py:hot_key_split_join. The dim
+    carries one row per event_type (derived distinct), so the oracle can
+    state the join as a single-table aggregate while the Spark plan runs
+    the real split: union of [cold shuffle join] and [hot broadcast join],
+    disjoint by construction. Hot keys would come from q_heavy_hitters in
+    a production pipeline; here they are the statically-known stop-keys."""
+    from flink_job_spark.operators.skew import hot_key_split_join
+    from flink_job_spark.queries.analytics import cents_col
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    dim = e.select("event_type").distinct().withColumn(
+        "is_hot", F.col("event_type").isin(SPLIT_HOT_TYPES))
+    joined = hot_key_split_join(e, dim, "event_type", SPLIT_HOT_TYPES)
+    return (
+        joined.groupBy("event_type", "is_hot")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.sum(cents_col(F.col("value"))).cast("bigint")
+                   .alias("sum_cents"))
+              .orderBy("event_type")
+    )
+
+
 # --- q_null_safe_join: IS NOT DISTINCT FROM join semantics ----------------------
 
 NULLSAFE_HIDDEN_NATION = 0  # nation whose key is masked to NULL on both sides

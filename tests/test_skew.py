@@ -52,3 +52,37 @@ def test_salted_broadcast_plan_has_no_big_side_shuffle(spark, sf_dir):
     p = salted._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" in p, p
     assert "Exchange hashpartitioning" not in p, f"big side shuffled:\n{p}"
+
+
+def test_hot_key_split_join_matches_plain_join(spark, sf_dir):
+    """Split join == plain join, row for row, on a fact whose key list
+    includes hot keys, cold keys, and keys absent from the dim."""
+    from flink_job_spark.operators.skew import hot_key_split_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = e.select("event_type").distinct().withColumn(
+        "w", F.length("event_type"))
+    plain = e.join(dim, "event_type")
+    split = hot_key_split_join(e, dim, "event_type", ["click", "view"])
+    assert split.count() == plain.count()
+    assert sorted(split.columns) == sorted(plain.columns)
+    a = plain.agg(F.expr("bit_xor(xxhash64(event_type, event_id, w))")).first()[0]
+    b = split.agg(F.expr("bit_xor(xxhash64(event_type, event_id, w))")).first()[0]
+    assert a == b
+
+
+def test_hot_key_split_join_hot_slice_broadcasts(spark, sf_dir):
+    """Plan pin: the hot slice must join via BroadcastHashJoin (no shuffle
+    of the hot fact rows) while the cold slice keeps its shuffle join."""
+    from flink_job_spark.operators.skew import hot_key_split_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = e.select("event_type").distinct().withColumn(
+        "w", F.length("event_type"))
+    split = hot_key_split_join(e, dim, "event_type", ["click"])
+    jvm = split.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = split._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in p, f"hot slice not broadcast:\n{p}"
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
+        p.count("BroadcastHashJoin") >= 2, p
