@@ -696,10 +696,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 10
 
 
-def _bpe_train_oracle(rounds: int) -> str:
-    """Unrolled-CTE DuckDB twin: vK = vocabulary after K merges, pK = pair
-    counts over vK-1, bK = round-K winner. Loop count is a compile-time
-    constant, so the iterative algorithm is expressible as one SQL string."""
+def _bpe_train_ctes(rounds: int) -> str:
+    """Unrolled-CTE DuckDB training chain: vK = (word, ws, freq) vocabulary
+    after K merges, pK = pair counts over vK-1, bK = round-K winner. Loop
+    count is a compile-time constant, so the iterative algorithm is
+    expressible as one SQL string; the final v{rounds} doubles as the
+    APPLIED segmentation (train and encode share the chain)."""
     parts = [
         """wf AS (
       SELECT word, CAST(COUNT(1) AS BIGINT) AS freq
@@ -707,7 +709,8 @@ def _bpe_train_oracle(rounds: int) -> str:
       WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
     )""" % words_duck("text"),
         r"""v0 AS (
-      SELECT regexp_replace(word, '(.)', '#\1#', 'g') AS ws, freq FROM wf
+      SELECT word, regexp_replace(word, '(.)', '#\1#', 'g') AS ws, freq
+      FROM wf
     )""",
     ]
     for k in range(1, rounds + 1):
@@ -725,39 +728,26 @@ def _bpe_train_oracle(rounds: int) -> str:
       FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
     )""")
         parts.append(f"""v{k} AS (
-      SELECT replace(ws, '#' || b.lhs || '##' || b.rhs || '#',
-                     '#' || b.lhs || b.rhs || '#') AS ws, freq
+      SELECT word, replace(ws, '#' || b.lhs || '##' || b.rhs || '#',
+                           '#' || b.lhs || b.rhs || '#') AS ws, freq
       FROM v{k - 1}, b{k} b
     )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM b{k}"
                                for k in range(1, rounds + 1))
-    return ("WITH " + ",\n    ".join(parts)
+    return ("WITH " + _bpe_train_ctes(rounds)
             + f"\n    SELECT CAST(round AS BIGINT) AS round, lhs, rhs, "
               f"merged, cnt FROM ({union})")
 
 
-@register(
-    "q_bpe_train",
-    _bpe_train_oracle(BPE_TRAIN_ROUNDS),
-    doc=f"BPE tokenizer training, full loop: {BPE_TRAIN_ROUNDS} merge rounds "
-        "over the word-frequency vocabulary — each round counts adjacent "
-        "symbol pairs (weighted by word freq), merges the winner everywhere, "
-        "and records (round, lhs, rhs, merged, cnt); deterministic tie-break "
-        "(cnt DESC, lhs, rhs)",
-    tags=("text", "tokenizer", "iterative"),
-)
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trainer never re-reads the corpus per round: ONE corpus explode
-    reduces text to the (word, freq) vocabulary (shuffle volume drops from
-    tokens to distinct words, exactly the optimization HF `tokenizers` uses),
-    and every subsequent round is vocabulary-sized — split the symbol string,
-    explode adjacent pairs, one combine-enabled (lhs, rhs) shuffle, take the
-    global argmax (1-row collect, the same driver-iterated pattern as
-    kmeans_lite_centroids, similarity.py), then a map-only replace. Per-round
-    state on the driver is one (lhs, rhs, cnt) triple; the merge table it
-    accumulates is O(rounds). The per-round vocabulary is persisted and the
-    previous round's unpersisted, so lineage stays one round deep. At 100 TB
-    the corpus explode dominates and runs once; rounds cost |vocab| each."""
+def _bpe_train_merges(spark: SparkSession, sf_dir: str,
+                      rounds: int) -> list[tuple]:
+    """Driver-iterated BPE trainer; returns the merge list
+    [(round, lhs, rhs, merged, cnt), ...]. See q_bpe_train for the scale
+    story."""
     d = load_table(spark, sf_dir, "documents")
     v = (
         d.select(F.explode(words("text")).alias("word"))
@@ -767,7 +757,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
     ).persist()
     merges = []
-    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         sdf = (
             v.select(F.expr("split(btrim(ws, '#'), '##')").alias("s"), "freq")
              .filter(F.size("s") >= 2)  # sequence(1, 0) counts DOWN in Spark
@@ -799,9 +789,98 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.unpersist()
         v = nxt
     v.unpersist()
+    return merges
+
+
+@register(
+    "q_bpe_train",
+    _bpe_train_oracle(BPE_TRAIN_ROUNDS),
+    doc=f"BPE tokenizer training, full loop: {BPE_TRAIN_ROUNDS} merge rounds "
+        "over the word-frequency vocabulary — each round counts adjacent "
+        "symbol pairs (weighted by word freq), merges the winner everywhere, "
+        "and records (round, lhs, rhs, merged, cnt); deterministic tie-break "
+        "(cnt DESC, lhs, rhs)",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer never re-reads the corpus per round: ONE corpus explode
+    reduces text to the (word, freq) vocabulary (shuffle volume drops from
+    tokens to distinct words, exactly the optimization HF `tokenizers` uses),
+    and every subsequent round is vocabulary-sized — split the symbol string,
+    explode adjacent pairs, one combine-enabled (lhs, rhs) shuffle, take the
+    global argmax (1-row collect, the same driver-iterated pattern as
+    kmeans_lite_centroids, similarity.py), then a map-only replace. Per-round
+    state on the driver is one (lhs, rhs, cnt) triple; the merge table it
+    accumulates is O(rounds). The per-round vocabulary is persisted and the
+    previous round's unpersisted, so lineage stays one round deep. At 100 TB
+    the corpus explode dominates and runs once; rounds cost |vocab| each."""
+    merges = _bpe_train_merges(spark, sf_dir, BPE_TRAIN_ROUNDS)
     return spark.createDataFrame(
         merges, "round bigint, lhs string, rhs string, merged string, "
                 "cnt bigint")
+
+
+# --- q_bpe_encode: apply the trained merges — the tokenizer's serving path -----
+
+@register(
+    "q_bpe_encode",
+    f"""WITH {_bpe_train_ctes(BPE_TRAIN_ROUNDS)},
+    seg AS (
+      SELECT word,
+             CAST(len(string_split(trim(ws, '#'), '##')) AS BIGINT) AS n_tok
+      FROM v{BPE_TRAIN_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest({words_duck('text')}) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_words,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN seg s ON s.word = dw.word
+    GROUP BY 1""",
+    doc="BPE tokenizer APPLY: segment every corpus word with the "
+        f"{BPE_TRAIN_ROUNDS}-merge trained vocabulary and emit per-document "
+        "token counts (words, chars, BPE tokens) — the train→encode loop a "
+        "real tokenizer pipeline runs; char-level token count shrinks toward "
+        "the word count as merges absorb frequent pairs",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path economics: training is vocabulary-sized (driver-iterated,
+    see q_bpe_train), but APPLYING the learned merges is a single map-only
+    projection — the N replaces compose into one chained expression, no
+    actions, no shuffle per merge. The segmented vocabulary (distinct words
+    → token counts) then joins the corpus word spine once; at 100 TB the
+    vocab side is the small side of that join (broadcast- or
+    bucket-joinable) and the corpus explode runs exactly once. Mirrors how
+    production tokenizers cache word→pieces and stream the corpus."""
+    merges = _bpe_train_merges(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+         .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    ws = F.regexp_replace("word", "(.)", "#$1#")
+    for _, lhs, rhs, _m, _c in merges:
+        ws = F.replace(ws, F.lit(f"#{lhs}##{rhs}#"), F.lit(f"#{lhs}{rhs}#"))
+    # per-WORD segmentation (vocab-sized), joined back to the occurrence spine
+    word_tok = (
+        dw.select("word").distinct()
+          .select("word",
+                  F.size(F.split(F.btrim(ws, F.lit("#")), "##"))
+                   .cast("bigint").alias("n_tok"))
+    )
+    return (
+        dw.join(word_tok, "word")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+               F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+               F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"))
+    )
 
 
 # --- q_udtf_chunks: Python UDTF (table function) API surface --------------------

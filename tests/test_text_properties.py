@@ -211,3 +211,15 @@ def test_bpe_train_matches_pure_python(spark, sf_dir):
     got = [(r["round"], r["lhs"], r["rhs"], r["merged"], r["cnt"])
            for r in sorted(rows, key=lambda r: r["round"])]
     assert got == expect
+
+
+def test_bpe_encode_compression_invariants(spark, sf_dir):
+    """Per doc: word_count <= bpe_tokens <= char_count (merges can never
+    beat one-token-per-word or lose to one-token-per-char), and at least
+    one document must actually compress below char-level after 10 merges."""
+    from flink_job_spark.queries import all_queries
+
+    rows = all_queries()["q_bpe_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"] for r in rows)
+    assert any(r["n_bpe_tokens"] < r["n_chars"] for r in rows)
