@@ -1,0 +1,218 @@
+"""Minimal pure-stdlib GIF codec (struct only — no imaging library).
+
+Decode supports the full GIF87a/89a still-image path: logical screen
+descriptor, global/local color tables, extension-block skipping, INTERLACED
+and sequential row order, and a complete variable-width LZW decompressor
+(clear/end codes, table growth to 4096, the cScSc self-reference case).
+Animated GIFs decode as their FIRST frame. Output is row-major top-down RGB
+via the palette.
+
+Encode writes a valid single-frame GIF with a 256-entry palette using
+clear-prefixed literal LZW codes (CLEAR before every literal keeps the code
+width fixed — larger output, trivially conforming), optionally interlaced —
+enough to round-trip any 8-bit-indexed image through a conforming decoder.
+
+Third REAL raster codec next to png.py (compressed, filtered) and bmp.py
+(raw DIB): GIF exercises the variable-width bitstream + dictionary-codec
+path. JPEG (DCT family) still needs a codec library absent here
+(operators/multimodal.py documents the stub rationale).
+"""
+
+from __future__ import annotations
+
+import struct
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+class GifFormatError(ValueError):
+    pass
+
+
+# --- encode -------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_rows(height: int) -> list[int]:
+    return [y for start, step in _INTERLACE_PASSES
+            for y in range(start, height, step)]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: bytes | None = None, interlace: bool = False) -> bytes:
+    """indices = row-major top-down 8-bit palette indices; palette = 768
+    bytes RGB (defaults to the grayscale ramp r=g=b=i)."""
+    if len(indices) != width * height:
+        raise GifFormatError("index buffer does not match dims")
+    if palette is None:
+        palette = bytes(b for i in range(256) for b in (i, i, i))
+    if len(palette) != 768:
+        raise GifFormatError("palette must be 256 RGB entries")
+    head = (b"GIF89a"
+            + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-entry GCT
+            + palette)
+    imgdesc = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height,
+                                    0x40 if interlace else 0)
+    rows = (_interlace_rows(height) if interlace else range(height))
+    seq = b"".join(indices[y * width:(y + 1) * width] for y in rows)
+    mcs = 8                        # min code size for a 256-color table
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    for px in seq:
+        bw.write(clear, mcs + 1)   # fixed-width literal stream (see module doc)
+        bw.write(px, mcs + 1)
+    bw.write(end, mcs + 1)
+    payload = bw.flush()
+    blocks = b"".join(
+        bytes([min(255, len(payload) - i)]) + payload[i:i + 255]
+        for i in range(0, len(payload), 255)
+    ) or b"\x01\x00"
+    return (head + imgdesc + bytes([mcs]) + blocks + b"\x00" + b"\x3B")
+
+
+# --- decode -------------------------------------------------------------------
+
+
+def gif_meta(data: bytes) -> tuple[int, int]:
+    """Header-only (width, height) from the logical screen descriptor."""
+    if data[:6] not in GIF_SIGNATURES:
+        raise GifFormatError("not a GIF")
+    if len(data) < 13:
+        raise GifFormatError("truncated header")
+    w, h = struct.unpack("<HH", data[6:10])
+    return w, h
+
+
+def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytearray:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]          # the cScSc case
+            else:
+                raise GifFormatError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """First-frame full decode → (width, height, 3, top-down RGB)."""
+    if data[:6] not in GIF_SIGNATURES:
+        raise GifFormatError("not a GIF")
+    if len(data) < 13:
+        raise GifFormatError("truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos:pos + n]
+        if len(gct) < n:
+            raise GifFormatError("truncated global color table")
+        pos += n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:                       # trailer before any image
+            raise GifFormatError("no image data")
+        if b0 == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise GifFormatError(f"unexpected block 0x{b0:02x}")
+        if pos + 10 > len(data):
+            raise GifFormatError("truncated image descriptor")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos:pos + n]
+            if len(pal) < n:
+                raise GifFormatError("truncated local color table")
+            pos += n
+        if not pal:
+            raise GifFormatError("no color table")
+        if pos >= len(data):
+            raise GifFormatError("truncated before LZW data")
+        mcs = data[pos]
+        pos += 1
+        if not (2 <= mcs <= 8):
+            raise GifFormatError(f"bad LZW min code size {mcs}")
+        payload = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            n = data[pos]
+            block = data[pos + 1:pos + 1 + n]
+            if len(block) < n:
+                raise GifFormatError("truncated data sub-block")
+            payload += block
+            pos += 1 + n
+        if pos >= len(data):
+            raise GifFormatError("missing block terminator")
+        idx = _lzw_decode(mcs, bytes(payload), w * h)
+        if len(idx) < w * h:
+            raise GifFormatError(
+                f"LZW stream ended early ({len(idx)}/{w * h} pixels)")
+        if ipacked & 0x40:                   # interlaced: un-permute rows
+            seq = bytearray(w * h)
+            for dst_row, y in enumerate(_interlace_rows(h)):
+                seq[y * w:(y + 1) * w] = idx[dst_row * w:(dst_row + 1) * w]
+            idx = seq
+        ncolors = len(pal) // 3
+        out = bytearray(w * h * 3)
+        for i, c in enumerate(idx[:w * h]):
+            if c >= ncolors:
+                raise GifFormatError(f"palette index {c} out of range")
+            out[i * 3:i * 3 + 3] = pal[c * 3:c * 3 + 3]
+        return w, h, 3, bytes(out)
+    raise GifFormatError("no image data")

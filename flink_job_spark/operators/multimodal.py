@@ -10,7 +10,8 @@ Container note: no imaging/codec library ships in this environment, so
 decoding is layered: **PNG is decoded for real** (pure-stdlib zlib codec,
 functions/png.py — header-only for metadata, full unfilter for pixels),
 **BMP is decoded for real** (raw-DIB codec, functions/bmp.py — BGR
-deinterleave, row padding, bottom-up/top-down) and **WAV/PCM is decoded and
+deinterleave, row padding, bottom-up/top-down), **GIF is decoded for real**
+(full variable-width LZW + interlace, functions/gif.py) and **WAV/PCM is decoded and
 feature-extracted for real** (stdlib ``wave`` + numpy FFT,
 :func:`decode_audio_meta` / :func:`audio_features`); a deterministic FAKE
 format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian dims) exercises the
@@ -83,12 +84,22 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             return int(w), int(h), None
         except (BmpFormatError, struct.error) as e:
             return None, None, f"bad bmp: {e}"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # real decode: header-only screen-descriptor read
+        from flink_job_spark.functions.gif import GifFormatError, gif_meta
+
+        try:
+            w, h = gif_meta(bytes(payload))
+            return int(w), int(h), None
+        except (GifFormatError, struct.error) as e:
+            return None, None, f"bad gif: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
     # remaining real formats (JPEG/...) need an image lib not present here
     raise NotImplementedError(
         "JPEG-family image decoding requires a DCT codec library (Pillow/"
-        "opencv); PNG, BMP and the FAKEIMG1 test format are decodable here"
+        "opencv); PNG, BMP, GIF and the FAKEIMG1 test format are decodable "
+        "here"
     )
 
 
@@ -139,6 +150,16 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                     except (BmpFormatError, structmod.error) as e:
                         w = h = ch = luma = None
                         err = f"bad bmp: {e}"
+                elif bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+                    from flink_job_spark.functions.gif import (
+                        GifFormatError, decode_gif)
+
+                    try:
+                        w, h, ch, px = decode_gif(bytes(payload))
+                        luma = round(sum(px) / len(px), 6) if px else None
+                    except (GifFormatError, structmod.error) as e:
+                        w = h = ch = luma = None
+                        err = f"bad gif: {e}"
                 else:
                     err = "not a decodable image"
                 out["width"].append(w); out["height"].append(h)

@@ -497,6 +497,60 @@ def q_media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mean_r double, mean_g double, mean_b double")
 
 
+# --- q_media_gif_stats: third REAL raster codec (LZW + interlace), oracle-checked ---
+
+GIF_W_MOD, GIF_H_MOD = 16, 12
+
+@register(
+    "q_media_gif_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {GIF_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {GIF_H_MOD} AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               round((SELECT AVG(CAST((doc_id * 31 + t.i * 7) % 256 AS DOUBLE))
+                      FROM (SELECT unnest(range((8 + doc_id % {GIF_W_MOD})
+                                 * (8 + doc_id % {GIF_H_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="REAL dictionary-codec roundtrip: per-doc GIFs (256-entry grayscale "
+        "palette, alternating interlaced/sequential row order) are "
+        "LZW-encoded and fully decoded — variable-width bitstream, table "
+        "resets, interlace un-permutation — in mapInPandas; the grayscale "
+        "palette makes mean_luma equal the closed-form index mean, so plain "
+        "SQL verifies the whole decode without touching bytes",
+    tags=("multimodal", "gif"),
+)
+def q_media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec coverage triad complete: PNG (compressed+filtered), BMP (raw
+    DIB), GIF (variable-width LZW dictionary stream + interlace) — all
+    through the SAME decode_pixel_stats operator, so adding a format never
+    changes the plan. Odd doc_ids write interlaced frames: a row-order bug
+    would shift indices between rows and shift the mean only where rows
+    differ, but the roundtrip pixel-equality tests (tests/test_multimodal)
+    pin it exactly; the oracle here pins dims + mean through the palette."""
+    import pandas as pd
+
+    from flink_job_spark.functions.gif import encode_gif
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % GIF_W_MOD, 8 + i % GIF_H_MOD
+                idx = bytes(((i * 31 + j * 7) % 256) for j in range(w * h))
+                payloads.append(encode_gif(w, h, idx, interlace=bool(i % 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/gif", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
 # --- q_media_audio_features: ZCR / peak / FFT dominant bin, oracle-checked ----------
 
 # signal: square wave with half-period p = 1 + doc_id % 8 samples; n is a

@@ -452,3 +452,123 @@ def test_audio_features_errors_stay_data(spark):
     assert rows[3]["decode_error"] == "null payload"
     assert rows[4]["decode_error"].startswith("bad wav")
     assert all(rows[i]["zcr"] is None for i in (1, 2, 3, 4))
+
+
+# --- GIF codec --------------------------------------------------------------
+
+
+def test_gif_roundtrip_interlace_and_sequential():
+    import random
+
+    from flink_job_spark.functions.gif import decode_gif, encode_gif, gif_meta
+
+    rnd = random.Random(7)
+    for (w, h) in [(1, 1), (2, 3), (8, 8), (13, 7), (16, 12), (31, 9)]:
+        for inter in (False, True):
+            idx = bytes(rnd.randrange(256) for _ in range(w * h))
+            g = encode_gif(w, h, idx, interlace=inter)
+            assert gif_meta(g) == (w, h)
+            got = decode_gif(g)
+            expect = bytes(b for i in idx for b in (i, i, i))
+            assert got == (w, h, 3, expect), (w, h, inter)
+
+
+def test_gif_decoder_handles_real_lzw_compression():
+    """The repo encoder emits degenerate clear-prefixed LZW; this test
+    compresses with an INDEPENDENT real LZW compressor (growing dictionary,
+    growing code width, cScSc-producing patterns) and our decoder must
+    reproduce the pixels — the path real-world GIFs exercise."""
+    import struct
+
+    from flink_job_spark.functions.gif import decode_gif
+
+    def real_lzw(mcs, seq):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        width = mcs + 1
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code, w):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        cur = b""
+        for b in seq:
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur], width)
+            if next_code < 4096:
+                table[nxt] = next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            cur = bytes([b])
+        if cur:
+            emit(table[cur], width)
+        emit(end, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    w, h, mcs = 16, 10, 8
+    # repetitive pattern -> long dictionary chains incl. cScSc shapes
+    idx = bytes((j // 3) % 7 for j in range(w * h))
+    payload = real_lzw(mcs, idx)
+    palette = bytes(b for i in range(256) for b in (i, i, i))
+    blocks = b"".join(
+        bytes([min(255, len(payload) - i)]) + payload[i:i + 255]
+        for i in range(0, len(payload), 255))
+    gif = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + palette
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+           + bytes([mcs]) + blocks + b"\x00\x3B")
+    got = decode_gif(gif)
+    assert got == (w, h, 3, bytes(b for i in idx for b in (i, i, i)))
+
+
+def test_gif_rejects_malformed():
+    import pytest as _pytest
+
+    from flink_job_spark.functions.gif import GifFormatError, decode_gif, encode_gif
+
+    good = encode_gif(4, 3, bytes(12))
+    # image descriptor sits right after header(13) + 768-byte palette
+    bad_marker = bytearray(good)
+    assert bad_marker[13 + 768] == 0x2C
+    bad_marker[13 + 768] = 0x7C
+    for bad in (b"NOTGIF azx", good[:10], good[:40], good[:-6],
+                bytes(bad_marker)):
+        with _pytest.raises(GifFormatError):
+            decode_gif(bad)
+    with _pytest.raises(GifFormatError):
+        encode_gif(2, 2, b"\x00" * 3)
+
+
+def test_decode_pixel_stats_handles_gif_and_corrupt_gif(spark):
+    from flink_job_spark.functions.gif import encode_gif
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    idx = bytes((i * 13) % 256 for i in range(5 * 4))
+    good = encode_gif(5, 4, idx, interlace=True)
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixel_stats(
+            spark.createDataFrame(
+                [(1, "image", "image/gif", bytearray(good)),
+                 (2, "image", "image/gif", bytearray(good[:25]))],
+                "media_id long, kind string, mime string, payload binary")
+        ).collect()
+    }
+    ok = rows[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (5, 4, 3)
+    assert ok["mean_luma"] == round(sum(idx) / len(idx), 6)
+    assert ok["decode_error"] is None
+    assert rows[2]["decode_error"].startswith("bad gif")
