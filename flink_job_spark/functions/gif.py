@@ -1,4 +1,4 @@
-"""Minimal pure-stdlib GIF codec (struct only — no imaging library).
+"""Minimal GIF codec (struct + numpy only — no imaging library).
 
 Decode supports the full GIF87a/89a still-image path: logical screen
 descriptor, global/local color tables, extension-block skipping, INTERLACED
@@ -7,10 +7,11 @@ and sequential row order, and a complete variable-width LZW decompressor
 Animated GIFs decode as their FIRST frame. Output is row-major top-down RGB
 via the palette.
 
-Encode writes a valid single-frame GIF with a 256-entry palette using
-clear-prefixed literal LZW codes (CLEAR before every literal keeps the code
-width fixed — larger output, trivially conforming), optionally interlaced —
-enough to round-trip any 8-bit-indexed image through a conforming decoder.
+Encode writes a valid single-frame GIF with a 256-entry palette using a
+REAL variable-width LZW compressor (dictionary growth to 4096 entries,
+width bumps synchronized with the decoder's table-length rule, CLEAR+reset
+on table overflow), optionally interlaced — round-trips any 8-bit-indexed
+image through a conforming decoder at normal compression ratios.
 
 Third REAL raster codec next to png.py (compressed, filtered) and bmp.py
 (raw DIB): GIF exercises the variable-width bitstream + dictionary-codec
@@ -21,6 +22,8 @@ path. JPEG (DCT family) still needs a codec library absent here
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
@@ -60,6 +63,50 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """Variable-width LZW, the inverse of _lzw_decode.
+
+    Width-bump bookkeeping mirrors the decoder exactly: the decoder appends
+    its entry for emission #m only while reading emission #(m+1), so the
+    encoder bumps the write width one assignment EARLIER than its own table
+    suggests — after assigning entry E the next code is written at width w+1
+    only once E+1 > 2**w (roundtrips pinned in tests/test_multimodal.py).
+    """
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    fresh = {bytes([i]): i for i in range(clear)}
+    table = dict(fresh)
+    next_code = end + 1
+    width = mcs + 1
+    bw.write(clear, width)
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        bw.write(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            bw.write(clear, width)
+            table = dict(fresh)
+            next_code = end + 1
+            width = mcs + 1
+        prev = bytes([px])
+    if prev:
+        bw.write(table[prev], width)
+        if next_code < 4096:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+    bw.write(end, width)
+    return bw.flush()
+
+
 def encode_gif(width: int, height: int, indices: bytes,
                palette: bytes | None = None, interlace: bool = False) -> bytes:
     """indices = row-major top-down 8-bit palette indices; palette = 768
@@ -78,13 +125,7 @@ def encode_gif(width: int, height: int, indices: bytes,
     rows = (_interlace_rows(height) if interlace else range(height))
     seq = b"".join(indices[y * width:(y + 1) * width] for y in rows)
     mcs = 8                        # min code size for a 256-color table
-    clear, end = 1 << mcs, (1 << mcs) + 1
-    bw = _BitWriter()
-    for px in seq:
-        bw.write(clear, mcs + 1)   # fixed-width literal stream (see module doc)
-        bw.write(px, mcs + 1)
-    bw.write(end, mcs + 1)
-    payload = bw.flush()
+    payload = _lzw_encode(mcs, seq)
     blocks = b"".join(
         bytes([min(255, len(payload) - i)]) + payload[i:i + 255]
         for i in range(0, len(payload), 255)
@@ -107,7 +148,8 @@ def gif_meta(data: bytes) -> tuple[int, int]:
 
 def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytearray:
     clear, end = 1 << mcs, (1 << mcs) + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base[:]
     width = mcs + 1
     out = bytearray()
     acc = nbits = 0
@@ -120,7 +162,7 @@ def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytearray:
             acc >>= width
             nbits -= width
             if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                table = base[:]    # ref-copy reset, not 256 fresh allocations
                 width = mcs + 1
                 prev = None
                 continue
@@ -209,10 +251,9 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                 seq[y * w:(y + 1) * w] = idx[dst_row * w:(dst_row + 1) * w]
             idx = seq
         ncolors = len(pal) // 3
-        out = bytearray(w * h * 3)
-        for i, c in enumerate(idx[:w * h]):
-            if c >= ncolors:
-                raise GifFormatError(f"palette index {c} out of range")
-            out[i * 3:i * 3 + 3] = pal[c * 3:c * 3 + 3]
-        return w, h, 3, bytes(out)
+        pix = np.frombuffer(bytes(idx[:w * h]), dtype=np.uint8)
+        if int(pix.max(initial=0)) >= ncolors:
+            raise GifFormatError("palette index out of range")
+        rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[pix]
+        return w, h, 3, rgb.tobytes()
     raise GifFormatError("no image data")
