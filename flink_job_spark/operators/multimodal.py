@@ -13,13 +13,16 @@ functions/png.py — header-only for metadata, full unfilter for pixels),
 deinterleave, row padding, bottom-up/top-down), **GIF is decoded for real**
 (full variable-width LZW + interlace, functions/gif.py) and **WAV/PCM is decoded and
 feature-extracted for real** (stdlib ``wave`` + numpy FFT,
-:func:`decode_audio_meta` / :func:`audio_features`); a deterministic FAKE
+:func:`decode_audio_meta` / :func:`audio_features`), and **AVI video is
+decoded for real** (RIFF container + idx1-seeked uncompressed BI_RGB
+frames, functions/avi.py, :func:`video_frame_stats`); a deterministic FAKE
 format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian dims) exercises the
 plumbing with zero codec cost. Remaining STUBS — documented rationale: the
-JPEG family (DCT+huffman), compressed audio (mp3/ogg) and video ALL require
-a codec library (Pillow/ffmpeg) that is not in this container; they raise
-``NotImplementedError`` / degrade to ``decode_error`` rows. Swapping a stub
-for Pillow/ffmpeg changes ONE function body, no plan shape.
+JPEG family (DCT+huffman), compressed audio (mp3/ogg) and COMPRESSED video
+(H.264/VP9/AV1) all require a codec library (Pillow/ffmpeg) that is not in
+this container; they raise ``NotImplementedError`` / degrade to
+``decode_error`` rows. Swapping a stub for Pillow/ffmpeg changes ONE
+function body, no plan shape.
 """
 
 from __future__ import annotations
@@ -222,6 +225,78 @@ def frame_sample_plan(media: DataFrame, duration_ms_col: str = "duration_ms",
         "frame_ts_ms",
         F.sequence(F.lit(0), F.greatest(F.col(duration_ms_col) - 1, F.lit(0)), F.lit(step)),
     )
+
+
+VIDEO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def video_frame_stats(media: DataFrame,
+                      sample: tuple[int, ...] = (0,)) -> DataFrame:
+    """REAL video decode for AVI/RIFF containers with uncompressed BI_RGB
+    frames (functions/avi.py): container metadata plus the mean sample
+    value over a SAMPLED set of frames. `sample` holds fractional frame
+    positions in 1/1000ths (0 = first, 500 = middle, 999 = last); duplicate
+    resolved indices collapse, mirroring how a production frame sampler
+    never decodes the same frame twice. The idx1 seek table means only
+    sampled frames' bytes are touched — O(samples), not O(video) —
+    which is the property that matters when the payload column is 100 TB.
+    Errors are data (`decode_error`); compressed video (H.264/VP9/AV1)
+    remains stubbed pending a codec library (module docstring)."""
+    import numpy as np
+
+    from flink_job_spark.functions.avi import (AviFormatError, avi_meta,
+                                               decode_avi_frame)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["width", "height", "n_frames", "duration_ms", "mean_luma",
+                "decode_error"]
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                w = h = nf = dur = luma = err = None
+                if payload is None:
+                    err = "null payload"
+                elif bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"AVI ":
+                    err = "not a decodable video payload"
+                else:
+                    try:
+                        raw = bytes(payload)
+                        w, h, nf, usec = avi_meta(raw)
+                        dur = nf * usec // 1000
+                        idxs = sorted({min(p * nf // 1000, nf - 1)
+                                       for p in sample}) if nf else []
+                        tot = cnt = 0
+                        for i in idxs:
+                            px = np.frombuffer(decode_avi_frame(raw, i),
+                                               dtype=np.uint8)
+                            tot += int(px.sum())      # exact int accumulation
+                            cnt += px.size
+                        luma = round(tot / cnt, 6) if cnt else None
+                    except (AviFormatError, struct.error) as e:
+                        w = h = nf = dur = luma = None
+                        err = f"bad avi: {e}"
+                cols["width"].append(w); cols["height"].append(h)
+                cols["n_frames"].append(nf); cols["duration_ms"].append(dur)
+                cols["mean_luma"].append(luma); cols["decode_error"].append(err)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "mean_luma": cols["mean_luma"],
+                "decode_error": cols["decode_error"],
+            })
+
+    return media.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)
 
 
 def fake_media_from_documents(d: DataFrame) -> DataFrame:

@@ -551,6 +551,73 @@ def q_media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
 
+# --- q_media_video_frames: REAL video container + sampled-frame decode --------
+
+VID_W_MOD, VID_H_MOD, VID_F_MOD = 12, 8, 6
+
+@register(
+    "q_media_video_frames",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {VID_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {VID_H_MOD} AS INT) AS height,
+               CAST(2 + doc_id % {VID_F_MOD} AS BIGINT) AS n_frames,
+               CAST((2 + doc_id % {VID_F_MOD}) * 1000
+                    // (CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+                        WHEN 2 THEN 20 ELSE 25 END) AS BIGINT) AS duration_ms,
+               round((SELECT AVG(CAST((doc_id * 31 + s.f * 13 + t.j * 7) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT DISTINCT f FROM
+                              (SELECT unnest([0, (2 + doc_id % {VID_F_MOD}) // 2,
+                                              1 + doc_id % {VID_F_MOD}]) AS f) u) s
+                      CROSS JOIN (SELECT unnest(range((8 + doc_id % {VID_W_MOD})
+                                   * (8 + doc_id % {VID_H_MOD}))) AS j) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="REAL video-container roundtrip: per-doc AVIs (RIFF lists, stream "
+        "headers, idx1 seek table, uncompressed BI_RGB frames) are encoded "
+        "and then SAMPLED — first/middle/last frames only, seeked via the "
+        "index so unsampled frame bytes are never touched — in mapInPandas; "
+        "grayscale frames make mean_luma a closed form plain SQL verifies",
+    tags=("multimodal", "video"),
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the video gap in the codec family (PNG/BMP/GIF/WAV/AVI): the
+    container, stream-header, and frame-index plumbing are real; only
+    COMPRESSED video (H.264-class, needs ffmpeg) stays out of scope, per
+    operators/multimodal.py. Frame sampling decodes O(samples) bytes per
+    video — the shape that survives a 100 TB payload column. Sampled set
+    {first, middle, last} hits both ends of the index; with 2..7 frames the
+    positions collapse when they collide, and the oracle's DISTINCT mirrors
+    that collapse exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.avi import AVI_FPS_CHOICES, encode_avi
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, video_frame_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % VID_W_MOD, 8 + i % VID_H_MOD
+                nf = 2 + i % VID_F_MOD
+                fps = AVI_FPS_CHOICES[i % 4]
+                base = (i * 31 + 7 * np.arange(w * h, dtype=np.int64))
+                frames = [np.repeat(((base + f * 13) % 256).astype(np.uint8), 3)
+                          .tobytes() for f in range(nf)]
+                payloads.append(encode_avi(w, h, fps, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "video",
+                                "mime": "video/x-msvideo", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = video_frame_stats(media, sample=(0, 500, 999))
+    return stats.select("media_id", "width", "height", "n_frames",
+                        "duration_ms", "mean_luma")
+
+
 # --- q_media_audio_features: ZCR / peak / FFT dominant bin, oracle-checked ----------
 
 # signal: square wave with half-period p = 1 + doc_id % 8 samples; n is a

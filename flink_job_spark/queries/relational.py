@@ -1630,3 +1630,82 @@ def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.row_number().over(wt).alias("rn"),
     )
+
+
+# --- q_spatial_close_pairs: grid-bucketed spatial self-join --------------------
+
+SPATIAL_GRID, SPATIAL_DIST = 200, 150   # cell size >= distance => 1-ring join
+
+@register(
+    "q_spatial_close_pairs",
+    f"""WITH p AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+                          CAST('0x' || substr(md5('x|' ||
+                               CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 10000 AS x,
+                          CAST('0x' || substr(md5('y|' ||
+                               CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 10000 AS y
+                   FROM customer)
+        SELECT a.nk AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_close_pairs
+        FROM p a JOIN p b ON a.ck < b.ck
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {SPATIAL_DIST * SPATIAL_DIST}
+        GROUP BY a.nk
+        ORDER BY nationkey""",
+    doc="spatial self-join without a cross product: synthetic integer "
+        f"coordinates, grid cells of {SPATIAL_GRID}, left side exploded to "
+        "its 3x3 cell neighborhood, equi-join on the right side's home cell, "
+        "then the EXACT integer distance predicate — every close pair found "
+        "exactly once (a point has one home cell) while candidate pairs are "
+        "bounded by local density, not n^2; the oracle is the naive "
+        "quadratic join, feasible at oracle scale only",
+    tags=("spatial", "join", "grid"),
+)
+def q_spatial_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid-bucket pattern every geo/embedding blocking join uses: with
+    cell >= radius, any pair within radius differs by at most 1 in each
+    cell coordinate, so 'explode A to 9 neighbor cells, equi-join B on its
+    home cell' is a complete and non-duplicating candidate generator. At
+    100 TB the only shuffle is the (cell) hash join of 9n vs n rows —
+    local-density-bounded, skew-safe for near-uniform coords (a hot cell
+    would call for the same salting machinery as any hot join key). All
+    arithmetic is int64-exact: no floating-point distance, no engine
+    divergence. The a.ck < b.ck tie-break also prevents self-pairs."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def coord(axis: str) -> F.Column:
+        # md5 lane, not a linear multiple: (a*k) % m coordinates form a
+        # lattice whose minimum spacing can exceed the radius (observed:
+        # ZERO close pairs) — hashed coordinates are uniform
+        h = F.md5(F.concat(F.lit(axis + "|"),
+                           F.col("c_custkey").cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10000
+
+    p = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
+    )
+    cell = [(F.col("x") / SPATIAL_GRID).cast("bigint").alias("cx"),
+            (F.col("y") / SPATIAL_GRID).cast("bigint").alias("cy")]
+    # left: every point tagged with its 9-cell neighborhood
+    nbr = F.explode(F.array(*[
+        F.struct((F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
+    a = (p.select("ck", "nk", "x", "y", *cell)
+           .select("ck", "nk", "x", "y", nbr)
+           .select(F.col("ck").alias("a_ck"), F.col("nk").alias("a_nk"),
+                   F.col("x").alias("a_x"), F.col("y").alias("a_y"),
+                   F.col("nb.jx").alias("jx"), F.col("nb.jy").alias("jy")))
+    b = (p.select("ck", "x", "y", *cell)
+           .select(F.col("ck").alias("b_ck"), F.col("x").alias("b_x"),
+                   F.col("y").alias("b_y"), F.col("cx").alias("jx"),
+                   F.col("cy").alias("jy")))
+    dx, dy = F.col("a_x") - F.col("b_x"), F.col("a_y") - F.col("b_y")
+    return (a.join(b, ["jx", "jy"])
+             .filter((F.col("a_ck") < F.col("b_ck"))
+                     & (dx * dx + dy * dy <= SPATIAL_DIST * SPATIAL_DIST))
+             .groupBy(F.col("a_nk").alias("nationkey"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_close_pairs"))
+             .orderBy("nationkey"))

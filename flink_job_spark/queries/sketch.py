@@ -278,3 +278,168 @@ def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (agree.cast("double") / MINHASH_K).alias("est_jaccard"))
          .orderBy("source_a", "source_b")
     )
+
+
+# --- q_kmv_set_ops: deterministic KMV sketch set algebra, oracle-checked -------
+
+KMV_K = 128  # sketch size; relative error ~ 1/sqrt(K-2) ~ 9%
+
+_KMV_H = ("CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) "
+          "AS BIGINT)")
+_KMV_SCALE = (KMV_K - 1) * 4294967296  # (K-1) * 2^32, exact in a double
+
+
+def _kmv_oracle() -> str:
+    est = ("CASE WHEN {n} < {K} THEN CAST({n} AS DOUBLE) "
+           "ELSE CAST({S} AS DOUBLE) / CAST({hk} AS DOUBLE) END")
+    return f"""WITH dh AS (
+          SELECT DISTINCT o_orderpriority AS seg, {_KMV_H} AS h FROM orders),
+        dck AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS ck
+                FROM orders),
+        segs AS (SELECT DISTINCT seg FROM dh),
+        pairs AS (SELECT a.seg AS sa, b.seg AS sb
+                  FROM segs a JOIN segs b ON a.seg < b.seg),
+        ranked AS (SELECT seg, h,
+                          row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+                   FROM dh),
+        kstat AS (SELECT seg,
+                         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk,
+                         MAX(rn) AS nh
+                  FROM ranked GROUP BY seg),
+        sexact AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM dck GROUP BY seg),
+        pdh AS (SELECT DISTINCT p.sa, p.sb, d.h
+                FROM pairs p JOIN dh d ON d.seg IN (p.sa, p.sb)),
+        pranked AS (SELECT sa, sb, h,
+                           row_number() OVER (PARTITION BY sa, sb
+                                              ORDER BY h) AS rn
+                    FROM pdh),
+        pkstat AS (SELECT sa, sb,
+                          MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk_u,
+                          MAX(rn) AS nh_u
+                   FROM pranked GROUP BY sa, sb),
+        pexact AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS exact_union
+                   FROM (SELECT DISTINCT p.sa, p.sb, d.ck
+                         FROM pairs p JOIN dck d ON d.seg IN (p.sa, p.sb)) u
+                   GROUP BY sa, sb)
+       SELECT pk.sa AS seg_a, pk.sb AS seg_b,
+              {est.format(n='ka.nh', K=KMV_K, S=_KMV_SCALE, hk='ka.hk')}
+                AS est_a,
+              {est.format(n='kb.nh', K=KMV_K, S=_KMV_SCALE, hk='kb.hk')}
+                AS est_b,
+              {est.format(n='pk.nh_u', K=KMV_K, S=_KMV_SCALE, hk='pk.hk_u')}
+                AS est_union,
+              ({est.format(n='ka.nh', K=KMV_K, S=_KMV_SCALE, hk='ka.hk')}
+               + {est.format(n='kb.nh', K=KMV_K, S=_KMV_SCALE, hk='kb.hk')})
+               - {est.format(n='pk.nh_u', K=KMV_K, S=_KMV_SCALE, hk='pk.hk_u')}
+                AS est_intersect,
+              ea.n_exact AS exact_a, eb.n_exact AS exact_b,
+              pe.exact_union,
+              CAST(ea.n_exact + eb.n_exact - pe.exact_union AS BIGINT)
+                AS exact_intersect
+       FROM pkstat pk
+       JOIN kstat ka ON ka.seg = pk.sa
+       JOIN kstat kb ON kb.seg = pk.sb
+       JOIN sexact ea ON ea.seg = pk.sa
+       JOIN sexact eb ON eb.seg = pk.sb
+       JOIN pexact pe ON pe.sa = pk.sa AND pe.sb = pk.sb
+       ORDER BY seg_a, seg_b"""
+
+
+@register(
+    "q_kmv_set_ops",
+    _kmv_oracle(),
+    doc=f"KMV (k-minimum-values, K={KMV_K}) distinct sketches per order "
+        "priority with SET ALGEBRA across every segment pair — union via "
+        "merged-sketch k-th minimum, intersection via inclusion-exclusion — "
+        "next to exact twins; md5 hashing makes the estimates DETERMINISTIC, "
+        "so unlike HLL this sketch key is fully oracle-checked",
+    tags=("sketch", "kmv", "setops"),
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch HLL can't give you: KMV supports intersection, not just
+    union. Scale shape: one DISTINCT shuffle of (seg, hash) [combine-
+    enabled], then the rank<=K filter lets Spark's WindowGroupLimit truncate
+    each partition to K rows BEFORE the window shuffle — per-segment state
+    is O(K), never O(distinct). Pair union sketches reuse the SAME dedup'd
+    hash set (x4 tag explode over a broadcast 10-row pair list), so raw
+    orders are scanned once. est = (K-1)*2^32 / h_K as a single IEEE
+    division of exact integers — bitwise equal across engines; sketches
+    that aren't full fall back to their exact cardinality (the standard KMV
+    rule, n < K means the sketch IS the set). Exact twins ride the same
+    distinct sets. At 100 TB: distinct(seg,h) is the only data-sized
+    shuffle; everything after is K-bounded."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    dh = (o.select(F.col("o_orderpriority").alias("seg"), h.alias("h"))
+            .distinct())
+    dck = (o.select(F.col("o_orderpriority").alias("seg"),
+                    F.col("o_custkey").alias("ck")).distinct())
+
+    segs = dh.select("seg").distinct()
+    pairs = (segs.alias("a").join(segs.alias("b"),
+                                  F.col("a.seg") < F.col("b.seg"))
+                 .select(F.col("a.seg").alias("sa"), F.col("b.seg").alias("sb")))
+
+    def kth_stats(df, keys, hcol="h"):
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col(hcol)))
+        ranked = df.withColumn("rn", rn).filter(F.col("rn") <= KMV_K)
+        return ranked.groupBy(*keys).agg(
+            F.max(F.when(F.col("rn") == KMV_K, F.col(hcol))).alias("hk"),
+            F.max("rn").alias("k_seen"))
+
+    nh = dh.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("nh"))
+    kstat = (kth_stats(dh, ["seg"])
+             .join(nh, "seg")
+             .select("seg", "hk", "nh"))
+    sexact = dck.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+
+    pdh = (dh.join(F.broadcast(pairs),
+                   (F.col("seg") == F.col("sa")) | (F.col("seg") == F.col("sb")))
+             .select("sa", "sb", "h").distinct())
+    nhu = pdh.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh_u"))
+    pkstat = (kth_stats(pdh, ["sa", "sb"])
+              .withColumnRenamed("hk", "hk_u")
+              .join(nhu, ["sa", "sb"])
+              .select("sa", "sb", "hk_u", "nh_u"))
+    pexact = (dck.join(F.broadcast(pairs),
+                       (F.col("seg") == F.col("sa"))
+                       | (F.col("seg") == F.col("sb")))
+                 .select("sa", "sb", "ck").distinct()
+                 .groupBy("sa", "sb")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union")))
+
+    def est(n, hk):
+        return F.when(n < KMV_K, n.cast("double")).otherwise(
+            F.lit(float(_KMV_SCALE)) / hk.cast("double"))
+
+    ka = kstat.select(F.col("seg").alias("sa"), F.col("hk").alias("hk_a"),
+                      F.col("nh").alias("nh_a"))
+    kb = kstat.select(F.col("seg").alias("sb"), F.col("hk").alias("hk_b"),
+                      F.col("nh").alias("nh_b"))
+    ea = sexact.select(F.col("seg").alias("sa"),
+                       F.col("n_exact").alias("exact_a"))
+    eb = sexact.select(F.col("seg").alias("sb"),
+                       F.col("n_exact").alias("exact_b"))
+    est_a = est(F.col("nh_a"), F.col("hk_a"))
+    est_b = est(F.col("nh_b"), F.col("hk_b"))
+    est_u = est(F.col("nh_u"), F.col("hk_u"))
+    return (pkstat
+            .join(F.broadcast(ka), "sa").join(F.broadcast(kb), "sb")
+            .join(F.broadcast(ea), "sa").join(F.broadcast(eb), "sb")
+            .join(F.broadcast(pexact), ["sa", "sb"])
+            .select(F.col("sa").alias("seg_a"), F.col("sb").alias("seg_b"),
+                    est_a.alias("est_a"), est_b.alias("est_b"),
+                    est_u.alias("est_union"),
+                    ((est_a + est_b) - est_u).alias("est_intersect"),
+                    "exact_a", "exact_b", "exact_union",
+                    (F.col("exact_a") + F.col("exact_b")
+                     - F.col("exact_union")).cast("bigint")
+                    .alias("exact_intersect"))
+            .orderBy("seg_a", "seg_b"))

@@ -572,3 +572,91 @@ def test_decode_pixel_stats_handles_gif_and_corrupt_gif(spark):
     assert ok["mean_luma"] == round(sum(idx) / len(idx), 6)
     assert ok["decode_error"] is None
     assert rows[2]["decode_error"].startswith("bad gif")
+
+
+def test_avi_roundtrip_and_meta():
+    import random
+
+    from flink_job_spark.functions.avi import (avi_meta, decode_avi,
+                                               decode_avi_frame, encode_avi)
+
+    rng = random.Random(11)
+    for w, h, n, fps in [(1, 1, 1, 5), (7, 3, 4, 25), (16, 9, 7, 10),
+                         (33, 17, 2, 20)]:
+        frames = [bytes(rng.randrange(256) for _ in range(w * h * 3))
+                  for _ in range(n)]
+        g = encode_avi(w, h, fps, frames)
+        assert avi_meta(g) == (w, h, n, 1_000_000 // fps)
+        W, H, N, U, out = decode_avi(g)
+        assert (W, H, N, U) == (w, h, n, 1_000_000 // fps)
+        assert out == frames
+        # idx1-seeked single-frame decode agrees with the full decode
+        for i in (0, n // 2, n - 1, -1):
+            assert decode_avi_frame(g, i) == frames[i]
+
+
+def test_avi_seek_uses_index_not_full_scan():
+    """Frame seek must come from idx1: corrupting every OTHER frame's bytes
+    (but not the index) still decodes the intact frames correctly."""
+    from flink_job_spark.functions.avi import decode_avi_frame, encode_avi
+
+    w, h, n = 4, 2, 5
+    frames = [bytes([f * 40 + j for j in range(w * h * 3)]) for f in range(n)]
+    g = bytearray(encode_avi(w, h, 25, frames))
+    # stomp frame 1's chunk body in place, leaving the idx1 table intact
+    from flink_job_spark.functions.avi import _frame_offsets, _parse
+    info = _parse(bytes(g))
+    offs = _frame_offsets(bytes(g), info)
+    pos, size = offs[1]
+    g[pos:pos + size] = b"\xEE" * size
+    assert decode_avi_frame(bytes(g), 0) == frames[0]
+    assert decode_avi_frame(bytes(g), 2) == frames[2]
+    assert decode_avi_frame(bytes(g), 1) != frames[1]  # really did stomp
+
+
+def test_avi_rejects_malformed():
+    import pytest as _pytest
+
+    from flink_job_spark.functions.avi import (AviFormatError, decode_avi,
+                                               encode_avi)
+
+    good = encode_avi(4, 3, 10, [bytes(36)])
+    for bad in (b"RIFF\x10\x00\x00\x00WAVEfmt ", b"JUNK" * 4, good[:20]):
+        with _pytest.raises(AviFormatError):
+            decode_avi(bad)
+    with _pytest.raises(AviFormatError):
+        encode_avi(4, 3, 7, [bytes(36)])       # fps must divide 1e6
+    with _pytest.raises(AviFormatError):
+        encode_avi(4, 3, 10, [])               # no frames
+    with _pytest.raises(AviFormatError):
+        encode_avi(4, 3, 10, [bytes(35)])      # wrong buffer size
+
+
+def test_video_frame_stats_samples_and_errors(spark):
+    from flink_job_spark.functions.avi import encode_avi
+    from flink_job_spark.operators.multimodal import video_frame_stats
+
+    w, h, n, fps = 6, 4, 5, 10
+    frames = [bytes(((f * 13 + j * 7) % 256) for j in range(w * h)
+                    for _ in range(3)) for f in range(n)]
+    good = encode_avi(w, h, fps, frames)
+    rows = {
+        r["media_id"]: r
+        for r in video_frame_stats(
+            spark.createDataFrame(
+                [(1, "video", "video/x-msvideo", bytearray(good)),
+                 (2, "video", "video/x-msvideo", bytearray(good[:30])),
+                 (3, "video", "video/x-msvideo", None)],
+                "media_id long, kind string, mime string, payload binary"),
+            sample=(0, 500, 999),
+        ).collect()
+    }
+    ok = rows[1]
+    assert (ok["width"], ok["height"], ok["n_frames"]) == (w, h, n)
+    assert ok["duration_ms"] == n * 1000 // fps
+    sampled = {0, n // 2, n - 1}
+    vals = [(f * 13 + j * 7) % 256 for f in sampled for j in range(w * h)]
+    assert ok["mean_luma"] == round(sum(vals) / len(vals), 6)
+    assert ok["decode_error"] is None
+    assert rows[2]["decode_error"].startswith("bad avi")
+    assert rows[3]["decode_error"] == "null payload"

@@ -750,6 +750,42 @@ def test_media_wav_rms_no_shuffle(spark, sf_dir):
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
 
 
+def test_media_video_frames_no_shuffle(spark, sf_dir):
+    """AVI encode -> idx1-sampled frame decode is one Arrow-batched map
+    chain over doc_id only; video bytes never shuffle and only doc_id is
+    read from parquet — the shape that holds when the payload column is
+    100 TB."""
+    p = plan(all_queries()["q_media_video_frames"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"video plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_kmv_window_group_limit_and_pruning(spark, sf_dir):
+    """KMV sketches: the rank<=K filter must reach WindowGroupLimit so each
+    partition truncates to K rows BEFORE the window shuffle (O(K) state per
+    segment at any scale); only the two needed columns are read; the tiny
+    pair/stat joins broadcast, never cartesian."""
+    p = plan(all_queries()["q_kmv_set_ops"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    assert read_schema_columns(p) == {"o_orderpriority", "o_custkey"}, \
+        read_schema_columns(p)
+
+
+def test_spatial_close_pairs_grid_join_no_cartesian(spark, sf_dir):
+    """Grid-bucketed spatial self-join: candidates come from a (cell) hash
+    equi-join of the 9-cell-exploded left vs home-cell right — a cartesian
+    or nested-loop product is exactly the failure mode this key exists to
+    avoid; only the key+nation columns are read."""
+    p = plan(all_queries()["q_spatial_close_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+    assert "Generate" in p, p        # the 3x3 neighborhood explode
+    assert read_schema_columns(p) == {"c_custkey", "c_nationkey"}, \
+        read_schema_columns(p)
+
+
 def test_moving_avg_single_shuffle_running_frame(spark, sf_dir):
     """The trailing ROWS frame evaluates with O(frame) running state on one
     user_id partitioning — a second exchange or a re-sort is a regression."""

@@ -887,3 +887,57 @@ def test_stream_paged_audited_corruption_blocks_then_recovers(spark, tmp_path):
                 F.count_distinct("id").alias("d")).collect()[0]
     assert (agg["n"], agg["d"]) == (301, 301)
     assert t.filter(F.lower("row_hash") != F.lower("row_hash_iceberg")).count() == 0
+
+
+def test_stream_kmv_matches_batch_bit_exact(spark, sf_dir, tmp_path):
+    """KMV state across three micro-batches must be BIT-EQUAL to the batch
+    sketch over the same rows (md5 hashing + total order on hashes make the
+    sketch deterministic, unlike HLL), estimates must fall back to exact
+    size while unfull, and a replayed drained stream must change nothing
+    (merge is idempotent)."""
+    from flink_job_spark.queries.sketch import KMV_K
+    from flink_job_spark.streaming.kmv import (
+        _kmv_trim,
+        kmv_estimates,
+        kmv_hash,
+        stream_kmv_sketches,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in [(0, 2000), (2000, 4000), (4000, 10 ** 12)]:
+        (o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+          .coalesce(1).write.mode("append").parquet(src))
+
+    stream_kmv_sketches(spark, src, o.schema, state, ckpt,
+                        seg_col="o_orderpriority", value_col="o_custkey")
+    got = {r["seg"]: (list(r["kmv"]), r["est_distinct"])
+           for r in kmv_estimates(spark, state).collect()}
+
+    batch = (
+        o.select(F.col("o_orderpriority").alias("seg"),
+                 kmv_hash("o_custkey").alias("h"))
+         .distinct()
+         .groupBy("seg")
+         .agg(_kmv_trim(F.collect_set("h")).alias("kmv"))
+    )
+    want = {r["seg"]: list(r["kmv"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for seg, (kmv, est) in got.items():
+        assert kmv == want[seg], f"stream/batch sketch differs for {seg}"
+        assert kmv == sorted(kmv) and len(kmv) <= KMV_K
+        exact = (o.filter(F.col("o_orderpriority") == seg)
+                  .select("o_custkey").distinct().count())
+        if len(kmv) < KMV_K:
+            assert est == float(len(kmv))      # unfull sketch IS the set
+        else:
+            assert abs(est - exact) / exact < 0.35, (seg, est, exact)
+
+    # drained stream: replay is a no-op on the state
+    stream_kmv_sketches(spark, src, o.schema, state, ckpt,
+                        seg_col="o_orderpriority", value_col="o_custkey")
+    got2 = {r["seg"]: (list(r["kmv"]), r["est_distinct"])
+            for r in kmv_estimates(spark, state).collect()}
+    assert got2 == got
