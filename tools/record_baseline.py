@@ -64,7 +64,9 @@ def main(argv: list[str]) -> None:
 
     med = {k: statistics.median(vs) for k, vs in sorted(samples.items())}
     total = sum(med.values())
-    full = [r for r in runs if len(r["queries"]) == len(samples)]
+    # a "full sweep" may predate a few late-added keys; 90% coverage
+    # separates sweeps from SPARK_GRAFT_ONLY top-ups
+    full = [r for r in runs if len(r["queries"]) >= 0.9 * len(samples)]
     run_totals = [sum(r["queries"].values()) for r in full]
 
     lines = [START, "", f"| Query key | sec/query @ sf{sf} |", "| --- | --- |"]
