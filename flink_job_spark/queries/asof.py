@@ -250,3 +250,66 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("near_purchase_id"),
         (us("near_ts") - us("click_ts")).alias("gap_us"),
     )
+
+
+# --- q_asof_tolerance: as-of join with a max-staleness bound -------------------
+
+ASOF_TOL_US = 24 * 3600 * 1_000_000   # 24 h attribution window, merge_asof-style
+
+@register(
+    "q_asof_tolerance",
+    f"""WITH clicks AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                MAX(event_id) AS click_id
+         FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       ),
+       purch AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT p.purchase_id, p.user_id,
+              p.ts AS purchase_ts,
+              CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOL_US}
+                   THEN c.ts END AS click_ts,
+              CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOL_US}
+                   THEN c.click_id END AS click_id,
+              CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOL_US}
+                   THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+       FROM purch p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    doc="as-of join with tolerance (pandas merge_asof tolerance= / kdb wj "
+        "window bound): the most recent click is matched only when it is "
+        "at most 24 hours stale, else the purchase keeps NULL attribution "
+        "— filtering AFTER the pick equals excluding BEFORE the pick, since "
+        "any older candidate is staler than the picked one",
+    tags=("asof", "join", "tolerance"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution windows are the production reason as-of joins carry a
+    tolerance: a click from last week must not claim today's purchase.
+    Because backward as-of picks the MAXIMUM event-time predecessor, the
+    tolerance is a post-pick projection — same one-shuffle union-merge
+    plan as q_asof_join, zero extra exchanges (plan-pinned) — rather than
+    a join-condition change that would break the merge's monotonicity."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    )
+    joined = asof_join(purchases, clicks, key="user_id",
+                       right_payload=["click_id"], prefix="click_")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.col("click_ts").cast("timestamp")))
+    ok = gap <= ASOF_TOL_US
+    return joined.select(
+        "purchase_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(ok, F.col("click_ts")).alias("click_ts"),
+        F.when(ok, F.col("click_click_id")).alias("click_id"),
+        F.when(ok, gap).alias("gap_us"),
+    )

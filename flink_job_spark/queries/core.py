@@ -333,3 +333,51 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(w1).cast("bigint").alias("xor_hi"),
         F.bit_xor(w2).cast("bigint").alias("xor_lo"),
     )
+
+
+# --- 13. q_merkle_buckets: bucketed digest tree for replication diff ---
+
+MERKLE_BUCKETS = 64
+
+
+@register(
+    "q_merkle_buckets",
+    f"""WITH h AS (
+          SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                      AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+                 {duckdb_row_hash_sql(SCHEMAS['orders'])} AS rh
+          FROM orders)
+       SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM({_ORD_HASH_W1}) AS BIGINT) AS sum_hi,
+              CAST(bit_xor({_ORD_HASH_W1}) AS BIGINT) AS xor_hi,
+              CAST(bit_xor({_ORD_HASH_W2}) AS BIGINT) AS xor_lo
+       FROM h GROUP BY bucket ORDER BY bucket""",
+    doc=f"anti-entropy digest tree: the q_table_checksum fingerprint "
+        f"sharded into {MERKLE_BUCKETS} KEY-hash buckets so two replicas "
+        "that disagree can localize the divergence to (total keys / "
+        f"{MERKLE_BUCKETS}) candidates in one round trip instead of "
+        "re-comparing the table — the Merkle-style replication check, "
+        "constant-size output at any scale",
+    tags=("audit", "hash", "merkle"),
+)
+def q_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing must be by KEY hash, not content hash: replicas disagree
+    about content, and a bucket id derived from the differing bytes would
+    put the same logical row in different buckets on each side, breaking
+    localization. The digest stays commutative (SUM/XOR of md5 words), so
+    the whole thing is ONE combine-enabled aggregation — map-side partials
+    of 64 x 32 bytes per partition at any scale — and bucket digests merge
+    upward into the q_table_checksum root exactly like a Merkle level."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                 1, 8), 16, 10)
+               .cast("bigint") % MERKLE_BUCKETS)
+    h = o.select(bucket.alias("bucket"), row_hash_column(o).alias("rh"))
+    w1 = F.conv(F.substring("rh", 1, 8), 16, 10).cast("bigint")
+    w2 = F.conv(F.substring("rh", 9, 8), 16, 10).cast("bigint")
+    return (h.groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                  F.sum(w1).cast("bigint").alias("sum_hi"),
+                  F.bit_xor(w1).cast("bigint").alias("xor_hi"),
+                  F.bit_xor(w2).cast("bigint").alias("xor_lo"))
+             .orderBy("bucket"))

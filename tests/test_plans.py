@@ -109,6 +109,24 @@ def test_asof_join_is_two_shuffles(spark, sf_dir):
     assert "NestedLoop" not in p, p
 
 
+def test_asof_tolerance_same_plan_as_plain_asof(spark, sf_dir):
+    """The tolerance bound is a post-pick projection: it must add ZERO
+    exchanges over q_asof_join's two-shuffle union-merge."""
+    p = plan(all_queries()["q_asof_tolerance"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, f"tolerance added shuffles:\n{p}"
+    assert "NestedLoop" not in p, p
+
+
+def test_merkle_buckets_single_combine_agg(spark, sf_dir):
+    """Bucketed digest tree: one combine-enabled hash aggregate (64 x 32
+    bytes of partials per partition) plus the output sort — a second
+    data-sized exchange or a Python stage is a regression."""
+    p = plan(all_queries()["q_merkle_buckets"].fn(spark, sf_dir))
+    assert _n_exchanges(p) <= 2, p
+    assert "partial_" in p.lower() or "HashAggregate" in p, p
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p, p
+
+
 def test_range_join_avoids_nested_loop(spark, sf_dir):
     """Bucketized containment join must be an equi-join, not a BETWEEN
     cross/nested-loop join."""
