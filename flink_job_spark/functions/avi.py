@@ -70,9 +70,12 @@ def encode_avi(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
 
     avih = struct.pack("<14I", usec, framesize * fps, 0, 0x10,  # HASINDEX
                        len(frames), 0, 1, framesize, width, height, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+    # AVISTREAMHEADER body (56 bytes incl. the two fourccs): flags, prio,
+    # lang, initialFrames, scale, rate, start, length, suggBufSize,
+    # quality, sampleSize, rcFrame[4]
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, len(frames),
-                                            framesize, 0xFFFFFFFF, 0, 0)
+                                            framesize, 0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, width, height))
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        framesize, 0, 0, 0, 0)
@@ -155,38 +158,64 @@ def avi_meta(data: bytes) -> tuple[int, int, int, int]:
 
 def _frame_offsets(data: bytes, info: dict) -> list[tuple[int, int]]:
     """(body_pos, size) per video frame — from idx1 if present, else a
-    movi walk. Only chunk HEADERS are touched here, never frame bytes."""
+    movi walk. Only chunk HEADERS are touched here, never frame bytes.
+
+    idx1 dwChunkOffset is movi-relative per spec but ABSOLUTE in many
+    real-world files; the first entry's ckid is checked at both candidate
+    positions to auto-detect (the standard player heuristic). An idx1
+    whose offsets match neither way is ignored in favor of the movi walk,
+    so a lying index can't silently decode the wrong bytes."""
     if info["idx1"] is not None:
         pos, size = info["idx1"]
-        base = info["movi_base"]
-        out = []
+        entries = []
         for off in range(pos, pos + size - 15, 16):
             ckid = data[off:off + 4]
             _flags, ckoff, cksize = struct.unpack("<III", data[off + 4:off + 16])
             if ckid[2:4] in (b"db", b"dc"):
-                out.append((base + ckoff + 8, cksize))
-        if out:
-            return out
+                entries.append((ckid, ckoff, cksize))
+        if entries:
+            ckid0, ckoff0, _ = entries[0]
+            for base in (info["movi_base"], 0):      # movi-relative, absolute
+                if data[base + ckoff0:base + ckoff0 + 4] == ckid0:
+                    return [(base + ckoff + 8, cksize)
+                            for _, ckoff, cksize in entries]
     start, end = info["movi"]
     return [(body, size) for ckid, body, size in _chunks(data, start, end)
             if ckid[2:4] in (b"db", b"dc")]
 
 
-def decode_avi_frame(data: bytes, index: int) -> bytes:
-    """Decode ONLY frame `index` (negative indexes from the end) via the
-    idx1 seek table -> row-major top-down RGB."""
+def open_avi(data: bytes) -> tuple[dict, list[tuple[int, int]]]:
+    """Parse the container ONCE -> (info, frame_offsets). Feed the result
+    to :func:`decode_frame_at` to sample many frames without re-walking
+    the header/idx1 per frame."""
     info = _parse(data)
-    offs = _frame_offsets(data, info)
+    return info, _frame_offsets(data, info)
+
+
+def decode_frame_at(data: bytes, info: dict,
+                    offs: list[tuple[int, int]], index: int) -> bytes:
+    """Decode ONLY the indexed frame (negative indexes from the end) ->
+    row-major top-down RGB. Out-of-range indexes (e.g. an avih frame count
+    larger than the real chunk list) raise AviFormatError, never
+    IndexError — decode faults must stay catchable as data."""
     if not offs:
         raise AviFormatError("no video frames")
+    if not -len(offs) <= index < len(offs):
+        raise AviFormatError(
+            f"frame index {index} out of range ({len(offs)} frames)")
     body, size = offs[index]
     return _dib_to_frame(info["width"], info["height"], data[body:body + size])
 
 
+def decode_avi_frame(data: bytes, index: int) -> bytes:
+    """One-shot convenience wrapper over open_avi + decode_frame_at."""
+    info, offs = open_avi(data)
+    return decode_frame_at(data, info, offs, index)
+
+
 def decode_avi(data: bytes) -> tuple[int, int, int, int, list[bytes]]:
     """Full decode -> (width, height, n_frames, usec_per_frame, frames)."""
-    info = _parse(data)
-    offs = _frame_offsets(data, info)
+    info, offs = open_avi(data)
     frames = [_dib_to_frame(info["width"], info["height"], data[b:b + s])
               for b, s in offs]
     return info["width"], info["height"], len(frames), info["usec_per_frame"], frames

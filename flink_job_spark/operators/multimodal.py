@@ -252,8 +252,8 @@ def video_frame_stats(media: DataFrame,
     remains stubbed pending a codec library (module docstring)."""
     import numpy as np
 
-    from flink_job_spark.functions.avi import (AviFormatError, avi_meta,
-                                               decode_avi_frame)
+    from flink_job_spark.functions.avi import (AviFormatError,
+                                               decode_frame_at, open_avi)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ["width", "height", "n_frames", "duration_ms", "mean_luma",
@@ -269,14 +269,21 @@ def video_frame_stats(media: DataFrame,
                 else:
                     try:
                         raw = bytes(payload)
-                        w, h, nf, usec = avi_meta(raw)
+                        # parse the container/index ONCE per payload; each
+                        # sampled frame is then a direct seek
+                        info, offs = open_avi(raw)
+                        w, h = info["width"], info["height"]
+                        nf, usec = info["n_frames"], info["usec_per_frame"]
                         dur = nf * usec // 1000
                         idxs = sorted({min(p * nf // 1000, nf - 1)
                                        for p in sample}) if nf else []
                         tot = cnt = 0
                         for i in idxs:
-                            px = np.frombuffer(decode_avi_frame(raw, i),
-                                               dtype=np.uint8)
+                            # a lying avih frame count (nf > len(offs))
+                            # surfaces as AviFormatError -> decode_error row
+                            px = np.frombuffer(
+                                decode_frame_at(raw, info, offs, i),
+                                dtype=np.uint8)
                             tot += int(px.sum())      # exact int accumulation
                             cnt += px.size
                         luma = round(tot / cnt, 6) if cnt else None

@@ -16,6 +16,8 @@ from pyspark.sql import types as T
 
 from flink_job_spark.functions.hashing import (
     duckdb_row_hash_sql,
+    md5_u32,
+    md5_u32_duck,
     row_hash_column,
     row_hash_sql_expr,
 )
@@ -343,8 +345,8 @@ MERKLE_BUCKETS = 64
 @register(
     "q_merkle_buckets",
     f"""WITH h AS (
-          SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
-                      AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+          SELECT {md5_u32_duck("CAST(o_orderkey AS VARCHAR)")}
+                   % {MERKLE_BUCKETS} AS bucket,
                  {duckdb_row_hash_sql(SCHEMAS['orders'])} AS rh
           FROM orders)
        SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_rows,
@@ -369,9 +371,7 @@ def q_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 64 x 32 bytes per partition at any scale — and bucket digests merge
     upward into the q_table_checksum root exactly like a Merkle level."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
-                                 1, 8), 16, 10)
-               .cast("bigint") % MERKLE_BUCKETS)
+    bucket = md5_u32(F.col("o_orderkey").cast("string")) % MERKLE_BUCKETS
     h = o.select(bucket.alias("bucket"), row_hash_column(o).alias("rh"))
     w1 = F.conv(F.substring("rh", 1, 8), 16, 10).cast("bigint")
     w2 = F.conv(F.substring("rh", 9, 8), 16, 10).cast("bigint")

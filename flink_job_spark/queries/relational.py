@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
+from flink_job_spark.operators.spatial import grid_close_pairs
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
 
@@ -1639,11 +1640,9 @@ SPATIAL_GRID, SPATIAL_DIST = 200, 150   # cell size >= distance => 1-ring join
 @register(
     "q_spatial_close_pairs",
     f"""WITH p AS (SELECT c_custkey AS ck, c_nationkey AS nk,
-                          CAST('0x' || substr(md5('x|' ||
-                               CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                          {md5_u32_duck("'x|' || CAST(c_custkey AS VARCHAR)")}
                             % 10000 AS x,
-                          CAST('0x' || substr(md5('y|' ||
-                               CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                          {md5_u32_duck("'y|' || CAST(c_custkey AS VARCHAR)")}
                             % 10000 AS y
                    FROM customer)
         SELECT a.nk AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_close_pairs
@@ -1677,9 +1676,8 @@ def q_spatial_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # md5 lane, not a linear multiple: (a*k) % m coordinates form a
         # lattice whose minimum spacing can exceed the radius (observed:
         # ZERO close pairs) — hashed coordinates are uniform
-        h = F.md5(F.concat(F.lit(axis + "|"),
-                           F.col("c_custkey").cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10000
+        return md5_u32(F.concat(F.lit(axis + "|"),
+                                F.col("c_custkey").cast("string"))) % 10000
 
     p = c.select(
         F.col("c_custkey").alias("ck"),
@@ -1687,25 +1685,9 @@ def q_spatial_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         coord("x").alias("x"),
         coord("y").alias("y"),
     )
-    cell = [(F.col("x") / SPATIAL_GRID).cast("bigint").alias("cx"),
-            (F.col("y") / SPATIAL_GRID).cast("bigint").alias("cy")]
-    # left: every point tagged with its 9-cell neighborhood
-    nbr = F.explode(F.array(*[
-        F.struct((F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
-    a = (p.select("ck", "nk", "x", "y", *cell)
-           .select("ck", "nk", "x", "y", nbr)
-           .select(F.col("ck").alias("a_ck"), F.col("nk").alias("a_nk"),
-                   F.col("x").alias("a_x"), F.col("y").alias("a_y"),
-                   F.col("nb.jx").alias("jx"), F.col("nb.jy").alias("jy")))
-    b = (p.select("ck", "x", "y", *cell)
-           .select(F.col("ck").alias("b_ck"), F.col("x").alias("b_x"),
-                   F.col("y").alias("b_y"), F.col("cx").alias("jx"),
-                   F.col("cy").alias("jy")))
-    dx, dy = F.col("a_x") - F.col("b_x"), F.col("a_y") - F.col("b_y")
-    return (a.join(b, ["jx", "jy"])
-             .filter((F.col("a_ck") < F.col("b_ck"))
-                     & (dx * dx + dy * dy <= SPATIAL_DIST * SPATIAL_DIST))
+    pairs = grid_close_pairs(p, SPATIAL_GRID, SPATIAL_DIST,
+                             payload=["nk"])
+    return (pairs
              .groupBy(F.col("a_nk").alias("nationkey"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_close_pairs"))
              .orderBy("nationkey"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.functions.text import words_duck
 from flink_job_spark.queries import register
 from flink_job_spark.sources.tables import load_table
@@ -284,8 +285,7 @@ def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 128  # sketch size; relative error ~ 1/sqrt(K-2) ~ 9%
 
-_KMV_H = ("CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) "
-          "AS BIGINT)")
+_KMV_H = md5_u32_duck("CAST(o_custkey AS VARCHAR)")
 _KMV_SCALE = (KMV_K - 1) * 4294967296  # (K-1) * 2^32, exact in a double
 
 
@@ -372,8 +372,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
-    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
-               16, 10).cast("bigint")
+    h = md5_u32(F.col("o_custkey").cast("string"))
     dh = (o.select(F.col("o_orderpriority").alias("seg"), h.alias("h"))
             .distinct())
     dck = (o.select(F.col("o_orderpriority").alias("seg"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from flink_job_spark.streaming import with_file_cap
 from flink_job_spark.functions.text import norm_text
 
 
@@ -104,8 +105,8 @@ def stream_incremental_dedup(
         verdicts.unpersist()
 
     q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        with_file_cap(spark.readStream.schema(schema),
+                      max_files_per_trigger)
         .parquet(src_dir)
         .writeStream
         .foreachBatch(admit)
@@ -158,8 +159,8 @@ def stream_quality_gate(
                 + ", ".join(f"{r[1]} ({r[3]}/{r[2]})" for r in bad))
 
     q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        with_file_cap(spark.readStream.schema(schema),
+                      max_files_per_trigger)
         .parquet(src_dir)
         .writeStream
         .foreachBatch(gate)

@@ -25,15 +25,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_job_spark.functions.hashing import md5_u32
 from flink_job_spark.queries.sketch import KMV_K
+from flink_job_spark.streaming import with_file_cap
 from flink_job_spark.streaming.scd2 import latest_generation
 
 
 def kmv_hash(col: str) -> F.Column:
-    """The same 32-bit md5 lane as the batch key — determinism across the
-    batch/stream pair is what upgrades the twin test to strict equality."""
-    return (F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
-             .cast("bigint"))
+    """The same 32-bit md5 lane as the batch key (one shared helper, so
+    the batch/stream pair cannot drift) — determinism is what upgrades the
+    twin test to strict equality."""
+    return md5_u32(F.col(col).cast("string"))
 
 
 def _kmv_trim(col: F.Column) -> F.Column:
@@ -83,8 +85,8 @@ def stream_kmv_sketches(
             os.path.join(state_root, f"gen={batch_id}"))
 
     q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        with_file_cap(spark.readStream.schema(schema),
+                      max_files_per_trigger)
         .parquet(src_dir)
         .writeStream
         .foreachBatch(fold)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_job_spark.queries.sketch import HLL_LGK, iso_week_key
+from flink_job_spark.streaming import with_file_cap
 from flink_job_spark.streaming.scd2 import latest_generation
 
 
@@ -68,8 +69,8 @@ def stream_sketch_rollup(
             os.path.join(state_root, f"gen={batch_id}"))
 
     q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        with_file_cap(spark.readStream.schema(schema),
+                      max_files_per_trigger)
         .parquet(src_dir)
         .writeStream
         .foreachBatch(fold)

@@ -660,3 +660,50 @@ def test_video_frame_stats_samples_and_errors(spark):
     assert ok["decode_error"] is None
     assert rows[2]["decode_error"].startswith("bad avi")
     assert rows[3]["decode_error"] == "null payload"
+
+
+def test_avi_lying_frame_count_is_data_not_crash(spark):
+    """An avih header claiming more frames than the file holds must surface
+    as a decode_error row (AviFormatError), never an IndexError that kills
+    the mapInPandas task."""
+    import struct as structmod
+
+    from flink_job_spark.functions.avi import encode_avi
+    from flink_job_spark.operators.multimodal import video_frame_stats
+
+    w, h = 4, 3
+    good = bytearray(encode_avi(w, h, 10, [bytes(36), bytes(36)]))
+    # avih body starts at 32 (RIFF12 + LIST8 + 'hdrl'4 + chunkhdr8);
+    # dwTotalFrames is its 5th DWORD
+    assert structmod.unpack_from("<I", good, 32 + 16)[0] == 2
+    structmod.pack_into("<I", good, 32 + 16, 99)
+    rows = video_frame_stats(
+        spark.createDataFrame(
+            [(1, "video", "video/x-msvideo", bytes(good))],
+            "media_id long, kind string, mime string, payload binary"),
+        sample=(0, 999),
+    ).collect()
+    assert rows[0]["decode_error"].startswith("bad avi")
+    assert "out of range" in rows[0]["decode_error"]
+
+
+def test_avi_absolute_offset_idx1_autodetected():
+    """idx1 offsets may legally be absolute file offsets; the decoder's
+    first-entry ckid probe must detect that convention and still decode
+    the right frames."""
+    import struct as structmod
+
+    from flink_job_spark.functions.avi import _parse, decode_avi_frame, encode_avi
+
+    w, h, n = 5, 4, 3
+    frames = [bytes([(f * 37 + j) % 256 for j in range(w * h * 3)])
+              for f in range(n)]
+    g = bytearray(encode_avi(w, h, 25, frames))
+    info = _parse(bytes(g))
+    base = info["movi_base"]
+    pos, size = info["idx1"]
+    for off in range(pos, pos + size - 15, 16):
+        (ckoff,) = structmod.unpack_from("<I", g, off + 8)
+        structmod.pack_into("<I", g, off + 8, ckoff + base)  # make absolute
+    for i in range(n):
+        assert decode_avi_frame(bytes(g), i) == frames[i]

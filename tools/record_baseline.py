@@ -67,6 +67,10 @@ def main(argv: list[str]) -> None:
     # a "full sweep" may predate a few late-added keys; 90% coverage
     # separates sweeps from SPARK_GRAFT_ONLY top-ups
     full = [r for r in runs if len(r["queries"]) >= 0.9 * len(samples)]
+    if not full:
+        raise SystemExit("no full-registry sweep among the inputs — a "
+                         "baseline recorded purely from per-key top-up runs "
+                         "would misstate the protocol; include >= 1 sweep")
     run_totals = [sum(r["queries"].values()) for r in full]
 
     lines = [START, "", f"| Query key | sec/query @ sf{sf} |", "| --- | --- |"]

@@ -7,7 +7,8 @@ points, comparing:
   naive : self cross-join + distance filter — O(n^2) candidate pairs
   grid  : 3x3-neighborhood explode + home-cell equi-join — O(n * density)
 
-Run isolated (no other Spark process): python tools/spatial_ab.py
+Run isolated (no other Spark process):
+    PYTHONPATH=/root/repo python tools/spatial_ab.py
 Results land in stdout as a markdown table to paste into BASELINE.md.
 
 The expectation this records: naive time grows ~9x when n grows 3x
@@ -34,31 +35,16 @@ def points(spark: SparkSession, n: int):
     ids = spark.range(n).select(F.col("id").alias("ck"))
 
     def coord(axis: str):
-        h = F.md5(F.concat(F.lit(axis + "|"), F.col("ck").cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % side
+        from flink_job_spark.functions.hashing import md5_u32
+        return md5_u32(F.concat(F.lit(axis + "|"),
+                                F.col("ck").cast("string"))) % side
 
     return ids.select("ck", coord("x").alias("x"), coord("y").alias("y")), side
 
 
 def grid_pairs(p):
-    cell = [(F.col("x") / GRID).cast("bigint").alias("cx"),
-            (F.col("y") / GRID).cast("bigint").alias("cy")]
-    nbr = F.explode(F.array(*[
-        F.struct((F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
-    a = (p.select("ck", "x", "y", *cell)
-           .select("ck", "x", "y", nbr)
-           .select(F.col("ck").alias("a_ck"), F.col("x").alias("a_x"),
-                   F.col("y").alias("a_y"),
-                   F.col("nb.jx").alias("jx"), F.col("nb.jy").alias("jy")))
-    b = (p.select(F.col("ck").alias("b_ck"), F.col("x").alias("b_x"),
-                  F.col("y").alias("b_y"), *cell)
-           .withColumnRenamed("cx", "jx").withColumnRenamed("cy", "jy"))
-    dx, dy = F.col("a_x") - F.col("b_x"), F.col("a_y") - F.col("b_y")
-    return (a.join(b, ["jx", "jy"])
-             .filter((F.col("a_ck") < F.col("b_ck"))
-                     & (dx * dx + dy * dy <= DIST * DIST))
-             .count())
+    from flink_job_spark.operators.spatial import grid_close_pairs
+    return grid_close_pairs(p, GRID, DIST).count()
 
 
 def naive_pairs(p):
