@@ -1,10 +1,12 @@
-"""TPC-H completion pack: the remaining classic optimizer shapes, adapted to
-the driver schema (no partsupp / l_shipmode / c_phone — documented per key).
+"""TPC-H completion pack: ALL 22 classic optimizer shapes are now covered,
+adapted to the driver schema (no partsupp / l_shipmode / c_phone —
+documented per key; partsupp-derived relations come from lineitem).
 
 The reference engine (damir-kalin/flink-job) has no joins at all (SURVEY
 §2.6); these keys exist because an analytics user switching onto this engine
 runs exactly these shapes. Complements the Q1/Q3/Q4/Q6/Q13/Q15/Q17/Q21 forms
-already in queries/relational.py. Conventions (see relational.py docstring):
+already in queries/relational.py; this module holds Q2/Q5/Q7/Q8/Q9/Q10/Q11/
+Q12/Q14/Q16/Q18/Q19/Q20/Q22. Conventions (see relational.py docstring):
 dimension joins broadcast, fact-fact joins stay unhinted for AQE, money sums
 go through exact DECIMAL and exit via the shared _OUT4 scale-4-then-double
 rendering, and every LIMIT-k carries a total-order tie-break.
@@ -614,3 +616,360 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY c_acctbal DESC, c_custkey
                       LIMIT {LATERAL_TOPN})
         ORDER BY n_name, c_acctbal DESC, c_custkey""")
+
+
+# --- q_min_cost_supplier: TPC-H Q2 ---------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TOPK = 100
+
+@register(
+    "q_min_cost_supplier",
+    f"""WITH eu_sup AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier, nation, region
+          WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = '{Q2_REGION}'),
+        offers AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+          FROM lineitem JOIN eu_sup ON l_suppkey = s_suppkey
+          GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT l_partkey, MIN(cost) AS min_cost
+          FROM offers GROUP BY l_partkey)
+       SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+              o.cost AS min_cost
+       FROM offers o
+       JOIN best b ON o.l_partkey = b.l_partkey AND o.cost = b.min_cost
+       JOIN eu_sup s ON o.l_suppkey = s.s_suppkey
+       JOIN part p ON o.l_partkey = p.p_partkey
+       WHERE p.p_size = {Q2_SIZE}
+       ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+       FETCH FIRST {Q2_TOPK} ROWS ONLY""",
+    doc=f"TPC-H Q2 minimum-cost supplier (adapted: the part-supplier offer "
+        "relation is derived from lineitem MIN(l_extendedprice), the repo "
+        "having no partsupp): per-part minimum over region-filtered "
+        f"suppliers, joined BACK on cost equality (ties kept), size-"
+        f"{Q2_SIZE} parts, top-{Q2_TOPK} by account balance",
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-aggregate-then-equality-join-back shape that TPC-H
+    uses to stress decorrelation: expressed directly as aggregate + self
+    join, which IS what a decorrelating optimizer produces. The region
+    dimension chain broadcasts into supplier, the 2-column offers aggregate
+    partial-aggregates map-side, and the per-part min is a second combine-
+    enabled agg of the ALREADY-reduced offers (never the raw fact). MIN of
+    a stored double involves no arithmetic — bit-exact across engines.
+    The ORDER BY carries the full output tie-break (s_name unique per
+    supplier, p_partkey completes the pair) so LIMIT is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eu_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+         .join(F.broadcast(r.filter(F.col("r_name") == Q2_REGION)),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eu_sup.select("s_suppkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        offers.join(best, (offers["l_partkey"] == best["l_partkey"])
+                    & (offers["cost"] == best["min_cost"]))
+              .drop(best["l_partkey"])
+              .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(p.filter(F.col("p_size") == Q2_SIZE)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                      F.col("cost").alias("min_cost"))
+              .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                       "p_partkey")
+              .limit(Q2_TOPK)
+    )
+
+
+# --- q_product_profit: TPC-H Q9 ------------------------------------------------
+
+Q9_WORD = "red"
+
+@register(
+    "q_product_profit",
+    f"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           {_OUT4.format(s=(f"SUM({_VDEC.format(x=_REV)}) - "
+                            "SUM(CAST(CAST(CAST(p_retailprice / 10 AS DOUBLE)"
+                            " AS VARCHAR) AS DECIMAL(19,10))"
+                            " * CAST(l_quantity AS DECIMAL(3,0)))"))}
+             AS profit
+    FROM lineitem, orders, part, supplier, nation
+    WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '{Q9_WORD} %'
+    GROUP BY n_name, year(o_orderdate)""",
+    doc=f"TPC-H Q9 product-type profit (adapted: supply cost surrogate = "
+        f"p_retailprice/10 per unit, the repo having no partsupp): profit "
+        f"by supplier nation and order year over '{Q9_WORD} *' parts — the "
+        "5-table star with an expression measure and a derived grouping "
+        "column (year)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and cost are folded as SEPARATE exact-decimal sums and
+    subtracted once at the end: per-row mixed-width decimal subtraction is
+    where Spark's precision-loss rules and DuckDB's int128 promotion
+    disagree, while two independent SUMs stay exact in both. The unit cost
+    routes p_retailprice/10 through ONE IEEE division (identical in both
+    engines) before the repr-exact decimal cast, and quantity is
+    DECIMAL(3,0) so the product's static type (22,10) never triggers
+    Spark's scale trimming. Part filter broadcasts; the nation name rides
+    the broadcast supplier dim; year() is a derived group key computed
+    pre-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    sup_n = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]) \
+             .select("s_suppkey", "n_name")
+    cost = (F.col("p_retailprice") / F.lit(10)).cast("double") \
+        .cast("decimal(19,10)") * F.col("l_quantity").cast("decimal(3,0)")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like(f"{Q9_WORD} %"))
+                             .select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+          .join(F.broadcast(sup_n), li["l_suppkey"] == F.col("s_suppkey"))
+          .join(o, li["l_orderkey"] == o["o_orderkey"])
+          .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+          .agg(_out4_col(F.sum(_rev_col()) - F.sum(cost)).alias("profit"))
+    )
+
+
+# --- q_important_lines: TPC-H Q11 ----------------------------------------------
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+@register(
+    "q_important_lines",
+    f"""WITH val AS (
+          SELECT l_partkey,
+                 {_OUT4.format(s=f"SUM({_VDEC.format(x='l_extendedprice')})")}
+                   AS value
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = '{Q11_NATION}'
+          GROUP BY l_partkey),
+        tot AS (SELECT SUM(value) AS total FROM val)
+       SELECT l_partkey, value
+       FROM val, tot
+       WHERE value > total * {Q11_FRACTION}
+       ORDER BY value DESC, l_partkey""",
+    doc=f"TPC-H Q11 important stock (adapted to the lineitem-derived "
+        f"part-supplier relation): per-part value of {Q11_NATION}'s "
+        "suppliers, kept only when above a FRACTION of the global total — "
+        "the global-scalar-in-HAVING shape",
+    tags=("relational", "agg", "tpch", "subquery"),
+)
+def q_important_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold compares doubles that both engines derive identically:
+    per-part values exit the exact-decimal envelope at scale 4 (_OUT4), the
+    total is a SUM of those doubles in any order (exact: scale-4 cents fit
+    2^53), and total * fraction is one IEEE multiply — so the boundary rows
+    agree bitwise. The 1-row total broadcasts back (scalar cross join), so
+    the only data-sized work is one combine-enabled aggregation of the
+    nation-filtered lines (the nation+supplier dims broadcast into the
+    scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    nat_sup = (s.join(F.broadcast(n.filter(F.col("n_name") == Q11_NATION)),
+                      s["s_nationkey"] == n["n_nationkey"])
+                .select("s_suppkey"))
+    val = (
+        li.join(F.broadcast(nat_sup), li["l_suppkey"] == F.col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(_out4_col(F.sum(_vdec_col(F.col("l_extendedprice"))))
+               .alias("value"))
+          .persist()   # reused by the scalar total AND the output — without
+          #              this the fact is scanned twice (plan-pinned)
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+           .filter(F.col("value") > F.col("total") * F.lit(Q11_FRACTION))
+           .select("l_partkey", "value")
+           .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+# --- q_priority_shipmode: TPC-H Q12 --------------------------------------------
+
+Q12_FROM, Q12_TO = "1996-01-01", "1997-01-01"
+
+@register(
+    "q_priority_shipmode",
+    f"""SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '{Q12_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q12_TO} 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag""",
+    doc="TPC-H Q12 shipping modes and order priority (adapted: grouped by "
+        "l_returnflag, the repo having no l_shipmode): per-group counts of "
+        "high- vs low-priority lines in a ship-date year — the "
+        "join-derived-attribute conditional-count shape",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-count measure (no decimals to reconcile); the date filter is
+    pushed to the lineitem scan (pinned PushedFilters) and the CASE sums
+    partial-aggregate map-side after the fact-fact join, which stays
+    unhinted for AQE. The priority attribute arrives THROUGH the join —
+    the shape that punishes engines which can't pipeline join output into
+    partial aggregation."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit(Q12_FROM).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q12_TO).cast("timestamp")))
+          .join(o, li["l_orderkey"] == o["o_orderkey"])
+          .groupBy("l_returnflag")
+          .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                .alias("high_line_count"),
+               F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+                .alias("low_line_count"))
+          .orderBy("l_returnflag")
+    )
+
+
+# --- q_supplier_part_counts: TPC-H Q16 -----------------------------------------
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (5, 15, 25, 35)
+
+@register(
+    "q_supplier_part_counts",
+    f"""SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_brand <> '{Q16_EXCL_BRAND}'
+      AND p_size IN {Q16_SIZES}
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    doc=f"TPC-H Q16 parts/supplier relationship (adapted: the relation is "
+        "lineitem, complaint suppliers are those with negative account "
+        "balance): distinct-supplier counts per (brand, type, size) with "
+        "an anti-subquery exclusion — COUNT DISTINCT + NOT IN shape",
+    tags=("relational", "join", "agg", "tpch", "subquery"),
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-nullable key decorrelates to a left-anti join
+    (broadcast: the exclusion list is tiny); the part predicate broadcasts
+    into the scan. COUNT(DISTINCT) expands to the standard two-phase
+    distinct-then-count plan — Spark's expand/partial machinery handles
+    it without a driver-side distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter((F.col("p_brand") != Q16_EXCL_BRAND)
+                  & F.col("p_size").isin(*Q16_SIZES)) \
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                "left_anti")
+          .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(F.countDistinct("l_suppkey").cast("bigint")
+                .alias("supplier_cnt"))
+          .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                   "p_size")
+    )
+
+
+# --- q_excess_stock_suppliers: TPC-H Q20 ---------------------------------------
+
+Q20_WORD = "small"
+Q20_NATION = "NATION_7"
+Q20_FROM, Q20_TO = "1996-01-01", "1997-01-01"
+
+@register(
+    "q_excess_stock_suppliers",
+    f"""WITH shipped AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey AND p_name LIKE '{Q20_WORD} %'
+            AND l_shipdate >= TIMESTAMP '{Q20_FROM} 00:00:00'
+            AND l_shipdate <  TIMESTAMP '{Q20_TO} 00:00:00'
+          GROUP BY l_partkey, l_suppkey),
+        part_tot AS (
+          SELECT l_partkey, SUM(sq) AS total_q
+          FROM shipped GROUP BY l_partkey),
+        dominant AS (
+          SELECT DISTINCT s.l_suppkey
+          FROM shipped s JOIN part_tot t ON s.l_partkey = t.l_partkey
+          WHERE s.sq * 4 > t.total_q)
+       SELECT s_name, n_name
+       FROM dominant, supplier, nation
+       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = '{Q20_NATION}'
+       ORDER BY s_name""",
+    doc=f"TPC-H Q20 potential part promotion (adapted: 'excess stock' = a "
+        f"supplier shipping >25% of a '{Q20_WORD} *' part's yearly volume, "
+        "the repo having no partsupp availqty): the nested IN-subquery "
+        "chain — per-(part,supplier) totals against per-part totals, "
+        "distinct suppliers, then the nation filter",
+    tags=("relational", "join", "agg", "tpch", "subquery"),
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level aggregate chain reuses its own output (part_tot is an
+    agg OF shipped, never a second fact scan) and the dominance test
+    multiplies by 4 instead of comparing against 0.25 * total — quantity
+    sums are integral doubles, so sq * 4 is exact and the comparison has
+    no rounding boundary for engines to disagree on. DISTINCT bounds the
+    join-back at |suppliers|; the nation dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= F.lit(Q20_FROM).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q20_TO).cast("timestamp")))
+          .join(F.broadcast(p.filter(F.col("p_name").like(f"{Q20_WORD} %"))
+                             .select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("sq"))
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
+    dominant = (
+        shipped.join(part_tot, "l_partkey")
+               .filter(F.col("sq") * 4 > F.col("total_q"))
+               .select("l_suppkey").distinct()
+    )
+    nat = n.filter(F.col("n_name") == Q20_NATION)
+    return (
+        dominant.join(s, F.col("l_suppkey") == s["s_suppkey"])
+                .join(F.broadcast(nat),
+                      s["s_nationkey"] == F.col("n_nationkey"))
+                .select("s_name", "n_name")
+                .orderBy("s_name")
+    )

@@ -804,6 +804,50 @@ def test_spatial_close_pairs_grid_join_no_cartesian(spark, sf_dir):
         read_schema_columns(p)
 
 
+def test_tpch_q2_min_cost_no_fact_rescan(spark, sf_dir):
+    """Q2 shape: the per-part MIN aggregates the ALREADY-reduced offers
+    frame; dims broadcast; no cartesian/nested-loop from the decorrelated
+    join-back."""
+    p = plan(all_queries()["q_min_cost_supplier"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_tpch_q9_profit_broadcast_dims(spark, sf_dir):
+    """Q9 shape: part and supplier+nation broadcast into the fact scan; the
+    only big-big join is lineitem-orders."""
+    p = plan(all_queries()["q_product_profit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_tpch_q11_scalar_total_broadcast(spark, sf_dir):
+    """Q11 shape: the global total is a 1-row broadcast back onto the
+    per-part aggregate, and BOTH consumers (total + output) must read the
+    persisted val frame — never recompute the fact aggregation."""
+    p = plan(all_queries()["q_important_lines"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert p.count("InMemoryTableScan") >= 2, p
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    """Q16 shape: NOT IN decorrelates to a broadcast left-anti join; the
+    part predicate broadcasts; COUNT DISTINCT expands JVM-side."""
+    p = plan(all_queries()["q_supplier_part_counts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_tpch_q20_reuses_reduced_aggregate(spark, sf_dir):
+    """Q20 shape: part_tot aggregates shipped (already part,supplier-
+    reduced); lineitem is scanned exactly once."""
+    p = plan(all_queries()["q_excess_stock_suppliers"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    import re
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", p))
+    assert li_scans <= 1, f"lineitem scanned {li_scans}x:\n{p}"
+
+
 def test_moving_avg_single_shuffle_running_frame(spark, sf_dir):
     """The trailing ROWS frame evaluates with O(frame) running state on one
     user_id partitioning — a second exchange or a re-sort is a regression."""
