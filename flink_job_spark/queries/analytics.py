@@ -863,8 +863,7 @@ def _pr_oracle() -> str:
     rounded to 12 places per iteration (rounding is what keeps iterated
     doubles from drifting apart across engines)."""
     parts = [f"""WITH e0 AS (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     deg AS (SELECT src, COUNT(1) AS outdeg FROM edges GROUP BY src),
@@ -905,14 +904,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     few rounds like connected_components_star. Degree never changes, so the
     (src, dst, outdeg) edge relation is computed once; every node of the
     undirected graph has outdeg >= 1, so no dangling-mass correction is
-    needed and both engines drop the same nothing."""
+    needed and both engines drop the same nothing. Node ids are int64
+    (customer 2k, supplier 2k+1) — the string-label variant shuffled ~2x
+    the bytes and hashed strings every exchange (same lesson as
+    q_bfs_reach's recorded 9.0 s -> 5.x s switch)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-           .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                    .alias("src"),
-                   F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                    .alias("dst"))
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .distinct())
     edges = e0.union(e0.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))

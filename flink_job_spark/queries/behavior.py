@@ -524,3 +524,91 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("ts1").alias("click2_ts"),
                    F.col("ts2").alias("purchase_ts"))
     )
+
+
+# --- q_attribution_linear: integer-exact multi-touch credit --------------------
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+ATTR_CREDIT = 1_000_000   # micro-credit units split per purchase
+
+@register(
+    "q_attribution_linear",
+    f"""WITH clicks AS (
+          SELECT user_id, event_id AS click_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS cus,
+                 CAST(CAST(ts AS DATE) AS TIMESTAMP) AS click_day
+          FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT user_id, event_id AS purchase_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+          FROM events WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT p.purchase_id, c.click_id, c.click_day,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.cus, c.click_id) AS rn,
+                 COUNT(1) OVER (PARTITION BY p.purchase_id) AS n
+          FROM purch p JOIN clicks c
+            ON p.user_id = c.user_id
+           AND c.cus <= p.pus AND c.cus >= p.pus - {ATTR_WINDOW_US})
+       SELECT click_day,
+              CAST(COUNT(1) AS BIGINT) AS n_touches,
+              CAST(SUM({ATTR_CREDIT} // n
+                       + CASE WHEN rn <= {ATTR_CREDIT} % n THEN 1 ELSE 0 END)
+                   AS BIGINT) AS credit_millionths
+       FROM touches
+       GROUP BY click_day
+       ORDER BY click_day""",
+    doc="multi-touch linear attribution with EXACT credit: each purchase "
+        f"splits {ATTR_CREDIT} micro-credit units equally across the "
+        "user's clicks in the prior 24 h via largest-remainder "
+        "apportionment (floor quota + the remainder to the earliest "
+        "clicks), so credit sums are integers that conserve the total — "
+        "the q_seat_allocation machinery applied per purchase, rolled up "
+        "by click day",
+    tags=("behavior", "attribution", "window"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float credit (1/n per touch) would make day totals depend on IEEE
+    fold order across engines AND executors; integer apportionment makes
+    them exact and associative. The purchase-click pairing is the 1-D
+    version of the spatial grid join (operators/spatial.py): clicks carry
+    their home 24 h time bucket, purchases explode to (bucket, bucket-1),
+    and the equi-join on (user_id, bucket) bounds candidates by local
+    density — never a per-user cross product, and the join key includes
+    user_id so time buckets alone can't hot-spot. Window functions then
+    rank WITHIN purchase only (state O(clicks per purchase))."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = (e.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        us("ts").alias("cus"),
+                        F.col("ts").cast("date").cast("timestamp")
+                         .alias("click_day"))
+                .withColumn("jb", (F.col("cus") / ATTR_WINDOW_US)
+                            .cast("bigint")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+               .select("user_id", F.col("event_id").alias("purchase_id"),
+                       us("ts").alias("pus"))
+               .withColumn("pb", (F.col("pus") / ATTR_WINDOW_US)
+                           .cast("bigint"))
+               .withColumn("jb", F.explode(F.array(F.col("pb"),
+                                                   F.col("pb") - 1)))
+               .drop("pb"))
+    touches = (
+        purch.join(clicks, ["user_id", "jb"])
+             .filter((F.col("cus") <= F.col("pus"))
+                     & (F.col("cus") >= F.col("pus") - ATTR_WINDOW_US))
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id", "click_id", "click_day",
+        F.row_number().over(wp.orderBy("cus", "click_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    credit = (F.expr(f"div({ATTR_CREDIT}, n)")
+              + F.when(F.col("rn") <= F.lit(ATTR_CREDIT) % F.col("n"), 1)
+                 .otherwise(0))
+    return (ranked
+            .groupBy("click_day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+                 F.sum(credit).cast("bigint").alias("credit_millionths"))
+            .orderBy("click_day"))

@@ -848,6 +848,17 @@ def test_tpch_q20_reuses_reduced_aggregate(spark, sf_dir):
     assert li_scans <= 1, f"lineitem scanned {li_scans}x:\n{p}"
 
 
+def test_attribution_linear_bucketed_join(spark, sf_dir):
+    """Multi-touch attribution: purchase-click pairing must be the bucketed
+    (user_id, time-bucket) equi-join (1-D grid pattern) — a per-user
+    cross/nested-loop product is the failure mode; ranking then runs per
+    purchase only."""
+    p = plan(all_queries()["q_attribution_linear"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "Generate" in p, p        # the 2-bucket explode
+    assert "Window" in p, p
+
+
 def test_moving_avg_single_shuffle_running_frame(spark, sf_dir):
     """The trailing ROWS frame evaluates with O(frame) running state on one
     user_id partitioning — a second exchange or a re-sort is a regression."""
