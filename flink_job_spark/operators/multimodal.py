@@ -526,3 +526,87 @@ def audio_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("target_width", T.IntegerType()),
+    T.StructField("target_height", T.IntegerType()),
+    T.StructField("mean_resized", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode for the formats with real codecs here (PNG, BMP,
+    GIF) -> (w, h, channels, row-major RGB). Raises the format's error (or
+    ValueError) on anything else; callers keep errors as data."""
+    from flink_job_spark.functions.png import PNG_SIGNATURE, decode_png
+
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        from flink_job_spark.functions.bmp import decode_bmp
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from flink_job_spark.functions.gif import decode_gif
+        return decode_gif(payload)
+    raise ValueError("not a decodable image payload")
+
+
+def resize_pixel_stats(media: DataFrame, target_width: int,
+                       target_height: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor resample), not just target-dim
+    planning (resize_plan): payloads decode through the real codecs, the
+    resample gathers src[(r2*h)//TH, (c2*w)//TW] with integer index math
+    (no interpolation floats — bit-identical across engines and an exact
+    SQL oracle), and per-image stats of the RESIZED pixels come back. The
+    full decoded frame never leaves the Python worker — only target-sized
+    stats cross the wire, which is what makes a 100 TB thumbnail/normalize
+    pass shippable. Errors stay data (`decode_error`)."""
+    import zlib
+
+    import numpy as np
+
+    from flink_job_spark.functions.bmp import BmpFormatError
+    from flink_job_spark.functions.gif import GifFormatError
+    from flink_job_spark.functions.png import PngFormatError
+
+    errs = (PngFormatError, BmpFormatError, GifFormatError, ValueError,
+            zlib.error, struct.error)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["width", "height", "mean_resized", "decode_error"]
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                w = h = luma = err = None
+                if payload is None:
+                    err = "null payload"
+                else:
+                    try:
+                        w, h, ch, rgb = _decode_any_image(bytes(payload))
+                        arr = np.frombuffer(rgb, dtype=np.uint8) \
+                                .reshape(h, w, ch)
+                        rows = (np.arange(target_height) * h) // target_height
+                        clmn = (np.arange(target_width) * w) // target_width
+                        out = arr[rows][:, clmn]
+                        luma = round(int(out.sum(dtype=np.int64)) / out.size, 6)
+                    except errs as e:
+                        w = h = luma = None
+                        err = f"bad image: {e}"
+                cols["width"].append(w); cols["height"].append(h)
+                cols["mean_resized"].append(luma); cols["decode_error"].append(err)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "target_width": pd.array([target_width] * len(pdf), dtype="Int32"),
+                "target_height": pd.array([target_height] * len(pdf), dtype="Int32"),
+                "mean_resized": cols["mean_resized"],
+                "decode_error": cols["decode_error"],
+            })
+
+    return media.mapInPandas(batches, schema=RESIZE_STATS_SCHEMA)

@@ -742,3 +742,68 @@ def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# --- q_media_resize_real: REAL nearest-neighbor resample, oracle-checked -------
+
+RESIZE_TW, RESIZE_TH = 8, 6
+
+@register(
+    "q_media_resize_real",
+    f"""WITH d AS (
+      SELECT doc_id, 8 + doc_id % {BMP_W_MOD} AS w, 8 + doc_id % {BMP_H_MOD} AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31
+              + (((r2 * h) // {RESIZE_TH} * w + (c2 * w) // {RESIZE_TW}) * 3
+                 + ch) * 7) % 256 AS v
+      FROM d,
+           (SELECT unnest(range({RESIZE_TH})) AS r2),
+           (SELECT unnest(range({RESIZE_TW})) AS c2),
+           (SELECT unnest(range(3)) AS ch)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST({RESIZE_TW} AS INT) AS target_width,
+           CAST({RESIZE_TH} AS INT) AS target_height,
+           round(AVG(CAST(v AS DOUBLE)), 6) AS mean_resized
+    FROM g GROUP BY doc_id""",
+    doc=f"REAL image resize (not just target planning like q_media_resize): "
+        f"per-doc BMPs decode through the raw-DIB codec and resample to "
+        f"{RESIZE_TW}x{RESIZE_TH} by nearest-neighbor INTEGER index math "
+        "(src[(r2*h)//TH, (c2*w)//TW]) — no interpolation floats, so the "
+        "resized-pixel mean has a closed form plain SQL reproduces exactly",
+    tags=("multimodal", "bmp", "resize"),
+)
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the resize gap: resize_plan computes TARGETS (metadata-only);
+    this decodes and resamples actual pixels. Nearest-neighbor with floor
+    index math is the one resample both engines (and any rerun at any
+    partitioning) agree on bit-exactly; bilinear would be the same plumbing
+    plus interpolation weights. Only target-size stats leave the worker —
+    decoded frames never cross the wire, the property a 100 TB
+    thumbnail/normalization pass needs."""
+    import pandas as pd
+
+    from flink_job_spark.functions.bmp import encode_bmp
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % BMP_W_MOD, 8 + i % BMP_H_MOD
+                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
+                payloads.append(encode_bmp(w, h, px, top_down=bool(i % 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/bmp", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = resize_pixel_stats(media, RESIZE_TW, RESIZE_TH)
+    return stats.select("media_id", "width", "height", "target_width",
+                        "target_height", "mean_resized")

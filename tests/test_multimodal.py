@@ -707,3 +707,33 @@ def test_avi_absolute_offset_idx1_autodetected():
         structmod.pack_into("<I", g, off + 8, ckoff + base)  # make absolute
     for i in range(n):
         assert decode_avi_frame(bytes(g), i) == frames[i]
+
+
+def test_resize_pixel_stats_gathers_and_errors(spark):
+    """Nearest-neighbor resample over a real BMP: the resized mean equals a
+    hand-computed gather; corrupt and alien payloads stay data."""
+    from flink_job_spark.functions.bmp import encode_bmp
+    from flink_job_spark.operators.multimodal import resize_pixel_stats
+
+    w, h, tw, th = 10, 7, 4, 3
+    px = bytes(((j * 11) % 256) for j in range(w * h * 3))
+    rows = {
+        r["media_id"]: r
+        for r in resize_pixel_stats(
+            spark.createDataFrame(
+                [(1, "image", "image/bmp", bytearray(encode_bmp(w, h, px))),
+                 (2, "image", "image/bmp", bytearray(b"BMgarbage")),
+                 (3, "image", "image/jpeg", bytearray(b"\xff\xd8\xff junk"))],
+                "media_id long, kind string, mime string, payload binary"),
+            target_width=tw, target_height=th,
+        ).collect()
+    }
+    ok = rows[1]
+    assert (ok["width"], ok["height"]) == (w, h)
+    assert (ok["target_width"], ok["target_height"]) == (tw, th)
+    vals = [px[((r2 * h // th) * w + (c2 * w // tw)) * 3 + ch]
+            for r2 in range(th) for c2 in range(tw) for ch in range(3)]
+    assert ok["mean_resized"] == round(sum(vals) / len(vals), 6)
+    assert ok["decode_error"] is None
+    assert rows[2]["decode_error"].startswith("bad image")
+    assert rows[3]["decode_error"].startswith("bad image")

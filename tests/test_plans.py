@@ -859,6 +859,16 @@ def test_attribution_linear_bucketed_join(spark, sf_dir):
     assert "Window" in p, p
 
 
+def test_media_resize_real_no_shuffle(spark, sf_dir):
+    """Real resample: encode -> decode -> nearest-neighbor gather is one
+    Arrow-batched map chain; decoded frames never shuffle, only doc_id is
+    read."""
+    p = plan(all_queries()["q_media_resize_real"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"resize plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
 def test_moving_avg_single_shuffle_running_frame(spark, sf_dir):
     """The trailing ROWS frame evaluates with O(frame) running state on one
     user_id partitioning — a second exchange or a re-sort is a regression."""
