@@ -121,11 +121,6 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     PNG payloads and emit per-image pixel statistics (mean sample value).
     Errors stay data (`decode_error`), never exceptions — one corrupt blob
     can't kill a 100 TB scan."""
-    import struct as structmod
-    import zlib
-
-    from flink_job_spark.functions.png import PNG_SIGNATURE, PngFormatError, decode_png
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": pdf["media_id"], "width": [], "height": [],
@@ -134,37 +129,17 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                 w = h = ch = luma = err = None
                 if payload is None:
                     err = "null payload"
-                elif bytes(payload[:8]) == PNG_SIGNATURE:
-                    try:
-                        w, h, ch, px = decode_png(bytes(payload))
-                        luma = round(sum(px) / len(px), 6) if px else None
-                    except (PngFormatError, zlib.error, structmod.error) as e:
-                        # corrupt IDAT raises zlib.error, truncated headers
-                        # struct.error — ALL decode faults must stay data
-                        w = h = ch = luma = None
-                        err = f"bad png: {e}"
-                elif bytes(payload[:2]) == b"BM":
-                    from flink_job_spark.functions.bmp import (
-                        BmpFormatError, decode_bmp)
-
-                    try:
-                        w, h, ch, px = decode_bmp(bytes(payload))
-                        luma = round(sum(px) / len(px), 6) if px else None
-                    except (BmpFormatError, structmod.error) as e:
-                        w = h = ch = luma = None
-                        err = f"bad bmp: {e}"
-                elif bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
-                    from flink_job_spark.functions.gif import (
-                        GifFormatError, decode_gif)
-
-                    try:
-                        w, h, ch, px = decode_gif(bytes(payload))
-                        luma = round(sum(px) / len(px), 6) if px else None
-                    except (GifFormatError, structmod.error) as e:
-                        w = h = ch = luma = None
-                        err = f"bad gif: {e}"
                 else:
-                    err = "not a decodable image"
+                    try:
+                        # the ONE shared magic dispatch; corrupt IDAT
+                        # (zlib.error), truncated headers (struct.error)
+                        # and format errors all arrive tagged — decode
+                        # faults must stay data
+                        w, h, ch, px = _decode_any_image(bytes(payload))
+                        luma = round(sum(px) / len(px), 6) if px else None
+                    except ImageDecodeError as e:
+                        w = h = ch = luma = None
+                        err = str(e)
                 out["width"].append(w); out["height"].append(h)
                 out["channels"].append(ch); out["mean_luma"].append(luma)
                 out["decode_error"].append(err)
@@ -539,21 +514,46 @@ RESIZE_STATS_SCHEMA = T.StructType([
 ])
 
 
+class ImageDecodeError(ValueError):
+    """Format-tagged decode fault: str() renders the exact decode_error
+    message operators emit ('bad png: ...' / 'not a decodable image')."""
+
+    def __init__(self, fmt: str | None, cause: object) -> None:
+        self.fmt = fmt
+        super().__init__(f"bad {fmt}: {cause}" if fmt else str(cause))
+
+
 def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Full pixel decode for the formats with real codecs here (PNG, BMP,
-    GIF) -> (w, h, channels, row-major RGB). Raises the format's error (or
-    ValueError) on anything else; callers keep errors as data."""
-    from flink_job_spark.functions.png import PNG_SIGNATURE, decode_png
+    GIF) -> (w, h, channels, row-major RGB). The ONE magic-byte dispatch
+    every pixel-touching operator shares (decode_pixel_stats,
+    resize_pixel_stats) — a new decodable format is added here once.
+    All faults raise ImageDecodeError so callers keep errors as data with
+    consistent messages."""
+    import struct as structmod
+    import zlib
+
+    from flink_job_spark.functions.png import (PNG_SIGNATURE, PngFormatError,
+                                               decode_png)
 
     if payload[:8] == PNG_SIGNATURE:
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except (PngFormatError, zlib.error, structmod.error) as e:
+            raise ImageDecodeError("png", e) from e
     if payload[:2] == b"BM":
-        from flink_job_spark.functions.bmp import decode_bmp
-        return decode_bmp(payload)
+        from flink_job_spark.functions.bmp import BmpFormatError, decode_bmp
+        try:
+            return decode_bmp(payload)
+        except (BmpFormatError, structmod.error) as e:
+            raise ImageDecodeError("bmp", e) from e
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        from flink_job_spark.functions.gif import decode_gif
-        return decode_gif(payload)
-    raise ValueError("not a decodable image payload")
+        from flink_job_spark.functions.gif import GifFormatError, decode_gif
+        try:
+            return decode_gif(payload)
+        except (GifFormatError, structmod.error) as e:
+            raise ImageDecodeError("gif", e) from e
+    raise ImageDecodeError(None, "not a decodable image")
 
 
 def resize_pixel_stats(media: DataFrame, target_width: int,
@@ -566,16 +566,7 @@ def resize_pixel_stats(media: DataFrame, target_width: int,
     full decoded frame never leaves the Python worker — only target-sized
     stats cross the wire, which is what makes a 100 TB thumbnail/normalize
     pass shippable. Errors stay data (`decode_error`)."""
-    import zlib
-
     import numpy as np
-
-    from flink_job_spark.functions.bmp import BmpFormatError
-    from flink_job_spark.functions.gif import GifFormatError
-    from flink_job_spark.functions.png import PngFormatError
-
-    errs = (PngFormatError, BmpFormatError, GifFormatError, ValueError,
-            zlib.error, struct.error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ["width", "height", "mean_resized", "decode_error"]
@@ -594,9 +585,9 @@ def resize_pixel_stats(media: DataFrame, target_width: int,
                         clmn = (np.arange(target_width) * w) // target_width
                         out = arr[rows][:, clmn]
                         luma = round(int(out.sum(dtype=np.int64)) / out.size, 6)
-                    except errs as e:
+                    except ImageDecodeError as e:
                         w = h = luma = None
-                        err = f"bad image: {e}"
+                        err = str(e)
                 cols["width"].append(w); cols["height"].append(h)
                 cols["mean_resized"].append(luma); cols["decode_error"].append(err)
             yield pd.DataFrame({

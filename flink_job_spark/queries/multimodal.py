@@ -422,6 +422,31 @@ def q_media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BMP_W_MOD, BMP_H_MOD = 16, 12
 
+def _bmp_media(d):
+    """Shared synthetic-BMP media builder for the raw-DIB keys: dims
+    8+id%%16 x 8+id%%12, byte j = (id*31 + j*7) %% 256, odd ids top-down —
+    BOTH q_media_bmp_stats' and q_media_resize_real's oracles assume this
+    exact closed form, so it lives once."""
+    import pandas as pd
+
+    from flink_job_spark.functions.bmp import encode_bmp
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % BMP_W_MOD, 8 + i % BMP_H_MOD
+                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
+                payloads.append(encode_bmp(w, h, px, top_down=bool(i % 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/bmp", "payload": payloads})
+
+    return d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+
+
+
 @register(
     "q_media_bmp_stats",
     f"""WITH d AS (
@@ -459,19 +484,7 @@ def q_media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from flink_job_spark.functions.bmp import decode_bmp, encode_bmp
-    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA
-
-    def encode(it):
-        for pdf in it:
-            payloads = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                w, h = 8 + i % BMP_W_MOD, 8 + i % BMP_H_MOD
-                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
-                payloads.append(encode_bmp(w, h, px, top_down=bool(i % 2)))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
-                                "mime": "image/bmp", "payload": payloads})
+    from flink_job_spark.functions.bmp import decode_bmp
 
     def stats(it):
         for pdf in it:
@@ -490,8 +503,7 @@ def q_media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_b"].append(round(int(a[2::3].sum()) / n, 6))
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = _bmp_media(load_table(spark, sf_dir, "documents"))
     return media.mapInPandas(
         stats, schema="media_id bigint, width int, height int, channels int, "
                       "mean_r double, mean_g double, mean_b double")
@@ -785,25 +797,9 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus interpolation weights. Only target-size stats leave the worker —
     decoded frames never cross the wire, the property a 100 TB
     thumbnail/normalization pass needs."""
-    import pandas as pd
+    from flink_job_spark.operators.multimodal import resize_pixel_stats
 
-    from flink_job_spark.functions.bmp import encode_bmp
-    from flink_job_spark.operators.multimodal import (
-        MEDIA_SCHEMA, resize_pixel_stats)
-
-    def encode(it):
-        for pdf in it:
-            payloads = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                w, h = 8 + i % BMP_W_MOD, 8 + i % BMP_H_MOD
-                px = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
-                payloads.append(encode_bmp(w, h, px, top_down=bool(i % 2)))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
-                                "mime": "image/bmp", "payload": payloads})
-
-    d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = _bmp_media(load_table(spark, sf_dir, "documents"))
     stats = resize_pixel_stats(media, RESIZE_TW, RESIZE_TH)
     return stats.select("media_id", "width", "height", "target_width",
                         "target_height", "mean_resized")

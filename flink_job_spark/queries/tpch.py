@@ -704,10 +704,10 @@ Q9_WORD = "red"
 @register(
     "q_product_profit",
     f"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-           {_OUT4.format(s=(f"SUM({_VDEC.format(x=_REV)}) - "
-                            "SUM(CAST(CAST(CAST(p_retailprice / 10 AS DOUBLE)"
+           {_OUT4.format(s=(f"CAST(SUM({_VDEC.format(x=_REV)}) AS DECIMAL(30,10)) - "
+                            "CAST(SUM(CAST(CAST(CAST(p_retailprice / 10 AS DOUBLE)"
                             " AS VARCHAR) AS DECIMAL(19,10))"
-                            " * CAST(l_quantity AS DECIMAL(3,0)))"))}
+                            " * CAST(l_quantity AS DECIMAL(3,0))) AS DECIMAL(30,10))"))}
              AS profit
     FROM lineitem, orders, part, supplier, nation
     WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
@@ -748,42 +748,54 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(sup_n), li["l_suppkey"] == F.col("s_suppkey"))
           .join(o, li["l_orderkey"] == o["o_orderkey"])
           .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-          .agg(_out4_col(F.sum(_rev_col()) - F.sum(cost)).alias("profit"))
+          .agg(_out4_col(F.sum(_rev_col()).cast("decimal(30,10)")
+                         - F.sum(cost).cast("decimal(30,10)"))
+                .alias("profit"))
     )
 
 
 # --- q_important_lines: TPC-H Q11 ----------------------------------------------
 
-Q11_NATION = "NATION_7"
-Q11_FRACTION = 0.001
+Q11_NATION = "NATION_3"
+Q11_MEAN_MULT = 2   # keep parts above MULT x the mean part value
 
 @register(
     "q_important_lines",
     f"""WITH val AS (
           SELECT l_partkey,
                  {_OUT4.format(s=f"SUM({_VDEC.format(x='l_extendedprice')})")}
-                   AS value
+                   AS value,
+                 CAST(ROUND(SUM({_VDEC.format(x='l_extendedprice')}), 4)
+                      AS DECIMAL(25,4)) AS vdec
           FROM lineitem, supplier, nation
           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
             AND n_name = '{Q11_NATION}'
           GROUP BY l_partkey),
-        tot AS (SELECT SUM(value) AS total FROM val)
+        tot AS (SELECT CAST(SUM(vdec) AS DECIMAL(34,4)) AS total,
+                       CAST(COUNT(1) AS DECIMAL(8,0)) AS n FROM val)
        SELECT l_partkey, value
        FROM val, tot
-       WHERE value > total * {Q11_FRACTION}
+       WHERE vdec * n > total * CAST({Q11_MEAN_MULT} AS DECIMAL(2,0))
        ORDER BY value DESC, l_partkey""",
     doc=f"TPC-H Q11 important stock (adapted to the lineitem-derived "
         f"part-supplier relation): per-part value of {Q11_NATION}'s "
-        "suppliers, kept only when above a FRACTION of the global total — "
-        "the global-scalar-in-HAVING shape",
+        f"suppliers, kept only when above {Q11_MEAN_MULT}x the MEAN part "
+        "value — the global-scalar-in-HAVING shape, with a mean-relative "
+        "threshold so the predicate bites (and stays non-vacuous) at "
+        "every scale factor, unlike TPC-H's fixed fraction which must be "
+        "hand-scaled per SF",
     tags=("relational", "agg", "tpch", "subquery"),
 )
 def q_important_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The threshold compares doubles that both engines derive identically:
-    per-part values exit the exact-decimal envelope at scale 4 (_OUT4), the
-    total is a SUM of those doubles in any order (exact: scale-4 cents fit
-    2^53), and total * fraction is one IEEE multiply — so the boundary rows
-    agree bitwise. The 1-row total broadcasts back (scalar cross join), so
+    """The threshold is EXACT decimal arithmetic, not floats: per-part
+    values keep a DECIMAL(30,4) twin (vdec) beside the _OUT4 double output,
+    the total is an exact decimal SUM (fold-order independent — a plain
+    double total would be partition-order dependent and could flip
+    boundary rows between engines or even between Spark runs), and
+    "value > MULT * mean" is restated as "vdec * n > total * MULT" so no
+    IEEE op (and no division) touches the comparison; widths are chosen so
+    no product exceeds precision 38 (vdec(25,4) x n(8,0) = (34,4)) and
+    Spark's precision-loss adjustment never fires. The 1-row total broadcasts back (scalar cross join), so
     the only data-sized work is one combine-enabled aggregation of the
     nation-filtered lines (the nation+supplier dims broadcast into the
     scan)."""
@@ -793,18 +805,21 @@ def q_important_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_sup = (s.join(F.broadcast(n.filter(F.col("n_name") == Q11_NATION)),
                       s["s_nationkey"] == n["n_nationkey"])
                 .select("s_suppkey"))
+    sum_dec = F.sum(_vdec_col(F.col("l_extendedprice")))
     val = (
         li.join(F.broadcast(nat_sup), li["l_suppkey"] == F.col("s_suppkey"))
           .groupBy("l_partkey")
-          .agg(_out4_col(F.sum(_vdec_col(F.col("l_extendedprice"))))
-               .alias("value"))
+          .agg(_out4_col(sum_dec).alias("value"),
+               F.round(sum_dec, 4).cast("decimal(25,4)").alias("vdec"))
           .persist()   # reused by the scalar total AND the output — without
           #              this the fact is scanned twice (plan-pinned)
     )
-    tot = val.agg(F.sum("value").alias("total"))
+    tot = val.agg(F.sum("vdec").cast("decimal(34,4)").alias("total"),
+                  F.count(F.lit(1)).cast("decimal(8,0)").alias("n"))
     return (
         val.crossJoin(F.broadcast(tot))
-           .filter(F.col("value") > F.col("total") * F.lit(Q11_FRACTION))
+           .filter(F.col("vdec") * F.col("n")
+                   > F.col("total") * F.lit(Q11_MEAN_MULT).cast("decimal(2,0)"))
            .select("l_partkey", "value")
            .orderBy(F.col("value").desc(), "l_partkey")
     )
@@ -871,13 +886,15 @@ Q16_SIZES = (5, 15, 25, 35)
       AND p_brand <> '{Q16_EXCL_BRAND}'
       AND p_size IN {Q16_SIZES}
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_acctbal < 0)
+                            WHERE s_suppkey % 7 = 0)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     doc=f"TPC-H Q16 parts/supplier relationship (adapted: the relation is "
-        "lineitem, complaint suppliers are those with negative account "
-        "balance): distinct-supplier counts per (brand, type, size) with "
-        "an anti-subquery exclusion — COUNT DISTINCT + NOT IN shape",
+        "lineitem, the complaint list is the deterministic s_suppkey %% 7 "
+        "== 0 surrogate — non-empty at EVERY scale factor so the anti-join "
+        "is never vacuously dead): distinct-supplier counts per (brand, "
+        "type, size) with an anti-subquery exclusion — COUNT DISTINCT + "
+        "NOT IN shape",
     tags=("relational", "join", "agg", "tpch", "subquery"),
 )
 def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,7 +906,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
-    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bad = s.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
     pf = p.filter((F.col("p_brand") != Q16_EXCL_BRAND)
                   & F.col("p_size").isin(*Q16_SIZES)) \
           .select("p_partkey", "p_brand", "p_type", "p_size")
@@ -908,7 +925,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_excess_stock_suppliers: TPC-H Q20 ---------------------------------------
 
 Q20_WORD = "small"
-Q20_NATION = "NATION_7"
+Q20_NATION = "NATION_3"
 Q20_FROM, Q20_TO = "1996-01-01", "1997-01-01"
 
 @register(

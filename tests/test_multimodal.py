@@ -735,5 +735,5 @@ def test_resize_pixel_stats_gathers_and_errors(spark):
             for r2 in range(th) for c2 in range(tw) for ch in range(3)]
     assert ok["mean_resized"] == round(sum(vals) / len(vals), 6)
     assert ok["decode_error"] is None
-    assert rows[2]["decode_error"].startswith("bad image")
-    assert rows[3]["decode_error"].startswith("bad image")
+    assert rows[2]["decode_error"].startswith("bad bmp")
+    assert rows[3]["decode_error"] == "not a decodable image"
