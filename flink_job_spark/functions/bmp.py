@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 BMP_SIGNATURE = b"BM"
 
 
@@ -34,15 +36,15 @@ def encode_bmp(width: int, height: int, pixels_rgb: bytes,
         raise BmpFormatError("pixel buffer does not match dims")
     stride = width * 3
     pad = (-stride) % 4
-    rows = [pixels_rgb[y * stride:(y + 1) * stride] for y in range(height)]
+    # Vectorized interleave (matches avi._dib_to_frame): reshape to
+    # (h, w, 3), flip rows for bottom-up storage, reverse channels RGB→BGR,
+    # right-pad each row to the 4-byte boundary.
+    arr = np.frombuffer(pixels_rgb, np.uint8).reshape(height, width, 3)
     if not top_down:
-        rows = rows[::-1]
-    body = b"".join(
-        bytes(ch for x in range(width)
-              for ch in (row[x * 3 + 2], row[x * 3 + 1], row[x * 3]))
-        + b"\x00" * pad
-        for row in rows
-    )
+        arr = arr[::-1]
+    padded = np.zeros((height, stride + pad), np.uint8)
+    padded[:, :stride] = arr[..., ::-1].reshape(height, stride)
+    body = padded.tobytes()
     offset = 14 + 40
     header = (BMP_SIGNATURE
               + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
@@ -83,13 +85,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     stride = w * 3 + ((-(w * 3)) % 4)
     if len(data) < offset + stride * h:
         raise BmpFormatError("truncated pixel data")
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        src_y = y if top_down else h - 1 - y
-        row = data[offset + src_y * stride: offset + src_y * stride + w * 3]
-        base = y * w * 3
-        for x in range(w):
-            out[base + x * 3] = row[x * 3 + 2]        # R <- B slot
-            out[base + x * 3 + 1] = row[x * 3 + 1]    # G
-            out[base + x * 3 + 2] = row[x * 3]        # B <- R slot
-    return w, h, 3, bytes(out)
+    # Vectorized deinterleave (hot path of q_media_bmp_stats /
+    # q_media_resize_real): strip row padding, flip bottom-up rows,
+    # reverse channels BGR→RGB — all numpy slicing, no per-pixel Python.
+    rows = (np.frombuffer(data, np.uint8, count=stride * h, offset=offset)
+              .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, rows[..., ::-1].tobytes()

@@ -27,6 +27,12 @@ import numpy as np
 
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
+# Decompression-bomb guard (same rationale as png.MAX_PIXELS): header dims
+# up to 65535x65535 with ~2500x LZW expansion would allocate multi-GB from a
+# few-MB blob. _lzw_decode already stops at `expected`; capping w*h keeps
+# `expected` itself sane so one crafted row can't OOM a 100 TB scan.
+MAX_PIXELS = 64_000_000
+
 
 class GifFormatError(ValueError):
     pass
@@ -185,7 +191,8 @@ def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytearray:
     return out
 
 
-def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS
+               ) -> tuple[int, int, int, bytes]:
     """First-frame full decode → (width, height, 3, top-down RGB)."""
     if data[:6] not in GIF_SIGNATURES:
         raise GifFormatError("not a GIF")
@@ -215,6 +222,8 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         if pos + 10 > len(data):
             raise GifFormatError("truncated image descriptor")
         _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        if w * h > max_pixels:
+            raise GifFormatError(f"dims too large ({w}x{h} > {max_pixels} px)")
         pos += 10
         pal = gct
         if ipacked & 0x80:

@@ -19,6 +19,12 @@ import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard: a few-KB blob can declare 65535x65535 dims and
+# zlib-expand ~1000x; without a cap one crafted row could OOM the Python
+# worker and kill a 100 TB scan. 64 MP (~256 MB RGBA) is far above any
+# training-corpus image; oversized claims become decode errors (= data).
+MAX_PIXELS = 64_000_000
+
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
 
 
@@ -68,11 +74,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS
+               ) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) — full unfilter of IDAT scanlines."""
     w, h, depth, ctype = png_meta(data)
     if depth != 8 or ctype not in _CHANNELS:
         raise PngFormatError(f"unsupported PNG (depth={depth}, color={ctype})")
+    if w * h > max_pixels:
+        raise PngFormatError(f"dims too large ({w}x{h} > {max_pixels} px)")
     ch = _CHANNELS[ctype]
 
     idat = bytearray()
@@ -89,10 +98,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
-
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # Bounded inflate: ask for at most expected+1 bytes so a stream that
+    # zlib-expands past the header-declared dims is rejected without ever
+    # materializing the bomb.
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise PngFormatError("IDAT size does not match dims")
     out = bytearray(h * stride)
     prev = bytearray(stride)

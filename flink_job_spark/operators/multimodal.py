@@ -384,7 +384,7 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                                     rms = round((acc / (len(frames) // 2)) ** 0.5, 6)
                                 else:
                                     err = "bad wav: empty data chunk"
-                    except (wave.Error, EOFError) as e:
+                    except (wave.Error, EOFError, struct.error) as e:
                         sr = ch = nf = dur = rms = None
                         err = f"bad wav: {e}"
                 else:
@@ -482,7 +482,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                                     dbin = int(np.argmax(mags))
                                     dfreq = (float(dbin * sr) / float(nf)
                                              if sr else None)
-                    except (wave.Error, EOFError) as e:
+                    except (wave.Error, EOFError, struct.error) as e:
                         sr = nf = zcr = peak = mabs = dbin = dfreq = None
                         err = f"bad wav: {e}"
                 for k, v in zip(keys, [sr, nf, zcr, peak, mabs,

@@ -66,8 +66,15 @@ def hot_key_split_join(big: DataFrame, other: DataFrame, key: str,
     and never shuffles; only the well-distributed cold remainder takes the
     ordinary shuffle join. Result = exact union of the two disjoint slices.
     Hot keys come from the caller (known stop-keys, nulls-as-key, or a
-    pre-computed heavy-hitter sketch — q_heavy_hitters is the miner)."""
-    hot = F.col(key).isin(hot_keys)
+    pre-computed heavy-hitter sketch — q_heavy_hitters is the miner).
+
+    NULL-keyed rows: ``isin`` evaluates to NULL for them, so the predicate
+    is coalesced to false — NULL keys route to the COLD slice, where the
+    ordinary join applies the engine's own NULL semantics (inner: dropped,
+    identical to a plain join). Without the coalesce BOTH filters would
+    drop NULL rows, silently losing them if this helper is ever extended
+    to outer join types."""
+    hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
     cold = big.filter(~hot).join(other.filter(~hot), key)
     hot_join = big.filter(hot).join(F.broadcast(other.filter(hot)), key)
     return cold.unionByName(hot_join)

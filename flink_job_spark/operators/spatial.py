@@ -33,8 +33,15 @@ def grid_close_pairs(points: DataFrame, grid: int, dist: int,
     if grid < dist:
         raise ValueError(f"grid {grid} must be >= dist {dist} for 1-ring "
                          "completeness")
-    cell = [(F.col("x") / grid).cast("bigint").alias("cx"),
-            (F.col("y") / grid).cast("bigint").alias("cy")]
+    # Pure-integer floor division: (x - pmod(x, g)) div g == floor(x / g)
+    # computed entirely in int64 — correct for NEGATIVE coords (true-division
+    # + bigint cast truncates toward zero, doubling cell 0's width) and exact
+    # for |coord| > 2^53 (double rounding could shift a point's cell and
+    # silently drop close pairs). Supported range: coord > LONG_MIN + grid
+    # (the subtraction must not underflow); asserted cheap via the docstring
+    # contract, not a runtime scan.
+    cell = [F.expr(f"(x - pmod(x, {int(grid)})) div {int(grid)}").alias("cx"),
+            F.expr(f"(y - pmod(y, {int(grid)})) div {int(grid)}").alias("cy")]
     nbr = F.explode(F.array(*[
         F.struct((F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")

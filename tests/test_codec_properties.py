@@ -87,3 +87,88 @@ def test_gif_lzw_table_overflow_roundtrip():
     W, H, C, rgb = decode_gif(encode_gif(w, h, idx))
     assert (W, H, C) == (w, h, 3)
     assert rgb == bytes(b for v in idx for b in (v, v, v))
+
+
+# ---- decompression-bomb guards (ADVICE r3: a few-MB crafted blob must not
+# drive multi-GB allocations inside a 100 TB scan; oversized claims stay
+# errors-as-data) ----
+
+def test_png_bomb_huge_dims_rejected():
+    import struct
+    import zlib
+
+    from flink_job_spark.functions.png import (PNG_SIGNATURE, PngFormatError,
+                                               decode_png)
+    import pytest
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    bomb = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+            + chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="dims too large"):
+        decode_png(bomb)
+
+
+def test_png_zlib_overexpansion_bounded():
+    """IDAT that inflates PAST the declared dims is rejected after at most
+    expected+1 bytes — the bomb never materializes."""
+    import struct
+    import zlib
+
+    from flink_job_spark.functions.png import (PNG_SIGNATURE, PngFormatError,
+                                               decode_png)
+    import pytest
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # declares 2x2 RGB (expected 2*(6+1)=14 bytes) but inflates to 10 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+           + chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="IDAT size"):
+        decode_png(bad)
+
+
+def test_gif_bomb_huge_dims_rejected():
+    import struct
+
+    from flink_job_spark.functions.gif import GifFormatError, decode_gif
+    import pytest
+
+    pal = bytes(range(6))  # 2-entry global color table
+    header = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+              + pal)
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    bomb = header + desc + b"\x02\x01\x44\x00\x3B"
+    with pytest.raises(GifFormatError, match="dims too large"):
+        decode_gif(bomb)
+
+
+def test_decode_caps_are_data_in_operators(spark):
+    """An oversized-dims blob flowing through the mapInPandas media path
+    lands in decode_error, never an executor exception."""
+    import struct
+    import zlib
+
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    from flink_job_spark.functions.png import PNG_SIGNATURE
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    bomb = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(bomb))], "media_id long, payload binary")
+    row = decode_pixel_stats(df).collect()[0]
+    assert row["decode_error"] is not None
+    assert "dims too large" in row["decode_error"]

@@ -86,3 +86,20 @@ def test_hot_key_split_join_hot_slice_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p, f"hot slice not broadcast:\n{p}"
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
         p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_hot_key_split_join_null_keys_match_plain_join(spark):
+    """NULL-keyed rows route to the cold slice and get the engine's own
+    inner-join NULL semantics (dropped) — identical to a plain join, and
+    no silent double-drop if the helper grows outer-join support."""
+    from flink_job_spark.operators.skew import hot_key_split_join
+
+    big = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), ("b", 4), (None, 5)], "k string, v int")
+    other = spark.createDataFrame(
+        [("a", 10), ("b", 20), (None, 30)], "k string, w int")
+    plain = sorted(map(tuple, big.join(other, "k").collect()))
+    split = sorted(map(tuple,
+                       hot_key_split_join(big, other, "k", ["a"]).collect()))
+    assert split == plain
+    assert len(split) == 3  # non-vacuous: a x2, b x1; NULLs dropped
