@@ -9,9 +9,9 @@ virtually every producer writes; palettized/RLE/16-bit variants raise
 Second REAL raster codec next to functions/png.py: where PNG exercises the
 compressed (zlib + scanline-filter) path, BMP exercises the raw-DIB path —
 channel deinterleave (BGR→RGB), row padding, and row-order flip are the
-decode work. JPEG (DCT/huffman family), compressed audio and video remain
-stubbed: they need a codec library (Pillow/ffmpeg) that is not in this
-container, documented in operators/multimodal.py.
+decode work. Compressed audio and video remain stubbed: they need a codec
+library (ffmpeg) that is not in this container, documented in
+operators/multimodal.py.
 """
 
 from __future__ import annotations

@@ -15,8 +15,9 @@ image through a conforming decoder at normal compression ratios.
 
 Third REAL raster codec next to png.py (compressed, filtered) and bmp.py
 (raw DIB): GIF exercises the variable-width bitstream + dictionary-codec
-path. JPEG (DCT family) still needs a codec library absent here
-(operators/multimodal.py documents the stub rationale).
+path. The fourth, JPEG (functions/jpeg.py), covers the transform-codec
+path; only compressed audio/video remain stubbed
+(operators/multimodal.py documents the rationale).
 """
 
 from __future__ import annotations

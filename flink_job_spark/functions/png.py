@@ -9,7 +9,7 @@ conforming encoder's output of these color types round-trips.
 This exists so the multimodal operators decode REAL image bytes inside the
 sandbox (no Pillow/opencv present): the mapInPandas media path is exercised
 with an actual compressed container format, not only the FAKEIMG1 stub.
-JPEG/video remain stubbed (documented in operators/multimodal.py).
+Compressed video remains stubbed (documented in operators/multimodal.py).
 """
 
 from __future__ import annotations

@@ -15,14 +15,16 @@ deinterleave, row padding, bottom-up/top-down), **GIF is decoded for real**
 feature-extracted for real** (stdlib ``wave`` + numpy FFT,
 :func:`decode_audio_meta` / :func:`audio_features`), and **AVI video is
 decoded for real** (RIFF container + idx1-seeked uncompressed BI_RGB
-frames, functions/avi.py, :func:`video_frame_stats`); a deterministic FAKE
-format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian dims) exercises the
-plumbing with zero codec cost. Remaining STUBS — documented rationale: the
-JPEG family (DCT+huffman), compressed audio (mp3/ogg) and COMPRESSED video
-(H.264/VP9/AV1) all require a codec library (Pillow/ffmpeg) that is not in
-this container; they raise ``NotImplementedError`` / degrade to
-``decode_error`` rows. Swapping a stub for Pillow/ffmpeg changes ONE
-function body, no plan shape.
+frames, functions/avi.py, :func:`video_frame_stats`), and **baseline JPEG
+is encoded and decoded for real** (full T.81 baseline: DCT + Annex K
+quantization + canonical Huffman entropy coding, functions/jpeg.py); a
+deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
+dims) exercises the plumbing with zero codec cost. Remaining STUBS —
+documented rationale: compressed audio (mp3/ogg) and COMPRESSED video
+(H.264/VP9/AV1) require a codec library (ffmpeg) that is not in this
+container; they raise ``NotImplementedError`` / degrade to
+``decode_error`` rows. Swapping a stub for ffmpeg changes ONE function
+body, no plan shape.
 """
 
 from __future__ import annotations
@@ -96,13 +98,22 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             return int(w), int(h), None
         except (GifFormatError, struct.error) as e:
             return None, None, f"bad gif: {e}"
+    if payload[:2] == b"\xff\xd8":
+        # real decode: SOF0 marker walk (never touches entropy data)
+        from flink_job_spark.functions.jpeg import JpegFormatError, jpeg_meta
+
+        try:
+            w, h, _ = jpeg_meta(bytes(payload))
+            return int(w), int(h), None
+        except (JpegFormatError, struct.error) as e:
+            return None, None, f"bad jpeg: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
-    # remaining real formats (JPEG/...) need an image lib not present here
+    # remaining real formats (HEIC/WebP/...) need codec libs not present here
     raise NotImplementedError(
-        "JPEG-family image decoding requires a DCT codec library (Pillow/"
-        "opencv); PNG, BMP, GIF and the FAKEIMG1 test format are decodable "
-        "here"
+        "HEIC/WebP-family image decoding requires a codec library (Pillow/"
+        "opencv); PNG, BMP, GIF, baseline JPEG and the FAKEIMG1 test format "
+        "are decodable here"
     )
 
 
@@ -553,6 +564,12 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_gif(payload)
         except (GifFormatError, structmod.error) as e:
             raise ImageDecodeError("gif", e) from e
+    if payload[:2] == b"\xff\xd8":
+        from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+        try:
+            return decode_jpeg(payload)
+        except (JpegFormatError, structmod.error) as e:
+            raise ImageDecodeError("jpeg", e) from e
     raise ImageDecodeError(None, "not a decodable image")
 
 

@@ -803,3 +803,147 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = resize_pixel_stats(media, RESIZE_TW, RESIZE_TH)
     return stats.select("media_id", "width", "height", "target_width",
                         "target_height", "mean_resized")
+
+
+# --- q_media_jpeg_stats: REAL transform-codec roundtrip, oracle-checked --------
+#
+# Constant 8x8 blocks with EVEN sample values at quality 50 roundtrip
+# EXACTLY through baseline JPEG: a constant block has one DC coefficient
+# 8*(v-128), the Annex K DC quant step 16 divides it (v even), AC terms are
+# all zero, and the DC-only IDCT returns the constant — so the decoded
+# pixels (and their mean) have a closed form plain SQL reproduces. The
+# lossy general case is certified separately (q_media_jpeg_color_err) and
+# property-fuzzed against an independent transform twin in
+# tests/test_codec_properties.py.
+
+JPEG_WB_MOD, JPEG_HB_MOD = 4, 3    # 1..4 x 1..3 blocks => 8..32 x 8..24 px
+
+@register(
+    "q_media_jpeg_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 * (1 + doc_id % {JPEG_WB_MOD}) AS INT) AS width,
+               CAST(8 * (1 + doc_id % {JPEG_HB_MOD}) AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               round((SELECT AVG(CAST(2 * ((doc_id * 31 + t.i * 17) % 128)
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range((1 + doc_id % {JPEG_WB_MOD})
+                                 * (1 + doc_id % {JPEG_HB_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="REAL baseline-JPEG roundtrip: per-doc grayscale JPEGs are "
+        "DCT+Huffman encoded and fully decoded in mapInPandas; constant "
+        "even-valued 8x8 blocks at quality 50 make the lossy codec exact "
+        "(DC step 16 divides 8*(v-128)), so plain SQL verifies dims AND "
+        "the decoded pixel mean without touching bytes",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JPEG encode→decode (functions/jpeg.py): payload bytes
+    never leave the executor; same Arrow-batched binary-in/stats-out pass
+    structure as the PNG/BMP/GIF keys, now over the transform-codec path."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = 1 + i % JPEG_WB_MOD, 1 + i % JPEG_HB_MOD
+                b = np.arange(nby * nbx).reshape(nby, nbx)
+                vals = (2 * ((i * 31 + b * 17) % 128)).astype(np.uint8)
+                px = np.kron(vals, np.ones((8, 8), np.uint8))
+                payloads.append(encode_jpeg(nbx * 8, nby * 8, px.tobytes(),
+                                            1, quality=50))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
+#
+# Smooth per-channel gradients with partial edge blocks exercise the parts
+# the exact key cannot: YCbCr color conversion, nonzero AC coefficients,
+# edge-replication padding and cropping. The roundtrip is lossy, so the
+# oracle checks a CERTIFICATE: the decoder-reported dims (closed form) and
+# that every image's max per-sample error stays under the measured bound —
+# a broken transform, Huffman table or color matrix flips the boolean and
+# hash-mismatches.
+
+JPEG_W_MOD, JPEG_H_MOD = 16, 12
+JPEG_COLOR_TOL = 32                # measured max_abs_err ~24 at quality 90
+
+@register(
+    "q_media_jpeg_color_err",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {JPEG_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {JPEG_H_MOD} AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               TRUE AS within_tol
+        FROM documents""",
+    doc="color baseline-JPEG bounded-loss certificate: encode→decode of "
+        "smooth RGB gradients (partial edge blocks, AC coefficients, YCbCr "
+        f"both ways) must reproduce dims exactly and every sample within "
+        f"{JPEG_COLOR_TOL} — the strongest oracle a deliberately lossy "
+        "codec admits; exactness is proven on the DC-only key",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_color_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import _decode_any_image
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ])
+
+    def src_rgb(i: int) -> np.ndarray:
+        w, h = 8 + i % JPEG_W_MOD, 8 + i % JPEG_H_MOD
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        r = (x * 255) // (w - 1) + np.zeros((h, w), np.int64)
+        g = (y * 255) // (h - 1) + np.zeros((h, w), np.int64)
+        b = ((x + y + i % 8) * 255) // (w + h + 5)
+        return np.stack([r, g, b], -1).astype(np.uint8)
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = {"media_id": pdf["doc_id"], "width": [], "height": [],
+                    "channels": [], "within_tol": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                src = src_rgb(i)
+                h, w = src.shape[:2]
+                data = encode_jpeg(w, h, src.tobytes(), 3, quality=90)
+                dw, dh, dch, out = _decode_any_image(data)
+                got = np.frombuffer(out, np.uint8).reshape(dh, dw, dch)
+                err = int(np.abs(got.astype(np.int64)
+                                 - src.astype(np.int64)).max())
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["channels"].append(dch)
+                rows["within_tol"].append(err <= JPEG_COLOR_TOL)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "channels": pd.array(rows["channels"], dtype="Int32"),
+                "within_tol": rows["within_tol"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)

@@ -172,3 +172,195 @@ def test_decode_caps_are_data_in_operators(spark):
     row = decode_pixel_stats(df).collect()[0]
     assert row["decode_error"] is not None
     assert "dims too large" in row["decode_error"]
+
+
+# ---- baseline JPEG: the lossy transform codec needs a different property
+# than decode(encode(x)) == x. The entropy layer (zigzag RLE + canonical
+# Huffman + byte stuffing) must be LOSSLESS: decode(encode(x)) must equal an
+# INDEPENDENTLY written transform twin (explicit cosine-sum DCT, not the
+# codec's matrix path) applied to the same pixels. Plus: DC-only blocks
+# with even values at quality 50 roundtrip exactly (the SQL-oracle lemma).
+
+def _twin_jpeg_gray(px, quality):
+    """Independent reference: per-block cosine-sum DCT -> quant -> dequant
+    -> IDCT -> clip, replicating T.81 A.3.3 math from the spec text."""
+    import math
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import quant_tables
+
+    q = quant_tables(quality)[0]
+    h, w = px.shape
+    ph, pw = -h % 8, -w % 8
+    f = np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    out = np.zeros_like(f)
+
+    def c(u):
+        return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+
+    for by in range(f.shape[0] // 8):
+        for bx in range(f.shape[1] // 8):
+            blk = f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = np.zeros((8, 8))
+            for u in range(8):
+                for v in range(8):
+                    s = sum(blk[y, x]
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            for y in range(8) for x in range(8))
+                    coef[u, v] = 0.25 * c(u) * c(v) * s
+            deq = np.round(coef / q) * q
+            rec = np.zeros((8, 8))
+            for y in range(8):
+                for x in range(8):
+                    s = sum(0.25 * c(u) * c(v) * deq[u, v]
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            for u in range(8) for v in range(8))
+                    rec[y, x] = s
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rec + 128.0
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.tuples(st.integers(1, 20), st.integers(1, 18)),
+       st.integers(0, 2 ** 32 - 1), st.sampled_from([35, 50, 75, 92]))
+def test_jpeg_bitstream_lossless_vs_independent_twin(dims, seed, quality):
+    """Two-part proof. (a) decode(encode(x)) equals the codec's transform
+    model EXACTLY — zigzag RLE + Huffman + byte stuffing is lossless with
+    NO slack. (b) the independent cosine-sum twin agrees everywhere except
+    knife-edge samples whose pre-round reconstruction sits within 1e-6 of
+    .5 (1-ulp DCT summation-order flips), and those differ by at most 1."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (_DCT_A, _plane_blocks,
+                                                decode_jpeg, encode_jpeg,
+                                                jpeg_meta, quant_tables)
+
+    w, h = dims
+    px = np.array([(seed + i * 2654435761) % 256 for i in range(w * h)],
+                  np.uint8).reshape(h, w)
+    data = encode_jpeg(w, h, px.tobytes(), 1, quality=quality)
+    assert jpeg_meta(data) == (w, h, 1)
+    W, H, C, out = decode_jpeg(data)
+    assert (W, H, C) == (w, h, 1)
+    got = np.frombuffer(out, np.uint8).reshape(h, w)
+
+    # (a) exact vs the codec's own transform math: entropy layer lossless
+    q = quant_tables(quality)[0]
+    blocks, nby, nbx = _plane_blocks(px.astype(np.float64))
+    f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 128.0, _DCT_A.T)
+    deq = np.round(f / q) * q
+    rec = np.einsum("xu,byuv,vw->byxw", _DCT_A.T, deq, _DCT_A) + 128.0
+    full = rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)[:h, :w]
+    model = np.clip(np.round(full), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, model)
+
+    # (b) vs the independently-written cosine-sum twin: agreement except
+    # where the true reconstruction is a rounding knife edge
+    want = _twin_jpeg_gray(px, quality)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    knife = np.abs((full - np.floor(full)) - 0.5) < 1e-6
+    assert np.all((diff == 0) | knife)
+
+
+def test_jpeg_dct_basis_matches_spec_cosine_sums():
+    """The codec's matrix DCT equals the T.81 A.3.3 definition computed by
+    explicit per-coefficient cosine sums, to 1e-9 — independent of any
+    roundtrip (the transform-correctness half of the twin proof)."""
+    import math
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import _DCT_A
+
+    def c(u):
+        return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+
+    rng = np.random.default_rng(42)
+    blk = rng.uniform(-128, 127, (8, 8))
+    fast = _DCT_A @ blk @ _DCT_A.T
+    slow = np.array([[0.25 * c(u) * c(v)
+                      * sum(blk[y, x]
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            for y in range(8) for x in range(8))
+                      for v in range(8)] for u in range(8)])
+    assert np.abs(fast - slow).max() < 1e-9
+    # and the inverse inverts: A.T F A == original
+    assert np.abs(_DCT_A.T @ fast @ _DCT_A - blk).max() < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.tuples(st.integers(1, 4), st.integers(1, 4)),
+       st.integers(0, 2 ** 32 - 1))
+def test_jpeg_dc_only_blocks_roundtrip_exactly(nblocks, seed):
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    nbx, nby = nblocks
+    b = np.arange(nby * nbx).reshape(nby, nbx)
+    vals = (2 * ((seed + b * 977) % 128)).astype(np.uint8)
+    px = np.kron(vals, np.ones((8, 8), np.uint8))
+    W, H, C, out = decode_jpeg(encode_jpeg(nbx * 8, nby * 8, px.tobytes(),
+                                           1, quality=50))
+    assert (W, H, C) == (nbx * 8, nby * 8, 1)
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(px.shape), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.tuples(st.integers(1, 18), st.integers(1, 14)),
+       st.integers(0, 2 ** 32 - 1))
+def test_jpeg_color_roundtrip_dims_and_determinism(dims, seed):
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = dims
+    rgb = np.array([(seed + i * 40503) % 256 for i in range(w * h * 3)],
+                   np.uint8)
+    data = encode_jpeg(w, h, rgb.tobytes(), 3, quality=75)
+    a = decode_jpeg(data)
+    assert a[:3] == (w, h, 3)
+    assert decode_jpeg(data) == a          # decode is deterministic
+    assert encode_jpeg(w, h, rgb.tobytes(), 3, quality=75) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1), st.integers(1, 60))
+def test_jpeg_truncation_is_format_error(seed, cut):
+    """Truncation never leaks a foreign exception (IndexError/struct.error):
+    either the cut only lost trailing pad/EOI bytes and the decode still
+    yields the exact image, or it raises JpegFormatError — errors stay data
+    in the operator layer."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (JpegFormatError, decode_jpeg,
+                                                encode_jpeg)
+
+    px = np.array([(seed + i * 31) % 256 for i in range(16 * 16)], np.uint8)
+    data = encode_jpeg(16, 16, px.tobytes(), 1, quality=75)
+    trunc = data[:max(2, len(data) - cut)]
+    try:
+        w, h, c, out = decode_jpeg(trunc)
+    except JpegFormatError:
+        return
+    assert (w, h, c) == (16, 16, 1)
+    assert out == decode_jpeg(data)[3]
+
+
+def test_jpeg_bomb_huge_dims_rejected():
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+
+    sof = (struct.pack(">HH", 0xFFC0, 11)
+           + struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0]))
+    bomb = b"\xff\xd8" + sof + b"\xff\xd9"
+    with pytest.raises(JpegFormatError, match="dims too large"):
+        decode_jpeg(bomb)

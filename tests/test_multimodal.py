@@ -33,7 +33,8 @@ def test_decode_image_meta(spark):
     assert (by_id[1]["width"], by_id[1]["height"]) == (640, 480)
     assert (by_id[2]["width"], by_id[2]["height"]) == (100, 2000)
     assert by_id[3]["decode_error"] == "not an image"
-    assert "codec library" in by_id[4]["decode_error"]  # stub surfaces as data
+    # JPEG decodes for real now: a bogus header surfaces as a format error
+    assert by_id[4]["decode_error"].startswith("bad jpeg")
     assert by_id[5]["decode_error"] == "null payload"
 
 
@@ -736,4 +737,4 @@ def test_resize_pixel_stats_gathers_and_errors(spark):
     assert ok["mean_resized"] == round(sum(vals) / len(vals), 6)
     assert ok["decode_error"] is None
     assert rows[2]["decode_error"].startswith("bad bmp")
-    assert rows[3]["decode_error"] == "not a decodable image"
+    assert rows[3]["decode_error"].startswith("bad jpeg")

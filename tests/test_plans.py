@@ -1645,3 +1645,20 @@ def test_bpe_train_rounds_read_cache_not_corpus(spark, sf_dir):
         assert "TakeOrderedAndProject" in live, p
     finally:
         v.unpersist()
+
+
+def test_media_jpeg_stats_no_shuffle(spark, sf_dir):
+    """JPEG encode→decode (the transform-codec path) is one Arrow-batched
+    map chain over doc_id only; payload bytes never shuffle — the shape
+    that holds when the binary column is 100 TB."""
+    p = plan(all_queries()["q_media_jpeg_stats"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"jpeg plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_jpeg_color_err_no_shuffle(spark, sf_dir):
+    p = plan(all_queries()["q_media_jpeg_color_err"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"jpeg color plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
