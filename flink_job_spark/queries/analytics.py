@@ -916,12 +916,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            .distinct())
     edges = e0.union(e0.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
+    rank = pagerank_ranks(edges, PR_ITERS, PR_DAMP)
+    return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
+                   damp: float = PR_DAMP) -> DataFrame:
+    """The PageRank superstep loop over a symmetric (src, dst) edge list —
+    shared by q_pagerank and tools/graph_ab.py so the recorded per-iteration
+    scale evidence describes the shipped plan. Returns (node, rank) with the
+    per-iteration 12-place rounding that keeps iterated doubles engine-exact
+    (see the oracle docstring above)."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(deg, "src").persist()
     n = float(deg.count())
     rank = deg.select(F.col("src").alias("node"),
                       F.lit(1.0 / n).alias("rank"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(rank, edges["src"] == rank["node"])
                  .select(F.col("dst").alias("node"),
@@ -929,10 +940,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("decimal(38,18)").alias("c"))
         )
         rank = contrib.groupBy("node").agg(
-            F.round(F.lit((1 - PR_DAMP) / n)
-                    + F.lit(PR_DAMP) * F.sum("c").cast("double"), 12)
+            F.round(F.lit((1 - damp) / n)
+                    + F.lit(damp) * F.sum("c").cast("double"), 12)
              .alias("rank"))
-    return rank.select("node", F.round("rank", 6).alias("rank"))
+    return rank
 
 
 # --- q_rfm_segments: recency/frequency/monetary customer segmentation ----------------

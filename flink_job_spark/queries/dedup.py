@@ -181,7 +181,15 @@ _BAND_UNION_DUCK = " UNION ALL ".join(
     tags=("dedup", "lsh"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(d: DataFrame, stats: dict | None = None) -> DataFrame:
+    """The full MinHash+LSH near-dup pipeline over (doc_id, text) rows —
+    shared by the registered key above and tools/dedup_ab.py, so the
+    recorded LSH-vs-all-pairs scale evidence always describes the shipped
+    plan. When ``stats`` is given, ``stats['candidates']`` receives the
+    LAZY candidate-pair frame for counting (the A/B's measured quantity)."""
     # sh feeds signatures, candidate verify (both sides) and sizes — persist
     # so the shingle explode+distinct runs once, not 4× (at scale: materialize
     # the inverted index before the self-join, the standard MinHash layout)
@@ -211,6 +219,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    if stats is not None:
+        stats["candidates"] = cand
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     return _verified_pairs(cand, sh, sizes)
 
@@ -460,10 +470,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_dedup_components (near-dup clustering) ---------------------------------------
 
 CC_MAX_ITERS = 15
+CC_CHECKPOINT_EVERY = 8   # lineage-truncation cadence for deep graphs
 
 
 def connected_components(docs: DataFrame, pairs: DataFrame,
-                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+                         max_iters: int = CC_MAX_ITERS,
+                         stats: dict | None = None) -> DataFrame:
     """Min-label connected components over an undirected pair graph:
     every node's label converges to the smallest doc_id reachable from it.
 
@@ -486,13 +498,29 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
     bench scale outweigh the smaller shuffles. This function keeps the
     fewest-jobs form; planetary scale additionally swaps the loop for
     large-star/small-star contraction (O(log n) rounds, same per-round
-    plan)."""
+    plan).
+
+    Deep-graph guard: persist() caches rows but the LOGICAL plan still
+    chains round over round, and past ~15 rounds the accumulated lineage
+    stalls execution (observed live on a 4M-node diameter-32 chain in
+    tools/graph_ab.py: stage progress froze mid-round). Every
+    ``CC_CHECKPOINT_EVERY`` rounds the labels frame is localCheckpoint-ed —
+    materialize AND truncate lineage, same medicine as
+    :func:`connected_components_star` — with the superseded checkpoint's
+    blocks dropped explicitly (ContextCleaner never reclaims them
+    in-session; see tests/test_session_hygiene.py)."""
+    from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
     edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
              .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
              ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
     prev_sum = None  # unknown until the first round materializes everything
+    rounds = 0
+    ckpt_ids: set[int] = set()
     for _ in range(max_iters):
+        rounds += 1
         prop = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .select(F.col("dst").alias("doc_id"), "component")
@@ -505,10 +533,22 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
+        if rounds % CC_CHECKPOINT_EVERY == 0:
+            before = persistent_rdd_ids(spark)
+            ckpt = labels.localCheckpoint(eager=True)
+            new_ids = persistent_rdd_ids(spark) - before
+            labels.unpersist()
+            labels = ckpt
+            unpersist_rdd_ids(spark, ckpt_ids)
+            ckpt_ids = new_ids
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    # NB: like the star variant, a final checkpoint (if any) backs the
+    # returned frame; the sweep protocol reclaims it after consumption.
     return labels
 
 
@@ -753,7 +793,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_star(docs: DataFrame, pairs: DataFrame,
-                              max_iters: int = CC_MAX_ITERS) -> DataFrame:
+                              max_iters: int = CC_MAX_ITERS,
+                              stats: dict | None = None) -> DataFrame:
     """Large-star/small-star edge contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond"): alternate the two star operations
     until the edge set reaches a fixpoint — at which point every edge points
@@ -779,7 +820,9 @@ def connected_components_star(docs: DataFrame, pairs: DataFrame,
          .localCheckpoint(eager=True))
     round_ids = persistent_rdd_ids(spark) - before
     prev = _edge_checksum(e)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         before = persistent_rdd_ids(spark)
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_ids = persistent_rdd_ids(spark) - before
@@ -793,6 +836,8 @@ def connected_components_star(docs: DataFrame, pairs: DataFrame,
         if cur == prev:
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
     # NB: the FINAL round's checkpoint stays alive — it backs the returned
     # DataFrame. The sweep protocol (bench.py / the driver) reclaims it via
     # session.unpersist_all() after the result is consumed.

@@ -1,0 +1,102 @@
+"""Small-scale regression guards for the BASELINE.md graph/dedup A/B claims
+(tools/graph_ab.py, tools/dedup_ab.py): the round-count laws and the
+LSH-candidate-reduction law must hold structurally, not just in the recorded
+wall-clocks. If an edit to the operators breaks a law, these fail long
+before anyone re-runs the big harnesses."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _chain(spark, n_nodes: int, chain_len: int):
+    pairs = (spark.range(n_nodes)
+             .filter(F.pmod("id", F.lit(chain_len)) != chain_len - 1)
+             .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")))
+    docs = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+    return docs, pairs
+
+
+def _labels(df) -> dict:
+    return {r["doc_id"]: r["component"] for r in df.collect()}
+
+
+def test_minlabel_rounds_equal_diameter_star_rounds_log(spark):
+    """On chains of length 16: min-label needs ~diameter rounds (15 hops for
+    the min label to reach the far end, +1 to detect the fixpoint), star
+    contraction O(log n). Both must produce identical components."""
+    from flink_job_spark.queries.dedup import (connected_components,
+                                               connected_components_star)
+
+    docs, pairs = _chain(spark, 64, 16)
+    s1: dict = {}
+    s2: dict = {}
+    lab = _labels(connected_components(docs, pairs, max_iters=30, stats=s1))
+    star = _labels(connected_components_star(docs, pairs, max_iters=30,
+                                             stats=s2))
+    assert lab == star
+    assert len(set(lab.values())) == 4        # 64 nodes / 16-chains
+    assert all(lab[d] == (d // 16) * 16 for d in lab)
+    # diameter law: 15 propagation rounds + 1 fixpoint-detect round
+    assert s1["rounds"] == 16, s1
+    # star law: O(log n) with a small constant, far under the diameter
+    assert s2["rounds"] <= math.ceil(math.log2(16)) + 2, s2
+    assert s2["rounds"] < s1["rounds"]
+
+
+def test_star_rounds_flat_on_shallow_clusters(spark):
+    """On diameter-2 star clusters (the near-dup shape) BOTH variants
+    converge in a scale-independent handful of rounds — the property that
+    makes them 100 TB-viable on real dedup graphs."""
+    from flink_job_spark.queries.dedup import (connected_components,
+                                               connected_components_star)
+
+    # 40 clusters x 25 members, member m of cluster c linked to rep node c
+    pairs = (spark.range(1000)
+             .select((F.col("id") + 40).alias("d1"),
+                     F.pmod("id", F.lit(40)).alias("d2")))
+    docs = (pairs.select(F.col("d1").alias("doc_id"))
+            .union(pairs.select("d2")).distinct())
+    s1: dict = {}
+    s2: dict = {}
+    lab = _labels(connected_components(docs, pairs, max_iters=10, stats=s1))
+    star = _labels(connected_components_star(docs, pairs, max_iters=10,
+                                             stats=s2))
+    assert lab == star
+    assert len(set(lab.values())) == 40
+    assert s1["rounds"] <= 3 and s2["rounds"] <= 3, (s1, s2)
+
+
+def test_lsh_candidates_shrink_vs_all_pairs_with_planted_recall(spark):
+    """The dedup_ab corpus law at test scale: LSH candidates are orders of
+    magnitude below n(n-1)/2, and the planted near-dups (Jaccard ~0.73)
+    are recalled at >= the banded-minhash expectation."""
+    from flink_job_spark.queries.dedup import minhash_lsh_pairs
+
+    n, vocab = 400, 200_000
+    word = ("CASE WHEN id % 10 = 1 AND j IN (3, 17) "
+            f"THEN concat('w', pmod(xxhash64(id * 64 + j + 1000000), {vocab})) "
+            "ELSE concat('w', pmod(xxhash64((id - CASE WHEN id % 10 = 1 "
+            f"THEN 1 ELSE 0 END) * 64 + j), {vocab})) END")
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.expr("array_join(transform(sequence(0, 39), "
+                           f"j -> {word}), ' ')").alias("text")))
+    stats: dict = {}
+    verified = minhash_lsh_pairs(docs, stats=stats).persist()
+    n_verified = verified.count()
+    n_cand = stats["candidates"].count()
+    all_pairs = n * (n - 1) // 2
+    planted = (spark.range(n).filter("id % 10 = 1")
+               .select((F.col("id") - 1).alias("d1"), F.col("id").alias("d2")))
+    n_planted = planted.count()
+    hit = verified.join(planted, ["d1", "d2"]).count()
+    verified.unpersist()
+    assert n_cand * 50 < all_pairs, (n_cand, all_pairs)
+    # banded-minhash expectation 1-(1-J^2)^4 ~ 0.95 at J~0.73; allow slack
+    assert hit >= 0.8 * n_planted, (hit, n_planted)
+    # verify step keeps only real near-dups: no flood of false positives
+    assert n_verified <= n_cand
+    assert n_verified >= hit

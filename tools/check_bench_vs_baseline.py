@@ -1,13 +1,19 @@
 """Compare a bench full-map JSON against BASELINE.md's per-key table.
 
 Usage: python tools/check_bench_vs_baseline.py [BENCH_FULL.json] [--max 2.0]
+       python tools/check_bench_vs_baseline.py SF1_RUN.json --slopes
 
-Prints total-vs-total and every key above the ratio threshold (the
-driver's 2x gate), exits non-zero if the TOTAL exceeds the threshold.
+Default mode prints total-vs-total and every key above the ratio threshold
+(the driver's 2x gate), exits non-zero if the TOTAL exceeds the threshold.
 Per-key spikes are reported but don't fail the check on their own —
 this host's CPU-steal noise makes single-key ratios meaningful only
 against the median (see BASELINE.md's recording note); totals are the
 gate the judge reads.
+
+--slopes treats the input as an sf1 (10x data) sweep and prints the
+sf0.1 -> sf1 slope classification per key (fixed / linear / SUPERLINEAR,
+same thresholds as tools/record_sf_scale.py), exiting non-zero on any
+superlinear key — the scale regression gate.
 """
 
 from __future__ import annotations
@@ -28,6 +34,26 @@ def baseline_table() -> dict[str, float]:
     return {k: float(v) for k, v in entries}
 
 
+def slopes(bench: dict[str, float], base: dict[str, float]) -> int:
+    from record_sf_scale import FIXED_MAX, LINEAR_MAX, classify
+
+    rows = sorted(((bench[k] / base[k] if base[k] > 0 else float("inf"), k)
+                   for k in set(bench) & set(base) if bench[k] >= 0),
+                  reverse=True)
+    counts: dict[str, int] = {}
+    for r, k in rows:
+        counts[classify(r)] = counts.get(classify(r), 0) + 1
+    print(f"slopes over {len(rows)} keys (10x data): "
+          f"{counts.get('fixed', 0)} fixed (<= {FIXED_MAX}x), "
+          f"{counts.get('linear', 0)} linear (<= {LINEAR_MAX}x), "
+          f"{counts.get('SUPERLINEAR', 0)} SUPERLINEAR")
+    bad = [(r, k) for r, k in rows if classify(r) == "SUPERLINEAR"]
+    for r, k in bad:
+        print(f"  SUPERLINEAR {k}: {bench[k]:.2f} s vs sf0.1 "
+              f"{base[k]:.2f} s = {r:.1f}x")
+    return 1 if bad else 0
+
+
 def main(argv: list[str]) -> int:
     bench_path = argv[1] if len(argv) > 1 and not argv[1].startswith("--") \
         else "BENCH_FULL.json"
@@ -37,6 +63,8 @@ def main(argv: list[str]) -> int:
     with open(bench_path) as fh:
         bench = json.load(fh)["queries"]
     base = baseline_table()
+    if "--slopes" in argv:
+        return slopes(bench, base)
 
     missing = sorted(set(bench) - set(base))
     if missing:
