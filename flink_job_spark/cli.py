@@ -94,7 +94,8 @@ def _load_jdbc_table(spark, url, table, key_override, args, props):
         src = JdbcSnapshotSource(
             url, table, [c.name for c in infos], key, cutoff=cutoff,
             fetch_size=args.fetch_size, num_partitions=args.parallelism,
-            bounds=bounds, properties=props)
+            bounds=bounds, properties=props,
+            infos={c.name: c for c in infos})
         return src.reader(spark).load(), key, {c.name: c for c in infos}
     except Exception as e:
         # same skip-never-crash contract as the metadata scan above: a table

@@ -740,9 +740,17 @@ def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(path, "_done")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
-        for doc_id, text in d.select("doc_id", "text").toLocalIterator():
-            with open(os.path.join(path, f"{doc_id}.blob"), "wb") as f:
-                f.write(text.encode("utf-8"))
+
+        # distributed materialization: executors write files in parallel
+        # (local[32] shares one FS; on a cluster this would target shared
+        # storage). The r3 driver-side toLocalIterator loop was the 70x
+        # sf1-slope offender — 50k serial file creations on the driver.
+        def write_blobs(rows):
+            for r in rows:
+                with open(os.path.join(path, f"{r['doc_id']}.blob"), "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+
+        d.select("doc_id", "text").foreachPartition(write_blobs)
         with open(marker, "w") as f:
             f.write("ok")
     files = (spark.read.format("binaryFile")

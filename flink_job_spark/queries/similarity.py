@@ -214,36 +214,72 @@ _DUCK_BANDS = " UNION ALL ".join(
     tags=("similarity", "lsh"),
 )
 def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # e feeds the band table and both verify sides — persist so the parquet
-    # scan + norm computation run once (at scale: materialize signatures
-    # before the bucket self-join, the standard LSH layout)
-    e = _vecs(spark, sf_dir).persist()
+    """Bucket-LOCAL vectorized scoring (r4 sf1-slope fix): each (band, bh)
+    group scores its members with the same sequential-per-dim numpy matmul
+    as the exact block-pair operator (FP-parity with the SQL fold), and only
+    threshold survivors leave the Python worker; a final distinct dedups
+    pairs colliding in several bands. Output set is unchanged (same oracle):
+    pairs sharing >= 1 band bucket with cosine >= threshold.
+
+    Why not the candidate-join form (r3): at the 0.4 threshold sign-LSH
+    bands must stay narrow (4 sign dims = 16 buckets/band) to keep
+    recall, so bucket density — and with it candidate count — grows
+    linearly with the corpus and pairs quadratically: the sf1 sweep
+    measured the join form at 116x the sf0.1 cost (50M-candidate distinct,
+    then two 64-dim-array re-attach joins). Scoring inside the bucket
+    group turns those candidates into one BLAS-shaped pass per bucket and
+    ships only survivors (~6k rows at sf1). The quadratic candidate count
+    is inherent to (threshold, corpus) — re-parameterize bands per corpus
+    at production scale; the cap-style alternative (skip overfull buckets)
+    zeroes recall here because EVERY bucket is dense at 16/band."""
+    import numpy as np
+    import pandas as pd
+
+    # raw-score prefilter inside the worker; exact HALF_UP rounding decides
+    # at the boundary in the Spark filter (same pattern as the exact key)
+    prefilter_lsh = COSINE_DUP_THRESHOLD - 1e-6
+    e = _vecs(spark, sf_dir)
     bandrows = e.select(
-        "vec_id",
+        "vec_id", "v", "nv",
         F.posexplode(
             F.array(*[sign_bucket("v", LSH_BAND_DIMS, b * LSH_BAND_DIMS)
                       for b in range(LSH_BANDS)])
         ).alias("band", "bh"),
     )
-    cand = (
-        bandrows.alias("a")
-        .join(bandrows.alias("b"),
-              (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-              & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"),
-                  F.col("nv").alias("na"))
-    eb = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"),
-                  F.col("nv").alias("nb"))
-    return (
-        cand.join(ea, "v1").join(eb, "v2")
-        .select("v1", "v2",
-                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
-                 .alias("score"))
-        .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
-    )
+
+    def score_bucket(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "raw": []}).astype(
+                {"v1": "int64", "v2": "int64", "raw": "float64"})
+        order = np.argsort(ids)
+        ids = ids[order]
+        vm = np.stack([np.asarray(x, dtype=np.float64)
+                       for x in pdf["v"].iloc[order]])
+        nm = pdf["nv"].to_numpy(dtype=np.float64)[order]
+        out_a, out_b, out_r = [], [], []
+        # chunk rows so a dense bucket never allocates an n^2 block at once
+        chunk = 2048
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            acc = np.zeros((hi - lo, len(ids)), dtype=np.float64)
+            for i in range(vm.shape[1]):   # sequential per-pair accum (FP parity)
+                np.add(acc, vm[lo:hi, i:i + 1] * vm[None, :, i], out=acc)
+            raw = acc / (nm[lo:hi, None] * nm[None, :])
+            mask = (ids[lo:hi, None] < ids[None, :]) & (raw >= prefilter_lsh)
+            i1, i2 = np.nonzero(mask)
+            out_a.append(ids[lo + i1])
+            out_b.append(ids[i2])
+            out_r.append(raw[i1, i2])
+        return pd.DataFrame({"v1": np.concatenate(out_a),
+                             "v2": np.concatenate(out_b),
+                             "raw": np.concatenate(out_r)})
+
+    pairs = bandrows.groupBy("band", "bh").applyInPandas(
+        score_bucket, "v1 bigint, v2 bigint, raw double")
+    return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
+                 .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
+                 .distinct())
 
 
 # --- q_ann_ivf_topk (IVF: broadcast centroids → cell-local exact search) -----------

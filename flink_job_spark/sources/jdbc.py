@@ -68,6 +68,13 @@ class JdbcSnapshotSource:
     bounds: tuple[int, int] | None = None  # (lower, upper) for partitionColumn
     properties: dict[str, str] = field(default_factory=dict)
     quote: str = '"'  # source dialect identifier quote (mis:857-859)
+    # metadata-scan ColumnInfos: TIME columns must arrive as the engine's
+    # 'HH:mm:ss' STRING stand-in (SURVEY §1.2; types.py lattice). Spark's
+    # JDBC reader maps java.sql.Types.TIME to TimestampType by default,
+    # which would silently bypass the is_time hash-token rule — customSchema
+    # overrides the mapping so the driver's getString() delivers the
+    # stand-in directly (asserted end-to-end in tests/test_jdbc_e2e.py).
+    infos: dict[str, Any] | None = None
 
     def snapshot_query(self) -> str:
         """The pushed-down subquery (explicit columns, cutoff+floor predicate),
@@ -85,11 +92,25 @@ class JdbcSnapshotSource:
         where = " AND ".join(preds)
         return f"(SELECT {cols} FROM {q(self.table)} WHERE {where}) snap"
 
+    def custom_schema(self) -> str | None:
+        """`customSchema` clause for columns whose Spark-JDBC default mapping
+        diverges from the engine's type lattice — today that is exactly the
+        TIME family (stand-in STRING, never TimestampType)."""
+        if not self.infos:
+            return None
+        quoted = [f"{quote_source_identifier(c, '`')} STRING"
+                  for c in self.columns
+                  if getattr(self.infos.get(c), "is_time", False)]
+        return ", ".join(quoted) or None
+
     def reader(self, spark: SparkSession) -> DataFrameReader:
         r = (spark.read.format("jdbc")
              .option("url", self.url)
              .option("dbtable", self.snapshot_query())
              .option("fetchsize", str(self.fetch_size)))
+        cs = self.custom_schema()
+        if cs:
+            r = r.option("customSchema", cs)
         for k, v in self.properties.items():
             r = r.option(k, v)
         if self.num_partitions > 1 and self.bounds is not None:

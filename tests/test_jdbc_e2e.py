@@ -105,3 +105,78 @@ def test_jdbc_empty_cutoff_contradiction(spark, derby_customer):
 def test_quote_source_identifier_dialects():
     assert quote_source_identifier('a"b') == '"a""b"'      # ANSI (mis:857-859)
     assert quote_source_identifier("a`b", "`") == "`a``b`"  # MySQL family
+
+
+# --- live TIME column through the full source -> envelope -> hash path --------
+#
+# VERDICT r3 item 7: the TIME canonicalization ('HH:mm:ss' stand-in +
+# '.0000' suffix, mis:1642-1651 / SURVEY §1.2) was pinned only against
+# DuckDB strings. This drives a REAL java.sql.Types.TIME column from
+# embedded Derby through metadata scan -> customSchema read -> envelope ->
+# row hash, and asserts the end-to-end md5 against the Java-side rule
+# computed independently in pure Python.
+
+TIME_URL = "jdbc:derby:memory:fjs_time_e2e;create=true"
+TIME_ROWS = [(1, "13:45:07"), (2, "00:00:00"), (3, "23:59:59"), (4, None)]
+
+
+@pytest.fixture(scope="module")
+def derby_timetab(spark):
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(TIME_URL)
+    st = conn.createStatement()
+    st.executeUpdate('CREATE TABLE "timetab" ('
+                     '"id" BIGINT NOT NULL, "t" TIME)')
+    ps = conn.prepareStatement('INSERT INTO "timetab" VALUES (?, ?)')
+    for i, t in TIME_ROWS:
+        ps.setLong(1, i)
+        if t is None:
+            ps.setNull(2, 92)  # java.sql.Types.TIME
+        else:
+            ps.setTime(2, jvm.java.sql.Time.valueOf(t))
+        ps.addBatch()
+    ps.executeBatch()
+    ps.close()
+    st.close()
+    conn.close()
+    yield TIME_ROWS
+
+
+def test_time_column_reads_as_standin_string(spark, derby_timetab):
+    """Metadata scan flags is_time; the reader's customSchema overrides
+    Spark's default TIME->TimestampType mapping so the column arrives as
+    the 'HH:mm:ss' string stand-in the type lattice declares."""
+    from flink_job_spark.sources.metadata import read_table_metadata
+
+    infos = {c.name: c for c in read_table_metadata(spark, TIME_URL, "timetab")}
+    assert infos["t"].is_time and not infos["id"].is_time
+    src = JdbcSnapshotSource(TIME_URL, "timetab", ["id", "t"], "id",
+                             cutoff=4, infos=infos)
+    assert src.custom_schema() == "`t` STRING"
+    df = src.reader(spark).load()
+    assert dict(df.dtypes)["t"] == "string"
+    got = {r["id"]: r["t"] for r in df.collect()}
+    assert got == {1: "13:45:07", 2: "00:00:00", 3: "23:59:59", 4: None}
+
+
+def test_time_column_end_to_end_row_hash_matches_java_rule(spark, derby_timetab):
+    """Full path: JDBC read -> envelope -> md5 row hash equals the
+    reference's canonicalization computed independently per mis:1642-1651:
+    token = first 8 chars of the TIME string + '.0000'; NULL -> '<NULL>';
+    tokens joined with '|'."""
+    import hashlib
+
+    from flink_job_spark.operators.envelope import with_envelope
+    from flink_job_spark.sources.metadata import read_table_metadata
+
+    infos = {c.name: c for c in read_table_metadata(spark, TIME_URL, "timetab")}
+    src = JdbcSnapshotSource(TIME_URL, "timetab", ["id", "t"], "id",
+                             cutoff=4, infos=infos)
+    df = src.reader(spark).load()
+    enveloped = with_envelope(df, infos=infos)
+    got = {r["id"]: r["row_hash"] for r in enveloped.collect()}
+
+    for i, t in TIME_ROWS:
+        tok_t = (t[:8] + ".0000") if t is not None else "<NULL>"
+        want = hashlib.md5(f"{i}|{tok_t}".encode()).hexdigest()
+        assert got[i] == want, (i, t, got[i], want)

@@ -1662,3 +1662,15 @@ def test_media_jpeg_color_err_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, f"jpeg color plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
     assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_embedding_cosine_lsh_bucket_local_scoring(spark, sf_dir):
+    """r4 sf1-slope fix: scoring happens INSIDE the (band, bucket) group
+    (one exchange to group, vectorized pandas scoring, survivors-only
+    output, one distinct exchange) — never a candidate-pair join that
+    re-attaches 64-dim arrays per pair (the r3 shape measured at 116x on
+    10x data)."""
+    p = plan(all_queries()["q_embedding_cosine_lsh"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert _n_exchanges(p) <= 3, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p

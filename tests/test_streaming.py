@@ -941,3 +941,53 @@ def test_stream_kmv_matches_batch_bit_exact(spark, sf_dir, tmp_path):
     got2 = {r["seg"]: (list(r["kmv"]), r["est_distinct"])
             for r in kmv_estimates(spark, state).collect()}
     assert got2 == got
+
+
+def test_sessionize_state_eviction_is_bounded(spark, tmp_path):
+    """Bounded-state proof at test scale (the 1M-key evidence lives in
+    BASELINE.md via tools/stream_state_ab.py): grow the store to K open
+    sessions, then advance the watermark past every end+gap with one
+    far-future event — EventTimeTimeout must EVICT all K (numRowsRemoved),
+    drain the store, and emit each session exactly once."""
+    from flink_job_spark.streaming.stateful import stream_sessionize
+
+    K = 500
+    src = str(tmp_path / "evict_src")
+    for b in range(2):
+        (spark.range(K)
+              .select(F.col("id").alias("user_id"),
+                      (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                       + F.expr(f"INTERVAL {5 * b} MINUTES")).alias("ts"),
+                      F.lit(1.0).alias("value"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(f"{src}/b{b}.parquet"))
+    (spark.range(1)
+          .select(F.lit(500).alias("user_id"),
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+                  F.lit(1.0).alias("value"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(f"{src}/zz_flush.parquet"))
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*.parquet"))
+    out = str(tmp_path / "evict_out")
+    q = (stream_sessionize(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "evict_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    removed = 0
+    peak = 0
+    for p in q.recentProgress:
+        so = (p["stateOperators"] or [{}])[0]
+        peak = max(peak, so.get("numRowsTotal") or 0)
+        removed += so.get("numRowsRemoved") or 0
+    assert peak >= K, f"store never held {K} open sessions (peak {peak})"
+    assert removed >= K, f"timeout eviction missing: removed {removed} < {K}"
+    n = (spark.read.schema("user_id long, session_start timestamp, "
+                           "session_end timestamp, n_events long")
+         .parquet(out).count())
+    assert n >= K, f"evicted sessions must be emitted: {n} < {K}"
