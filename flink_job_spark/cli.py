@@ -91,12 +91,12 @@ def _load_jdbc_table(spark, url, table, key_override, args, props):
             b = read_key_bounds(spark, url, table, key, properties=props)
             if b is not None and all(isinstance(x, (int, float)) for x in b):
                 bounds = (b[0], b[1])
+        by_name = {c.name: c for c in infos}
         src = JdbcSnapshotSource(
             url, table, [c.name for c in infos], key, cutoff=cutoff,
             fetch_size=args.fetch_size, num_partitions=args.parallelism,
-            bounds=bounds, properties=props,
-            infos={c.name: c for c in infos})
-        return src.reader(spark).load(), key, {c.name: c for c in infos}
+            bounds=bounds, properties=props, infos=by_name)
+        return src.reader(spark).load(), key, by_name
     except Exception as e:
         # same skip-never-crash contract as the metadata scan above: a table
         # dropped / permission revoked BETWEEN the scan and the watermark

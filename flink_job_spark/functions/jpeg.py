@@ -469,10 +469,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 pq, tq = body[p] >> 4, body[p] & 0x0F
                 if pq != 0:
                     raise JpegFormatError("16-bit quant tables unsupported")
-                tab = np.zeros(64, np.int32)
-                tab[list(ZIGZAG)] = list(body[p + 1:p + 65])
                 if len(body) < p + 65:
                     raise JpegFormatError("truncated DQT")
+                tab = np.zeros(64, np.int32)
+                tab[list(ZIGZAG)] = list(body[p + 1:p + 65])
                 qt[tq] = tab.reshape(8, 8)
                 p += 65
         elif marker in (0xC0, 0xC1):            # SOF0/1 (baseline huffman)

@@ -197,6 +197,39 @@ _DUCK_BANDS = " UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
+def _score_pairs_tiled(ids, vm, nm, prefilter, chunk=2048):
+    """Score all ordered pairs (ids[i] < ids[j]) of one LSH bucket with a
+    sequential-per-dim accumulation (FP parity with the SQL fold), tiling
+    BOTH axes so scratch never exceeds chunk x chunk floats (32 MB at the
+    default — ADVICE r4: a dense bucket previously allocated chunk x n).
+    Per-element FP order is unchanged by tiling: each (i, j) cell's
+    accumulation is independent. The n x dim member matrix vm itself
+    (~512 B/row at dim 64) is the remaining per-group bound — ~0.5 GB at
+    1M members/bucket; re-parameterize bands before any bucket nears that.
+    Returns (ids_a, ids_b, raw_scores) numpy arrays."""
+    import numpy as np
+
+    out_a, out_b, out_r = [], [], []
+    n = len(ids)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        for clo in range(0, n, chunk):
+            chi = min(clo + chunk, n)
+            acc = np.zeros((hi - lo, chi - clo), dtype=np.float64)
+            for i in range(vm.shape[1]):    # sequential accum (FP parity)
+                np.add(acc, vm[lo:hi, i:i + 1] * vm[None, clo:chi, i],
+                       out=acc)
+            raw = acc / (nm[lo:hi, None] * nm[None, clo:chi])
+            mask = ((ids[lo:hi, None] < ids[None, clo:chi])
+                    & (raw >= prefilter))
+            i1, i2 = np.nonzero(mask)
+            out_a.append(ids[lo + i1])
+            out_b.append(ids[clo + i2])
+            out_r.append(raw[i1, i2])
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_r))
+
+
 @register(
     "q_embedding_cosine_lsh",
     f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -257,23 +290,8 @@ def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vm = np.stack([np.asarray(x, dtype=np.float64)
                        for x in pdf["v"].iloc[order]])
         nm = pdf["nv"].to_numpy(dtype=np.float64)[order]
-        out_a, out_b, out_r = [], [], []
-        # chunk rows so a dense bucket never allocates an n^2 block at once
-        chunk = 2048
-        for lo in range(0, len(ids), chunk):
-            hi = min(lo + chunk, len(ids))
-            acc = np.zeros((hi - lo, len(ids)), dtype=np.float64)
-            for i in range(vm.shape[1]):   # sequential per-pair accum (FP parity)
-                np.add(acc, vm[lo:hi, i:i + 1] * vm[None, :, i], out=acc)
-            raw = acc / (nm[lo:hi, None] * nm[None, :])
-            mask = (ids[lo:hi, None] < ids[None, :]) & (raw >= prefilter_lsh)
-            i1, i2 = np.nonzero(mask)
-            out_a.append(ids[lo + i1])
-            out_b.append(ids[i2])
-            out_r.append(raw[i1, i2])
-        return pd.DataFrame({"v1": np.concatenate(out_a),
-                             "v2": np.concatenate(out_b),
-                             "raw": np.concatenate(out_r)})
+        a, b, r = _score_pairs_tiled(ids, vm, nm, prefilter_lsh)
+        return pd.DataFrame({"v1": a, "v2": b, "raw": r})
 
     pairs = bandrows.groupBy("band", "bh").applyInPandas(
         score_bucket, "v1 bigint, v2 bigint, raw double")

@@ -72,3 +72,33 @@ def test_int8_quantization_error_bound(spark, sf_dir):
             exact = v
             cos = float(deq @ exact / (np.linalg.norm(deq) * np.linalg.norm(exact)))
             assert cos > 0.99, f"vec {r['vec_id']}: dequantized cosine {cos}"
+
+
+def test_score_pairs_tiled_equals_untiled_all_pairs():
+    """The two-axis tiling (ADVICE r4: bound scratch to chunk x chunk) must
+    return exactly the same pair set and bit-identical raw scores as one
+    untiled pass, including when n is not a multiple of the chunk and when
+    chunk=1 (every tile boundary exercised)."""
+    import numpy as np
+
+    from flink_job_spark.queries.similarity import _score_pairs_tiled
+
+    rng = np.random.default_rng(7)
+    n, dim = 37, 16
+    ids = np.sort(rng.choice(10_000, size=n, replace=False).astype(np.int64))
+    vm = rng.standard_normal((n, dim))
+    nm = np.sqrt((vm * vm).sum(axis=1))
+    prefilter = 0.2
+
+    def key_sorted(res):
+        a, b, r = res
+        order = np.lexsort((b, a))
+        return a[order], b[order], r[order]
+
+    ref = key_sorted(_score_pairs_tiled(ids, vm, nm, prefilter, chunk=n + 5))
+    assert len(ref[0]) > 0            # the fixture actually produces pairs
+    for chunk in (1, 5, 16, n):
+        got = key_sorted(_score_pairs_tiled(ids, vm, nm, prefilter, chunk))
+        assert np.array_equal(got[0], ref[0])
+        assert np.array_equal(got[1], ref[1])
+        assert np.array_equal(got[2], ref[2])   # bit-identical, not approx
