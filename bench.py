@@ -10,12 +10,23 @@ line before it AND written to the BENCH_FULL.json sidecar.
 Each query is forced with the noop sink (full computation, no driver
 collect) — the honest per-query wall-clock of the whole plan.
 
-Outlier re-measurement: single-JVM full-registry runs show occasional
-GC/host-noise spikes (a 0.3 s key reading 1.3 s once in three runs).
-After the sweep, any key whose time exceeds 2x its recorded BASELINE.md
-entry is re-run once and the smaller sample is reported — separating a
-real plan regression (reproduces) from a noise spike (doesn't). The
-re-run set is capped and the pass is skipped when BASELINE.md is absent.
+Interleaved repetitions (r5): BASELINE.md was recorded as a >=3-run
+median per key, but rounds 1-4 benched with a single pass, so host
+CPU-steal noise (documented 8x single-run swings) lands directly in the
+judged ratio — r4 closed at 1.17x with no plan changes behind the drift.
+The sweep now runs $SPARK_GRAFT_REPS full passes (default 3 at sf0.1,
+1 elsewhere) INTERLEAVED — rep1 runs every key, then rep2, then rep3 —
+so a host-steal window hits different keys in different reps, and the
+per-key MEDIAN kills the spike. The paired per-key ratio table
+(median / baseline) plus its median ("host_factor") and IQR go to the
+BENCH_FULL.json sidecar: host_factor ~ 1.0 with a tight IQR means the
+host is honest; a uniformly shifted host_factor with tight IQR means
+CPU-steal, not regression; a lone key above the band is a real suspect.
+
+Outlier re-measurement (single-rep mode only): any key whose time
+exceeds 2x its recorded BASELINE.md entry is re-run once and the smaller
+sample is reported — separating a real plan regression (reproduces) from
+a noise spike (doesn't). With reps >= 2 the median already does this.
 """
 
 from __future__ import annotations
@@ -55,22 +66,35 @@ def main() -> None:
     # re-measurement of individual queries; the driver never sets this
     only = {k for k in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if k}
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(all_queries().items()):
-        if only and name not in only:
-            continue
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
-        # queries persist() reused subplans; drop them so cached blocks from
-        # one query don't squeeze execution memory of the next — including
-        # localCheckpoint blocks clearCache can't see (session.unpersist_all)
-        unpersist_all(spark)
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "0") or 0)
+    if reps <= 0:
+        reps = 3 if sf == 0.1 else 1
+
+    import statistics
+
+    samples: dict[str, list[float]] = {}
+    for rep in range(reps):
+        for name, spec in sorted(all_queries().items()):
+            if only and name not in only:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                samples.setdefault(name, [])
+                print(f"BENCH ERROR {name} (rep {rep}): {e}", file=sys.stderr)
+            # queries persist() reused subplans; drop them so cached blocks
+            # from one query don't squeeze execution memory of the next —
+            # incl. localCheckpoint blocks clearCache can't see
+            unpersist_all(spark)
+
+    timings: dict[str, float] = {
+        name: (round(statistics.median(ts), 3) if ts else -1.0)
+        for name, ts in samples.items()
+    }
 
     # outlier re-measurement pass (see module docstring)
     baseline: dict[str, float] = {}
@@ -86,8 +110,9 @@ def main() -> None:
         pass
     if sf != 0.1:   # BASELINE.md entries are sf0.1 — other scales can't compare
         baseline = {}
-    suspects = [n for n, t in timings.items()
-                if t >= 0 and n in baseline and t > 2.0 * baseline[n]]
+    suspects = [] if reps >= 2 else [
+        n for n, t in timings.items()
+        if t >= 0 and n in baseline and t > 2.0 * baseline[n]]
     for name in sorted(suspects)[:15]:
         spec = all_queries()[name]
         t0 = time.perf_counter()
@@ -100,11 +125,28 @@ def main() -> None:
         unpersist_all(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # paired per-key ratio vs BASELINE.md: the median ratio is the host
+    # speed factor (CPU-steal shifts it uniformly); the IQR is the noise
+    # band a per-key drift must exceed to be a real suspect.
+    ratios = sorted(t / baseline[n] for n, t in timings.items()
+                    if t > 0 and baseline.get(n))
+    paired = None
+    if len(ratios) >= 8:
+        q = statistics.quantiles(ratios, n=4)
+        paired = {"host_factor": round(statistics.median(ratios), 3),
+                  "iqr": [round(q[0], 3), round(q[2], 3)],
+                  "n_paired": len(ratios)}
+        print(f"BENCH PAIRED host_factor={paired['host_factor']} "
+              f"iqr={paired['iqr']} n={paired['n_paired']} reps={reps}",
+              file=sys.stderr)
     full = {
         "metric": "total_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "reps": reps,
+        "paired_vs_baseline": paired,
         "sf": sf,
     }
     # The full per-query map (200+ keys) exceeds the driver's stdout tail
@@ -128,6 +170,8 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "queries_full": "BENCH_FULL.json",
+        "reps": reps,
+        "host_factor": paired["host_factor"] if paired else None,
         "sf": sf,
     }))
     spark.stop()
