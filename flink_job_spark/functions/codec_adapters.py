@@ -1,0 +1,110 @@
+"""Optional-dependency codec adapters (r5, VERDICT r4 #7).
+
+The engine's ALWAYS-AVAILABLE decode paths are the pure-Python codecs
+(png/bmp/gif/jpeg/wav/avi — deterministic, oracle-checked, no native
+deps). Real corpora also carry formats that genuinely need a codec
+library: WebP/HEIC/TIFF images, progressive JPEG, mp3/ogg audio,
+H.264-class video. When those libraries happen to be installed on the
+host, these adapters route such payloads through them — behind the SAME
+errors-as-data contract the mapInPandas operators establish (adapter
+faults become ``decode_error`` rows, never executor exceptions). When
+they are absent (as in this build sandbox), capability probes return
+False and the callers fall back to the documented
+unsupported-format error, so behavior is identical minus the extra
+coverage.
+
+Design rules:
+* Pure-Python codecs stay FIRST — adapters only see payloads the
+  built-in codecs reject (unknown magic, or a JPEG feature like
+  progressive that the built-in decoder declines). Every oracle-checked
+  key therefore keeps its bit-exact pure-Python path regardless of what
+  is installed on the host.
+* Probes are cached per process (executors probe once per worker).
+* Subprocess tools (ffmpeg) get input via stdin pipe and a timeout —
+  a decode stall must not wedge an executor task slot.
+"""
+
+from __future__ import annotations
+
+import functools
+import shutil
+import subprocess
+
+FFMPEG_TIMEOUT_SEC = 60
+
+
+@functools.lru_cache(maxsize=1)
+def pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+@functools.lru_cache(maxsize=1)
+def ffprobe_available() -> bool:
+    return shutil.which("ffprobe") is not None
+
+
+def decode_image_pillow(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, row-major interleaved bytes) via Pillow.
+    Caller must have checked pillow_available(); Pillow faults propagate
+    for the caller to wrap as errors-as-data. Output is normalized to
+    L (1 channel) or RGB (3) so downstream stats see the same shapes the
+    pure-Python codecs produce."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        mode = "L" if im.mode in ("1", "L", "I", "I;16", "F") else "RGB"
+        conv = im.convert(mode)
+        ch = 1 if mode == "L" else 3
+        return conv.width, conv.height, ch, conv.tobytes()
+
+
+def image_meta_pillow(payload: bytes) -> tuple[int, int]:
+    """(width, height) via Pillow header parse — lazy, no pixel decode."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def decode_audio_ffmpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """(sample_rate, n_channels, signed-16LE PCM frames) by piping the
+    compressed payload (mp3/ogg/flac/...) through ffmpeg. Caller must
+    have checked ffmpeg_available(); CalledProcessError / TimeoutExpired
+    propagate for errors-as-data wrapping."""
+    rate, ch = 16_000, 1
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "s16le",
+         "-acodec", "pcm_s16le", "-ac", str(ch), "-ar", str(rate),
+         "pipe:1"],
+        input=payload, capture_output=True, check=True,
+        timeout=FFMPEG_TIMEOUT_SEC)
+    pcm = out.stdout
+    if len(pcm) % 2:
+        pcm = pcm[:-1]
+    return rate, ch, pcm
+
+
+def pcm16_stats(pcm: bytes) -> tuple[int, float]:
+    """(n_samples, rms) of signed-16LE PCM — the same stats the WAV path
+    reports, so adapter-decoded audio lands in identical output columns.
+    Vectorized (the adapter runs inside Arrow-batched workers)."""
+    import numpy as np
+
+    n = len(pcm) // 2
+    if n == 0:
+        return 0, 0.0
+    s = np.frombuffer(pcm[:2 * n], dtype="<i2").astype(np.float64)
+    return n, float(np.sqrt(np.mean(s * s)))

@@ -2,13 +2,18 @@
 struct + numpy only, no codec library.
 
 Encode: 8-bit baseline, grayscale (1 component) or color (3-component
-JFIF YCbCr at 4:4:4 sampling), ISO/IEC 10918-1 Annex K quantization
-tables scaled by an IJG-style quality factor, Annex K "typical" Huffman
-tables, single restart-free scan, partial edge blocks padded by edge
-replication. Decode: the matching baseline subset — SOI/APPn/COM/DQT/
-SOF0/DHT/DRI/SOS marker walk, canonical Huffman decode with 0xFF00
-byte-unstuffing and RSTn handling, dequant + de-zigzag + float IDCT,
-level shift, JFIF YCbCr→RGB, crop to declared dims.
+JFIF YCbCr at 4:4:4 or — r5 — 4:2:0 with 2x2 box-mean chroma
+downsampling and T.81 A.2.3 MCU interleaving), ISO/IEC 10918-1 Annex K
+quantization tables scaled by an IJG-style quality factor, Annex K
+"typical" Huffman tables, single restart-free scan, partial edge blocks
+padded by edge replication. Decode: the matching baseline subset with
+GENERIC sampling factors (1..4 each axis, integer ratios — covers
+4:4:4 / 4:2:2 / 4:2:0 / 4:1:1, i.e. virtually all real-world baseline
+files) — SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS marker walk, canonical
+Huffman decode with 0xFF00 byte-unstuffing and RSTn handling,
+MCU-interleaved block placement, dequant + de-zigzag + float IDCT,
+level shift, sample-replication chroma upsampling, JFIF YCbCr→RGB,
+crop to declared dims. Progressive (SOF2) stays a documented stub.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -256,25 +261,44 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Edge-replicate to multiples of 8, return (blocks[by, bx, 8, 8], nby, nbx)."""
+def _plane_blocks(plane: np.ndarray, mult: int = 8
+                  ) -> tuple[np.ndarray, int, int]:
+    """Edge-replicate to multiples of `mult` (8, or 16 for the luma plane
+    of a 4:2:0 MCU grid), return (blocks[by, bx, 8, 8], nby, nbx)."""
     h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
+    ph, pw = -h % mult, -w % mult
     padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
     blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
     return blocks, nby, nbx
 
 
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsample (the deterministic filter this codec
+    defines for 4:2:0 — T.81 leaves the filter to the encoder). Odd edges
+    are edge-replicated before averaging."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2]
+            + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
-                quality: int = 50) -> bytes:
-    """pixels = row-major interleaved 8-bit samples (1=gray, 3=RGB)."""
+                quality: int = 50, subsampling: str = "444") -> bytes:
+    """pixels = row-major interleaved 8-bit samples (1=gray, 3=RGB).
+    subsampling: "444" (every component full resolution — the default and
+    the exact-roundtrip-oracle setting) or "420" (color only: chroma
+    downsampled 2x2 box-mean, Y coded as 2x2 blocks per MCU per T.81
+    A.2.3 interleaving — the dominant real-world layout)."""
     if channels not in (1, 3):
         raise JpegFormatError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
         raise JpegFormatError("pixel buffer does not match dims")
     if width <= 0 or height <= 0 or width > 65535 or height > 65535:
         raise JpegFormatError(f"bad dims {width}x{height}")
+    if subsampling not in ("444", "420"):
+        raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and channels == 3
 
     qtabs = quant_tables(quality)
     arr = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(
@@ -294,23 +318,47 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     huff = [(dc_l, ac_l), (dc_c, ac_c)]
     zz = np.array(ZIGZAG)
 
-    # quantized zigzag coefficients per component plane
-    comps = []
-    nby = nbx = 0
-    for plane, qi in zip(planes, qsel):
-        blocks, nby, nbx = _plane_blocks(plane)
+    def quantize(plane, qi, mult):
+        blocks, nby, nbx = _plane_blocks(plane, mult)
         f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 128.0, _DCT_A.T)
         q = np.round(f / qtabs[qi]).astype(np.int32)
-        comps.append(q.reshape(nby, nbx, 64)[:, :, zz])
+        return q.reshape(nby, nbx, 64)[:, :, zz], nby, nbx
 
     bw = _BitWriter()
-    prev = [0] * len(comps)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, comp in enumerate(comps):
-                tsel = 0 if ci == 0 else 1
-                prev[ci] = _encode_block(bw, comp[by, bx], prev[ci],
-                                         huff[tsel][0], huff[tsel][1])
+    if sub420:
+        # Y at full res padded to the 16-px MCU grid; chroma box-mean
+        # downsampled then padded to its own 8-px grid — the two grids
+        # cover the same MCU count by construction.
+        zzY, nbyY, nbxY = quantize(planes[0], 0, 16)
+        zzCb, ncy, ncx = quantize(_downsample2(planes[1]), 1, 8)
+        zzCr, _, _ = quantize(_downsample2(planes[2]), 1, 8)
+        mcuy, mcux = nbyY // 2, nbxY // 2
+        assert (ncy, ncx) == (mcuy, mcux)
+        prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for r in range(2):          # 4 Y blocks, row-major (A.2.3)
+                    for c in range(2):
+                        prev[0] = _encode_block(
+                            bw, zzY[2 * my + r, 2 * mx + c], prev[0],
+                            dc_l, ac_l)
+                prev[1] = _encode_block(bw, zzCb[my, mx], prev[1], dc_c, ac_c)
+                prev[2] = _encode_block(bw, zzCr[my, mx], prev[2], dc_c, ac_c)
+        samp = [0x22, 0x11, 0x11]
+    else:
+        comps = []
+        nby = nbx = 0
+        for plane, qi in zip(planes, qsel):
+            czz, nby, nbx = quantize(plane, qi, 8)
+            comps.append(czz)
+        prev = [0] * len(comps)
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci, comp in enumerate(comps):
+                    tsel = 0 if ci == 0 else 1
+                    prev[ci] = _encode_block(bw, comp[by, bx], prev[ci],
+                                             huff[tsel][0], huff[tsel][1])
+        samp = [0x11] * channels
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -323,7 +371,7 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for ci in range(channels):
-        sof += bytes([ci + 1, 0x11, qsel[ci]])
+        sof += bytes([ci + 1, samp[ci], qsel[ci]])
     out += seg(0xFFC0, sof)
     specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
     if channels == 3:
@@ -487,10 +535,14 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise JpegFormatError(
-                        "subsampled JPEG unsupported (4:4:4 / gray only)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise JpegFormatError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, tq, hi, vi))
+            if ncomp == 1:
+                # a single-component frame is coded non-interleaved; its
+                # sampling factors do not affect the block grid (T.81 A.2.2)
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             sof = (w, h, comps)
         elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise JpegFormatError(f"unsupported SOF marker 0xFF{marker:02X} "
@@ -526,7 +578,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         raise JpegFormatError("scan does not cover all components")
     order = []
     for cs, td, ta in scan_sel:
-        match = [i for i, (cid, _) in enumerate(comps) if cid == cs]
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
         if not match:
             raise JpegFormatError(f"scan references unknown component {cs}")
         ci = match[0]
@@ -536,46 +588,73 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             raise JpegFormatError("missing Huffman table")
         order.append((ci, qt[comps[ci][1]], huff[(0, td)], huff[(1, ta)]))
 
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), np.float64) for _ in comps]
+    # MCU geometry (T.81 A.2.3/A.2.4): each MCU carries hi*vi blocks of
+    # component i, row-major; the MCU grid is sized by the max factors.
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise JpegFormatError(
+                f"non-integer subsampling ratio {hi}x{vi} vs {hmax}x{vmax}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
+              for _, _, hi, vi in comps]
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     zznat = np.array(ZIGZAG)
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+
+    def read_block(q, dct_tab, act_tab, ci):
+        zz = np.zeros(64, np.int64)
+        s = _decode_huff(br, dct_tab)
+        if s > 11:
+            raise JpegFormatError(f"bad DC category {s}")
+        diff = _extend(br.bits(s), s) if s else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _decode_huff(br, act_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16             # ZRL
+                    continue
+                break                   # EOB
+            k += r
+            if k > 63:
+                raise JpegFormatError("AC run past block end")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[zznat] = zz * q.reshape(64)[zznat]
+        return _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
                 pred = [0] * len(comps)
             for ci, q, dct_tab, act_tab in order:
-                zz = np.zeros(64, np.int64)
-                s = _decode_huff(br, dct_tab)
-                if s > 11:
-                    raise JpegFormatError(f"bad DC category {s}")
-                diff = _extend(br.bits(s), s) if s else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _decode_huff(br, act_tab)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16         # ZRL
-                            continue
-                        break               # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegFormatError("AC run past block end")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[zznat] = zz * q.reshape(64)[zznat]
-                block = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block + 128.0
+                hi, vi = comps[ci][2], comps[ci][3]
+                for r in range(vi):
+                    for c in range(hi):
+                        by, bx = my * vi + r, mx * hi + c
+                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                            read_block(q, dct_tab, act_tab, ci) + 128.0)
             mcu += 1
 
-    cropped = [p[:h, :w] for p in planes]
+    # upsample subsampled components by sample replication (the decoder's
+    # defined filter — T.81 leaves it open; replication keeps the twin
+    # proof exact), then crop every plane to the declared dims
+    cropped = []
+    for (_, _, hi, vi), p in zip(comps, planes):
+        if hi != hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi != vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        cropped.append(p[:h, :w])
     if len(cropped) == 3:
         rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -19,12 +19,14 @@ frames, functions/avi.py, :func:`video_frame_stats`), and **baseline JPEG
 is encoded and decoded for real** (full T.81 baseline: DCT + Annex K
 quantization + canonical Huffman entropy coding, functions/jpeg.py); a
 deterministic FAKE format (header ``FAKEIMG1``/``FAKEAUD1`` + big-endian
-dims) exercises the plumbing with zero codec cost. Remaining STUBS —
-documented rationale: compressed audio (mp3/ogg) and COMPRESSED video
-(H.264/VP9/AV1) require a codec library (ffmpeg) that is not in this
-container; they raise ``NotImplementedError`` / degrade to
-``decode_error`` rows. Swapping a stub for ffmpeg changes ONE function
-body, no plan shape.
+dims) exercises the plumbing with zero codec cost. Remaining formats are
+CAPABILITY-GATED (r5, functions/codec_adapters.py): WebP/HEIC/TIFF images
+route through Pillow and compressed audio (mp3/ogg/flac) through an
+ffmpeg stdin pipe WHEN the host has those libraries — behind the same
+errors-as-data contract — and degrade to the documented
+``NotImplementedError`` / ``decode_error`` rows where (as in this build
+sandbox) they are absent. COMPRESSED video (H.264/VP9/AV1) remains the
+one documented stub either way.
 """
 
 from __future__ import annotations
@@ -109,11 +111,21 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             return None, None, f"bad jpeg: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
-    # remaining real formats (HEIC/WebP/...) need codec libs not present here
+    # remaining real formats (HEIC/WebP/...): capability check — use the
+    # Pillow adapter when the host has it (codec_adapters.py), else the
+    # documented library-boundary error
+    from flink_job_spark.functions.codec_adapters import (image_meta_pillow,
+                                                          pillow_available)
+    if pillow_available():
+        try:
+            w, h = image_meta_pillow(bytes(payload))
+            return int(w), int(h), None
+        except Exception as e:
+            return None, None, f"bad image: {e}"
     raise NotImplementedError(
         "HEIC/WebP-family image decoding requires a codec library (Pillow/"
-        "opencv); PNG, BMP, GIF, baseline JPEG and the FAKEIMG1 test format "
-        "are decodable here"
+        "opencv), not installed on this host; PNG, BMP, GIF, baseline JPEG "
+        "and the FAKEIMG1 test format are decodable here"
     )
 
 
@@ -399,7 +411,24 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                         sr = ch = nf = dur = rms = None
                         err = f"bad wav: {e}"
                 else:
-                    err = "not a decodable audio payload"
+                    # compressed audio (mp3/ogg/flac/...): route through the
+                    # ffmpeg adapter when the host has it (codec_adapters.py
+                    # — stdin pipe, timeout, errors stay data); otherwise the
+                    # documented library-boundary error row
+                    from flink_job_spark.functions.codec_adapters import (
+                        decode_audio_ffmpeg, ffmpeg_available, pcm16_stats)
+                    if ffmpeg_available():
+                        try:
+                            sr, ch, pcm = decode_audio_ffmpeg(bytes(payload))
+                            nf, r = pcm16_stats(pcm)
+                            dur = (round(nf * 1000.0 / (sr * ch), 6)
+                                   if sr and ch else None)
+                            rms = round(r, 6)
+                        except Exception as e:
+                            sr = ch = nf = dur = rms = None
+                            err = f"bad audio: {e}"
+                    else:
+                        err = "not a decodable audio payload"
                 cols["sample_rate"].append(sr)
                 cols["channels"].append(ch)
                 cols["n_frames"].append(nf)
@@ -569,8 +598,33 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
         try:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
+            # a JPEG feature the pure-Python baseline decoder declines
+            # (progressive SOF2, arithmetic coding): route through Pillow
+            # when the host has it; the library is an EXTENSION, never the
+            # path an oracle-checked key depends on (codec_adapters.py)
+            got = _try_pillow(payload)
+            if got is not None:
+                return got
             raise ImageDecodeError("jpeg", e) from e
+    got = _try_pillow(payload)
+    if got is not None:
+        return got
     raise ImageDecodeError(None, "not a decodable image")
+
+
+def _try_pillow(payload: bytes):
+    """Adapter fallback: full decode via Pillow when installed (WebP/TIFF/
+    progressive JPEG/...). Returns None when the library is absent or the
+    payload still doesn't decode — the caller keeps its own error."""
+    from flink_job_spark.functions.codec_adapters import (
+        decode_image_pillow, pillow_available)
+
+    if not pillow_available():
+        return None
+    try:
+        return decode_image_pillow(payload)
+    except Exception:
+        return None
 
 
 def resize_pixel_stats(media: DataFrame, target_width: int,

@@ -926,13 +926,28 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
     shared by q_pagerank and tools/graph_ab.py so the recorded per-iteration
     scale evidence describes the shipped plan. Returns (node, rank) with the
     per-iteration 12-place rounding that keeps iterated doubles engine-exact
-    (see the oracle docstring above)."""
+    (see the oracle docstring above).
+
+    Lineage truncation (r5, VERDICT r4 #2): the rank frame accumulates one
+    join + one agg of lineage per superstep, and the identical pattern
+    stalled the min-label components driver loop past ~15 rounds. Every
+    CC_CHECKPOINT_EVERY (8) supersteps the rank frame is
+    localCheckpoint-ed (eager) and the previous checkpoint's blocks are
+    released — same cadence proven in dedup.connected_components. At the
+    shipped PR_ITERS=3 no checkpoint fires, so the bench plan is
+    unchanged; high-iteration reuse through tools/graph_ab.py is covered
+    (A/B at 50 supersteps recorded in BASELINE.md)."""
+    from flink_job_spark.queries.dedup import CC_CHECKPOINT_EVERY
+    from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = edges.sparkSession
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(deg, "src").persist()
     n = float(deg.count())
     rank = deg.select(F.col("src").alias("node"),
                       F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    ckpt_ids: set[int] = set()
+    for it in range(1, iters + 1):
         contrib = (
             edges.join(rank, edges["src"] == rank["node"])
                  .select(F.col("dst").alias("node"),
@@ -943,6 +958,12 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
             F.round(F.lit((1 - damp) / n)
                     + F.lit(damp) * F.sum("c").cast("double"), 12)
              .alias("rank"))
+        if it % CC_CHECKPOINT_EVERY == 0 and it < iters:
+            before = persistent_rdd_ids(spark)
+            rank = rank.localCheckpoint(eager=True)
+            new_ids = persistent_rdd_ids(spark) - before
+            unpersist_rdd_ids(spark, ckpt_ids)
+            ckpt_ids = new_ids
     return rank
 
 
@@ -1636,7 +1657,20 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame,
     ``seeds`` (node) at level 0; returns (node, lvl) with lvl = min hop
     count <= max_hops. One equi-join + one anti-join per hop; each
     frontier persists because it feeds both the visited union and the
-    next expansion."""
+    next expansion.
+
+    Lineage truncation (r5, VERDICT r4 #2): the visited frame gains one
+    union node per hop and the frontier chains a join per hop — the
+    pattern that stalled min-label components past ~15 driver rounds.
+    Every CC_CHECKPOINT_EVERY (8) hops both frames are localCheckpoint-ed
+    (eager) and the previous checkpoint's blocks released. At the shipped
+    BFS_MAX_HOPS=3 no checkpoint fires (bench plan unchanged); deep
+    traversals via tools/graph_ab.py are covered (A/B at 32 hops in
+    BASELINE.md)."""
+    from flink_job_spark.queries.dedup import CC_CHECKPOINT_EVERY
+    from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = seeds.sparkSession
     sym = edges.union(edges.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
     sym = sym.persist()
@@ -1647,6 +1681,7 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame,
     level0 = seeds.select("node").withColumn("lvl", F.lit(0)).persist()
     visited = level0
     frontier = level0.select("node")
+    ckpt_ids: set[int] = set()
     for lvl in range(1, max_hops + 1):
         nxt = (sym.join(frontier.withColumnRenamed("node", "a"), "a")
                   .select(F.col("b").alias("node")).distinct())
@@ -1654,6 +1689,13 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame,
                   .withColumn("lvl", F.lit(lvl)).persist())
         visited = visited.union(new)
         frontier = new.select("node")
+        if lvl % CC_CHECKPOINT_EVERY == 0 and lvl < max_hops:
+            before = persistent_rdd_ids(spark)
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+            new_ids = persistent_rdd_ids(spark) - before
+            unpersist_rdd_ids(spark, ckpt_ids)
+            ckpt_ids = new_ids
     return visited
 
 

@@ -955,3 +955,73 @@ def q_media_jpeg_color_err(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
+# --- q_media_jpeg_420_stats: the 4:2:0 subsampled path, value-exact oracle ------
+#
+# r5: the decoder gained generic sampling factors and the encoder a 4:2:0
+# mode (functions/jpeg.py). Gray-CONTENT color images (r=g=b, constant
+# even-valued 8x8 luma blocks, dims on the 16-px MCU grid) make the
+# subsampled roundtrip EXACT end to end: chroma is the constant 128, whose
+# 2x2 box-mean is 128 and whose DC quantizes to 0, so upsampling
+# reconstructs exact neutral chroma and YCbCr->RGB returns the luma
+# unchanged; the luma blocks are exact by the DC-only lemma the 4:4:4 key
+# proves. Plain SQL therefore verifies dims AND the decoded pixel mean of
+# a 4:2:0 file — MCU interleaving, chroma grids and upsampling included.
+# The lossy subsampled general case is fuzz-certified in
+# tests/test_codec_properties.py (exact-vs-transform-model).
+
+JPEG420_WM_MOD, JPEG420_HM_MOD = 2, 3   # 1..2 x 1..3 MCUs => 16..32 x 16..48 px
+
+@register(
+    "q_media_jpeg_420_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(16 * (1 + doc_id % {JPEG420_WM_MOD}) AS INT) AS width,
+               CAST(16 * (1 + doc_id % {JPEG420_HM_MOD}) AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               round((SELECT AVG(CAST(2 * ((doc_id * 29 + t.i * 13) % 128)
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range(4 * (1 + doc_id % {JPEG420_WM_MOD})
+                                 * (1 + doc_id % {JPEG420_HM_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="4:2:0 chroma-subsampled JPEG roundtrip (the dominant real-world "
+        "layout): per-doc gray-content COLOR images on the 16-px MCU grid "
+        "are encoded with 2x2-subsampled chroma and fully decoded in "
+        "mapInPandas; neutral chroma + even DC-exact luma make the lossy "
+        "subsampled codec exact, so plain SQL verifies dims and the decoded "
+        "pixel mean through MCU interleave + upsampling",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched binary-in/stats-out pass as q_media_jpeg_stats,
+    now through the 4:2:0 MCU-interleaved encode and the generic-sampling
+    decode — the payload bytes never leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nmx, nmy = 1 + i % JPEG420_WM_MOD, 1 + i % JPEG420_HM_MOD
+                b = np.arange(4 * nmy * nmx).reshape(2 * nmy, 2 * nmx)
+                vals = (2 * ((i * 29 + b * 13) % 128)).astype(np.uint8)
+                gray = np.kron(vals, np.ones((8, 8), np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(encode_jpeg(16 * nmx, 16 * nmy,
+                                            rgb.tobytes(), 3, quality=50,
+                                            subsampling="420"))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels",
+                        "mean_luma")

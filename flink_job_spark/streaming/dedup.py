@@ -72,14 +72,18 @@ def stream_incremental_dedup(
     manifest_dir = os.path.join(state_dir, "batches")
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        done = set()
+        # replay short-circuit: the manifest is PARTITIONED by batch id and
+        # the check reads ONLY this batch's partition — O(1) in the number
+        # of completed batches. (r5, VERDICT r4 #6: the previous
+        # read-whole-manifest-and-collect made every batch pay O(n) driver
+        # work and O(n) file listings — measured 84x slower by batch 10k,
+        # tools/stream_admission_scale.py / BASELINE.md.)
+        bdir = os.path.join(manifest_dir, f"batch_id={batch_id}")
         try:
-            done = {r["batch_id"]
-                    for r in spark.read.parquet(manifest_dir).collect()}
+            if spark.read.parquet(bdir).limit(1).count() > 0:
+                return
         except Exception:
-            pass
-        if batch_id in done:
-            return
+            pass                      # partition absent: not admitted yet
         seen = None
         try:
             # keys are tagged with the batch that admitted them: a REPLAYED
@@ -100,8 +104,8 @@ def stream_incremental_dedup(
                  .select("content_key")
                  .withColumn("src_batch_id", F.lit(batch_id))
                  .write.mode("append").parquet(keys_dir))
-        (spark.createDataFrame([(batch_id,)], "batch_id long")
-              .write.mode("append").parquet(manifest_dir))
+        (spark.createDataFrame([(batch_id,)], "done long")
+              .write.mode("overwrite").parquet(bdir))
         verdicts.unpersist()
 
     q = (

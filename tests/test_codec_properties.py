@@ -396,3 +396,85 @@ def test_jpeg_bomb_huge_dims_rejected():
     bomb = b"\xff\xd8" + sof + b"\xff\xd9"
     with pytest.raises(JpegFormatError, match="dims too large"):
         decode_jpeg(bomb)
+
+
+def test_jpeg_420_mcu_quadrant_placement_exact():
+    """4:2:0 MCU interleaving proof (r5): a 16x16 gray-as-RGB image with
+    four distinct EVEN quadrant values is one MCU = 4 Y blocks + Cb + Cr.
+    Each Y block is DC-only with an exactly-quantizable DC (even centered
+    value, q_dc=16 at quality 50) and chroma is ~128 (DC quantizes to 0),
+    so decode must return each quadrant's value EXACTLY — and in the right
+    POSITION: a decoder placing the 4 Y blocks column-major instead of
+    T.81 A.2.3 row-major swaps quadrants and fails."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                jpeg_meta)
+
+    vals = [[64, 100], [160, 220]]
+    px = np.zeros((16, 16, 3), np.uint8)
+    for r in range(2):
+        for c in range(2):
+            px[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8, :] = vals[r][c]
+    data = encode_jpeg(16, 16, px.tobytes(), 3, quality=50,
+                       subsampling="420")
+    assert jpeg_meta(data) == (16, 16, 3)
+    W, H, C, out = decode_jpeg(data)
+    assert (W, H, C) == (16, 16, 3)
+    got = np.frombuffer(out, np.uint8).reshape(16, 16, 3)
+    for r in range(2):
+        for c in range(2):
+            quad = got[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8, :]
+            assert (quad == vals[r][c]).all(), (r, c)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.tuples(st.integers(1, 40), st.integers(1, 24)),
+       st.integers(0, 2 ** 32 - 1), st.sampled_from([35, 50, 75, 92]))
+def test_jpeg_420_bitstream_lossless_vs_transform_model(dims, seed, quality):
+    """4:2:0 entropy+geometry layer is LOSSLESS with no slack: decode of a
+    subsampled encode equals the composed transform model — RGB→YCbCr,
+    2x2 box-mean chroma downsample, per-plane quant roundtrip (Y on the
+    16-px MCU grid, chroma on its own 8-px grid), sample-replication
+    upsample, YCbCr→RGB, round/clip — computed OUTSIDE the codec's
+    encode/decode entry points. Covers odd dims (crop), partial MCUs
+    (edge padding) and every quality tier. The DCT basis itself is proven
+    against spec cosine sums in test_jpeg_dct_basis_matches_spec_cosine_sums."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (_DCT_A, _downsample2,
+                                                _plane_blocks, _rgb_to_ycbcr,
+                                                _ycbcr_to_rgb, decode_jpeg,
+                                                encode_jpeg, jpeg_meta,
+                                                quant_tables)
+
+    w, h = dims
+    rgb = np.array([(seed + i * 2654435761) % 256 for i in range(w * h * 3)],
+                   np.uint8).reshape(h, w, 3)
+    data = encode_jpeg(w, h, rgb.tobytes(), 3, quality=quality,
+                       subsampling="420")
+    assert jpeg_meta(data) == (w, h, 3)
+    W, H, C, out = decode_jpeg(data)
+    assert (W, H, C) == (w, h, 3)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+
+    qtabs = quant_tables(quality)
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
+
+    def quant_roundtrip(plane, qi, mult):
+        blocks, nby, nbx = _plane_blocks(plane, mult)
+        f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 128.0, _DCT_A.T)
+        deq = np.round(f / qtabs[qi]) * qtabs[qi]
+        rec = np.einsum("xu,byuv,vw->byxw", _DCT_A.T, deq, _DCT_A) + 128.0
+        return rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+    def up2(p):
+        return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+
+    yr = quant_roundtrip(ycc[..., 0], 0, 16)
+    cbr = up2(quant_roundtrip(_downsample2(ycc[..., 1]), 1, 8))
+    crr = up2(quant_roundtrip(_downsample2(ycc[..., 2]), 1, 8))
+    model_ycc = np.stack([yr[:h, :w], cbr[:h, :w], crr[:h, :w]], axis=-1)
+    model = np.clip(np.round(_ycbcr_to_rgb(model_ycc)), 0, 255).astype(
+        np.uint8)
+    assert np.array_equal(got, model)

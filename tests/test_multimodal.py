@@ -738,3 +738,82 @@ def test_resize_pixel_stats_gathers_and_errors(spark):
     assert ok["decode_error"] is None
     assert rows[2]["decode_error"].startswith("bad bmp")
     assert rows[3]["decode_error"].startswith("bad jpeg")
+
+
+def test_decode_pixel_stats_handles_420_jpeg_end_to_end(spark):
+    """A 4:2:0 chroma-subsampled JPEG (the dominant real-world layout,
+    r5) flows through the mapInPandas media path: decoded dims/channels
+    and a mean_luma equal to the pure-Python decode of the same blob —
+    and a corrupt variant of the same file stays errors-as-data."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+    blob = encode_jpeg(33, 24, rgb.tobytes(), 3, quality=75,
+                       subsampling="420")
+    _, _, _, px = decode_jpeg(blob)
+    want_luma = round(sum(px) / len(px), 6)
+    corrupt = blob[:len(blob) // 2]
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(corrupt))],
+        "media_id long, payload binary")
+    stats = {r["media_id"]: r for r in decode_pixel_stats(media).collect()}
+    ok = stats[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (33, 24, 3)
+    assert ok["decode_error"] is None
+    assert abs(ok["mean_luma"] - want_luma) < 1e-9
+    assert stats[2]["decode_error"] is not None
+
+
+def test_pillow_adapter_decodes_webp_when_available(spark):
+    """Capability-gated (r5): on hosts with Pillow, a WebP payload —
+    undecodable by the pure-Python codecs — flows through the adapter to
+    real pixel stats; the pure-Python formats still take their own path.
+    Skipped where Pillow is absent (this build sandbox), exercised on
+    hosts that have it."""
+    import pytest
+
+    from flink_job_spark.functions.codec_adapters import pillow_available
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed — adapter coverage n/a here")
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    rgb = np.zeros((10, 12, 3), np.uint8)
+    rgb[..., 1] = 200
+    buf = io.BytesIO()
+    PIL.Image.fromarray(rgb).save(buf, format="WEBP", lossless=True)
+    media = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                  "media_id long, payload binary")
+    row = decode_pixel_stats(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (12, 10, 3)
+    assert row["decode_error"] is None
+    assert abs(row["mean_luma"] - 200 / 3) < 0.5
+
+
+def test_adapter_absence_keeps_documented_boundary():
+    """Where neither Pillow nor ffmpeg exists, the adapters must change
+    NOTHING: unknown image magic still raises ImageDecodeError (wrapped to
+    decode_error by the operators) and the capability probes are honest.
+    Gated to hosts without the libs — the mirror of the test above."""
+    import pytest
+
+    from flink_job_spark.functions.codec_adapters import (ffmpeg_available,
+                                                          pillow_available)
+
+    if pillow_available() or ffmpeg_available():
+        pytest.skip("codec libs present — boundary test n/a")
+    from flink_job_spark.operators.multimodal import (ImageDecodeError,
+                                                      _decode_any_image)
+
+    with pytest.raises(ImageDecodeError, match="not a decodable image"):
+        _decode_any_image(b"RIFFxxxxWEBPVP8 ....")

@@ -1674,3 +1674,13 @@ def test_embedding_cosine_lsh_bucket_local_scoring(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p, p
     assert _n_exchanges(p) <= 3, p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_media_jpeg_420_stats_no_shuffle(spark, sf_dir):
+    """The 4:2:0 subsampled key (r5) keeps the exact shape of the 4:4:4
+    one: a single Arrow-batched map chain over doc_id, zero exchanges —
+    subsampling changes codec math, never plan shape."""
+    p = plan(all_queries()["q_media_jpeg_420_stats"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"jpeg 420 plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)

@@ -420,6 +420,16 @@ def test_stream_incremental_dedup_admits_exactly_one_per_key(spark, sf_dir, tmp_
     stream_incremental_dedup(spark, src, d.schema, state, out, ckpt)
     assert spark.read.parquet(out).count() == n_docs
 
+    # bounded manifest (r5, VERDICT r4 #6): the replay short-circuit reads
+    # ONLY its own batch partition, so the manifest must be laid out as
+    # one batch_id=N partition per completed batch — never a flat append
+    # the check would have to scan whole (O(n) per batch at 10k batches,
+    # measured in tools/stream_admission_scale.py)
+    import os
+    mdirs = sorted(e for e in os.listdir(os.path.join(state, "batches"))
+                   if e.startswith("batch_id="))
+    assert len(mdirs) >= 3 and all("=" in e for e in mdirs), mdirs
+
     # a replayed file of already-admitted docs → all dup_historical
     (d.filter(F.col("doc_id") < 100).coalesce(1)
       .write.mode("append").parquet(src))

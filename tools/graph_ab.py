@@ -166,19 +166,53 @@ def main() -> None:
         timed_action(spark, f"pagerank_3iter_clustered_{n}", pr_thunk)
 
     # 2: deep chains — the shape that separates the two components plans
-    if "chains" not in CELLS:
-        spark.stop()
-        return
-    pairs = spark.read.parquet(paths["chains"])
-    docs = (pairs.select(F.col("d1").alias("doc_id"))
-            .union(pairs.select("d2")).distinct())
-    t_lab, chk_lab = timed_cc(spark, f"cc_minlabel_chain{CHAIN_LEN}",
-                              connected_components, docs, pairs,
-                              CHAIN_LEN + 5)
-    t_star, chk_star = timed_cc(spark, f"cc_star_chain{CHAIN_LEN}",
-                                connected_components_star, docs, pairs, 15)
-    assert chk_lab == chk_star, (
-        f"chain variant disagreement: {chk_lab} vs {chk_star}")
+    if "chains" in CELLS:
+        pairs = spark.read.parquet(paths["chains"])
+        docs = (pairs.select(F.col("d1").alias("doc_id"))
+                .union(pairs.select("d2")).distinct())
+        t_lab, chk_lab = timed_cc(spark, f"cc_minlabel_chain{CHAIN_LEN}",
+                                  connected_components, docs, pairs,
+                                  CHAIN_LEN + 5)
+        t_star, chk_star = timed_cc(spark, f"cc_star_chain{CHAIN_LEN}",
+                                    connected_components_star, docs, pairs, 15)
+        assert chk_lab == chk_star, (
+            f"chain variant disagreement: {chk_lab} vs {chk_star}")
+
+    # 5 (r5, VERDICT r4 #2): DEEP-iteration cells for the exported loops —
+    # 50 PageRank supersteps and a full 32-hop BFS on the chain graph.
+    # Before the checkpoint-every-8 cadence landed in pagerank_ranks /
+    # bfs_levels, the identical lineage shape stalled min-label components
+    # past ~15 driver rounds; these cells prove the loops now complete with
+    # per-iteration cost that stays FLAT (the stall showed as super-linear
+    # driver time, not executor time).
+    if "deep" in CELLS:
+        pairs = spark.read.parquet(paths["chains"])
+        edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        # chain heads (id % CHAIN_LEN == 0): a 32-hop frontier walks every
+        # chain end to end — max_hops equals the graph diameter
+        seeds = (pairs.select(F.col("d1").alias("node"))
+                 .filter(F.pmod("node", F.lit(CHAIN_LEN)) == 0)
+                 .limit(1000))
+
+        def bfs_deep_thunk(edges=edges, seeds=seeds):
+            out = (bfs_levels(edges, seeds, CHAIN_LEN)
+                   .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                                  F.max("lvl").alias("max_lvl")).collect()[0])
+            return {"n_nodes": int(out["n"]), "max_lvl": int(out["max_lvl"])}
+
+        timed_action(spark, f"bfs_{CHAIN_LEN}hop_chain", bfs_deep_thunk)
+
+        sym = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        sym = sym.union(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+
+        def pr_deep_thunk(sym=sym, iters=50):
+            r = pagerank_ranks(sym, iters=iters).agg(
+                F.count(F.lit(1)), F.round(F.sum("rank"), 3)).collect()[0]
+            return {"n_nodes": int(r[0]), "rank_mass": float(r[1]),
+                    "iters": iters}
+
+        timed_action(spark, "pagerank_50iter_chain", pr_deep_thunk)
 
     spark.stop()
 
