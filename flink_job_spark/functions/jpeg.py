@@ -284,12 +284,20 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
-                quality: int = 50, subsampling: str = "444") -> bytes:
+                quality: int = 50, subsampling: str = "444",
+                progressive: bool = False) -> bytes:
     """pixels = row-major interleaved 8-bit samples (1=gray, 3=RGB).
     subsampling: "444" (every component full resolution — the default and
     the exact-roundtrip-oracle setting) or "420" (color only: chroma
     downsampled 2x2 box-mean, Y coded as 2x2 blocks per MCU per T.81
-    A.2.3 interleaving — the dominant real-world layout)."""
+    A.2.3 interleaving — the dominant real-world layout).
+    progressive: emit a SOF2 multi-scan file (T.81 Annex G) with BOTH
+    spectral selection and one successive-approximation level (Al=1):
+    interleaved DC first scan, per-component AC first scans, DC
+    refinement (raw bits), per-component AC refinement — the scan script
+    shape real encoders ship. The quantized coefficients are IDENTICAL to
+    the sequential encoding, so both decode to bit-identical pixels (the
+    progressive twin proof in tests/test_codec_properties.py)."""
     if channels not in (1, 3):
         raise JpegFormatError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -323,6 +331,19 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 128.0, _DCT_A.T)
         q = np.round(f / qtabs[qi]).astype(np.int32)
         return q.reshape(nby, nbx, 64)[:, :, zz], nby, nbx
+
+    if progressive:
+        if sub420:
+            comps_zz = [quantize(planes[0], 0, 16)[0],
+                        quantize(_downsample2(planes[1]), 1, 8)[0],
+                        quantize(_downsample2(planes[2]), 1, 8)[0]]
+            samp_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comps_zz = [quantize(p, qi, 8)[0]
+                        for p, qi in zip(planes, qsel)]
+            samp_hv = [(1, 1)] * channels
+        return _encode_progressive(width, height, channels, qtabs, qsel,
+                                   comps_zz, samp_hv)
 
     bw = _BitWriter()
     if sub420:
@@ -389,6 +410,163 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     return bytes(out)
 
 
+def _enc_ac_first_block(bw, zz, al, ac_codes) -> None:
+    """AC band 1..63 first pass at point transform Al (sign-magnitude
+    shift, T.81 G.1.2.2); end-of-band coded as EOB0 per block."""
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])             # ZRL
+            run -= 16
+        s = t.bit_length()
+        bw.put(*ac_codes[(run << 4) | s])
+        tv = t if v >= 0 else -t
+        bw.put(tv if tv >= 0 else tv + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        bw.put(*ac_codes[0x00])                 # EOB0
+
+
+def _enc_ac_refine_block(bw, zz, al, ac_codes) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3, the
+    jcphuff.c shape): newly nonzero coefficients (magnitude exactly 1 at
+    this level) emit (run, 1) + sign; coefficients already nonzero emit
+    one buffered correction bit, flushed after each symbol."""
+    run = 0
+    pending: list[int] = []
+    eob = 0                         # index of the LAST newly-nonzero coef
+    for k in range(1, 64):
+        if (abs(int(zz[k])) >> al) == 1:
+            eob = k
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs must be emitted BEFORE buffering this coefficient's bit so
+        # every pending correction sits inside the decoder's 16-zero ZRL
+        # span; ZRLs foldable into the trailing EOB are skipped (k > eob)
+        while run > 15 and k <= eob:
+            bw.put(*ac_codes[0xF0])
+            run -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if t > 1:                               # already nonzero: correction
+            pending.append(t & 1)
+            continue
+        bw.put(*ac_codes[(run << 4) | 1])
+        bw.put(1 if v >= 0 else 0, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        bw.put(*ac_codes[0x00])                 # EOB0
+        for b in pending:
+            bw.put(b, 1)
+
+
+def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
+                        samp_hv) -> bytes:
+    """Assemble a SOF2 progressive file from per-component quantized
+    zigzag coefficient arrays. Scan script (the shape libjpeg's default
+    ships, at one successive-approximation level): interleaved DC first
+    (Al=1) → per-component AC first (Ss=1..63, Al=1) → interleaved DC
+    refinement (raw bits) → per-component AC refinement."""
+    zz = np.array(ZIGZAG)
+    dc_codes = [_canonical_codes(*_DC_LUMA_SPEC),
+                _canonical_codes(*_DC_CHROMA_SPEC)]
+    ac_codes = [_canonical_codes(*_AC_LUMA_SPEC),
+                _canonical_codes(*_AC_CHROMA_SPEC)]
+    hmax = max(hv[0] for hv in samp_hv)
+    vmax = max(hv[1] for hv in samp_hv)
+    mcuy = comps_zz[0].shape[0] // samp_hv[0][1]
+    mcux = comps_zz[0].shape[1] // samp_hv[0][0]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * channels
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    hi, vi = samp_hv[ci]
+                    tsel = 0 if ci == 0 else 1
+                    for r in range(vi):
+                        for c in range(hi):
+                            v = int(comps_zz[ci][my * vi + r, mx * hi + c, 0])
+                            if ah == 0:
+                                d = (v >> al) - pred[ci]
+                                pred[ci] = v >> al
+                                s = _magnitude(d)
+                                bw.put(*dc_codes[tsel][s])
+                                if s:
+                                    bw.put(d if d >= 0 else d + (1 << s) - 1,
+                                           s)
+                            else:
+                                bw.put((v >> al) & 1, 1)
+        bw.flush()
+        body = bytes([channels])
+        for ci in range(channels):
+            body += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+        body += bytes([0, 0, (ah << 4) | al])
+        return seg(0xFFDA, body) + bytes(bw.buf)
+
+    def ac_scan(ci: int, ah: int, al: int) -> bytes:
+        # non-interleaved: the component's TRUE block grid (T.81 A.2.2),
+        # which can be smaller than the MCU-padded coefficient array
+        hi, vi = samp_hv[ci]
+        nbxc = ((width * hi + hmax - 1) // hmax + 7) // 8
+        nbyc = ((height * vi + vmax - 1) // vmax + 7) // 8
+        tsel = 0 if ci == 0 else 1
+        bw = _BitWriter()
+        for by in range(nbyc):
+            for bx in range(nbxc):
+                if ah == 0:
+                    _enc_ac_first_block(bw, comps_zz[ci][by, bx], al,
+                                        ac_codes[tsel])
+                else:
+                    _enc_ac_refine_block(bw, comps_zz[ci][by, bx], al,
+                                         ac_codes[tsel])
+        bw.flush()
+        body = bytes([1, ci + 1, tsel]) + bytes([1, 63, (ah << 4) | al])
+        return seg(0xFFDA, body) + bytes(bw.buf)
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0,
+               b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    for ti in range(2 if channels == 3 else 1):
+        tab = qtabs[ti].reshape(64)[zz]
+        out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        hi, vi = samp_hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
+    out += seg(0xFFC2, sof)                     # SOF2: progressive huffman
+    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
+    if channels == 3:
+        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
+    for tc, (bits, vals) in specs:
+        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    out += dc_scan(0, 1)                        # DC first, Al=1
+    for ci in range(channels):
+        out += ac_scan(ci, 0, 1)                # AC first per component
+    out += dc_scan(1, 0)                        # DC refinement
+    for ci in range(channels):
+        out += ac_scan(ci, 1, 0)                # AC refinement
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
@@ -406,14 +584,15 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             if pos + 4 + 6 > len(data):
                 raise JpegFormatError("truncated SOF")
             _prec, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4:pos + 10])
             return w, h, ncomp
-        if marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise JpegFormatError(f"unsupported SOF marker 0xFF{marker:02X} "
-                                  "(baseline sequential only)")
+        if marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise JpegFormatError(
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(baseline sequential + progressive huffman only)")
         if marker == 0xD9:
             break
         pos += 2 + seglen
@@ -485,19 +664,149 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+class _ScanState:
+    """Per-scan entropy state: DC predictors (per component) + the
+    progressive AC end-of-band run (T.81 G.1.2.2)."""
+
+    __slots__ = ("pred", "eobrun")
+
+    def __init__(self, ncomp: int) -> None:
+        self.pred = [0] * ncomp
+        self.eobrun = 0
+
+    def reset(self) -> None:
+        self.pred = [0] * len(self.pred)
+        self.eobrun = 0
+
+
+def _dec_dc(br, st, ci, coef, dct_tab, ah, al):
+    """DC coefficient of one block: first pass (diff-coded in the
+    point-transformed domain) or successive-approximation refinement
+    (one raw bit per block, T.81 G.1.2.1)."""
+    if ah == 0:
+        s = _decode_huff(br, dct_tab)
+        if s > 11:
+            raise JpegFormatError(f"bad DC category {s}")
+        st.pred[ci] += _extend(br.bits(s), s) if s else 0
+        coef[0] = st.pred[ci] << al
+    else:
+        if br.bit():
+            coef[0] |= 1 << al
+
+
+def _dec_ac_first(br, st, coef, act_tab, ss, se, al):
+    """AC band Ss..Se, first pass at point transform Al (also the
+    sequential-baseline AC path: ss=1, se=63, al=0, where every EOB is
+    EOB0 so the run arithmetic degenerates to plain end-of-block)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, act_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                 # ZRL
+                continue
+            st.eobrun = (1 << r) - 1    # EOBn (T.81 G.1.2.2)
+            if r:
+                st.eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegFormatError("AC run past band end")
+        coef[k] = _extend(br.bits(s), s) * (1 << al)
+        k += 1
+
+
+def _dec_ac_refine(br, st, coef, act_tab, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as (run, 1) symbols; coefficients already
+    nonzero from earlier scans each carry one correction bit, including
+    inside ZRL runs and end-of-band runs."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if br.bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, act_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:              # EOBn: rest of band is corrections
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.bits(r)
+                    break
+                newval = None           # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise JpegFormatError("bad refinement magnitude")
+                newval = p1 if br.bit() else m1
+            while k <= se:              # advance r zero-history positions
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval is not None:
+                if k > se:
+                    raise JpegFormatError("refinement run past band end")
+                coef[k] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:                  # corrections for the rest of band
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next true marker (skipping
+    stuffed FF00 and the scan's RSTn separators)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            pos += 2 if nxt != 0xFF else 1
+            continue
+        return pos
+    return n
+
+
 def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 ) -> tuple[int, int, int, bytes]:
     """Full decode → (width, height, channels, row-major interleaved
-    samples). Gray JPEGs return channels=1, color returns RGB."""
+    samples). Gray JPEGs return channels=1, color returns RGB. Handles
+    baseline sequential (SOF0/1) and progressive (SOF2 — spectral
+    selection AND successive approximation, multi-scan) frames with
+    generic sampling factors; every scan accumulates into per-component
+    coefficient planes and one shared reconstruction dequantizes,
+    inverse-transforms, upsamples and crops."""
     if data[:2] != JPEG_SOI:
         raise JpegFormatError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    geom = None        # (hmax, vmax, mcux, mcuy) once SOF is known
+    coefs = None       # per-component (nby, nbx, 64) zigzag-order int arrays
+    nscans = 0
     pos = 2
     while True:
         if pos + 2 > len(data):
+            if nscans:
+                break                   # missing EOI after a complete scan
             raise JpegFormatError("truncated before SOS")
         if data[pos] != 0xFF:
             raise JpegFormatError(f"bad marker sync at {pos}")
@@ -505,8 +814,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:
-            raise JpegFormatError("EOI before SOS")
+        if marker == 0xD9:              # EOI
+            if nscans == 0:
+                raise JpegFormatError("EOI before SOS")
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -523,7 +834,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 tab[list(ZIGZAG)] = list(body[p + 1:p + 65])
                 qt[tq] = tab.reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC1):            # SOF0/1 (baseline huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog.
+            if sof is not None:
+                raise JpegFormatError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegFormatError(f"unsupported precision {prec}")
@@ -543,10 +856,23 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 # a single-component frame is coded non-interleaved; its
                 # sampling factors do not affect the block grid (T.81 A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
-            sof = (w, h, comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            raise JpegFormatError(f"unsupported SOF marker 0xFF{marker:02X} "
-                                  "(baseline sequential only)")
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _, _, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    raise JpegFormatError(
+                        f"non-integer subsampling ratio {hi}x{vi} "
+                        f"vs {hmax}x{vmax}")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = (hmax, vmax, mcux, mcuy)
+            coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+                     for _, _, hi, vi in comps]
+            sof = (w, h, comps, marker == 0xC2)
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise JpegFormatError(
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(baseline sequential + progressive huffman only)")
         elif marker == 0xC4:                    # DHT
             p = 0
             while p < len(body):
@@ -560,96 +886,120 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 p += 17 + n
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:                    # SOS: entropy data follows
+        elif marker == 0xDA:                    # SOS
             if sof is None:
                 raise JpegFormatError("SOS before SOF")
-            ns = body[0]
-            scan_sel = []
-            for si in range(ns):
-                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                scan_sel.append((cs, tt >> 4, tt & 0x0F))
-            pos = pos + 2 + seglen
-            break
+            pos = _decode_scan(data, pos + 2 + seglen, body, sof, geom,
+                               coefs, qt, huff, restart_interval)
+            nscans += 1
+            continue
         # APPn / COM / anything else with a length: skip
         pos += 2 + seglen
 
-    w, h, comps = sof
-    if len(scan_sel) != len(comps):
-        raise JpegFormatError("scan does not cover all components")
+    return _reconstruct(sof, geom, coefs, qt)
+
+
+def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
+                 restart_interval):
+    """Decode one entropy-coded scan into the coefficient planes; returns
+    the stream position of the next marker after the scan."""
+    w, h, comps, progressive = sof
+    hmax, vmax, mcux, mcuy = geom
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise JpegFormatError("truncated SOS header")
+    ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahl >> 4, ahl & 0x0F
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0    # baseline ignores the S fields
+    if not (0 <= ss <= se <= 63):
+        raise JpegFormatError(f"bad spectral band {ss}..{se}")
+    has_dc, has_ac = ss == 0, se >= max(ss, 1)
+    if progressive and has_dc and has_ac:
+        raise JpegFormatError("progressive scan mixes DC and AC")
+
     order = []
-    for cs, td, ta in scan_sel:
+    for si in range(ns):
+        cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+        td, ta = tt >> 4, tt & 0x0F
         match = [i for i, c in enumerate(comps) if c[0] == cs]
         if not match:
             raise JpegFormatError(f"scan references unknown component {cs}")
         ci = match[0]
         if comps[ci][1] not in qt:
             raise JpegFormatError(f"missing quant table {comps[ci][1]}")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise JpegFormatError("missing Huffman table")
-        order.append((ci, qt[comps[ci][1]], huff[(0, td)], huff[(1, ta)]))
+        dct = act = None
+        if has_dc and ah == 0:
+            if (0, td) not in huff:
+                raise JpegFormatError("missing Huffman table")
+            dct = huff[(0, td)]
+        if has_ac:
+            if (1, ta) not in huff:
+                raise JpegFormatError("missing Huffman table")
+            act = huff[(1, ta)]
+        order.append((ci, dct, act))
 
-    # MCU geometry (T.81 A.2.3/A.2.4): each MCU carries hi*vi blocks of
-    # component i, row-major; the MCU grid is sized by the max factors.
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    for _, _, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise JpegFormatError(
-                f"non-integer subsampling ratio {hi}x{vi} vs {hmax}x{vmax}")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
-              for _, _, hi, vi in comps]
     br = _BitReader(data, pos)
-    pred = [0] * len(comps)
+    st = _ScanState(len(comps))
+
+    def block(ci, dct, act, by, bx):
+        coef = coefs[ci][by, bx]
+        if has_dc:
+            _dec_dc(br, st, ci, coef, dct, ah, al)
+        if has_ac:
+            if ah == 0:
+                _dec_ac_first(br, st, coef, act, max(ss, 1), se, al)
+            else:
+                _dec_ac_refine(br, st, coef, act, max(ss, 1), se, al)
+
+    unit = 0                            # MCUs (interleaved) / blocks (not)
+    if ns > 1 or (not progressive):
+        # interleaved: hi*vi blocks per component per MCU (A.2.3)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    st.reset()
+                for ci, dct, act in order:
+                    hi, vi = comps[ci][2], comps[ci][3]
+                    for r in range(vi):
+                        for c in range(hi):
+                            block(ci, dct, act, my * vi + r, mx * hi + c)
+                unit += 1
+    else:
+        # non-interleaved: the component's OWN block grid (its true dims
+        # rounded up to blocks — possibly smaller than the MCU-padded
+        # allocation; padding blocks simply stay zero and crop away)
+        ci, dct, act = order[0]
+        _, _, hi, vi = comps[ci]
+        nbxc = ((w * hi + hmax - 1) // hmax + 7) // 8
+        nbyc = ((h * vi + vmax - 1) // vmax + 7) // 8
+        for by in range(nbyc):
+            for bx in range(nbxc):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart()
+                    st.reset()
+                block(ci, dct, act, by, bx)
+                unit += 1
+
+    return _next_marker(data, br.pos)
+
+
+def _reconstruct(sof, geom, coefs, qt) -> tuple[int, int, int, bytes]:
+    """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
+    level shift, replication upsample, crop, color-convert."""
+    w, h, comps, _prog = sof
+    hmax, vmax, mcux, mcuy = geom
     zznat = np.array(ZIGZAG)
-    mcu = 0
-
-    def read_block(q, dct_tab, act_tab, ci):
-        zz = np.zeros(64, np.int64)
-        s = _decode_huff(br, dct_tab)
-        if s > 11:
-            raise JpegFormatError(f"bad DC category {s}")
-        diff = _extend(br.bits(s), s) if s else 0
-        pred[ci] += diff
-        zz[0] = pred[ci]
-        k = 1
-        while k < 64:
-            rs = _decode_huff(br, act_tab)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:
-                    k += 16             # ZRL
-                    continue
-                break                   # EOB
-            k += r
-            if k > 63:
-                raise JpegFormatError("AC run past block end")
-            zz[k] = _extend(br.bits(s), s)
-            k += 1
-        coef = np.zeros(64, np.float64)
-        coef[zznat] = zz * q.reshape(64)[zznat]
-        return _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.restart()
-                pred = [0] * len(comps)
-            for ci, q, dct_tab, act_tab in order:
-                hi, vi = comps[ci][2], comps[ci][3]
-                for r in range(vi):
-                    for c in range(hi):
-                        by, bx = my * vi + r, mx * hi + c
-                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-                            read_block(q, dct_tab, act_tab, ci) + 128.0)
-            mcu += 1
-
-    # upsample subsampled components by sample replication (the decoder's
-    # defined filter — T.81 leaves it open; replication keeps the twin
-    # proof exact), then crop every plane to the declared dims
     cropped = []
-    for (_, _, hi, vi), p in zip(comps, planes):
+    for (cid, tq, hi, vi), cz in zip(comps, coefs):
+        q = qt[tq].reshape(64)[zznat]           # quant steps, zigzag order
+        nby, nbx, _ = cz.shape
+        nat = np.zeros((nby, nbx, 64), np.float64)
+        nat[:, :, zznat] = cz * q               # dequant + de-zigzag
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        rec = (_DCT_A.T @ blocks) @ _DCT_A + 128.0
+        p = rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hi != hmax:
             p = np.repeat(p, hmax // hi, axis=1)
         if vi != vmax:

@@ -769,6 +769,40 @@ def test_decode_pixel_stats_handles_420_jpeg_end_to_end(spark):
     assert stats[2]["decode_error"] is not None
 
 
+def test_decode_pixel_stats_handles_progressive_jpeg_end_to_end(spark):
+    """A progressive (SOF2) 4:2:0 JPEG — the other dominant real-world
+    layout (r5) — flows through the mapInPandas media path and yields the
+    SAME stats row as the sequential encoding of the same pixels, because
+    both carry identical quantized coefficients; a truncated progressive
+    blob stays errors-as-data."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    rng = np.random.default_rng(22)
+    rgb = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+    seq = encode_jpeg(33, 24, rgb.tobytes(), 3, quality=75,
+                      subsampling="420")
+    prog = encode_jpeg(33, 24, rgb.tobytes(), 3, quality=75,
+                       subsampling="420", progressive=True)
+    corrupt = prog[:len(prog) // 3]
+
+    media = spark.createDataFrame(
+        [(1, bytearray(seq)), (2, bytearray(prog)), (3, bytearray(corrupt))],
+        "media_id long, payload binary")
+    stats = {r["media_id"]: r for r in decode_pixel_stats(media).collect()}
+    assert stats[2]["decode_error"] is None
+    assert (stats[2]["width"], stats[2]["height"],
+            stats[2]["channels"]) == (33, 24, 3)
+    want = stats[1].asDict()
+    got = stats[2].asDict()
+    for k in want:
+        if k != "media_id":
+            assert got[k] == want[k], k
+    assert stats[3]["decode_error"] is not None
+
+
 def test_pillow_adapter_decodes_webp_when_available(spark):
     """Capability-gated (r5): on hosts with Pillow, a WebP payload —
     undecodable by the pure-Python codecs — flows through the adapter to
