@@ -3,7 +3,7 @@
 The engine's ALWAYS-AVAILABLE decode paths are the pure-Python codecs
 (png/bmp/gif/jpeg/wav/avi — deterministic, oracle-checked, no native
 deps). Real corpora also carry formats that genuinely need a codec
-library: WebP/HEIC/TIFF images, progressive JPEG, mp3/ogg audio,
+library: WebP/HEIC/TIFF images, arithmetic-coded JPEG, mp3/ogg audio,
 H.264-class video. When those libraries happen to be installed on the
 host, these adapters route such payloads through them — behind the SAME
 errors-as-data contract the mapInPandas operators establish (adapter
@@ -16,7 +16,7 @@ coverage.
 Design rules:
 * Pure-Python codecs stay FIRST — adapters only see payloads the
   built-in codecs reject (unknown magic, or a JPEG feature like
-  progressive that the built-in decoder declines). Every oracle-checked
+  arithmetic coding that the built-in decoder declines). Every oracle-checked
   key therefore keeps its bit-exact pure-Python path regardless of what
   is installed on the host.
 * Probes are cached per process (executors probe once per worker).

@@ -1,19 +1,23 @@
-"""Baseline JFIF/JPEG codec (ITU-T T.81 baseline sequential DCT) —
-struct + numpy only, no codec library.
+"""JFIF/JPEG codec (ITU-T T.81) — struct + numpy only, no codec library.
 
-Encode: 8-bit baseline, grayscale (1 component) or color (3-component
-JFIF YCbCr at 4:4:4 or — r5 — 4:2:0 with 2x2 box-mean chroma
-downsampling and T.81 A.2.3 MCU interleaving), ISO/IEC 10918-1 Annex K
-quantization tables scaled by an IJG-style quality factor, Annex K
-"typical" Huffman tables, single restart-free scan, partial edge blocks
-padded by edge replication. Decode: the matching baseline subset with
-GENERIC sampling factors (1..4 each axis, integer ratios — covers
-4:4:4 / 4:2:2 / 4:2:0 / 4:1:1, i.e. virtually all real-world baseline
-files) — SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS marker walk, canonical
-Huffman decode with 0xFF00 byte-unstuffing and RSTn handling,
-MCU-interleaved block placement, dequant + de-zigzag + float IDCT,
-level shift, sample-replication chroma upsampling, JFIF YCbCr→RGB,
-crop to declared dims. Progressive (SOF2) stays a documented stub.
+Encode: 8-bit grayscale / color (JFIF YCbCr 4:4:4 or — r5 — 4:2:0 with
+2x2 box-mean chroma and T.81 A.2.3 MCU interleaving) / Adobe
+4-component CMYK and YCCK (APP14 transform 0 / 2), ISO/IEC 10918-1
+Annex K quantization tables scaled by an IJG-style quality factor,
+Annex K "typical" Huffman tables, partial edge blocks padded by edge
+replication; sequential (SOF0) or — r5 — progressive (SOF2, Annex G:
+spectral selection + one successive-approximation level, the libjpeg
+scan-script shape). Decode: both frame types with GENERIC sampling
+factors (1..4 each axis, integer ratios — 4:4:4 / 4:2:2 / 4:2:0 /
+4:1:1) and 1/3/4 components — SOI/APPn/COM/DQT/SOF0-2/DHT/DRI/SOS
+marker walk with Adobe APP14 color-transform detection, canonical
+Huffman decode with 0xFF00 byte-unstuffing and RSTn handling, per-scan
+coefficient accumulation (interleaved MCU order or the component's own
+block grid), dequant + de-zigzag + batched float IDCT, level shift,
+sample-replication upsampling, YCbCr→RGB / (YCCK|CMYK)→RGB via the
+stored-domain quick conversion, crop to declared dims. Together this
+covers virtually every Huffman-coded JPEG in a real crawl; only
+arithmetic-coded (SOF9+) and lossless/hierarchical frames are rejected.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -285,8 +289,9 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                 quality: int = 50, subsampling: str = "444",
-                progressive: bool = False) -> bytes:
-    """pixels = row-major interleaved 8-bit samples (1=gray, 3=RGB).
+                progressive: bool = False, ycck: bool = False) -> bytes:
+    """pixels = row-major interleaved 8-bit samples (1=gray, 3=RGB,
+    4=Adobe stored-domain CMYK — see ycck).
     subsampling: "444" (every component full resolution — the default and
     the exact-roundtrip-oracle setting) or "420" (color only: chroma
     downsampled 2x2 box-mean, Y coded as 2x2 blocks per MCU per T.81
@@ -297,8 +302,12 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     refinement (raw bits), per-component AC refinement — the scan script
     shape real encoders ship. The quantized coefficients are IDENTICAL to
     the sequential encoding, so both decode to bit-identical pixels (the
-    progressive twin proof in tests/test_codec_properties.py)."""
-    if channels not in (1, 3):
+    progressive twin proof in tests/test_codec_properties.py).
+    ycck (channels=4 only): False = APP14 transform 0, four stored-domain
+    planes coded directly on luma tables (libjpeg JCS_CMYK); True =
+    transform 2, stored CMY through YCbCr with K direct (JCS_YCCK, the
+    Photoshop layout)."""
+    if channels not in (1, 3, 4):
         raise JpegFormatError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
         raise JpegFormatError("pixel buffer does not match dims")
@@ -315,9 +324,27 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         planes = _rgb_to_ycbcr(arr)
         planes = [planes[..., c] for c in range(3)]
         qsel = [0, 1, 1]
+        tsels = [0, 1, 1]
+    elif channels == 4:
+        # Adobe 4-component: callers pass STORED-domain samples (the
+        # inverted-ink convention, S = 255 - ink). ycck=False codes the
+        # four planes directly on the luma tables (libjpeg JCS_CMYK,
+        # APP14 transform 0); ycck=True color-transforms the stored CMY
+        # through YCbCr with K direct (JCS_YCCK, transform 2 — what
+        # Photoshop writes), Y/K on luma tables, Cb/Cr on chroma.
+        if ycck:
+            ycc = _rgb_to_ycbcr(arr[..., :3])
+            planes = [ycc[..., c] for c in range(3)] + [arr[..., 3]]
+            qsel = [0, 1, 1, 0]
+            tsels = [0, 1, 1, 0]
+        else:
+            planes = [arr[..., c] for c in range(4)]
+            qsel = [0, 0, 0, 0]
+            tsels = [0, 0, 0, 0]
     else:
         planes = [arr[..., 0]]
         qsel = [0]
+        tsels = [0]
 
     dc_l = _canonical_codes(*_DC_LUMA_SPEC)
     ac_l = _canonical_codes(*_AC_LUMA_SPEC)
@@ -343,7 +370,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                         for p, qi in zip(planes, qsel)]
             samp_hv = [(1, 1)] * channels
         return _encode_progressive(width, height, channels, qtabs, qsel,
-                                   comps_zz, samp_hv)
+                                   comps_zz, samp_hv, tsels,
+                                   2 if (channels == 4 and ycck) else 0)
 
     bw = _BitWriter()
     if sub420:
@@ -376,7 +404,7 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         for by in range(nby):
             for bx in range(nbx):
                 for ci, comp in enumerate(comps):
-                    tsel = 0 if ci == 0 else 1
+                    tsel = tsels[ci]
                     prev[ci] = _encode_block(bw, comp[by, bx], prev[ci],
                                              huff[tsel][0], huff[tsel][1])
         samp = [0x11] * channels
@@ -387,7 +415,11 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
 
     out = bytearray(JPEG_SOI)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    for ti in range(2 if channels == 3 else 1):
+    if channels == 4:
+        # APP14 Adobe marker: ColorTransform 0 = CMYK direct, 2 = YCCK
+        out += seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                                  2 if ycck else 0))
+    for ti in range(max(qsel) + 1):
         tab = qtabs[ti].reshape(64)[zz]        # stored in zigzag order
         out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
     sof = struct.pack(">BHHB", 8, height, width, channels)
@@ -395,13 +427,13 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         sof += bytes([ci + 1, samp[ci], qsel[ci]])
     out += seg(0xFFC0, sof)
     specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
-    if channels == 3:
+    if any(t == 1 for t in tsels):
         specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
     for tc, (bits, vals) in specs:
         out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
     sos = bytes([channels])
     for ci in range(channels):
-        tsel = 0 if ci == 0 else 1
+        tsel = tsels[ci]
         sos += bytes([ci + 1, (tsel << 4) | tsel])
     sos += bytes([0, 63, 0])
     out += seg(0xFFDA, sos)
@@ -474,7 +506,7 @@ def _enc_ac_refine_block(bw, zz, al, ac_codes) -> None:
 
 
 def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
-                        samp_hv) -> bytes:
+                        samp_hv, tsels, adobe_transform=0) -> bytes:
     """Assemble a SOF2 progressive file from per-component quantized
     zigzag coefficient arrays. Scan script (the shape libjpeg's default
     ships, at one successive-approximation level): interleaved DC first
@@ -500,7 +532,7 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
             for mx in range(mcux):
                 for ci in range(channels):
                     hi, vi = samp_hv[ci]
-                    tsel = 0 if ci == 0 else 1
+                    tsel = tsels[ci]
                     for r in range(vi):
                         for c in range(hi):
                             v = int(comps_zz[ci][my * vi + r, mx * hi + c, 0])
@@ -517,7 +549,7 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
         bw.flush()
         body = bytes([channels])
         for ci in range(channels):
-            body += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+            body += bytes([ci + 1, tsels[ci] << 4])
         body += bytes([0, 0, (ah << 4) | al])
         return seg(0xFFDA, body) + bytes(bw.buf)
 
@@ -527,7 +559,7 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
         hi, vi = samp_hv[ci]
         nbxc = ((width * hi + hmax - 1) // hmax + 7) // 8
         nbyc = ((height * vi + vmax - 1) // vmax + 7) // 8
-        tsel = 0 if ci == 0 else 1
+        tsel = tsels[ci]
         bw = _BitWriter()
         for by in range(nbyc):
             for bx in range(nbxc):
@@ -544,7 +576,10 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
     out = bytearray(JPEG_SOI)
     out += seg(0xFFE0,
                b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    for ti in range(2 if channels == 3 else 1):
+    if channels == 4:
+        out += seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                                  adobe_transform))
+    for ti in range(max(qsel) + 1):
         tab = qtabs[ti].reshape(64)[zz]
         out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
     sof = struct.pack(">BHHB", 8, height, width, channels)
@@ -553,7 +588,7 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
         sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
     out += seg(0xFFC2, sof)                     # SOF2: progressive huffman
     specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
-    if channels == 3:
+    if any(t == 1 for t in tsels):
         specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
     for tc, (bits, vals) in specs:
         out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
@@ -799,6 +834,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    adobe_transform = None
     geom = None        # (hmax, vmax, mcux, mcuy) once SOF is known
     coefs = None       # per-component (nby, nbx, 64) zigzag-order int arrays
     nscans = 0
@@ -840,7 +876,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegFormatError(f"unsupported precision {prec}")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise JpegFormatError(f"unsupported component count {ncomp}")
             if w * h > max_pixels:
                 raise JpegFormatError(
@@ -886,6 +922,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 p += 17 + n
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE:                    # APP14: Adobe transform
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:                    # SOS
             if sof is None:
                 raise JpegFormatError("SOS before SOF")
@@ -896,7 +935,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         # APPn / COM / anything else with a length: skip
         pos += 2 + seglen
 
-    return _reconstruct(sof, geom, coefs, qt)
+    return _reconstruct(sof, geom, coefs, qt, adobe_transform)
 
 
 def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
@@ -985,7 +1024,8 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
     return _next_marker(data, br.pos)
 
 
-def _reconstruct(sof, geom, coefs, qt) -> tuple[int, int, int, bytes]:
+def _reconstruct(sof, geom, coefs, qt,
+                 adobe_transform=None) -> tuple[int, int, int, bytes]:
     """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
     level shift, replication upsample, crop, color-convert."""
     w, h, comps, _prog = sof
@@ -1007,6 +1047,23 @@ def _reconstruct(sof, geom, coefs, qt) -> tuple[int, int, int, bytes]:
         cropped.append(p[:h, :w])
     if len(cropped) == 3:
         rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return w, h, 3, out.tobytes()
+    if len(cropped) == 4:
+        # Adobe 4-component (CMYK press JPEGs): stored samples are
+        # INVERTED ink per the Adobe convention (S = 255 - ink). APP14
+        # transform 2 = YCCK (first three planes are the YCbCr of the
+        # stored CMY, K coded directly); 0/absent = stored CMYK direct.
+        # Normalize to RGB for the uniform stats contract with the quick
+        # conversion R = S_C*S_K/255 etc. (what browsers apply; exact
+        # passthrough of the stored CMY when S_K == 255, i.e. no black
+        # ink — the exactness lever the oracle key uses).
+        if adobe_transform == 2:
+            cmy = _ycbcr_to_rgb(np.stack(cropped[:3], axis=-1))
+        else:
+            cmy = np.stack(cropped[:3], axis=-1)
+        k = np.clip(cropped[3], 0.0, 255.0)[..., None]
+        rgb = np.clip(cmy, 0.0, 255.0) * k / 255.0
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, 3, out.tobytes()
     out = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)

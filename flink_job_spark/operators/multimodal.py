@@ -598,10 +598,12 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
         try:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
-            # a JPEG feature the pure-Python baseline decoder declines
-            # (progressive SOF2, arithmetic coding): route through Pillow
-            # when the host has it; the library is an EXTENSION, never the
-            # path an oracle-checked key depends on (codec_adapters.py)
+            # a JPEG feature the pure-Python decoder declines (r5: only
+            # arithmetic-coded SOF9+ and lossless/hierarchical frames —
+            # baseline, progressive and Adobe CMYK/YCCK all decode
+            # natively): route through Pillow when the host has it; the
+            # library is an EXTENSION, never the path an oracle-checked
+            # key depends on (codec_adapters.py)
             got = _try_pillow(payload)
             if got is not None:
                 return got
@@ -614,7 +616,7 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def _try_pillow(payload: bytes):
     """Adapter fallback: full decode via Pillow when installed (WebP/TIFF/
-    progressive JPEG/...). Returns None when the library is absent or the
+    arithmetic-coded JPEG/...). Returns None when the library is absent or the
     payload still doesn't decode — the caller keeps its own error."""
     from flink_job_spark.functions.codec_adapters import (
         decode_image_pillow, pillow_available)

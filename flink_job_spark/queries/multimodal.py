@@ -1025,3 +1025,150 @@ def q_media_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
+
+
+# --- q_media_jpeg_prog_stats: progressive (SOF2) 4:2:0, value-exact oracle ----
+#
+# r5: the codec gained progressive decode (multi-scan spectral selection +
+# successive approximation, functions/jpeg.py). The progressive encoder
+# emits the SAME quantized coefficients as the sequential one split across
+# the two-level scan script, so the gray-content 4:2:0 exactness
+# construction of q_media_jpeg_420_stats carries over verbatim: plain SQL
+# verifies dims and the decoded pixel mean of a progressive subsampled
+# file — DC-first/refinement split, per-component AC band scans, EOB-run
+# arithmetic and the non-interleaved component block grid all on the
+# oracle-checked path. Progressive 4:2:0 is what real encoders ship by
+# default for large photos (libjpeg -progressive), i.e. the single most
+# common layout in a web crawl.
+
+@register(
+    "q_media_jpeg_prog_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(16 * (1 + doc_id % {JPEG420_WM_MOD}) AS INT) AS width,
+               CAST(16 * (1 + doc_id % {JPEG420_HM_MOD}) AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               round((SELECT AVG(CAST(2 * ((doc_id * 37 + t.i * 11) % 128)
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range(4 * (1 + doc_id % {JPEG420_WM_MOD})
+                                 * (1 + doc_id % {JPEG420_HM_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="progressive (SOF2) 4:2:0 JPEG roundtrip — the default layout real "
+        "encoders ship for photos: per-doc gray-content color images on the "
+        "16-px MCU grid are encoded with the two-level progressive scan "
+        "script (DC first/refine, per-component AC first/refine) and fully "
+        "decoded in mapInPandas; neutral chroma + even DC-exact luma keep "
+        "the roundtrip exact, so plain SQL verifies dims and the decoded "
+        "mean through the multi-scan entropy path",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched binary-in/stats-out pass as the other JPEG keys,
+    through the SOF2 progressive encode and multi-scan decode. 100 TB
+    note: identical plan shape — one mapInPandas projection per side of a
+    single documents scan, no shuffle; payload bytes never leave the
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nmx, nmy = 1 + i % JPEG420_WM_MOD, 1 + i % JPEG420_HM_MOD
+                b = np.arange(4 * nmy * nmx).reshape(2 * nmy, 2 * nmx)
+                vals = (2 * ((i * 37 + b * 11) % 128)).astype(np.uint8)
+                gray = np.kron(vals, np.ones((8, 8), np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(encode_jpeg(16 * nmx, 16 * nmy,
+                                            rgb.tobytes(), 3, quality=50,
+                                            subsampling="420",
+                                            progressive=True))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels",
+                        "mean_luma")
+
+
+# --- q_media_jpeg_cmyk_stats: Adobe YCCK progressive, value-exact oracle ------
+#
+# r5: the codec decodes Adobe 4-component press JPEGs (APP14 transform 0
+# CMYK / 2 YCCK), normalizing to RGB via the stored-domain quick
+# conversion R = S_C*S_K/255. This key runs the most real-world-loaded
+# combination — YCCK color transform + progressive scan script, i.e.
+# what Photoshop "save for print" ships — through the oracle-checked
+# path. Exactness: gray-content stored CMY (C=M=Y, even 8x8-constant
+# values) maps to YCbCr (S,128,128) whose DC quantizes exactly at
+# quality 50, the constant even K plane (254) likewise, so the decoded
+# RGB equals round(S * 254/255) with zero slack (S*254/255 can never
+# land on .5: that would need S = 127.5), and plain SQL reproduces dims
+# and mean. The general lossy 4-component case is fuzz-certified in
+# tests/test_codec_properties.py.
+
+JPEG_CMYK_WB_MOD, JPEG_CMYK_HB_MOD = 3, 2   # 1..3 x 1..2 blocks
+JPEG_CMYK_K = 254                           # stored K: near-no black ink
+
+@register(
+    "q_media_jpeg_cmyk_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 * (1 + doc_id % {JPEG_CMYK_WB_MOD}) AS INT) AS width,
+               CAST(8 * (1 + doc_id % {JPEG_CMYK_HB_MOD}) AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               round((SELECT AVG(round(CAST(2 * ((doc_id * 41 + t.i * 19) % 128)
+                                            AS DOUBLE) * {JPEG_CMYK_K} / 255.0))
+                      FROM (SELECT unnest(range((1 + doc_id % {JPEG_CMYK_WB_MOD})
+                                 * (1 + doc_id % {JPEG_CMYK_HB_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="Adobe 4-component press JPEG (YCCK + progressive — the Photoshop "
+        "layout): per-doc gray-content stored-CMY images with a constant "
+        "even K plane are encoded with APP14 transform 2 and the SOF2 scan "
+        "script, fully decoded in mapInPandas and normalized to RGB via "
+        "R = S_C*S_K/255; the no-tie exactness lemma makes plain SQL "
+        "verify dims and the decoded mean through the 4-component "
+        "multi-scan path",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched binary-in/stats-out pass as the other JPEG keys,
+    through YCCK 4-component progressive encode and the Adobe-aware
+    decode. 100 TB note: identical plan shape — one mapInPandas
+    projection per side of a single documents scan, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = 1 + i % JPEG_CMYK_WB_MOD, 1 + i % JPEG_CMYK_HB_MOD
+                b = np.arange(nby * nbx).reshape(nby, nbx)
+                vals = (2 * ((i * 41 + b * 19) % 128)).astype(np.uint8)
+                cmy = np.kron(vals, np.ones((8, 8), np.uint8))
+                cmyk = np.stack(
+                    [cmy, cmy, cmy, np.full_like(cmy, JPEG_CMYK_K)], -1)
+                payloads.append(encode_jpeg(8 * nbx, 8 * nby, cmyk.tobytes(),
+                                            4, quality=50, ycck=True,
+                                            progressive=True))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels",
+                        "mean_luma")

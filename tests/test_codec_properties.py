@@ -542,3 +542,56 @@ def test_jpeg_progressive_scan_script_structure():
         ms = markers(blob)
         assert ms.count(0xC2) == 1 and ms.count(0xC0) == 0
         assert ms.count(0xDA) == nscans
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.tuples(st.integers(1, 40), st.integers(1, 24)),
+       st.integers(0, 2 ** 32 - 1), st.sampled_from([35, 50, 75, 92]),
+       st.booleans(), st.booleans())
+def test_jpeg_cmyk_decodes_and_prog_matches_seq(dims, seed, quality, ycck,
+                                                progressive):
+    """Adobe 4-component JPEGs (CMYK press files): both APP14 layouts —
+    transform 0 (CMYK direct, all-luma tables per libjpeg JCS_CMYK) and
+    transform 2 (YCCK, the Photoshop shape) — decode to RGB with the
+    declared dims, deterministically, and the progressive encoding of the
+    same samples decodes BIT-IDENTICAL to the sequential one (same
+    quantized coefficients, different scan script)."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                jpeg_meta)
+
+    w, h = dims
+    px = np.array([(seed + i * 2654435761) % 256 for i in range(w * h * 4)],
+                  np.uint8).tobytes()
+    blob = encode_jpeg(w, h, px, 4, quality=quality, ycck=ycck,
+                       progressive=progressive)
+    assert jpeg_meta(blob) == (w, h, 4)        # SOF declares 4 components
+    W, H, C, out = decode_jpeg(blob)
+    assert (W, H, C) == (w, h, 3)              # normalized to RGB
+    assert decode_jpeg(blob) == (W, H, C, out)
+    twin = encode_jpeg(w, h, px, 4, quality=quality, ycck=ycck,
+                       progressive=not progressive)
+    assert decode_jpeg(twin) == (W, H, C, out)
+
+
+def test_jpeg_cmyk_no_black_exact_passthrough():
+    """The CMYK exactness lemma the oracle key leans on: DC-only
+    even-valued stored-CMY blocks with a constant even K plane roundtrip
+    the entropy+transform layer exactly (quality 50, q_dc=16), and the
+    stored->RGB quick conversion R = S_C*S_K/255 is then exact integer
+    math — so the decoded RGB equals round(S * K/255) with zero slack."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    vals = (2 * ((np.arange(6).reshape(2, 3) * 37 + 11) % 128)).astype(
+        np.uint8)
+    cmy = np.kron(vals, np.ones((8, 8), np.uint8))
+    for k_val in (254, 128, 0):
+        cmyk = np.stack([cmy, cmy, cmy, np.full_like(cmy, k_val)], -1)
+        blob = encode_jpeg(24, 16, cmyk.tobytes(), 4, quality=50)
+        _, _, _, px = decode_jpeg(blob)
+        got = np.frombuffer(px, np.uint8).reshape(16, 24, 3)
+        want = np.round(cmy.astype(np.float64) * k_val / 255.0)
+        assert np.abs(got - want[..., None]).max() == 0, k_val

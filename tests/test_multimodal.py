@@ -803,6 +803,38 @@ def test_decode_pixel_stats_handles_progressive_jpeg_end_to_end(spark):
     assert stats[3]["decode_error"] is not None
 
 
+def test_decode_pixel_stats_handles_cmyk_jpeg_end_to_end(spark):
+    """An Adobe 4-component press JPEG (r5) flows through the mapInPandas
+    media path: both APP14 layouts (CMYK transform 0 and YCCK transform
+    2) of the SAME stored samples decode to identical RGB stats rows,
+    reported as channels=3; a truncated variant stays errors-as-data."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import encode_jpeg
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    vals = (2 * ((np.arange(6).reshape(2, 3) * 37 + 11) % 128)).astype(
+        np.uint8)
+    cmy = np.kron(vals, np.ones((8, 8), np.uint8))
+    cmyk = np.stack([cmy, cmy, cmy, np.full_like(cmy, 254)], -1)
+    direct = encode_jpeg(24, 16, cmyk.tobytes(), 4, quality=50)
+    ycck = encode_jpeg(24, 16, cmyk.tobytes(), 4, quality=50, ycck=True)
+    want = round(float(np.round(cmy.astype(np.float64) * 254 / 255).mean()),
+                 6)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(direct)), (2, bytearray(ycck)),
+         (3, bytearray(direct[:40]))],
+        "media_id long, payload binary")
+    stats = {r["media_id"]: r for r in decode_pixel_stats(media).collect()}
+    for mid in (1, 2):
+        row = stats[mid]
+        assert (row["width"], row["height"], row["channels"]) == (24, 16, 3)
+        assert row["decode_error"] is None
+        assert row["mean_luma"] == want
+    assert stats[3]["decode_error"] is not None
+
+
 def test_pillow_adapter_decodes_webp_when_available(spark):
     """Capability-gated (r5): on hosts with Pillow, a WebP payload —
     undecodable by the pure-Python codecs — flows through the adapter to

@@ -1676,6 +1676,27 @@ def test_embedding_cosine_lsh_bucket_local_scoring(spark, sf_dir):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
 
 
+def test_media_jpeg_prog_stats_no_shuffle(spark, sf_dir):
+    """The progressive (SOF2) key (r5) keeps the exact shape of the other
+    JPEG keys: a single Arrow-batched map chain over doc_id, zero
+    exchanges — the multi-scan entropy layout changes codec bytes, never
+    plan shape."""
+    p = plan(all_queries()["q_media_jpeg_prog_stats"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"jpeg prog plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_jpeg_cmyk_stats_no_shuffle(spark, sf_dir):
+    """The Adobe YCCK progressive key (r5) keeps the exact shape of the
+    other JPEG keys: a single Arrow-batched map chain over doc_id, zero
+    exchanges."""
+    p = plan(all_queries()["q_media_jpeg_cmyk_stats"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"jpeg cmyk plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
 def test_media_jpeg_420_stats_no_shuffle(spark, sf_dir):
     """The 4:2:0 subsampled key (r5) keeps the exact shape of the 4:4:4
     one: a single Arrow-batched map chain over doc_id, zero exchanges —
