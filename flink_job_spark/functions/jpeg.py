@@ -854,6 +854,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             if nscans == 0:
                 raise JpegFormatError("EOI before SOS")
             break
+        if pos + 4 > len(data):         # marker byte arrived, length didn't
+            if nscans:
+                break
+            raise JpegFormatError("truncated segment header")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:

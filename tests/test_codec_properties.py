@@ -595,3 +595,36 @@ def test_jpeg_cmyk_no_black_exact_passthrough():
         got = np.frombuffer(px, np.uint8).reshape(16, 24, 3)
         want = np.round(cmy.astype(np.float64) * k_val / 255.0)
         assert np.abs(got - want[..., None]).max() == 0, k_val
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1), st.integers(1, 400),
+       st.sampled_from(["prog_gray", "prog_420", "cmyk", "ycck_prog"]))
+def test_jpeg_multiscan_truncation_is_format_error(seed, cut, layout):
+    """Truncation of MULTI-SCAN files (progressive / 4-component) never
+    leaks a foreign exception either: after a complete scan the marker
+    walk may hit a marker byte whose length field was cut off — that must
+    surface as JpegFormatError or a graceful partial decode (fewer
+    refinement scans = a coarser image, which is exactly how progressive
+    rendering degrades), never struct.error/IndexError. Pins the r5 bug
+    where the post-scan segment-header read was unguarded."""
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (JpegFormatError, decode_jpeg,
+                                                encode_jpeg)
+
+    rng = np.random.default_rng(seed)
+    ch = {"prog_gray": 1, "prog_420": 3}.get(layout, 4)
+    px = rng.integers(0, 256, 16 * 16 * ch).astype(np.uint8).tobytes()
+    blob = encode_jpeg(16, 16, px, ch, quality=75,
+                       subsampling="420" if layout == "prog_420" else "444",
+                       progressive=layout != "cmyk",
+                       ycck=layout == "ycck_prog")
+    trunc = blob[:max(2, len(blob) - cut)]
+    try:
+        w, h, c, out = decode_jpeg(trunc)
+    except JpegFormatError:
+        return
+    assert (w, h) == (16, 16)
+    assert c == (1 if ch == 1 else 3)
+    assert len(out) == 16 * 16 * c
