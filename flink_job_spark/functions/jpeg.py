@@ -917,6 +917,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             p = 0
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 0x0F
+                if p + 17 > len(body):          # BITS array itself cut off
+                    raise JpegFormatError("truncated DHT")
                 bits = tuple(body[p + 1:p + 17])
                 n = sum(bits)
                 vals = tuple(body[p + 17:p + 17 + n])

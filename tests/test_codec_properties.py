@@ -628,3 +628,20 @@ def test_jpeg_multiscan_truncation_is_format_error(seed, cut, layout):
     assert (w, h) == (16, 16)
     assert c == (1 if ch == 1 else 3)
     assert len(out) == 16 * 16 * c
+
+
+def test_jpeg_short_dht_is_format_error_not_indexerror():
+    """A DHT segment whose declared length truncates the 16-byte BITS
+    array must raise JpegFormatError, not IndexError from indexing the
+    short tuple in the canonical-code builder (r5 corruption-fuzz find)."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+
+    # seglen = 2 (len) + 1 (Tc/Th) + 9 (short BITS) = 12
+    dht = struct.pack(">HH", 0xFFC4, 12) + bytes([0x00]) + bytes(9)
+    blob = b"\xff\xd8" + dht + b"\xff\xd9"
+    with pytest.raises(JpegFormatError, match="truncated DHT"):
+        decode_jpeg(blob)
