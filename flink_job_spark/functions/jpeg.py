@@ -866,14 +866,20 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise JpegFormatError("16-bit quant tables unsupported")
-                if len(body) < p + 65:
+                if pq not in (0, 1):
+                    raise JpegFormatError(f"bad DQT precision {pq}")
+                # Pq=1: 16-bit big-endian entries (extended sequential /
+                # progressive frames; T.81 B.2.4.1)
+                step = 1 if pq == 0 else 2
+                if len(body) < p + 1 + 64 * step:
                     raise JpegFormatError("truncated DQT")
+                raw = body[p + 1:p + 1 + 64 * step]
+                ent = (list(raw) if pq == 0
+                       else list(struct.unpack(">64H", raw)))
                 tab = np.zeros(64, np.int32)
-                tab[list(ZIGZAG)] = list(body[p + 1:p + 65])
+                tab[list(ZIGZAG)] = ent
                 qt[tq] = tab.reshape(8, 8)
-                p += 65
+                p += 1 + 64 * step
         elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog.
             if sof is not None:
                 raise JpegFormatError("multiple SOF markers")

@@ -645,3 +645,47 @@ def test_jpeg_short_dht_is_format_error_not_indexerror():
     blob = b"\xff\xd8" + dht + b"\xff\xd9"
     with pytest.raises(JpegFormatError, match="truncated DHT"):
         decode_jpeg(blob)
+
+
+def test_jpeg_16bit_dqt_decodes_identically():
+    """Pq=1 (16-bit big-endian) quantization tables — legal in extended
+    sequential and progressive frames (T.81 B.2.4.1) — decode identically
+    to the same values stored 8-bit: rewrite an encoded file's DQT in the
+    wide format and compare full decodes; and a truncated wide table is a
+    format error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_job_spark.functions.jpeg import (JpegFormatError, decode_jpeg,
+                                                encode_jpeg)
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, 24 * 16).astype(np.uint8).tobytes()
+    blob = encode_jpeg(24, 16, px, 1, quality=75)
+    out = bytearray(blob[:2])
+    pos = 2
+    while pos + 4 <= len(blob):
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += blob[pos:pos + 2]
+            pos += 2
+            continue
+        (sl,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        seg = blob[pos:pos + 2 + sl]
+        if marker == 0xDB:
+            body = seg[4:]
+            nb = bytes([0x10 | (body[0] & 0xF)]) + struct.pack(
+                ">64H", *body[1:65])
+            seg = struct.pack(">HH", 0xFFDB, len(nb) + 2) + nb
+        out += seg
+        pos += 2 + sl
+        if marker == 0xDA:
+            out += blob[pos:]
+            break
+    assert decode_jpeg(bytes(out)) == decode_jpeg(blob)
+    # internally-consistent DQT declaring Pq=1 but holding <128 table bytes
+    dqt = struct.pack(">HH", 0xFFDB, 2 + 1 + 100) + bytes([0x10]) + bytes(100)
+    with pytest.raises(JpegFormatError, match="truncated DQT"):
+        decode_jpeg(b"\xff\xd8" + dqt + b"\xff\xd9")
