@@ -1172,3 +1172,202 @@ def q_media_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
+
+
+# --- q_media_exif_meta: APP1/TIFF metadata extraction, value-exact oracle ------
+#
+# r5 wave 3: real-world JPEGs carry provenance and display geometry in an
+# APP1 Exif segment (a little TIFF: byte-order mark, IFD0, Exif sub-IFD).
+# Each doc gets a real spec-shaped segment (functions/exif.py) spliced
+# into a real JPEG — alternating II/MM byte order so BOTH endian paths
+# run, Exif pixel dims deliberately DIFFERENT from the SOF dims so the
+# oracle proves the TIFF structure was parsed (copying SOF would
+# hash-mismatch), strings long enough to exercise the >4-byte
+# offset-into-data-area layout. Metadata-only walk: no pixel decode paid.
+
+@register(
+    "q_media_exif_meta",
+    """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+              CAST(1 + doc_id % 8 AS INT) AS orientation,
+              'camera_' || CAST(doc_id % 5 AS VARCHAR) AS make,
+              'sensor_' || CAST(doc_id % 3 AS VARCHAR) AS model,
+              '2026:08:15 12:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                AS dt,
+              CAST(1000 + doc_id % 7 AS INT) AS exif_w,
+              CAST(2000 + doc_id % 11 AS INT) AS exif_h
+       FROM documents""",
+    doc="EXIF/APP1 metadata extraction: per-doc JPEGs get a spec-shaped "
+        "TIFF Exif segment (alternating II/MM byte order, IFD0 "
+        "Make/Model/Orientation/DateTime, Exif sub-IFD pixel dims distinct "
+        "from SOF so the parse is proven structural) and a metadata-only "
+        "marker walk reads every field back without decoding pixels; "
+        "closed-form SQL verifies all eight fields",
+    tags=("multimodal", "jpeg", "exif"),
+)
+def q_media_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction over binary media at crawl scale: one
+    mapInPandas projection, payload bytes never leave the executor, no
+    shuffle; the marker walk stops at SOS so a 100 TB pass pays header
+    bytes, not entropy decode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.exif import (build_exif_app1,
+                                                parse_jpeg_metadata,
+                                                splice_app1)
+    from flink_job_spark.functions.jpeg import encode_jpeg
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("exif_w", T.IntegerType()),
+        T.StructField("exif_h", T.IntegerType()),
+    ])
+
+    base = encode_jpeg(8, 8, bytes([128] * 64), 1, quality=50)
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {k: [] for k in ("byte_order", "orientation", "make",
+                                    "model", "dt", "exif_w", "exif_h")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                app1 = build_exif_app1(
+                    "II" if i % 2 == 0 else "MM",
+                    orientation=1 + i % 8,
+                    make=f"camera_{i % 5}", model=f"sensor_{i % 3}",
+                    datetime=f"2026:08:15 12:00:{i % 60:02d}",
+                    pixel_x=1000 + i % 7, pixel_y=2000 + i % 11)
+                meta = parse_jpeg_metadata(splice_app1(base, app1))
+                cols["byte_order"].append(meta["byte_order"])
+                cols["orientation"].append(meta["orientation"])
+                cols["make"].append(meta["make"])
+                cols["model"].append(meta["model"])
+                cols["dt"].append(meta["datetime"])
+                cols["exif_w"].append(meta["exif_pixel_x"])
+                cols["exif_h"].append(meta["exif_pixel_y"])
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "byte_order": cols["byte_order"],
+                "orientation": pd.array(cols["orientation"], dtype="Int32"),
+                "make": cols["make"],
+                "model": cols["model"],
+                "dt": cols["dt"],
+                "exif_w": pd.array(cols["exif_w"], dtype="Int32"),
+                "exif_h": pd.array(cols["exif_h"], dtype="Int32"),
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
+# --- q_media_exif_orient: orientation-normalized decode, value-exact oracle ----
+#
+# The #1 real-world image gotcha: cameras store sensor-native pixels and
+# an Orientation tag; training on un-normalized pixels means sideways
+# images. This key decodes (exact DC-only grayscale, the jpeg_stats
+# lemma), reads the tag, applies the flip/transpose, and emits the
+# ORIENTED dims plus the top-left corner sample — the corner is what
+# proves the geometry: each of the 8 orientations pulls a DIFFERENT
+# source block into (0,0), and the oracle's CASE reproduces which one.
+# mean_luma is orientation-invariant and pins the pixel multiset.
+
+@register(
+    "q_media_exif_orient",
+    f"""SELECT doc_id AS media_id,
+               CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                         THEN 8 * (1 + doc_id % {JPEG_HB_MOD})
+                         ELSE 8 * (1 + doc_id % {JPEG_WB_MOD}) END AS INT)
+                 AS out_width,
+               CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                         THEN 8 * (1 + doc_id % {JPEG_WB_MOD})
+                         ELSE 8 * (1 + doc_id % {JPEG_HB_MOD}) END AS INT)
+                 AS out_height,
+               CAST(2 * ((doc_id * 31 + 17 * (
+                   CASE 1 + doc_id % 8
+                     WHEN 1 THEN 0
+                     WHEN 5 THEN 0
+                     WHEN 2 THEN doc_id % {JPEG_WB_MOD}
+                     WHEN 8 THEN doc_id % {JPEG_WB_MOD}
+                     WHEN 3 THEN (1 + doc_id % {JPEG_HB_MOD})
+                                 * (1 + doc_id % {JPEG_WB_MOD}) - 1
+                     WHEN 7 THEN (1 + doc_id % {JPEG_HB_MOD})
+                                 * (1 + doc_id % {JPEG_WB_MOD}) - 1
+                     ELSE (doc_id % {JPEG_HB_MOD})
+                          * (1 + doc_id % {JPEG_WB_MOD})
+                   END)) % 128) AS INT) AS corner_luma,
+               round((SELECT AVG(CAST(2 * ((doc_id * 31 + t.i * 17) % 128)
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range((1 + doc_id % {JPEG_WB_MOD})
+                                 * (1 + doc_id % {JPEG_HB_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="orientation-normalized JPEG decode: exact DC-only grayscale "
+        "images carry an EXIF Orientation tag 1..8; decode + "
+        "apply_orientation emits oriented dims and the top-left corner "
+        "sample, and the oracle's CASE reproduces which source block each "
+        "of the 8 flip/transpose geometries pulls into (0,0) — "
+        "mean_luma (orientation-invariant) pins the pixel multiset",
+    tags=("multimodal", "jpeg", "exif"),
+)
+def q_media_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + orientation-normalize in one Arrow-batched pass; the
+    oriented frame is a numpy view (flip/transpose) until the stats are
+    taken, so normalization adds zero copies to the 100 TB decode cost."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.exif import (apply_orientation,
+                                                build_exif_app1,
+                                                parse_jpeg_metadata,
+                                                splice_app1)
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("corner_luma", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ])
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {k: [] for k in ("out_width", "out_height",
+                                    "corner_luma", "mean_luma")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = 1 + i % JPEG_WB_MOD, 1 + i % JPEG_HB_MOD
+                b = np.arange(nby * nbx).reshape(nby, nbx)
+                vals = (2 * ((i * 31 + b * 17) % 128)).astype(np.uint8)
+                px = np.kron(vals, np.ones((8, 8), np.uint8))
+                data = splice_app1(
+                    encode_jpeg(8 * nbx, 8 * nby, px.tobytes(), 1,
+                                quality=50),
+                    build_exif_app1("II" if i % 2 == 0 else "MM",
+                                    orientation=1 + i % 8))
+                meta = parse_jpeg_metadata(data)
+                w, h, _, out = decode_jpeg(data)
+                arr = np.frombuffer(out, np.uint8).reshape(h, w)
+                arr = apply_orientation(arr, meta["orientation"] or 1)
+                cols["out_width"].append(arr.shape[1])
+                cols["out_height"].append(arr.shape[0])
+                cols["corner_luma"].append(int(arr[0, 0]))
+                cols["mean_luma"].append(round(int(arr.sum()) / arr.size, 6))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "out_width": pd.array(cols["out_width"], dtype="Int32"),
+                "out_height": pd.array(cols["out_height"], dtype="Int32"),
+                "corner_luma": pd.array(cols["corner_luma"], dtype="Int32"),
+                "mean_luma": cols["mean_luma"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)

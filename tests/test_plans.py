@@ -1705,3 +1705,22 @@ def test_media_jpeg_420_stats_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, f"jpeg 420 plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
     assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_exif_meta_no_shuffle(spark, sf_dir):
+    """EXIF metadata extraction (r5 wave 3) is one Arrow-batched map chain
+    over doc_id — a metadata-only marker walk per payload, zero exchanges,
+    so a 100 TB crawl pays header bytes and no shuffle."""
+    p = plan(all_queries()["q_media_exif_meta"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"exif meta plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_exif_orient_no_shuffle(spark, sf_dir):
+    """Orientation-normalized decode keeps the JPEG-key shape: decode,
+    tag read and flip/transpose all happen inside the one map stage."""
+    p = plan(all_queries()["q_media_exif_orient"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"exif orient plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
