@@ -372,8 +372,10 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
     """REAL audio decode for WAV/PCM via the stdlib ``wave`` module (no
     external codec): sample rate, channels, frame count, duration, and RMS
     amplitude of the 16-bit samples — distributed over Arrow-batched
-    mapInPandas, errors as data. Compressed formats (mp3/ogg/...) remain
-    stubbed; swapping in ffmpeg changes one branch."""
+    mapInPandas, errors as data. MP3 container metadata (rate/channels/
+    frames/duration) is native (functions/mp3.py, r5 wave 4); its PCM —
+    and other compressed formats (ogg/flac/...) entirely — route through
+    the ffmpeg adapter when present."""
     import io
     import wave
 
@@ -410,8 +412,25 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                     except (wave.Error, EOFError, struct.error) as e:
                         sr = ch = nf = dur = rms = None
                         err = f"bad wav: {e}"
+                elif (bytes(payload[:3]) == b"ID3"
+                      or (len(payload) >= 2 and payload[0] == 0xFF
+                          and (payload[1] & 0xE0) == 0xE0)):
+                    # MP3: container metadata natively (frame-header walk +
+                    # ID3, functions/mp3.py) — sample rate, channels, frame
+                    # count, duration with no PCM decode; RMS needs the PCM
+                    # and stays the adapter boundary (None, not an error)
+                    from flink_job_spark.functions.mp3 import (Mp3FormatError,
+                                                               mp3_meta)
+                    try:
+                        m = mp3_meta(bytes(payload))
+                        sr, ch, nf = (m["sample_rate"], m["channels"],
+                                      m["n_frames"])
+                        dur = float(m["duration_ms"])
+                    except (Mp3FormatError, struct.error) as e:
+                        sr = ch = nf = dur = None
+                        err = f"bad mp3: {e}"
                 else:
-                    # compressed audio (mp3/ogg/flac/...): route through the
+                    # compressed audio (ogg/flac/...): route through the
                     # ffmpeg adapter when the host has it (codec_adapters.py
                     # — stdin pipe, timeout, errors stay data); otherwise the
                     # documented library-boundary error row

@@ -1371,3 +1371,191 @@ def q_media_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
+# --- q_media_mp3_meta: MPEG-audio container triage, value-exact oracle ---------
+#
+# r5 wave 4: what a 100 TB audio pass runs FIRST is container triage —
+# duration/bitrate/channels/tags from the fixed struct layouts (ISO
+# 11172-3 frame headers + ID3), no Huffman/IMDCT paid. Fixtures are real
+# frame sequences built by functions/mp3.py (header tables + computed
+# frame lengths + ID3v2 text frames), including a VBR stream every 5th
+# doc (one injected 96 kbps frame) so the walk proves it reads EVERY
+# frame header, not just the first. PCM decode stays the documented
+# ffmpeg-adapter boundary, exactly as real pipelines split the work.
+
+@register(
+    "q_media_mp3_meta",
+    """SELECT doc_id AS media_id,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END AS INT) AS sample_rate,
+              CAST(1 + doc_id % 2 AS INT) AS channels,
+              CAST(2 + doc_id % 9 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS INT) AS n_frames,
+              CAST((1152 * (2 + doc_id % 9
+                            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                    * 1000000
+                    // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END) // 1000 AS BIGINT) AS duration_ms,
+              CAST(CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 160
+                   WHEN 2 THEN 192 ELSE 224 END AS INT) AS bitrate_kbps,
+              doc_id % 5 = 0 AS vbr,
+              'title_' || CAST(doc_id % 7 AS VARCHAR) AS title,
+              'artist_' || CAST(doc_id % 5 AS VARCHAR) AS artist
+       FROM documents""",
+    doc="MP3 container triage: per-doc REAL MPEG frame sequences (header "
+        "tables + computed frame lengths) with ID3v2 tags are walked "
+        "frame-by-frame in mapInPandas — sample rate, channels, frame "
+        "count, exact integer duration, first-frame bitrate, VBR "
+        "detection (an injected odd-bitrate frame every 5th doc) and tag "
+        "strings all verified closed-form; PCM decode stays the "
+        "documented adapter boundary",
+    tags=("multimodal", "audio", "mp3"),
+)
+def q_media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only walk: one Arrow-batched map stage over doc_id, no
+    shuffle, payload bytes never leave the executor — at 100 TB the cost
+    is header bytes per frame, not audio decode."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.mp3 import (build_frame, build_id3v2,
+                                               mp3_meta)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("vbr", T.BooleanType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+    ])
+    SRS = (44100, 48000, 32000)
+    KBPS = (128, 160, 192, 224)
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {k: [] for k in ("sample_rate", "channels", "n_frames",
+                                    "duration_ms", "bitrate_kbps", "vbr",
+                                    "title", "artist")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sr, kbps, ch = SRS[i % 3], KBPS[i % 4], 1 + i % 2
+                data = build_id3v2(title=f"title_{i % 7}",
+                                   artist=f"artist_{i % 5}")
+                data += build_frame(kbps, sr, ch) * (2 + i % 9)
+                if i % 5 == 0:          # VBR: one odd-bitrate frame
+                    data += build_frame(96, sr, ch)
+                m = mp3_meta(data)
+                for k in cols:
+                    cols[k].append(m[k if k != "duration_ms" else k])
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "bitrate_kbps": pd.array(cols["bitrate_kbps"],
+                                         dtype="Int32"),
+                "vbr": cols["vbr"],
+                "title": cols["title"],
+                "artist": cols["artist"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
+# --- q_media_mp4_meta: ISO-BMFF box-walk triage, value-exact oracle ------------
+#
+# The video twin of the MP3 key: brand, exact integer duration
+# (units*1000 // timescale), track count, 16.16 fixed-point video dims
+# and handler-based audio/video presence from a real box tree
+# (functions/mp4.py) — mvhd v0 and v1 alternate so both layouts parse.
+# Frame decode (H.264-class) stays the documented codec-library
+# boundary; the box walk is what a triage pass actually runs.
+
+@register(
+    "q_media_mp4_meta",
+    """SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                ELSE 'avc1' END AS brand,
+              CAST((500 + doc_id % 997) * 1000
+                   // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+              CAST(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END
+                   + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                AS n_tracks,
+              CASE WHEN doc_id % 4 <> 3
+                   THEN CAST(16 * (5 + doc_id % 9) AS INT) END AS vid_w,
+              CASE WHEN doc_id % 4 <> 3
+                   THEN CAST(16 * (3 + doc_id % 7) AS INT) END AS vid_h,
+              doc_id % 2 = 0 AS has_audio,
+              doc_id % 4 <> 3 AS has_video
+       FROM documents""",
+    doc="MP4/ISO-BMFF box-walk triage: per-doc real box trees (ftyp + "
+        "moov/mvhd v0-v1 alternating + per-track tkhd/mdia/hdlr) parsed "
+        "in mapInPandas — brand, exact integer duration, track count, "
+        "16.16 fixed-point video dims and handler-based audio/video "
+        "presence all verified closed-form; frame decode stays the "
+        "documented codec-library boundary",
+    tags=("multimodal", "video", "mp4"),
+)
+def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box walk only — one Arrow-batched map stage over doc_id, zero
+    shuffle; at 100 TB the read is a few hundred header bytes per blob
+    (moov-first layout), never the mdat payload."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.mp4 import build_mp4, mp4_meta
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("vid_w", T.IntegerType()),
+        T.StructField("vid_h", T.IntegerType()),
+        T.StructField("has_audio", T.BooleanType()),
+        T.StructField("has_video", T.BooleanType()),
+    ])
+    BRANDS = ("isom", "mp42", "avc1")
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {k: [] for k in ("brand", "duration_ms", "n_tracks",
+                                    "vid_w", "vid_h", "has_audio",
+                                    "has_video")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                dims = ((16 * (5 + i % 9), 16 * (3 + i % 7))
+                        if i % 4 != 3 else None)
+                data = build_mp4(BRANDS[i % 3],
+                                 timescale=1000 * (1 + i % 3),
+                                 duration_units=500 + i % 997,
+                                 video_dims=dims, audio=i % 2 == 0,
+                                 mvhd_v1=i % 2 == 1)
+                m = mp4_meta(data)
+                cols["brand"].append(m["brand"])
+                cols["duration_ms"].append(m["duration_ms"])
+                cols["n_tracks"].append(m["n_tracks"])
+                cols["vid_w"].append(m["vid_w"])
+                cols["vid_h"].append(m["vid_h"])
+                cols["has_audio"].append(m["has_audio"])
+                cols["has_video"].append(m["has_video"])
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "brand": cols["brand"],
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "n_tracks": pd.array(cols["n_tracks"], dtype="Int32"),
+                "vid_w": pd.array(cols["vid_w"], dtype="Int32"),
+                "vid_h": pd.array(cols["vid_h"], dtype="Int32"),
+                "has_audio": cols["has_audio"],
+                "has_video": cols["has_video"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)

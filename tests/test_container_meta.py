@@ -1,0 +1,209 @@
+"""MP3 frame-walk + MP4 box-walk tests (functions/mp3.py, mp4.py — r5
+wave 4).
+
+Same coverage model as the codec suites: builder→parser roundtrip across
+the parameter lattice, real-world degradations (truncated tail, leading
+junk, VBR, ID3v1-vs-v2 precedence), bomb guards, and the byte-flip +
+truncation corruption fuzz that holds the errors-as-data contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from flink_job_spark.functions.mp3 import (Mp3FormatError, build_frame,
+                                           build_id3v2, mp3_meta,
+                                           parse_id3v1, parse_id3v2)
+from flink_job_spark.functions.mp4 import (Mp4FormatError, build_mp4,
+                                           mp4_meta)
+
+
+# --------------------------------------------------------------------------
+# MP3
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sr", [44100, 48000, 32000])
+@pytest.mark.parametrize("kbps", [128, 320])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_mp3_roundtrip_lattice(sr, kbps, ch):
+    data = build_id3v2(title="t", artist="a") + build_frame(kbps, sr, ch) * 7
+    m = mp3_meta(data)
+    assert (m["sample_rate"], m["bitrate_kbps"], m["channels"],
+            m["n_frames"]) == (sr, kbps, ch, 7)
+    assert m["duration_ms"] == 7 * 1152 * 1_000_000 // sr // 1000
+    assert m["title"] == "t" and m["artist"] == "a" and not m["vbr"]
+
+
+def test_mp3_mpeg2_layer3_halves_samples():
+    m = mp3_meta(build_frame(64, 22050, version=2) * 3)
+    assert m["sample_rate"] == 22050
+    assert m["duration_ms"] == 3 * 576 * 1_000_000 // 22050 // 1000
+
+
+def test_mp3_vbr_detection_reads_every_header():
+    data = (build_frame(128, 44100) + build_frame(192, 44100)
+            + build_frame(128, 44100))
+    m = mp3_meta(data)
+    assert m["vbr"] is True and m["n_frames"] == 3
+    assert m["bitrate_kbps"] == 128          # first frame's
+
+
+def test_mp3_id3v1_trailer_and_precedence():
+    v1 = (b"TAG" + b"old title".ljust(30, b"\x00")
+          + b"old artist".ljust(30, b"\x00") + b"alb".ljust(30, b"\x00")
+          + b"2026" + bytes(31))
+    # v1 only
+    m = mp3_meta(build_frame(128, 44100) * 2 + v1)
+    assert m["title"] == "old title" and m["n_frames"] == 2
+    assert parse_id3v1(build_frame(128, 44100)) == {}
+    # v2 wins over v1
+    m = mp3_meta(build_id3v2(title="new") + build_frame(128, 44100) + v1)
+    assert m["title"] == "new" and m["artist"] == "old artist"
+
+
+def test_mp3_real_world_degradations():
+    # leading junk before the first sync: bounded resync
+    m = mp3_meta(b"\x00junkjunk" + build_frame(128, 44100) * 2)
+    assert m["n_frames"] == 2
+    # truncated final frame: the frames seen, no error
+    f = build_frame(128, 44100)
+    m = mp3_meta(f * 3 + f[: len(f) // 2])
+    assert m["n_frames"] == 3
+    # nothing decodable
+    with pytest.raises(Mp3FormatError):
+        mp3_meta(b"\x00" * 64)
+    # a samplerate CHANGE mid-stream ends the walk (two concatenated
+    # streams are not one file)
+    m = mp3_meta(build_frame(128, 44100) * 2 + build_frame(128, 48000))
+    assert m["n_frames"] == 2
+
+
+def test_mp3_id3v2_utf16_and_v4_syncsafe():
+    # utf-16 text frame (encoding byte 1, BOM)
+    body = b"\x01" + "titré".encode("utf-16")
+    frames = b"TIT2" + struct.pack(">I", len(body)) + b"\x00\x00" + body
+    ss = bytes(((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    tag = b"ID3\x03\x00\x00" + ss + frames
+    assert parse_id3v2(tag)[0]["title"] == "titré"
+    # v2.4: frame size is syncsafe
+    body = b"\x03" + "utf8✓".encode("utf-8")
+    fsz = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    frames = b"TIT2" + fsz + b"\x00\x00" + body
+    ss = bytes(((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    tag = b"ID3\x04\x00\x00" + ss + frames
+    assert parse_id3v2(tag)[0]["title"] == "utf8✓"
+
+
+def test_mp3_corruption_stays_errors_as_data():
+    base = build_id3v2(title="x") + build_frame(128, 44100) * 3
+    for pos in range(len(base)):
+        for delta in (0x01, 0x80, 0xFF):
+            b = bytearray(base)
+            b[pos] ^= delta
+            try:
+                mp3_meta(bytes(b))
+            except Mp3FormatError:
+                pass
+    for cut in range(len(base)):
+        try:
+            mp3_meta(base[:cut])
+        except Mp3FormatError:
+            pass
+
+
+# --------------------------------------------------------------------------
+# MP4
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mvhd_v1", [False, True])
+def test_mp4_roundtrip_both_mvhd_versions(mvhd_v1):
+    d = build_mp4("mp42", timescale=3000, duration_units=4567,
+                  video_dims=(640, 360), audio=True, mvhd_v1=mvhd_v1)
+    m = mp4_meta(d)
+    assert m["brand"] == "mp42"
+    assert m["duration_ms"] == 4567 * 1000 // 3000
+    assert (m["vid_w"], m["vid_h"]) == (640, 360)
+    assert m["has_audio"] and m["has_video"] and m["n_tracks"] == 2
+
+
+def test_mp4_audio_only_and_trackless():
+    m = mp4_meta(build_mp4(audio=True, timescale=1000, duration_units=10))
+    assert m["vid_w"] is None and m["has_audio"] and not m["has_video"]
+    assert m["n_tracks"] == 1
+    m = mp4_meta(build_mp4(timescale=1000, duration_units=10))
+    assert m["n_tracks"] == 0 and m["duration_ms"] == 10
+
+
+def test_mp4_largesize_and_size0_boxes():
+    """size==1 → u64 largesize; size==0 → to end of container."""
+    d = build_mp4("isom", 1000, 250, (32, 16))
+    # wrap the whole file behind a largesize free box
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    m = mp4_meta(free + d)
+    assert m["duration_ms"] == 250
+    # final box with size 0
+    m = mp4_meta(d + struct.pack(">I", 0) + b"free" + bytes(4))
+    assert m["duration_ms"] == 250
+
+
+def test_mp4_guards():
+    with pytest.raises(Mp4FormatError):
+        mp4_meta(b"\x00\x00\x00\x08free")        # no mvhd
+    with pytest.raises(Mp4FormatError):
+        mp4_meta(b"\x00\x00")                    # too short
+    # depth bomb: 40 nested moov boxes
+    inner = struct.pack(">I", 8) + b"free"
+    for _ in range(40):
+        inner = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
+    with pytest.raises(Mp4FormatError):
+        mp4_meta(inner)
+    # timescale 0
+    bad = build_mp4(timescale=1, duration_units=1).replace(
+        struct.pack(">II", 1, 1), struct.pack(">II", 0, 1))
+    with pytest.raises(Mp4FormatError):
+        mp4_meta(bad)
+
+
+def test_mp4_corruption_stays_errors_as_data():
+    base = build_mp4("mp42", 3000, 4567, (640, 360), audio=True)
+    for pos in range(len(base)):
+        for delta in (0x01, 0x80, 0xFF):
+            b = bytearray(base)
+            b[pos] ^= delta
+            try:
+                mp4_meta(bytes(b))
+            except Mp4FormatError:
+                pass
+    for cut in range(len(base)):
+        try:
+            mp4_meta(base[:cut])
+        except Mp4FormatError:
+            pass
+
+
+# --------------------------------------------------------------------------
+# operator integration: decode_audio_meta routes MP3 natively
+# --------------------------------------------------------------------------
+
+def test_decode_audio_meta_mp3_branch(spark):
+    import pandas as pd
+
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_audio_meta)
+
+    good = build_id3v2(title="t") + build_frame(128, 44100, 2) * 5
+    bad = b"ID3" + bytes(40)                     # truncated ID3, no frames
+    pdf = pd.DataFrame({"media_id": [1, 2], "kind": ["audio"] * 2,
+                        "mime": ["audio/mpeg"] * 2,
+                        "payload": [good, bad]})
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    assert rows[1]["sample_rate"] == 44100 and rows[1]["channels"] == 2
+    assert rows[1]["n_frames"] == 5
+    assert rows[1]["duration_ms"] == float(5 * 1152 * 1_000_000
+                                           // 44100 // 1000)
+    assert rows[1]["decode_error"] is None
+    assert rows[2]["sample_rate"] is None
+    assert rows[2]["decode_error"].startswith("bad mp3:")

@@ -1724,3 +1724,21 @@ def test_media_exif_orient_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, f"exif orient plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
     assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_mp3_meta_no_shuffle(spark, sf_dir):
+    """MP3 container triage (r5 wave 4) is one Arrow-batched map chain
+    over doc_id — frame-header walk + ID3, zero exchanges, no PCM."""
+    p = plan(all_queries()["q_media_mp3_meta"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"mp3 meta plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_mp4_meta_no_shuffle(spark, sf_dir):
+    """MP4 box-walk triage keeps the same shape: one map stage, zero
+    exchanges — the mdat payload is never read."""
+    p = plan(all_queries()["q_media_mp4_meta"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"mp4 meta plan shuffles:\n{p}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
