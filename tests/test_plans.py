@@ -1742,3 +1742,16 @@ def test_media_mp4_meta_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, f"mp4 meta plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
     assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+
+
+def test_media_container_triage_no_shuffle(spark, sf_dir):
+    """All r5 wave-5 container-triage keys (FLAC/Ogg/WARC/ZIP/TAR) keep
+    the canonical media shape: one Arrow-batched map chain over doc_id,
+    zero exchanges — inventory walks, never payload decode."""
+    for key in ("q_media_flac_meta", "q_media_ogg_meta",
+                "q_media_warc_stats", "q_media_zip_stats",
+                "q_media_tar_stats"):
+        p = plan(all_queries()[key].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{key} plan shuffles:\n{p}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (key, p)
+        assert read_schema_columns(p) == {"doc_id"}, (key, p)
