@@ -947,3 +947,153 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT f.doc_id, f.chunk_idx, f.n_words, f.chunk "
         "FROM fjs_udtf_documents d, "
         "LATERAL fjs_word_chunker(d.doc_id, d.text) f")
+
+
+# --- q_html_extract: visible-text extraction, value-exact oracle ---------------
+#
+# r5 wave 6: the stage between the WARC walk (functions/warc.py) and
+# every text key — strip script/style/noscript subtrees and comments,
+# decode entities, take the <title>, count anchors, normalize
+# whitespace. Fixtures are real tag soup (entities, comments, hidden
+# subtrees, an href-less <a>); the oracle rebuilds the exact visible
+# string in SQL, so one character of leakage from a skipped subtree
+# hash-mismatches.
+
+@register(
+    "q_html_extract",
+    """SELECT doc_id,
+              'Doc ' || doc_id AS title,
+              CAST(1 + doc_id % 4 AS INT) AS n_links,
+              'Title ' || doc_id || ' alpha & beta ' || doc_id || ' ' ||
+                (SELECT string_agg('L' || t.j, ' ' ORDER BY t.j)
+                 FROM (SELECT unnest(range(1 + doc_id % 4)) AS j) t)
+                AS text
+       FROM documents""",
+    doc="HTML visible-text extraction: per-doc real tag soup (entities, "
+        "comments, script/style/noscript subtrees, href-less anchors) "
+        "through the stdlib-parser extractor; title, anchor count and the "
+        "exact normalized visible string are rebuilt in SQL — one leaked "
+        "character from a skipped subtree hash-mismatches",
+    tags=("text", "html", "crawl"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage over doc_id, zero shuffle — the
+    100 TB crawl→text projection."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.html_text import extract_visible_text
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("title", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            titles, links, texts = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                anchors = " ".join(
+                    f'<a href="http://ex.com/{i}/{j}">L{j}</a>'
+                    for j in range(1 + i % 4))
+                html = (
+                    f"<html><head><title> Doc  {i} </title>"
+                    "<style>p{color:red}</style>"
+                    '<script>var x="<b>not text</b>";</script></head>'
+                    f"<body><h1>Title {i}</h1><!-- comment -->"
+                    f"<p>alpha &amp;\n beta {i}</p> {anchors}"
+                    '<a name="no-href"></a>'
+                    "<noscript>hidden</noscript></body></html>")
+                r = extract_visible_text(html)
+                titles.append(r["title"])
+                links.append(r["n_links"])
+                texts.append(r["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "title": titles,
+                "n_links": pd.array(links, dtype="Int32"), "text": texts})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_url_normalize: RFC 3986 canonicalization, value-exact oracle ------------
+#
+# URL-level dedup needs one canonical form per resource: lowercase
+# scheme/host, default-port strip (non-default KEPT), dot-segment
+# resolution, fragment drop, tracking-param strip. Even docs get an
+# "HTTP://WWW...:80" form (default port + dot segments), odd docs an
+# "https://...:8080" form (non-default port survives) — both paths of
+# every rule run, all closed-form.
+
+@register(
+    "q_url_normalize",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'www.site' || (doc_id % 7) || '.com'
+                   ELSE 'site' || (doc_id % 7) || '.org' END AS host,
+              CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS tld,
+              CASE WHEN doc_id % 2 = 0 THEN NULL
+                   ELSE CAST(8080 AS INT) END AS port,
+              CAST(2 AS INT) AS path_depth,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'http://www.site' || (doc_id % 7) || '.com/p'
+                        || (doc_id % 3) || '/f' || doc_id || '?id=' || doc_id
+                   ELSE 'https://site' || (doc_id % 7) || '.org:8080/p'
+                        || (doc_id % 3) || '/f' || doc_id || '?id=' || doc_id
+              END AS canonical
+       FROM documents""",
+    doc="URL canonicalization: per-doc messy URLs (uppercase scheme/host, "
+        "default vs non-default ports, /a/../ and /./ dot segments, "
+        "utm_*/fbclid tracking params, fragments) normalized per RFC 3986; "
+        "scheme/host/tld/port/path-depth and the full canonical string "
+        "verified closed-form — the key URL-level dedup joins on",
+    tags=("text", "url", "crawl"),
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage over doc_id, zero shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.html_text import canonical_url
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("tld", T.StringType()),
+        T.StructField("port", T.IntegerType()),
+        T.StructField("path_depth", T.IntegerType()),
+        T.StructField("canonical", T.StringType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            cols = {k: [] for k in ("scheme", "host", "tld", "port",
+                                    "path_depth", "canonical")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    url = (f"HTTP://WWW.Site{i % 7}.COM:80/a{i % 5}/../"
+                           f"p{i % 3}/./f{i}?utm_source=x&id={i}&fbclid=z"
+                           "#frag")
+                else:
+                    url = (f"https://Site{i % 7}.ORG:8080/a{i % 5}/../"
+                           f"p{i % 3}/./f{i}?utm_source=x&id={i}&fbclid=z"
+                           "#frag")
+                u = canonical_url(url)
+                for k in cols:
+                    cols[k].append(u[k])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "scheme": cols["scheme"], "host": cols["host"],
+                "tld": cols["tld"],
+                "port": pd.array(cols["port"], dtype="Int32"),
+                "path_depth": pd.array(cols["path_depth"], dtype="Int32"),
+                "canonical": cols["canonical"]})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)

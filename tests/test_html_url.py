@@ -1,0 +1,87 @@
+"""HTML visible-text extraction + URL canonicalization tests
+(functions/html_text.py — r5 wave 6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_job_spark.functions.html_text import (UrlFormatError,
+                                                 canonical_url,
+                                                 extract_visible_text)
+
+
+def test_html_extract_full_shape():
+    h = """<html><head><title> Doc  7 </title><style>p{color:red}</style>
+    <script>var a="<b>not text</b>";</script></head>
+    <body><h1>Heading 7</h1><!-- comment --><p>A &amp; B &lt;ok&gt;</p>
+    <a href="http://x/1">L0</a> <a href="http://x/2">L1</a>
+    <a name="no-href">anchor text</a>
+    <noscript>hidden</noscript></body></html>"""
+    r = extract_visible_text(h)
+    assert r["title"] == "Doc 7"
+    assert r["text"] == "Heading 7 A & B <ok> L0 L1 anchor text"
+    assert r["n_links"] == 2                   # href-less <a> not counted
+    assert r["text_len"] == len(r["text"])
+
+
+def test_html_nested_skip_subtrees():
+    """A style inside a script (or vice versa) must not re-enable text
+    until BOTH close — depth-counted skipping."""
+    h = "<body>a<script>x<style>y</style>z</script>b</body>"
+    assert extract_visible_text(h)["text"] == "a b"
+
+
+def test_html_entities_and_charrefs():
+    r = extract_visible_text("<p>caf&eacute; &#x2713; &amp;&lt;&gt;</p>")
+    assert r["text"] == "café ✓ &<>"
+
+
+def test_html_tag_soup_never_raises():
+    for soup in ("<a href='x", "<<<>>>", "</div></div>",
+                 "<script>never closed", "&bogus; &#xZZ;", "", "plain"):
+        extract_visible_text(soup)            # must not raise
+    # unclosed script swallows the rest — documented tolerant behavior
+    assert extract_visible_text("<script>x")["text"] == ""
+
+
+def test_html_title_absent_and_whitespace():
+    r = extract_visible_text("<body>  a \n\t b  </body>")
+    assert r["title"] is None and r["text"] == "a b"
+
+
+def test_url_canonical_default_port_and_dots():
+    u = canonical_url(
+        "HTTP://WWW.Example.COM:80/a/b/../c/./d?utm_source=x&id=5&fbclid=9#f")
+    assert u["canonical"] == "http://www.example.com/a/c/d?id=5"
+    assert u["scheme"] == "http" and u["port"] is None
+    assert u["tld"] == "com" and u["path_depth"] == 3
+
+
+def test_url_non_default_port_kept():
+    u = canonical_url("https://Ex.org:8443/?q=1&utm_medium=m")
+    assert u["canonical"] == "https://ex.org:8443/?q=1"
+    assert u["port"] == 8443
+
+
+def test_url_root_dotdot_and_empty_path():
+    assert canonical_url("http://h.io/../x")["canonical"] == "http://h.io/x"
+    assert canonical_url("http://h.io")["canonical"] == "http://h.io/"
+    assert canonical_url("http://h.io/a/..")["canonical"] == "http://h.io/"
+
+
+def test_url_query_order_and_blank_values():
+    u = canonical_url("http://h.io/p?b=2&a=&utm_x=1")
+    # param order preserved (reordering would merge distinct URLs), blank
+    # values kept
+    assert u["canonical"] == "http://h.io/p?b=2&a="
+
+
+def test_url_errors():
+    for bad in ("ftp://x/y", "http:///nopath", "http://bad:por99x/",
+                "not a url", "http://"):
+        with pytest.raises(UrlFormatError):
+            canonical_url(bad)
+
+
+def test_url_tld_single_label():
+    assert canonical_url("http://localhost/x")["tld"] is None

@@ -205,7 +205,11 @@ def test_decode_audio_meta_real_wav(spark):
     assert math.isclose(got[0]["rms"], 1000.0)
     assert math.isclose(got[1]["rms"], 12345.0)
     assert got[2]["decode_error"] and "bad wav" in got[2]["decode_error"]
-    assert got[3]["decode_error"] == "not a decodable audio payload"
+    # r5 wave 4: MP3-shaped payloads route through the native frame walk
+    # (functions/mp3.py) — truncated ID3 junk now gets the specific mp3
+    # error, not the generic library-boundary row
+    assert got[3]["decode_error"] and got[3]["decode_error"].startswith(
+        "bad mp3:")
 
 
 def test_wav_rms_key_odd_frame_count_still_exact(spark):

@@ -1755,3 +1755,13 @@ def test_media_container_triage_no_shuffle(spark, sf_dir):
         assert "Exchange" not in p, f"{key} plan shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (key, p)
         assert read_schema_columns(p) == {"doc_id"}, (key, p)
+
+
+def test_crawl_text_keys_no_shuffle(spark, sf_dir):
+    """r5 wave-6 crawl→text keys (HTML extract, URL normalize): one
+    Arrow-batched map stage over doc_id, zero exchanges."""
+    for key in ("q_html_extract", "q_url_normalize"):
+        p = plan(all_queries()[key].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{key} plan shuffles:\n{p}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (key, p)
+        assert read_schema_columns(p) == {"doc_id"}, (key, p)
