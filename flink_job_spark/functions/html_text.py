@@ -49,6 +49,8 @@ class _VisibleText(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_SUBTREES:
             self._skip_depth += 1
+        elif self._skip_depth:
+            return                             # whole subtree is dropped
         elif tag == "title":
             self._in_title = True
         elif tag == "a" and any(k == "href" and v for k, v in attrs):
@@ -61,13 +63,14 @@ class _VisibleText(HTMLParser):
             self._in_title = False
 
     def handle_data(self, data):
+        if self._skip_depth:
+            return                             # incl. a <title> inside one
         if self._in_title:
             self.title_parts.append(data)
             return
-        if self._skip_depth == 0:
-            s = data.strip()
-            if s:
-                self.chunks.append(" ".join(s.split()))
+        s = data.strip()
+        if s:
+            self.chunks.append(" ".join(s.split()))
 
 
 def extract_visible_text(html: str) -> dict:

@@ -167,6 +167,14 @@ def _frame_header(b: bytes):
     return frame_len, samples, sr, kbps, channels
 
 
+def sniff_mp3(data: bytes) -> bool:
+    """True when the payload LOOKS like MPEG audio: an ID3v2 prefix or a
+    fully valid first frame header. A bare 0xFF-0xEx prefix is NOT enough
+    — ADTS AAC starts 0xFF 0xF1/0xF9 (layer bits 00) and must keep
+    routing to the generic adapter, not the MP3 walk."""
+    return data[:3] == b"ID3" or _frame_header(data[:4]) is not None
+
+
 def build_frame(kbps: int, sr: int, channels: int = 2,
                 version: int = 1, layer: int = 3) -> bytes:
     """Construct one valid (header + zero payload) MPEG audio frame —

@@ -68,7 +68,7 @@ def _walk(data: bytes, start: int, end: int, depth: int, out: dict) -> None:
         elif btype == b"mvhd":
             ver = data[body]
             if ver == 1:
-                if body + 28 > bend:
+                if body + 32 > bend:           # reads [body+20, body+32)
                     raise Mp4FormatError("truncated mvhd v1")
                 ts, dur = struct.unpack(">IQ", data[body + 20:body + 32])
             else:

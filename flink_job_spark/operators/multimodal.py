@@ -412,42 +412,52 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                     except (wave.Error, EOFError, struct.error) as e:
                         sr = ch = nf = dur = rms = None
                         err = f"bad wav: {e}"
-                elif (bytes(payload[:3]) == b"ID3"
-                      or (len(payload) >= 2 and payload[0] == 0xFF
-                          and (payload[1] & 0xE0) == 0xE0)):
-                    # MP3: container metadata natively (frame-header walk +
-                    # ID3, functions/mp3.py) — sample rate, channels, frame
-                    # count, duration with no PCM decode; RMS needs the PCM
-                    # and stays the adapter boundary (None, not an error)
-                    from flink_job_spark.functions.mp3 import (Mp3FormatError,
-                                                               mp3_meta)
-                    try:
-                        m = mp3_meta(bytes(payload))
-                        sr, ch, nf = (m["sample_rate"], m["channels"],
-                                      m["n_frames"])
-                        dur = float(m["duration_ms"])
-                    except (Mp3FormatError, struct.error) as e:
-                        sr = ch = nf = dur = None
-                        err = f"bad mp3: {e}"
                 else:
-                    # compressed audio (ogg/flac/...): route through the
-                    # ffmpeg adapter when the host has it (codec_adapters.py
-                    # — stdin pipe, timeout, errors stay data); otherwise the
-                    # documented library-boundary error row
-                    from flink_job_spark.functions.codec_adapters import (
-                        decode_audio_ffmpeg, ffmpeg_available, pcm16_stats)
-                    if ffmpeg_available():
+                    # MP3-shaped payloads (ID3 prefix or a fully valid
+                    # first frame header — NOT a bare 0xFF-0xEx, which
+                    # ADTS AAC shares): container metadata natively
+                    # (functions/mp3.py) with no PCM decode; RMS needs the
+                    # PCM and stays the adapter boundary (None, not an
+                    # error). A failed native walk FALLS THROUGH to the
+                    # adapter (an ID3-tagged AAC must still decode on
+                    # hosts with ffmpeg).
+                    from flink_job_spark.functions.mp3 import (Mp3FormatError,
+                                                               mp3_meta,
+                                                               sniff_mp3)
+                    mp3_err = None
+                    handled = False
+                    if sniff_mp3(bytes(payload[:4])):
                         try:
-                            sr, ch, pcm = decode_audio_ffmpeg(bytes(payload))
-                            nf, r = pcm16_stats(pcm)
-                            dur = (round(nf * 1000.0 / (sr * ch), 6)
-                                   if sr and ch else None)
-                            rms = round(r, 6)
-                        except Exception as e:
-                            sr = ch = nf = dur = rms = None
-                            err = f"bad audio: {e}"
-                    else:
-                        err = "not a decodable audio payload"
+                            m = mp3_meta(bytes(payload))
+                            sr, ch, nf = (m["sample_rate"], m["channels"],
+                                          m["n_frames"])
+                            dur = float(m["duration_ms"])
+                            handled = True
+                        except (Mp3FormatError, struct.error) as e:
+                            mp3_err = f"bad mp3: {e}"
+                    if not handled:
+                        # other compressed audio (aac/ogg/flac/...) and
+                        # failed mp3 walks: the ffmpeg adapter when the
+                        # host has it (codec_adapters.py — stdin pipe,
+                        # timeout, errors stay data); otherwise the
+                        # documented library-boundary error row
+                        from flink_job_spark.functions.codec_adapters import (
+                            decode_audio_ffmpeg, ffmpeg_available,
+                            pcm16_stats)
+                        if ffmpeg_available():
+                            try:
+                                sr, ch, pcm = decode_audio_ffmpeg(
+                                    bytes(payload))
+                                nf, r = pcm16_stats(pcm)
+                                dur = (round(nf * 1000.0 / (sr * ch), 6)
+                                       if sr and ch else None)
+                                rms = round(r, 6)
+                            except Exception as e:
+                                sr = ch = nf = dur = rms = None
+                                err = f"bad audio: {e}"
+                        else:
+                            err = (mp3_err
+                                   or "not a decodable audio payload")
                 cols["sample_rate"].append(sr)
                 cols["channels"].append(ch)
                 cols["n_frames"].append(nf)

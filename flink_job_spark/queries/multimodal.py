@@ -1451,7 +1451,7 @@ def q_media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     data += build_frame(96, sr, ch)
                 m = mp3_meta(data)
                 for k in cols:
-                    cols[k].append(m[k if k != "duration_ms" else k])
+                    cols[k].append(m[k])
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"],
                 "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),

@@ -207,3 +207,44 @@ def test_decode_audio_meta_mp3_branch(spark):
     assert rows[1]["decode_error"] is None
     assert rows[2]["sample_rate"] is None
     assert rows[2]["decode_error"].startswith("bad mp3:")
+
+
+def test_mp4_mvhd_v1_truncation_guard():
+    """Review-caught (r5): the v1 guard checked body+28 but the unpack
+    reads [body+20, body+32) — a 28-byte v1 mvhd body at end-of-file let
+    struct.error escape the errors-as-data contract."""
+    bad = struct.pack(">I", 44) + b"moov" \
+        + struct.pack(">I", 36) + b"mvhd" + b"\x01" + bytes(27)
+    with pytest.raises(Mp4FormatError):
+        mp4_meta(bad)
+
+
+def test_mp3_sniff_rejects_adts_aac():
+    """Review-caught (r5): a bare 0xFF-0xEx sniff also matched ADTS AAC
+    (0xFF 0xF1 — layer bits 00); the sniffer requires a fully valid MPEG
+    frame header so AAC keeps routing to the generic adapter."""
+    from flink_job_spark.functions.mp3 import sniff_mp3
+
+    assert not sniff_mp3(b"\xff\xf1\x50\x80")      # ADTS AAC
+    assert not sniff_mp3(b"\xff\xe0\x00\x00")      # reserved version/layer
+    assert sniff_mp3(build_frame(128, 44100)[:4])  # real MPEG header
+    assert sniff_mp3(b"ID3\x03\x00")
+
+
+def test_decode_audio_meta_adts_not_misrouted(spark):
+    """An ADTS-AAC-shaped payload must reach the adapter branch (here:
+    the library-boundary row), not a bogus 'bad mp3' verdict."""
+    import pandas as pd
+
+    from flink_job_spark.functions.codec_adapters import ffmpeg_available
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_audio_meta)
+
+    if ffmpeg_available():
+        pytest.skip("host has ffmpeg; adapter will really decode")
+    adts = b"\xff\xf1\x50\x80" + bytes(64)
+    pdf = pd.DataFrame({"media_id": [1], "kind": ["audio"],
+                        "mime": ["audio/aac"], "payload": [adts]})
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    row = decode_audio_meta(media).collect()[0]
+    assert row["decode_error"] == "not a decodable audio payload"

@@ -85,3 +85,15 @@ def test_url_errors():
 
 def test_url_tld_single_label():
     assert canonical_url("http://localhost/x")["tld"] is None
+
+
+def test_html_title_inside_skipped_subtree_not_leaked():
+    """Review-caught (r5): a <title> inside noscript/template leaked into
+    the extracted title; skip depth now gates the title collector too."""
+    h = ("<head><title>Real</title></head><body>"
+         "<noscript><title>hidden</title><a href='x'>h</a>x</noscript>"
+         "body</body>")
+    r = extract_visible_text(h)
+    assert r["title"] == "Real"
+    assert r["text"] == "body"
+    assert r["n_links"] == 0                   # hidden anchor not counted
