@@ -79,12 +79,40 @@ def image_meta_pillow(payload: bytes) -> tuple[int, int]:
         return im.width, im.height
 
 
+def probe_audio_ffprobe(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, n_channels) of the SOURCE stream via ffprobe —
+    so adapter rows report file properties, exactly like the WAV path.
+    Caller must have checked ffprobe_available(); process faults
+    propagate for errors-as-data wrapping."""
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "a:0",
+         "-show_entries", "stream=sample_rate,channels",
+         "-of", "csv=p=0", "pipe:0"],
+        input=payload, capture_output=True, check=True,
+        timeout=FFMPEG_TIMEOUT_SEC)
+    fields = out.stdout.decode("ascii", "replace").strip().split(",")
+    if len(fields) < 2:
+        raise ValueError(f"ffprobe returned {out.stdout!r}")
+    sr, ch = int(fields[0]), int(fields[1])
+    if sr <= 0 or ch <= 0:
+        raise ValueError(f"ffprobe reported rate={sr} channels={ch}")
+    return sr, ch
+
+
 def decode_audio_ffmpeg(payload: bytes) -> tuple[int, int, bytes]:
     """(sample_rate, n_channels, signed-16LE PCM frames) by piping the
-    compressed payload (mp3/ogg/flac/...) through ffmpeg. Caller must
+    compressed payload (mp3/ogg/flac/aac/...) through ffmpeg. The SOURCE
+    rate/channels are probed first and the decode pins them explicitly
+    (review-caught r5: a hardcoded `-ar 16000 -ac 1` made adapter rows
+    report transcode properties while WAV rows report file properties —
+    same columns, different meanings). Hosts with ffmpeg but no ffprobe
+    fall back to the legacy fixed 16 kHz mono transcode. Caller must
     have checked ffmpeg_available(); CalledProcessError / TimeoutExpired
     propagate for errors-as-data wrapping."""
-    rate, ch = 16_000, 1
+    if ffprobe_available():
+        rate, ch = probe_audio_ffprobe(payload)
+    else:
+        rate, ch = 16_000, 1
     out = subprocess.run(
         ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "s16le",
          "-acodec", "pcm_s16le", "-ac", str(ch), "-ar", str(rate),

@@ -31,8 +31,11 @@ DC-only blocks (constant 8x8 content with even sample values at
 quality 50, where q_dc=16 divides the scaled DC exactly) roundtrip
 IDENTICALLY — the closed form q_media_jpeg_stats' SQL oracle checks.
 
-Compressed audio (mp3/ogg) and motion-compensated video (H.264) remain
-the only stubbed formats (operators/multimodal.py documents why).
+Outside this module: compressed-audio CONTAINER metadata is parsed
+natively (functions/mp3.py, flac_ogg.py) and PCM decode routes through
+the capability-gated ffmpeg adapter (functions/codec_adapters.py);
+motion-compensated video (H.264-class) frame decode remains the one
+hard library boundary (operators/multimodal.py documents why).
 """
 
 from __future__ import annotations
@@ -315,7 +318,12 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
         raise JpegFormatError(f"bad dims {width}x{height}")
     if subsampling not in ("444", "420"):
         raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
-    sub420 = subsampling == "420" and channels == 3
+    if subsampling == "420" and channels != 3:
+        # silently ignoring the request would hand callers a 4:4:4 file
+        # they believe is subsampled (review-caught r5)
+        raise JpegFormatError(
+            "subsampling='420' is a color (channels=3) mode")
+    sub420 = subsampling == "420"
 
     qtabs = quant_tables(quality)
     arr = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(
@@ -413,24 +421,9 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    out = bytearray(JPEG_SOI)
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    if channels == 4:
-        # APP14 Adobe marker: ColorTransform 0 = CMYK direct, 2 = YCCK
-        out += seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
-                                                  2 if ycck else 0))
-    for ti in range(max(qsel) + 1):
-        tab = qtabs[ti].reshape(64)[zz]        # stored in zigzag order
-        out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci in range(channels):
-        sof += bytes([ci + 1, samp[ci], qsel[ci]])
-    out += seg(0xFFC0, sof)
-    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
-    if any(t == 1 for t in tsels):
-        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
-    for tc, (bits, vals) in specs:
-        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    out = bytearray(_header_segments(
+        0xFFC0, width, height, channels, qtabs, qsel, samp, tsels,
+        (2 if ycck else 0) if channels == 4 else None))
     sos = bytes([channels])
     for ci in range(channels):
         tsel = tsels[ci]
@@ -439,6 +432,39 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     out += seg(0xFFDA, sos)
     out += bw.buf
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _header_segments(sof_marker, width, height, channels, qtabs, qsel,
+                     samp_bytes, tsels, adobe_transform=None) -> bytes:
+    """SOI through the last DHT — the marker prefix SHARED by the
+    sequential and progressive encoders (review-caught r5: two divergent
+    copies would silently break the progressive-equals-sequential twin
+    proof). adobe_transform None = no APP14 segment."""
+    zz = np.array(ZIGZAG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0,
+               b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    if adobe_transform is not None:
+        # APP14 Adobe marker: ColorTransform 0 = direct planes, 2 = YCCK
+        out += seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                                  adobe_transform))
+    for ti in range(max(qsel) + 1):
+        tab = qtabs[ti].reshape(64)[zz]        # stored in zigzag order
+        out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, samp_bytes[ci], qsel[ci]])
+    out += seg(sof_marker, sof)
+    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
+    if any(t == 1 for t in tsels):
+        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
+    for tc, (bits, vals) in specs:
+        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
     return bytes(out)
 
 
@@ -573,25 +599,10 @@ def _encode_progressive(width, height, channels, qtabs, qsel, comps_zz,
         body = bytes([1, ci + 1, tsel]) + bytes([1, 63, (ah << 4) | al])
         return seg(0xFFDA, body) + bytes(bw.buf)
 
-    out = bytearray(JPEG_SOI)
-    out += seg(0xFFE0,
-               b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    if channels == 4:
-        out += seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
-                                                  adobe_transform))
-    for ti in range(max(qsel) + 1):
-        tab = qtabs[ti].reshape(64)[zz]
-        out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci in range(channels):
-        hi, vi = samp_hv[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
-    out += seg(0xFFC2, sof)                     # SOF2: progressive huffman
-    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
-    if any(t == 1 for t in tsels):
-        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
-    for tc, (bits, vals) in specs:
-        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    out = bytearray(_header_segments(
+        0xFFC2, width, height, channels, qtabs, qsel,
+        [(hi << 4) | vi for hi, vi in samp_hv], tsels,
+        adobe_transform if channels == 4 else None))
     out += dc_scan(0, 1)                        # DC first, Al=1
     for ci in range(channels):
         out += ac_scan(ci, 0, 1)                # AC first per component
@@ -1004,8 +1015,14 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
                 _dec_ac_refine(br, st, coef, act, max(ss, 1), se, al)
 
     unit = 0                            # MCUs (interleaved) / blocks (not)
-    if ns > 1 or (not progressive):
-        # interleaved: hi*vi blocks per component per MCU (A.2.3)
+    if ns > 1:
+        # interleaved: hi*vi blocks per component per MCU (A.2.3).
+        # A SINGLE-component scan is non-interleaved in ANY frame type
+        # (T.81 A.2.2) — baseline files written with per-component scan
+        # scripts (cjpeg -scans) walk the component's own block grid,
+        # which differs from the MCU grid once chroma is subsampled
+        # (review-caught r5: routing baseline Ns=1 scans through the MCU
+        # walk desynced the Huffman stream on 4:2:0 scan-script files).
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and unit and unit % restart_interval == 0:
@@ -1058,7 +1075,13 @@ def _reconstruct(sof, geom, coefs, qt,
             p = np.repeat(p, vmax // vi, axis=0)
         cropped.append(p[:h, :w])
     if len(cropped) == 3:
-        rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+        if adobe_transform == 0:
+            # Adobe APP14 ColorTransform 0 on a 3-component frame: the
+            # planes are stored R,G,B directly (some Adobe tools emit
+            # this) — no YCbCr inversion (review-caught r5)
+            rgb = np.stack(cropped, axis=-1)
+        else:
+            rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, 3, out.tobytes()
     if len(cropped) == 4:

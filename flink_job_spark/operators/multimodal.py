@@ -108,6 +108,18 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             w, h, _ = jpeg_meta(bytes(payload))
             return int(w), int(h), None
         except (JpegFormatError, struct.error) as e:
+            # JPEG features the built-in walk declines (arithmetic-coded
+            # SOF9+, 12-bit precision) route through the Pillow adapter
+            # like the pixel path does (review-caught r5: the metadata
+            # and pixel paths must agree on what decodes)
+            from flink_job_spark.functions.codec_adapters import (
+                image_meta_pillow, pillow_available)
+            if pillow_available():
+                try:
+                    w, h = image_meta_pillow(bytes(payload))
+                    return int(w), int(h), None
+                except Exception:
+                    pass
             return None, None, f"bad jpeg: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
