@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         behavior,
         cdc,
         core,
+        crawl,
         dedup,
         insights,
         mleval,

@@ -1,0 +1,511 @@
+"""Crawl→corpus pipeline keys (r5 wave 8): charset sniffing, Unicode
+normalization, robots.txt filtering, registrable-domain rollup, and the
+corpus-frequency rarity filter.
+
+Together with functions/warc.py (record walk) and functions/html_text.py
+(visible text + URL canonicalization) these complete the crawl front-end:
+bytes → charset → text → normalize → politeness filter → domain stats →
+token-level quality. Fixtures follow the wave-6 convention — deterministic
+closed forms of doc_id, so every oracle rebuilds the EXACT expected value
+in SQL and one wrong byte hash-mismatches.
+
+Scale notes live per key; the common shape: per-document work is
+Arrow-batched mapInPandas (zero shuffle), the two relational keys
+(robots, domains) put the small dimension (parsed rules / suffix list)
+on the broadcast side so the 100 TB URL/document side never shuffles
+for the match itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_job_spark.functions.text import words, words_duck
+from flink_job_spark.queries import register
+from flink_job_spark.sources.tables import load_table
+
+
+# --- q_charset_sniff: BOM / UTF-8 / CP-1252 detection, value-exact --------------
+#
+# The first thing that happens to a WARC payload: find out what encoding
+# the bytes are in. Five modes exercise every detection path — plain
+# ASCII, unmarked UTF-8, UTF-8 with BOM, UTF-16-LE with BOM, and a
+# CP-1252 fallback with a smart quote (0x92) that is INVALID UTF-8.
+
+@register(
+    "q_charset_sniff",
+    """SELECT doc_id,
+              CASE doc_id % 5 WHEN 0 THEN 'ascii'  WHEN 1 THEN 'utf-8'
+                              WHEN 2 THEN 'utf-8'  WHEN 3 THEN 'utf-16-le'
+                              ELSE 'cp1252' END AS charset,
+              doc_id % 5 IN (2, 3) AS had_bom,
+              CASE doc_id % 5
+                   WHEN 0 THEN 'plain doc ' || doc_id
+                   WHEN 1 THEN 'café № ' || doc_id || ' ✓'
+                   WHEN 2 THEN 'café № ' || doc_id || ' ✓'
+                   WHEN 3 THEN 'wide ' || doc_id || ' café'
+                   ELSE 'smart ' || chr(8217) || 'quote' || chr(8217)
+                        || ' café ' || doc_id
+              END AS text,
+              CAST(length(CASE doc_id % 5
+                   WHEN 0 THEN 'plain doc ' || doc_id
+                   WHEN 1 THEN 'café № ' || doc_id || ' ✓'
+                   WHEN 2 THEN 'café № ' || doc_id || ' ✓'
+                   WHEN 3 THEN 'wide ' || doc_id || ' café'
+                   ELSE 'smart ' || chr(8217) || 'quote' || chr(8217)
+                        || ' café ' || doc_id
+              END) AS INT) AS n_chars
+       FROM documents""",
+    doc="charset sniffing: per-doc payload bytes in one of five real "
+        "encodings (plain ASCII, unmarked UTF-8, UTF-8+BOM, UTF-16-LE+BOM, "
+        "CP-1252 with a 0x92 smart quote that is invalid UTF-8) detected "
+        "and decoded — charset, BOM flag and the exact decoded string "
+        "verified closed-form; the bytes→text layer every WARC payload "
+        "crosses first",
+    tags=("text", "crawl", "formats"),
+)
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage over doc_id, zero shuffle. At 100 TB
+    the payload column rides the same scan partitioning as the WARC walk
+    (functions/warc.py); detection is O(bytes) with no library calls."""
+    import pandas as pd
+
+    from flink_job_spark.functions.crawl_text import sniff_decode
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("charset", T.StringType()),
+        T.StructField("had_bom", T.BooleanType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            charsets, boms, texts, lens = [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mode = i % 5
+                if mode == 0:
+                    payload = f"plain doc {i}".encode("ascii")
+                elif mode == 1:
+                    payload = f"café № {i} ✓".encode("utf-8")
+                elif mode == 2:
+                    payload = b"\xef\xbb\xbf" + f"café № {i} ✓".encode("utf-8")
+                elif mode == 3:
+                    payload = b"\xff\xfe" + f"wide {i} café".encode("utf-16-le")
+                else:
+                    payload = f"smart ’quote’ café {i}".encode("cp1252")
+                r = sniff_decode(payload)
+                charsets.append(r["charset"])
+                boms.append(r["had_bom"])
+                texts.append(r["text"])
+                lens.append(len(r["text"]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "charset": charsets,
+                "had_bom": boms, "text": texts,
+                "n_chars": pd.array(lens, dtype="Int32")})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_text_normalize: NFC + mojibake repair + control strip, value-exact -------
+#
+# The canonical-text policy every downstream hash/dedup/quality key
+# assumes: four modes cover the no-op path, a CP-1252-in-UTF-8 mojibake
+# string rebuilt byte-exactly ("Ã©"→"é", "â€”"→"—"), NFD composition +
+# zero-width/NBSP cleanup, and control chars + whitespace runs.
+
+@register(
+    "q_text_normalize",
+    """SELECT doc_id,
+              CASE doc_id % 4
+                   WHEN 0 THEN 'clean doc ' || doc_id || ' ok'
+                   WHEN 1 THEN 'café ' || doc_id || ' ' || chr(8212) || ' x'
+                   WHEN 2 THEN 'zéro ' || doc_id || ' end'
+                   ELSE 'ctl ' || doc_id || ' mixed'
+              END AS norm_text,
+              CAST(length(CASE doc_id % 4
+                   WHEN 0 THEN 'clean doc ' || doc_id || ' ok'
+                   WHEN 1 THEN 'café ' || doc_id || ' ' || chr(8212) || ' x'
+                   WHEN 2 THEN 'zéro ' || doc_id || ' end'
+                   ELSE 'ctl ' || doc_id || ' mixed'
+              END) AS INT) AS n_chars,
+              doc_id % 4 = 1 AS fixed_mojibake,
+              doc_id % 4 <> 0 AS changed
+       FROM documents""",
+    doc="Unicode text normalization: per-doc raw strings exercising "
+        "CP-1252-in-UTF-8 mojibake repair (Ã©→é, â€”→em-dash, whole-string "
+        "round-trip gated), NFD→NFC composition, zero-width/NBSP cleanup, "
+        "control stripping and whitespace collapsing — the exact normalized "
+        "string rebuilt closed-form in SQL; the canonical-text policy the "
+        "dedup and quality families assume",
+    tags=("text", "crawl", "quality"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage, zero shuffle; pure stdlib
+    (unicodedata) per row."""
+    import pandas as pd
+
+    from flink_job_spark.functions.crawl_text import normalize_text
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("norm_text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("fixed_mojibake", T.BooleanType()),
+        T.StructField("changed", T.BooleanType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            texts, lens, fixed, changed = [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mode = i % 4
+                if mode == 0:
+                    raw = f"clean doc {i} ok"
+                elif mode == 1:
+                    # byte-exact mojibake: UTF-8 of the clean string
+                    # mis-decoded as CP-1252 (é → Ã©, — → â€”)
+                    raw = (f"café {i} — x".encode("utf-8")
+                           .decode("cp1252"))
+                elif mode == 2:
+                    raw = f"ze\u0301ro\u200b {i}\u00a0end"
+                else:
+                    raw = f"ctl\x07 {i}\t\n  mixed\x1f"
+                r = normalize_text(raw)
+                texts.append(r["text"])
+                lens.append(len(r["text"]))
+                fixed.append(r["fixed_mojibake"])
+                changed.append(r["changed"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "norm_text": texts,
+                "n_chars": pd.array(lens, dtype="Int32"),
+                "fixed_mojibake": fixed, "changed": changed})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_robots_filter: RFC 9309 longest-match politeness filter ------------------
+#
+# Crawl politeness as a RELATIONAL join, not a per-URL Python loop: the
+# per-host robots.txt is parsed once into an Allow/Disallow rule table
+# (pattern → SQL LIKE translation + RFC specificity length), broadcast,
+# LIKE-joined against the URL table, and the longest matching rule wins
+# (Allow on ties, no match → allowed). The fixture's robots.txt has a
+# decoy googlebot group (Disallow: /) that group selection must skip, a
+# wildcard+anchor rule (/*.zip$), an Allow override nested under a
+# Disallow, an empty Allow: line that must be ignored, comments, and a
+# Crawl-delay.
+
+_ROBOTS_HOSTS = 5
+
+
+def _robots_txt(k: int) -> str:
+    return (
+        f"# crawl policy for site{k}.com\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.zip$\n"
+        "Allow:\n"
+    )
+
+
+@register(
+    "q_robots_filter",
+    f"""SELECT doc_id,
+               'site' || (doc_id % {_ROBOTS_HOSTS}) || '.com' AS host,
+               CASE doc_id % 4
+                    WHEN 0 THEN '/public/page' || doc_id
+                    WHEN 1 THEN '/private/x' || doc_id
+                    WHEN 2 THEN '/private/ok/y' || doc_id
+                    ELSE '/files/a' || doc_id || '.zip'
+               END AS path,
+               doc_id % 4 IN (0, 2) AS allowed,
+               CASE doc_id % 4
+                    WHEN 0 THEN NULL
+                    WHEN 1 THEN '/private'
+                    WHEN 2 THEN '/private/ok'
+                    ELSE '/*.zip$'
+               END AS matched_rule,
+               CAST(2 AS INT) AS crawl_delay
+        FROM documents""",
+    doc="robots.txt politeness filter (RFC 9309): per-host policies with a "
+        "decoy googlebot group, an Allow override under a Disallow prefix, "
+        "a /*.zip$ wildcard+anchor rule, an ignored empty rule and a "
+        "Crawl-delay are parsed into a rule table and longest-match joined "
+        "against the URL stream — allowed flag, winning rule and delay "
+        "verified closed-form",
+    tags=("text", "crawl", "relational"),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness filter as a broadcast LIKE-join: rules per host are
+    a tiny dimension (a few rules × hosts — even at 100 TB of URLs the
+    robots corpus is MB-scale after parsing), so the URL side never
+    shuffles for the match. Longest-match = window over (specificity
+    DESC, allow DESC) per URL; unmatched URLs come back via left join
+    with allowed=true. One shuffle total (the per-URL window), and that
+    is removable at scale by making the broadcast join output a
+    map-side argmax via groupBy(doc_id) on the same partitioning."""
+    import pandas as pd
+
+    from flink_job_spark.functions.crawl_text import parse_robots
+
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % _ROBOTS_HOSTS).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/public/page"), F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("/private/ok/y"), F.col("doc_id").cast("string")))
+         .otherwise(
+               F.concat(F.lit("/files/a"), F.col("doc_id").cast("string"),
+                        F.lit(".zip"))).alias("path"),
+    )
+
+    hosts = urls.select("host").distinct()
+
+    rules_schema = T.StructType([
+        T.StructField("host", T.StringType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("like_pat", T.StringType(), False),
+        T.StructField("specificity", T.IntegerType(), False),
+        T.StructField("crawl_delay", T.IntegerType()),
+    ])
+
+    def parse(it):
+        for pdf in it:
+            rows = {k: [] for k in ("host", "allow", "pattern", "like_pat",
+                                    "specificity", "crawl_delay")}
+            for h in pdf["host"]:
+                k = int(str(h).removeprefix("site").removesuffix(".com"))
+                parsed = parse_robots(_robots_txt(k), agent="sparkbot")
+                delay = (None if parsed["crawl_delay"] is None
+                         else int(parsed["crawl_delay"]))
+                for r in parsed["rules"]:
+                    rows["host"].append(h)
+                    rows["allow"].append(r.allow)
+                    rows["pattern"].append(r.pattern)
+                    rows["like_pat"].append(r.like_pattern)
+                    rows["specificity"].append(r.specificity)
+                    rows["crawl_delay"].append(delay)
+            out = pd.DataFrame(rows)
+            out["specificity"] = out["specificity"].astype("Int32")
+            out["crawl_delay"] = pd.array(rows["crawl_delay"], dtype="Int32")
+            yield out
+
+    rules = hosts.mapInPandas(parse, schema=rules_schema)
+
+    # LEFT broadcast join keeps unmatched URLs in-flight (they surface as
+    # one null-rule row), so the winner pick is ONE window over the join
+    # output — no join-back of winners to the URL table (that was a
+    # SortMergeJoin with two extra exchanges in the first cut of this plan).
+    r = rules.select(
+        "host", F.col("allow").alias("r_allow"),
+        F.col("pattern").alias("r_pattern"), "like_pat", "specificity")
+    joined = urls.join(
+        F.broadcast(r),
+        (urls["host"] == r["host"])
+        & F.expr(r"path LIKE like_pat ESCAPE '\\'"),
+        "left",
+    ).select(urls["doc_id"], urls["host"], urls["path"],
+             "r_allow", "r_pattern", "specificity")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("specificity").desc_nulls_last(), F.col("r_allow").desc())
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    delays = rules.groupBy("host").agg(F.min("crawl_delay").alias("crawl_delay"))
+    return (
+        best.join(F.broadcast(delays), "host", "left")
+        .select(
+            "doc_id", "host", "path",
+            F.coalesce(F.col("r_allow"), F.lit(True)).alias("allowed"),
+            F.col("r_pattern").alias("matched_rule"), "crawl_delay")
+    )
+
+
+# --- q_domain_stats: registrable-domain rollup (public-suffix matching) ---------
+#
+# URL-level stats need a grouping key coarser than host but finer than
+# TLD: the PSL registrable domain. The match itself is relational —
+# candidate suffixes (last 1/2/3 labels) exploded and equi-joined
+# against the broadcast suffix list, longest hit wins, unknown TLD
+# falls back to the last label.
+
+_DOMAIN_SUFFIX_CASE = """CASE doc_id % 6
+     WHEN 0 THEN 'co.uk'   WHEN 1 THEN 'com'
+     WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+     WHEN 4 THEN 'com.au'  ELSE 'internal' END"""
+
+_DOMAIN_CASE = """CASE doc_id % 6
+     WHEN 0 THEN 'blog' || (doc_id % 7) || '.co.uk'
+     WHEN 1 THEN 'site' || (doc_id % 7) || '.com'
+     WHEN 2 THEN 'app' || (doc_id % 7) || '.github.io'
+     WHEN 3 THEN 'plain' || (doc_id % 7) || '.org'
+     WHEN 4 THEN 'shop' || (doc_id % 7) || '.com.au'
+     ELSE 'naked' || (doc_id % 7) || '.internal' END"""
+
+_HOST_CASE = """CASE doc_id % 6
+     WHEN 0 THEN 'www.blog' || (doc_id % 7) || '.co.uk'
+     WHEN 1 THEN (CASE WHEN (doc_id // 6) % 2 = 0 THEN 'a.' ELSE 'b.' END)
+                 || 'site' || (doc_id % 7) || '.com'
+     WHEN 2 THEN 'cdn.app' || (doc_id % 7) || '.github.io'
+     WHEN 3 THEN 'plain' || (doc_id % 7) || '.org'
+     WHEN 4 THEN 'deep.x.shop' || (doc_id % 7) || '.com.au'
+     ELSE 'naked' || (doc_id % 7) || '.internal' END"""
+
+
+@register(
+    "q_domain_stats",
+    f"""WITH h AS (
+          SELECT doc_id,
+                 {_HOST_CASE} AS host,
+                 {_DOMAIN_CASE} AS domain,
+                 {_DOMAIN_SUFFIX_CASE} AS suffix
+          FROM documents)
+        SELECT domain, suffix,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT host) AS n_hosts
+        FROM h GROUP BY domain, suffix""",
+    doc="registrable-domain rollup: hosts with 1/2/3-label public "
+        "suffixes (co.uk, com.au, github.io, bare TLDs, an unknown TLD "
+        "falling back to its last label) are PSL-matched relationally — "
+        "candidate suffixes exploded and equi-joined against the broadcast "
+        "suffix list, longest hit wins — then rolled up to docs + distinct "
+        "hosts per domain; the crawl-level grouping key",
+    tags=("text", "crawl", "agg"),
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL matching as data, not code — but with zero shuffle for the
+    match: the host side left-joins the (broadcast) suffix table THREE
+    times, once per candidate depth (last 1/2/3 labels), and the deepest
+    hit wins via a CASE. No explode (no 3× row blowup), no per-doc
+    re-aggregation; the only exchange in the whole plan is the final
+    (domain, suffix) rollup a 100 TB crawl needs anyway. The suffix
+    table stays data (swap in the full publicsuffix.org list without a
+    plan change) yet every join is a map-side broadcast hash join."""
+    from flink_job_spark.functions.crawl_text import PUBLIC_SUFFIXES
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select("doc_id", F.expr(_HOST_CASE.replace("//", " DIV ")).alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    hosts = hosts.select(
+        "doc_id", "host", n.alias("n_labels"),
+        F.element_at(labels, -1).alias("last1"),
+        F.when(n >= 2, F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)))
+         .alias("last2"),
+        F.when(n >= 3, F.concat_ws(
+            ".", F.element_at(labels, -3), F.element_at(labels, -2),
+            F.element_at(labels, -1))).alias("last3"),
+    )
+    by_depth = {}
+    for depth in (1, 2, 3):
+        subset = [(s,) for s in PUBLIC_SUFFIXES if s.count(".") + 1 == depth]
+        by_depth[depth] = spark.createDataFrame(subset, f"sfx{depth} string")
+    j = (
+        hosts
+        .join(F.broadcast(by_depth[3]),
+              hosts["last3"] == F.col("sfx3"), "left")
+        .join(F.broadcast(by_depth[2]),
+              hosts["last2"] == F.col("sfx2"), "left")
+        .join(F.broadcast(by_depth[1]),
+              hosts["last1"] == F.col("sfx1"), "left")
+    )
+    depth = (F.when(F.col("sfx3").isNotNull(), 3)
+             .when(F.col("sfx2").isNotNull(), 2)
+             .otherwise(1))  # unknown TLD → last label (PSL implicit rule)
+    labels2 = F.split(F.col("host"), r"\.")
+    suffix = F.concat_ws(
+        ".", F.slice(labels2, F.col("n_labels") - depth + 1, depth))
+    domain = F.when(
+        F.col("n_labels") > depth,
+        F.concat_ws(".", F.slice(labels2, F.col("n_labels") - depth, depth + 1)),
+    ).otherwise(F.col("host"))
+    return (
+        j.select("host", domain.alias("domain"), suffix.alias("suffix"))
+        .groupBy("domain", "suffix")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+# --- q_token_corpus_freq: unigram corpus-frequency rarity filter -----------------
+#
+# The KenLM-shaped quality signal without libm: per document, how common
+# are its tokens in THIS corpus? Everything integer-exact — total
+# tokens, sum/min of corpus frequencies, rare-token count (corpus
+# freq ≤ 2) — plus one single-division ratio (engine-identical IEEE
+# rounding, same convention as the media means).
+
+_RARE_T = 2
+
+
+@register(
+    "q_token_corpus_freq",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({words_duck('text')}) AS w
+          FROM documents),
+        tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok2 GROUP BY w)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(f.cnt) AS BIGINT) AS sum_freq,
+               MIN(f.cnt) AS min_freq,
+               CAST(SUM(CASE WHEN f.cnt <= {_RARE_T} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare,
+               round(SUM(CASE WHEN f.cnt <= {_RARE_T} THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS rare_ratio
+        FROM tok2 t JOIN freq f ON t.w = f.w
+        GROUP BY t.doc_id""",
+    doc="corpus-frequency rarity filter (the KenLM-quality-filter shape, "
+        "integer-exact): token counts over the whole corpus joined back "
+        "per document — total tokens, sum/min corpus frequency, rare-token "
+        "count and ratio; the signal that separates fluent text from "
+        "gibberish without a language model",
+    tags=("text", "quality", "prep"),
+)
+def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles, both combine-enabled: (1) word → count partial-aggs
+    map-side before the exchange (Zipf head collapses early), (2) the
+    per-doc rollup. The freq table is vocabulary-sized; at 100 TB it is
+    still ≪ corpus and AQE will broadcast it for the join-back, making
+    the doc side shuffle only once (the final doc_id rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(words("text")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            F.min("cnt").alias("min_freq"),
+            F.sum(F.when(F.col("cnt") <= _RARE_T, 1).otherwise(0))
+             .alias("n_rare"),
+            F.round(
+                F.sum(F.when(F.col("cnt") <= _RARE_T, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"), 6).alias("rare_ratio"),
+        )
+    )
