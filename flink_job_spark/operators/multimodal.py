@@ -606,7 +606,7 @@ class ImageDecodeError(ValueError):
 
 def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Full pixel decode for the formats with real codecs here (PNG, BMP,
-    GIF) -> (w, h, channels, row-major RGB). The ONE magic-byte dispatch
+    GIF, JPEG, TIFF) -> (w, h, channels, row-major RGB). The ONE magic-byte dispatch
     every pixel-touching operator shares (decode_pixel_stats,
     resize_pixel_stats) — a new decodable format is added here once.
     All faults raise ImageDecodeError so callers keep errors as data with
@@ -634,6 +634,14 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_gif(payload)
         except (GifFormatError, structmod.error) as e:
             raise ImageDecodeError("gif", e) from e
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # grayscale TIFFs return ch=1 raw samples — same convention as
+        # grayscale PNG above (mean_luma averages samples either way)
+        from flink_job_spark.functions.tiff import TiffFormatError, decode_tiff
+        try:
+            return decode_tiff(payload)
+        except (TiffFormatError, structmod.error) as e:
+            raise ImageDecodeError("tiff", e) from e
     if payload[:2] == b"\xff\xd8":
         from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
         try:
@@ -656,9 +664,10 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _try_pillow(payload: bytes):
-    """Adapter fallback: full decode via Pillow when installed (WebP/TIFF/
-    arithmetic-coded JPEG/...). Returns None when the library is absent or the
-    payload still doesn't decode — the caller keeps its own error."""
+    """Adapter fallback: full decode via Pillow when installed (WebP/HEIC/
+    arithmetic-coded JPEG/exotic TIFF compressions/...). Returns None when the
+    library is absent or the payload still doesn't decode — the caller keeps
+    its own error."""
     from flink_job_spark.functions.codec_adapters import (
         decode_image_pillow, pillow_available)
 

@@ -563,6 +563,77 @@ def q_media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
 
+# --- q_media_tiff_stats: fifth REAL raster codec (IFD + strips + PackBits) ------
+
+TIFF_W_MOD, TIFF_H_MOD = 16, 12
+TIFF_RPS = 5  # rows per strip: every image gets >=2 strips (h >= 8)
+
+@register(
+    "q_media_tiff_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {TIFF_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {TIFF_H_MOD} AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT)
+                 AS channels,
+               round((SELECT AVG(CAST((doc_id * 29 + t.i * 11) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range(
+                              (8 + doc_id % {TIFF_W_MOD})
+                              * (8 + doc_id % {TIFF_H_MOD})
+                              * (CASE WHEN doc_id % 3 = 0
+                                      THEN 1 ELSE 3 END))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="REAL TIFF 6.0 codec roundtrip: per-doc baseline TIFFs — both "
+        "byte orders (odd ids MM), grayscale and RGB photometrics, "
+        "multi-strip layout (RowsPerStrip 5), alternating uncompressed / "
+        "PackBits strips — are encoded and fully decoded (IFD walk, "
+        "array-valued strip tables, RLE) through the SAME shared "
+        "decode_pixel_stats dispatch as PNG/BMP/GIF/JPEG; dims, channel "
+        "count and the sample mean verified against the closed-form pixel "
+        "function in plain SQL",
+    tags=("multimodal", "tiff"),
+)
+def q_media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth raster codec through the one magic-byte dispatch — TIFF adds
+    what the others don't exercise: array-valued IFD tags (strip offset /
+    byte-count tables), byte-order duality in ONE format, and per-strip
+    RLE. The fixture alternates ALL axes (II/MM x gray/RGB x none/PackBits
+    x multi-strip) so a decoder that ignores any of them mismatches. Same
+    scale shape as the other media keys: one Arrow-batched encode→decode
+    pass, bytes never leave the executor, zero shuffle."""
+    import pandas as pd
+
+    from flink_job_spark.functions.tiff import (C_NONE, C_PACKBITS, PH_GRAY,
+                                                PH_RGB, encode_tiff)
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % TIFF_W_MOD, 8 + i % TIFF_H_MOD
+                gray = i % 3 == 0
+                spp = 1 if gray else 3
+                px = bytes(((i * 29 + j * 11) % 256)
+                           for j in range(w * h * spp))
+                payloads.append(encode_tiff(
+                    w, h, px,
+                    byte_order="MM" if i % 2 else "II",
+                    photometric=PH_GRAY if gray else PH_RGB,
+                    rows_per_strip=TIFF_RPS,
+                    compression=C_PACKBITS if i % 4 >= 2 else C_NONE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/tiff", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
 # --- q_media_video_frames: REAL video container + sampled-frame decode --------
 
 VID_W_MOD, VID_H_MOD, VID_F_MOD = 12, 8, 6

@@ -1,0 +1,156 @@
+"""TIFF 6.0 baseline codec (functions/tiff.py — r5 wave 8): roundtrip,
+PackBits, corruption totality, and the shared-dispatch integration."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_job_spark.functions.tiff import (
+    C_NONE,
+    C_PACKBITS,
+    PH_GRAY,
+    PH_RGB,
+    TiffFormatError,
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+)
+
+
+# --- PackBits ---------------------------------------------------------------------
+
+
+def test_packbits_spec_vector():
+    # the canonical TIFF 6.0 section-9 example
+    data = bytes.fromhex("aa aa aa 80 00 2a aa aa aa aa 80 00"
+                         " 2a 22 aa aa aa aa aa aa aa aa aa aa".replace(" ", ""))
+    enc = packbits_encode(data)
+    assert packbits_decode(enc, len(data)) == data
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_packbits_roundtrip(data):
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+def test_packbits_noop_and_errors():
+    # 0x80 control byte is a no-op per spec
+    assert packbits_decode(b"\x80\x00a", 1) == b"a"
+    with pytest.raises(TiffFormatError):
+        packbits_decode(b"\x05ab", 6)          # literal overruns
+    with pytest.raises(TiffFormatError):
+        packbits_decode(b"\xfe", 3)            # run missing byte
+    with pytest.raises(TiffFormatError):
+        packbits_decode(b"\x00a", 2)           # short output
+
+
+# --- encode/decode roundtrip --------------------------------------------------------
+
+
+@given(
+    st.integers(1, 20), st.integers(1, 16),
+    st.sampled_from(["II", "MM"]),
+    st.sampled_from([PH_GRAY, PH_RGB]),
+    st.sampled_from([C_NONE, C_PACKBITS]),
+    st.sampled_from([0, 1, 3, 5]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_tiff_roundtrip(w, h, bo, ph, comp, rps, seed):
+    spp = 1 if ph == PH_GRAY else 3
+    px = bytes((seed * 31 + j * 7) % 256 for j in range(w * h * spp))
+    t = encode_tiff(w, h, px, byte_order=bo, photometric=ph,
+                    rows_per_strip=rps, compression=comp)
+    assert decode_tiff(t) == (w, h, spp, px)
+
+
+def test_tiff_multi_strip_layout():
+    """RowsPerStrip < height really produces multiple strips, and the
+    last partial strip decodes (h not a multiple of rps)."""
+    w, h = 6, 7
+    px = bytes(range(w * h * 3 % 256)) * 1
+    px = bytes((j * 13) % 256 for j in range(w * h * 3))
+    t = encode_tiff(w, h, px, rows_per_strip=3)
+    # count strip offsets via decode of the strip table: 3+3+1 rows
+    assert decode_tiff(t) == (w, h, 3, px)
+
+
+# --- corruption totality -------------------------------------------------------------
+
+
+def _good() -> bytes:
+    px = bytes((j * 11) % 256 for j in range(8 * 6 * 3))
+    return encode_tiff(8, 6, px, rows_per_strip=4, compression=C_PACKBITS)
+
+
+def test_tiff_truncation_totality():
+    g = _good()
+    for cut in range(len(g)):
+        try:
+            decode_tiff(g[:cut])
+        except TiffFormatError:
+            pass  # the ONLY acceptable exception type
+
+
+def test_tiff_byteflip_totality():
+    g = _good()
+    for pos in range(len(g)):
+        for mask in (0x01, 0x80, 0xFF):
+            b = bytearray(g)
+            b[pos] ^= mask
+            try:
+                decode_tiff(bytes(b))
+            except TiffFormatError:
+                pass
+
+
+def test_tiff_rejects_out_of_envelope():
+    px = bytes(4 * 3 * 3)
+    t16 = bytearray(encode_tiff(4, 3, px))
+    with pytest.raises(TiffFormatError):
+        decode_tiff(b"XX" + t16[2:])           # bad byte order
+    # 16-bit samples rejected: patch BitsPerSample inline value
+    # (simpler: synthesize via encoder internals is overkill — use a
+    # crafted minimal file)
+    bad_bits = encode_tiff(2, 2, bytes(4), photometric=PH_GRAY)
+    idx = bad_bits.find(struct.pack("<HHI", 258, 3, 1))
+    assert idx > 0
+    patched = bytearray(bad_bits)
+    patched[idx + 8] = 16
+    with pytest.raises(TiffFormatError):
+        decode_tiff(bytes(patched))
+
+
+def test_tiff_bomb_guard():
+    # forge an IFD that claims 100k x 100k: dimension cap must trip
+    px = bytes(4)
+    t = bytearray(encode_tiff(2, 2, px, photometric=PH_GRAY))
+    for tag, val in ((256, 100_000), (257, 100_000)):
+        idx = t.find(struct.pack("<HHI", tag, 4, 1))
+        assert idx > 0
+        t[idx + 8:idx + 12] = struct.pack("<I", val)
+    with pytest.raises(TiffFormatError):
+        decode_tiff(bytes(t))
+
+
+# --- shared-dispatch integration ------------------------------------------------------
+
+
+def test_decode_any_image_routes_tiff():
+    from flink_job_spark.operators.multimodal import (ImageDecodeError,
+                                                      _decode_any_image)
+
+    px = bytes((j * 5) % 256 for j in range(5 * 4 * 3))
+    t = encode_tiff(5, 4, px, byte_order="MM")
+    assert _decode_any_image(t) == (5, 4, 3, px)
+    gray = encode_tiff(3, 3, bytes(9), photometric=PH_GRAY)
+    assert _decode_any_image(gray)[2] == 1     # gray passes through as 1ch
+    with pytest.raises(ImageDecodeError) as ei:
+        _decode_any_image(b"II*\x00garbage")
+    assert "tiff" in str(ei.value)
