@@ -1,0 +1,525 @@
+"""Minimal-but-real PDF text extraction (pure Python): build + parse the
+subset of ISO 32000 a crawl's text pipeline needs.
+
+Builder (``build_pdf``): valid PDF 1.4 — catalog → page tree → per-page
+content streams (optionally FlateDecode-compressed), Helvetica font,
+classic xref table + trailer. Exists to power the roundtrip twin proof,
+same pattern as the other codec builders (jpeg.py, gif.py, archive.py).
+
+Parser (``extract_pdf_text``): follows the REAL object graph, not regex
+over bytes — ``startxref`` → xref table → trailer ``/Root`` → catalog →
+``/Pages`` tree walk (recursive ``/Kids``) → per-page ``/Contents``
+(single ref or array), FlateDecode when ``/Filter`` says so, indirect
+``/Length`` resolution, then a content-stream tokenizer that understands
+``BT``/``ET`` blocks and the text-showing operators ``Tj``, ``'``, ``"``
+and ``TJ`` (kerning numbers skipped), with ``Td``/``TD``/``T*``/``'``/``"``
+emitting line breaks. String syntax per spec: balanced parens, ``\\``
+escapes (n r t b f ( ) \\), octal codes, line continuations; hex strings
+``<...>``. Text bytes are PDFDocEncoding-adjacent Latin-1 here (the
+builder emits Latin-1) — real-font /ToUnicode CMaps are out of scope and
+documented so.
+
+Errors-as-data: every malformed input raises PdfFormatError (never a bare
+struct/zlib/ValueError escape — the r4 DQT lesson); bomb guards cap object
+count, stream size and recursion depth.
+
+Reference parity note: the reference engine has no document path — this
+extends the LLM-pipeline north star the same way the media codecs do.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_MAX_OBJECTS = 100_000
+_MAX_STREAM = 64 * 1024 * 1024
+_MAX_DEPTH = 32
+
+
+class PdfFormatError(ValueError):
+    """Malformed PDF — becomes a decode_error row."""
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug only
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """A /Name token (distinct from a string literal)."""
+
+
+# --- object lexer/parser ------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+
+    def _skip_ws(self) -> None:
+        d, p, n = self.d, self.p, len(self.d)
+        while p < n:
+            c = d[p:p + 1]
+            if c in (b"%",):              # comment to EOL
+                while p < n and d[p] not in b"\r\n":
+                    p += 1
+            elif c in _WS:
+                p += 1
+            else:
+                break
+        self.p = p
+
+    def peek_token(self) -> bytes:
+        save = self.p
+        t = self.next_token()
+        self.p = save
+        return t
+
+    def next_token(self) -> bytes:
+        self._skip_ws()
+        d, p, n = self.d, self.p, len(self.d)
+        if p >= n:
+            raise PdfFormatError("unexpected end of data")
+        c = d[p:p + 1]
+        if c == b"<":
+            if d[p + 1:p + 2] == b"<":
+                self.p = p + 2
+                return b"<<"
+            self.p = p + 1
+            return b"<"
+        if c == b">":
+            if d[p + 1:p + 2] == b">":
+                self.p = p + 2
+                return b">>"
+            self.p = p + 1
+            return b">"
+        if c in b"[]()/{}":
+            self.p = p + 1
+            return c
+        # regular token: run to whitespace/delimiter
+        q = p
+        while q < n and d[q] not in _WS and d[q:q + 1] not in (
+                b"(", b")", b"<", b">", b"[", b"]", b"{", b"}", b"/", b"%"):
+            q += 1
+        if q == p:
+            raise PdfFormatError(f"bad token at {p}")
+        self.p = q
+        return d[p:q]
+
+    # --- composite values -----------------------------------------------
+
+    def parse_object(self, depth: int = 0):
+        if depth > _MAX_DEPTH:
+            raise PdfFormatError("object nesting exceeds cap")
+        t = self.next_token()
+        if t == b"<<":
+            out: dict[str, object] = {}
+            while True:
+                nt = self.next_token()
+                if nt == b">>":
+                    return out
+                if nt != b"/":
+                    raise PdfFormatError("dict key must be a name")
+                key = self.next_token().decode("latin-1")
+                out[key] = self.parse_object(depth + 1)
+        if t == b"[":
+            arr: list[object] = []
+            while True:
+                self._skip_ws()
+                if self.d[self.p:self.p + 1] == b"]":
+                    self.p += 1
+                    return arr
+                arr.append(self.parse_object(depth + 1))
+        if t == b"(":
+            return self._parse_string()
+        if t == b"<":
+            return self._parse_hex_string()
+        if t == b"/":
+            return Name(self.next_token().decode("latin-1"))
+        if t in (b"true", b"false"):
+            return t == b"true"
+        if t == b"null":
+            return None
+        if _NUM_RE.fullmatch(t):
+            # possible indirect reference: INT INT R
+            if b"." not in t:
+                save = self.p
+                try:
+                    t2 = self.next_token()
+                    t3 = self.next_token()
+                    if t3 == b"R" and _NUM_RE.fullmatch(t2) and b"." not in t2:
+                        return Ref(int(t), int(t2))
+                except PdfFormatError:
+                    pass
+                self.p = save
+                return int(t)
+            return float(t)
+        raise PdfFormatError(f"unexpected token {t!r}")
+
+    def _parse_string(self) -> bytes:
+        d, p, n = self.d, self.p, len(self.d)
+        out = bytearray()
+        depth = 1
+        while p < n:
+            c = d[p]
+            if c == 0x5C:                 # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[e]
+                    p += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    p += 1
+                elif 0x30 <= e <= 0x37:   # up to 3 octal digits
+                    q = p
+                    while q < n and q - p < 3 and 0x30 <= d[q] <= 0x37:
+                        q += 1
+                    out.append(int(d[p:q], 8) & 0xFF)
+                    p = q
+                elif e in b"\r\n":        # line continuation
+                    p += 1
+                    if e == 0x0D and p < n and d[p] == 0x0A:
+                        p += 1
+                else:                     # unknown escape: char itself
+                    out.append(e)
+                    p += 1
+            elif c == 0x28:               # (
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:               # )
+                depth -= 1
+                if depth == 0:
+                    self.p = p + 1
+                    return bytes(out)
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        raise PdfFormatError("unterminated string literal")
+
+    def _parse_hex_string(self) -> bytes:
+        d, p, n = self.d, self.p, len(self.d)
+        digits = []
+        while p < n:
+            c = d[p:p + 1]
+            if c == b">":
+                self.p = p + 1
+                if len(digits) % 2:
+                    digits.append("0")    # spec: odd count → trailing 0
+                return bytes(int("".join(digits[i:i + 2]), 16)
+                             for i in range(0, len(digits), 2))
+            if c not in _WS:
+                if not c.isalnum():
+                    raise PdfFormatError("bad hex string")
+                digits.append(c.decode())
+            p += 1
+        raise PdfFormatError("unterminated hex string")
+
+
+# --- document structure ---------------------------------------------------------------
+
+
+class _Document:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.xref: dict[int, int] = {}
+        self.trailer: dict[str, object] = {}
+        self._parse_xref()
+
+    def _parse_xref(self) -> None:
+        d = self.d
+        tail = d[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfFormatError("startxref not found")
+        off = int(m.group(1))
+        seen = set()
+        while True:
+            if off in seen:
+                raise PdfFormatError("xref loop")
+            seen.add(off)
+            lex = _Lexer(d, off)
+            if lex.next_token() != b"xref":
+                raise PdfFormatError("classic xref table expected")
+            while True:
+                t = lex.peek_token()
+                if t == b"trailer":
+                    lex.next_token()
+                    break
+                start = lex.next_token()
+                count = lex.next_token()
+                if not (start.isdigit() and count.isdigit()):
+                    raise PdfFormatError("bad xref subsection header")
+                start_i, count_i = int(start), int(count)
+                if count_i > _MAX_OBJECTS:
+                    raise PdfFormatError("xref subsection exceeds cap")
+                for i in range(count_i):
+                    eoff = lex.next_token()
+                    lex.next_token()      # generation
+                    kind = lex.next_token()
+                    num = start_i + i
+                    if kind == b"n" and num not in self.xref:
+                        if not eoff.isdigit():
+                            raise PdfFormatError("bad xref offset")
+                        self.xref[num] = int(eoff)
+                    elif kind not in (b"n", b"f"):
+                        raise PdfFormatError("bad xref entry kind")
+            trailer = lex.parse_object()
+            if not isinstance(trailer, dict):
+                raise PdfFormatError("trailer is not a dict")
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                break
+            if not isinstance(prev, int):
+                raise PdfFormatError("bad /Prev")
+            off = prev
+        if len(self.xref) > _MAX_OBJECTS:
+            raise PdfFormatError("object count exceeds cap")
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, Ref):
+            if depth > _MAX_DEPTH:
+                raise PdfFormatError("reference chain exceeds cap")
+            v = self.get_object(v.num)
+            depth += 1
+        return v
+
+    def get_object(self, num: int):
+        off = self.xref.get(num)
+        if off is None or off < 0 or off >= len(self.d):
+            raise PdfFormatError(f"object {num} not in xref")
+        lex = _Lexer(self.d, off)
+        t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
+        if t3 != b"obj" or not t1.isdigit() or int(t1) != num:
+            raise PdfFormatError(f"object header mismatch for {num}")
+        obj = lex.parse_object()
+        lex._skip_ws()
+        if self.d[lex.p:lex.p + 6] == b"stream":
+            if not isinstance(obj, dict):
+                raise PdfFormatError("stream without dict")
+            p = lex.p + 6
+            if self.d[p:p + 2] == b"\r\n":
+                p += 2
+            elif self.d[p:p + 1] == b"\n":
+                p += 1
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int) or length < 0 or length > _MAX_STREAM:
+                raise PdfFormatError("bad stream /Length")
+            if p + length > len(self.d):
+                raise PdfFormatError("stream overruns file")
+            raw = self.d[p:p + length]
+            filt = self.resolve(obj.get("Filter"))
+            if filt == "FlateDecode" or (
+                    isinstance(filt, list) and filt == ["FlateDecode"]):
+                try:
+                    dec = zlib.decompressobj()
+                    raw = dec.decompress(raw, _MAX_STREAM)
+                    if dec.unconsumed_tail:
+                        raise PdfFormatError("stream inflate exceeds cap")
+                except zlib.error as e:
+                    raise PdfFormatError(f"bad FlateDecode stream: {e}") from e
+            elif filt is not None:
+                raise PdfFormatError(f"unsupported filter {filt}")
+            obj["__stream__"] = raw
+        return obj
+
+
+# --- content-stream text extraction ----------------------------------------------------
+
+_SHOW_OPS = (b"Tj", b"'", b'"')
+_NEWLINE_OPS = (b"Td", b"TD", b"T*", b"'", b'"')
+
+
+def _extract_content_text(content: bytes) -> list[str]:
+    """Walk one content stream; return text chunks (newline markers as
+    separate '\\n' entries). Only text inside BT/ET is taken."""
+    lex = _Lexer(content)
+    chunks: list[str] = []
+    in_text = False
+    stack: list[object] = []
+    while True:
+        lex._skip_ws()
+        if lex.p >= len(lex.d):
+            break
+        c = lex.d[lex.p:lex.p + 1]
+        if c in (b"(", b"<", b"[", b"/") or _NUM_RE.match(
+                lex.d[lex.p:lex.p + 12]) and c not in (b"B", b"E", b"T"):
+            try:
+                stack.append(lex.parse_object())
+            except PdfFormatError:
+                lex.p += 1                # tolerant: garbage operand skipped
+            continue
+        op = lex.next_token()
+        if op == b"BT":
+            in_text = True
+        elif op == b"ET":
+            in_text = False
+        elif in_text and op in _NEWLINE_OPS:
+            if chunks and chunks[-1] != "\n":
+                chunks.append("\n")
+        if in_text and op in _SHOW_OPS:
+            if stack and isinstance(stack[-1], bytes):
+                chunks.append(stack[-1].decode("latin-1"))
+        elif in_text and op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        chunks.append(el.decode("latin-1"))
+        stack.clear()
+    return chunks
+
+
+def extract_pdf_text(data: bytes) -> dict:
+    """Parse the object graph and extract all page text.
+
+    Returns ``{"n_pages": int, "text": str}`` — text is per-page chunks
+    joined, line-break operators rendered as ``\\n``, pages separated by
+    ``\\n``. Raises PdfFormatError on any malformed input.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise PdfFormatError("missing %PDF header")
+    doc = _Document(data)
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfFormatError("missing /Root catalog")
+    pages_obj = doc.resolve(root.get("Pages"))
+    if not isinstance(pages_obj, dict):
+        raise PdfFormatError("missing /Pages")
+
+    page_texts: list[str] = []
+
+    def walk(node: dict, depth: int) -> None:
+        if depth > _MAX_DEPTH:
+            raise PdfFormatError("page tree exceeds depth cap")
+        typ = node.get("Type")
+        if typ == "Pages" or (typ is None and "Kids" in node):
+            kids = doc.resolve(node.get("Kids"))
+            if not isinstance(kids, list):
+                raise PdfFormatError("bad /Kids")
+            if len(kids) > _MAX_OBJECTS:
+                raise PdfFormatError("kid count exceeds cap")
+            for k in kids:
+                kid = doc.resolve(k)
+                if not isinstance(kid, dict):
+                    raise PdfFormatError("bad page-tree kid")
+                walk(kid, depth + 1)
+        elif typ == "Page":
+            contents = doc.resolve(node.get("Contents"))
+            streams: list[bytes] = []
+            if contents is None:
+                pass
+            elif isinstance(contents, dict):
+                streams.append(contents.get("__stream__", b""))
+            elif isinstance(contents, list):
+                for cref in contents:
+                    cobj = doc.resolve(cref)
+                    if isinstance(cobj, dict):
+                        streams.append(cobj.get("__stream__", b""))
+            else:
+                raise PdfFormatError("bad /Contents")
+            chunks = _extract_content_text(b"".join(streams))
+            page_texts.append("".join(chunks).strip("\n"))
+        else:
+            raise PdfFormatError(f"unexpected page-tree node type {typ!r}")
+
+    walk(pages_obj, 0)
+    return {"n_pages": len(page_texts), "text": "\n".join(page_texts)}
+
+
+# --- builder ---------------------------------------------------------------------------
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    out = bytearray()
+    for ch in s.encode("latin-1"):
+        if ch in b"()\\":
+            out += b"\\" + bytes([ch])
+        elif ch in (0x0A,):
+            out += b"\\n"
+        elif ch in (0x0D,):
+            out += b"\\r"
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def build_pdf(pages: list[list[str]], *, compress: bool = False,
+              use_tj_array: bool = False) -> bytes:
+    """Build a valid one-generation PDF 1.4: one content stream per page;
+    each page is a list of text lines (rendered with Td line moves).
+
+    ``compress`` FlateDecodes the content streams; ``use_tj_array`` shows
+    each line via a kerned TJ array instead of Tj (split mid-line, with a
+    numeric kern element the extractor must skip).
+    """
+    objects: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page
+    # (4+2i page, 5+2i content)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                  ).encode()
+    objects[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(pages):
+        page_num, content_num = 4 + 2 * i, 5 + 2 * i
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                parts.append(b"0 -14 Td")
+            if use_tj_array and len(line) > 1:
+                mid = len(line) // 2
+                parts.append(b"[" + b"(" + _escape_pdf_string(line[:mid])
+                             + b") -250 (" + _escape_pdf_string(line[mid:])
+                             + b")] TJ")
+            else:
+                parts.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objects[content_num] = (
+            b"<< /Length " + str(len(content)).encode() + filt
+            + b" >>\nstream\n" + content + b"\nendstream")
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_num} 0 R >>").encode()
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n_obj = max(objects) + 1
+    out += f"xref\n0 {n_obj}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)

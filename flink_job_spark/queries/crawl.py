@@ -509,3 +509,81 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double"), 6).alias("rare_ratio"),
         )
     )
+
+
+# --- q_pdf_extract: REAL PDF text extraction, value-exact oracle -----------------
+#
+# The #2 document format in any crawl after HTML. The parser follows the
+# real object graph (startxref → xref table → /Root → page tree →
+# /Contents, FlateDecode) and a content-stream tokenizer (BT/ET, Tj /
+# TJ-with-kerning / ' line-show, Td/TD/T* line breaks, paren/octal/
+# backslash string escapes). Fixtures alternate compression and
+# TJ-vs-Tj encodings and embed the escape-needing characters ( ) \ %
+# so one mishandled escape or a kerning number leaking into the text
+# hash-mismatches.
+
+@register(
+    "q_pdf_extract",
+    r"""SELECT doc_id,
+              CAST(1 + doc_id % 3 AS INT) AS n_pages,
+              (SELECT string_agg(
+                    'Doc ' || doc_id || ' pg ' || t.p || ' alpha (beta)'
+                    || chr(10) ||
+                    'tail ' || doc_id || '-' || t.p || ' 50% \ done',
+                    chr(10) ORDER BY t.p)
+               FROM (SELECT unnest(range(1 + doc_id % 3)) AS p) t) AS text,
+              CAST(length(
+                (SELECT string_agg(
+                    'Doc ' || doc_id || ' pg ' || t.p || ' alpha (beta)'
+                    || chr(10) ||
+                    'tail ' || doc_id || '-' || t.p || ' 50% \ done',
+                    chr(10) ORDER BY t.p)
+                 FROM (SELECT unnest(range(1 + doc_id % 3)) AS p) t))
+               AS INT) AS n_chars
+       FROM documents""",
+    doc="PDF text extraction: per-doc 1-3 page PDFs (classic xref, page "
+        "tree, FlateDecode on odd ids, kerned TJ arrays on ids%4>=2, "
+        "parens/backslash/percent in the text) parsed via the REAL object "
+        "graph and content-stream tokenizer — page count and the exact "
+        "extracted string rebuilt closed-form in SQL",
+    tags=("text", "crawl", "formats"),
+)
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched encode→parse map stage over doc_id, zero
+    shuffle — the 100 TB document-corpus shape (PDF bytes ride the
+    binaryFile scan partitioning; parse cost is per-row, no library)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.pdf import build_pdf, extract_pdf_text
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+
+    def run(it):
+        for pdf_batch in it:
+            n_pages_out, texts, lens = [], [], []
+            for i in pdf_batch["doc_id"]:
+                i = int(i)
+                pages = [
+                    [f"Doc {i} pg {p} alpha (beta)",
+                     f"tail {i}-{p} 50% \\ done"]
+                    for p in range(1 + i % 3)
+                ]
+                blob = build_pdf(pages, compress=bool(i % 2),
+                                 use_tj_array=(i % 4 >= 2))
+                r = extract_pdf_text(blob)
+                n_pages_out.append(r["n_pages"])
+                texts.append(r["text"])
+                lens.append(len(r["text"]))
+            yield pd.DataFrame({
+                "doc_id": pdf_batch["doc_id"],
+                "n_pages": pd.array(n_pages_out, dtype="Int32"),
+                "text": texts,
+                "n_chars": pd.array(lens, dtype="Int32")})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
