@@ -308,3 +308,79 @@ def registrable_domain(host: str) -> dict:
         return {"domain": host.lower(), "suffix": suffix, "is_suffix": True}
     domain = ".".join(labels[-(n_suffix + 1):])
     return {"domain": domain, "suffix": suffix, "is_suffix": False}
+
+
+# --- CSV dialect sniffing ---------------------------------------------------------
+
+CSV_DELIMS = (",", ";", "\t", "|")
+
+
+def sniff_csv(text: str, max_lines: int = 100) -> dict:
+    """Detect the delimiter / header of a CSV payload (the ingest step
+    before spark.read.csv can be pointed at a 100 TB drop of unlabeled
+    exports).
+
+    Policy (deterministic, documented):
+    - delimiter: the candidate in ``CSV_DELIMS`` for which every sampled
+      line parses (stdlib csv, quotechar ``"``) to the SAME field count
+      > 1; among consistent candidates the one with the most fields
+      wins, ties broken by CSV_DELIMS order. No consistent candidate →
+      ``,``.
+    - has_header: first row has no numeric-looking field AND at least
+      one column is numeric in every data row.
+    - quoted: any sampled field required quote parsing.
+
+    Returns {"delimiter", "has_header", "n_cols", "n_rows", "quoted"};
+    n_rows counts data rows (header excluded when detected). Total:
+    never raises on any string.
+    """
+    import csv as _csv
+    import io as _io
+
+    lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+    sample = lines[:max_lines]
+    if not sample:
+        return {"delimiter": ",", "has_header": False,
+                "n_cols": 0, "n_rows": 0, "quoted": False}
+
+    def parse(delim: str) -> list[list[str]] | None:
+        try:
+            return list(_csv.reader(_io.StringIO("\n".join(sample)),
+                                    delimiter=delim, quotechar='"'))
+        except _csv.Error:
+            return None
+
+    best, best_cols = None, 0
+    parsed_rows: list[list[str]] = []
+    for delim in CSV_DELIMS:
+        rows = parse(delim)
+        if not rows:
+            continue
+        counts = {len(r) for r in rows}
+        if len(counts) == 1 and counts.pop() > 1:
+            ncols = len(rows[0])
+            if ncols > best_cols:
+                best, best_cols, parsed_rows = delim, ncols, rows
+    if best is None:
+        best, parsed_rows = ",", parse(",") or [[ln] for ln in sample]
+        best_cols = max((len(r) for r in parsed_rows), default=0)
+
+    def numeric(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    has_header = False
+    if len(parsed_rows) >= 2:
+        head, data = parsed_rows[0], parsed_rows[1:]
+        if not any(numeric(f) for f in head):
+            n = min(len(r) for r in parsed_rows)
+            has_header = any(
+                all(numeric(r[c]) for r in data if len(r) > c)
+                for c in range(n))
+    quoted = any('"' in ln for ln in sample)
+    n_rows = len(lines) - (1 if has_header else 0)
+    return {"delimiter": best, "has_header": has_header,
+            "n_cols": best_cols, "n_rows": n_rows, "quoted": quoted}

@@ -587,3 +587,231 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_sitemap_parse: crawl seeding (urlset + sitemapindex + gzip) ---------------
+#
+# The stage before robots filtering: the URL frontier is seeded from
+# sitemaps. Three modes cover the protocol surface — a namespaced plain
+# urlset, a gzip-transport urlset WITHOUT the namespace (both forms are
+# common in the wild), and a gzipped sitemapindex.
+
+@register(
+    "q_sitemap_parse",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 2 THEN 'sitemapindex'
+                   ELSE 'urlset' END AS kind,
+              CAST(1 + doc_id % 4 AS INT) AS n_entries,
+              CASE WHEN doc_id % 3 = 2
+                   THEN 'http://site' || (doc_id % 5) || '.com/sm0.xml'
+                   ELSE 'http://site' || (doc_id % 5) || '.com/p0'
+              END AS first_loc,
+              CAST(1 + doc_id % 4 AS INT) AS n_lastmod,
+              CAST((1 + doc_id % 4 + 1) // 2 AS INT) AS n_changefreq,
+              CASE WHEN doc_id % 3 = 2 THEN NULL
+                   ELSE CAST('0.' || (1 + doc_id % 4) AS DOUBLE)
+              END AS max_priority
+       FROM documents""",
+    doc="sitemap parsing (sitemaps.org protocol): per-doc urlset / "
+        "sitemapindex payloads — namespaced and namespace-less XML, plain "
+        "and gzip transport — walked with DTD/entity bombs rejected and "
+        "the 50k protocol cap enforced; kind, entry count, first loc, "
+        "lastmod/changefreq coverage and max priority verified closed-form",
+    tags=("text", "crawl", "formats"),
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage, zero shuffle; sitemap payloads ride
+    the binaryFile scan partitioning at 100 TB like every other blob."""
+    import pandas as pd
+
+    from flink_job_spark.functions.sitemap import build_sitemap, parse_sitemap
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_entries", T.IntegerType()),
+        T.StructField("first_loc", T.StringType()),
+        T.StructField("n_lastmod", T.IntegerType()),
+        T.StructField("n_changefreq", T.IntegerType()),
+        T.StructField("max_priority", T.DoubleType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            kinds, counts, firsts, lastmods, freqs, prios = \
+                [], [], [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, k = 1 + i % 4, i % 5
+                if i % 3 == 2:
+                    entries = [{"loc": f"http://site{k}.com/sm{j}.xml",
+                                "lastmod": f"2026-01-{10 + j}",
+                                "changefreq": "daily" if j % 2 == 0 else None}
+                               for j in range(n)]
+                    blob = build_sitemap(entries, index=True, gzipped=True)
+                else:
+                    entries = [{"loc": f"http://site{k}.com/p{j}",
+                                "lastmod": f"2026-01-{10 + j}",
+                                "changefreq": "daily" if j % 2 == 0 else None,
+                                "priority": f"0.{j + 1}"}
+                               for j in range(n)]
+                    blob = build_sitemap(entries, gzipped=bool(i % 3),
+                                         namespaced=(i % 3 == 0))
+                r = parse_sitemap(blob)
+                es = r["entries"]
+                kinds.append(r["kind"])
+                counts.append(len(es))
+                firsts.append(es[0]["loc"])
+                lastmods.append(sum(1 for e in es if e["lastmod"]))
+                freqs.append(sum(1 for e in es if e["changefreq"]))
+                pr = [float(e["priority"]) for e in es if e["priority"]]
+                prios.append(max(pr) if pr else None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "kind": kinds,
+                "n_entries": pd.array(counts, dtype="Int32"),
+                "first_loc": firsts,
+                "n_lastmod": pd.array(lastmods, dtype="Int32"),
+                "n_changefreq": pd.array(freqs, dtype="Int32"),
+                "max_priority": prios})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_csv_sniff: dialect detection on unlabeled exports -------------------------
+#
+# Before spark.read.csv can touch a 100 TB drop of third-party exports,
+# something must decide delimiter/header per file. Four delimiters, a
+# quoted field EMBEDDING the delimiter in every row, header present on
+# even ids only — the deterministic policy in crawl_text.sniff_csv.
+
+_CSV_DELIMS_SQL = "CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';' " \
+                  "WHEN 2 THEN chr(9) ELSE '|' END"
+
+
+@register(
+    "q_csv_sniff",
+    f"""SELECT doc_id,
+               {_CSV_DELIMS_SQL} AS delimiter,
+               doc_id % 2 = 0 AS has_header,
+               CAST(3 AS INT) AS n_cols,
+               CAST(2 + doc_id % 3 AS INT) AS n_rows,
+               TRUE AS quoted
+        FROM documents""",
+    doc="CSV dialect sniffing: per-doc exports in four delimiters "
+        "(comma/semicolon/tab/pipe) with a quoted field embedding the "
+        "delimiter in every row and headers on even ids — the "
+        "deterministic consistency-scored detection policy verified "
+        "closed-form; the step before spark.read.csv on unlabeled drops",
+    tags=("text", "crawl", "formats"),
+)
+def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage, zero shuffle."""
+    import pandas as pd
+
+    from flink_job_spark.functions.crawl_text import CSV_DELIMS, sniff_csv
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("delimiter", T.StringType()),
+        T.StructField("has_header", T.BooleanType()),
+        T.StructField("n_cols", T.IntegerType()),
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("quoted", T.BooleanType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            delims, headers, cols, rows_out, quoted = [], [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                d = CSV_DELIMS[i % 4]
+                lines = []
+                if i % 2 == 0:
+                    lines.append(d.join(("name", "qty", "note")))
+                for j in range(2 + i % 3):
+                    lines.append(d.join((
+                        f'"it{j}{d}x"', str(j + i % 7), f"p{j}")))
+                r = sniff_csv("\n".join(lines))
+                delims.append(r["delimiter"])
+                headers.append(r["has_header"])
+                cols.append(r["n_cols"])
+                rows_out.append(r["n_rows"])
+                quoted.append(r["quoted"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "delimiter": delims,
+                "has_header": headers,
+                "n_cols": pd.array(cols, dtype="Int32"),
+                "n_rows": pd.array(rows_out, dtype="Int32"),
+                "quoted": quoted})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_dataset_card: per-source corpus statistics rollup --------------------------
+#
+# The one-page summary a dataset release ships: docs, languages, tokens,
+# exact-dup rate, mean length and corpus share per source. Pure
+# composition of the engine's own primitives — everything integer-exact
+# except two single IEEE divisions.
+
+from flink_job_spark.functions.text import (norm_text, norm_text_duck,
+                                             ws_token_count,
+                                             ws_token_count_duck)
+
+
+@register(
+    "q_dataset_card",
+    f"""WITH s AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 CAST(SUM({ws_token_count_duck('text')}) AS BIGINT)
+                   AS n_tokens,
+                 CAST(COUNT(*) - COUNT(DISTINCT {norm_text_duck('text')})
+                      AS BIGINT) AS dup_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY source)
+        SELECT source, n_docs, n_langs, n_tokens, dup_docs,
+               round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                 AS mean_chars,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
+        FROM s""",
+    doc="dataset card: the per-source release summary — docs, distinct "
+        "languages, whitespace tokens, exact-duplicate count (docs minus "
+        "distinct normalized texts), mean length and corpus share — "
+        "composed purely from the engine's own primitives, integer-exact "
+        "except two single IEEE divisions",
+    tags=("text", "quality", "agg", "prep"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy(source) with combine-enabled partial aggs plus a
+    scalar window for the share — at 100 TB the per-source cardinality
+    is tiny, so the window input is a handful of rows; the heavy side
+    shuffles once on source (and sources are few: pre-aggregate salting
+    via two-level agg is the documented escape if one source dominates,
+    operators/skew.py)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(ws_token_count("text")).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct(norm_text("text")))
+            .alias("dup_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    return per_source.select(
+        "source", "n_docs", "n_langs", "n_tokens", "dup_docs",
+        F.round(F.col("sum_chars").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("mean_chars"),
+        F.round(F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(W.partitionBy()).cast("double"), 6)
+        .alias("share"),
+    )
