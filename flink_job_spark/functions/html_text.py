@@ -134,3 +134,103 @@ def canonical_url(url: str) -> dict:
     path_depth = sum(1 for s in path.split("/") if s)
     return {"scheme": scheme, "host": host, "tld": tld, "port": port,
             "path_depth": path_depth, "canonical": canonical}
+
+
+# --- main-content extraction (link-density boilerplate removal) ------------------
+
+_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "article", "section", "header", "footer", "nav", "aside",
+    "blockquote", "pre",
+}
+MAIN_MIN_CHARS = 25          # a content block must carry real text…
+MAIN_MAX_LINK_DENSITY = 0.5  # …and not be mostly anchor text
+
+
+class _BlockText(HTMLParser):
+    """Segment the document into block-level text chunks, tracking how
+    many characters of each block sit inside <a> anchors — the signal
+    the readability-style content/boilerplate split keys on."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []   # (normalized text, link chars)
+        self._stack: list[list] = [[[], 0]]       # [chunks, link_chars] frames
+        self._skip_depth = 0
+        self._link_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif self._skip_depth:
+            return
+        elif tag in _BLOCK_TAGS:
+            self._stack.append([[], 0])
+        elif tag == "a":
+            self._link_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth:
+            self._skip_depth -= 1
+        elif self._skip_depth:
+            return
+        elif tag in _BLOCK_TAGS and len(self._stack) > 1:
+            chunks, link_chars = self._stack.pop()
+            text = " ".join(" ".join(c.split()) for c in chunks if c.strip())
+            if text:
+                self.blocks.append((text, link_chars))
+        elif tag == "a" and self._link_depth:
+            self._link_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        s = " ".join(data.split())
+        if not s:
+            return
+        frame = self._stack[-1]
+        frame[0].append(data)
+        if self._link_depth:
+            frame[1] += len(s)
+
+    def finish(self) -> None:
+        # unclosed blocks + top-level stray text flush in document order
+        while len(self._stack) > 1:
+            chunks, link_chars = self._stack.pop()
+            text = " ".join(" ".join(c.split()) for c in chunks if c.strip())
+            if text:
+                self.blocks.append((text, link_chars))
+        chunks, link_chars = self._stack[0]
+        text = " ".join(" ".join(c.split()) for c in chunks if c.strip())
+        if text:
+            self.blocks.append((text, link_chars))
+
+
+def extract_main_content(html: str) -> dict:
+    """Readability-style boilerplate removal, deterministic policy: a
+    block is CONTENT when it carries >= MAIN_MIN_CHARS characters and
+    its link density (anchor chars / chars) is <= MAIN_MAX_LINK_DENSITY
+    — navs, footers and link farms fail the density leg, button labels
+    and timestamps fail the length leg. Returns the content blocks
+    joined in document order plus the block-level accounting.
+
+    → {text, n_blocks, n_content_blocks, content_chars, boiler_chars}.
+    Never raises on tag soup (same tolerant grammar as
+    extract_visible_text).
+    """
+    p = _BlockText()
+    p.feed(html)
+    p.close()
+    p.finish()
+    content, n_content, content_chars, boiler_chars = [], 0, 0, 0
+    for text, link_chars in p.blocks:
+        if (len(text) >= MAIN_MIN_CHARS
+                and 2 * link_chars <= len(text)):
+            content.append(text)
+            n_content += 1
+            content_chars += len(text)
+        else:
+            boiler_chars += len(text)
+    return {"text": " ".join(content), "n_blocks": len(p.blocks),
+            "n_content_blocks": n_content, "content_chars": content_chars,
+            "boiler_chars": boiler_chars}

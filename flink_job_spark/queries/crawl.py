@@ -815,3 +815,90 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_docs").over(W.partitionBy()).cast("double"), 6)
         .alias("share"),
     )
+
+
+# --- q_html_main: boilerplate removal by link density, value-exact ---------------
+#
+# The step after q_html_extract a training corpus actually uses: drop
+# navs/footers/link farms, keep prose. Fixture pages carry a nav (pure
+# links), a long headline, two long paragraphs (one with an inline
+# link), a too-short paragraph, and a footer of links — the closed-form
+# oracle rebuilds the exact surviving text AND the block accounting, so
+# a block misclassified either way hash-mismatches.
+
+_HM_H1 = "Headline ' || doc_id || ' with enough characters to pass"
+_HM_P1 = ("First paragraph ' || doc_id || ' of the body with plenty of "
+          "running text.")
+_HM_P2 = ("Second paragraph ' || doc_id || ' with a link ' || doc_id || "
+          "' inside but mostly prose.")
+
+
+@register(
+    "q_html_main",
+    f"""SELECT doc_id,
+               '{_HM_H1} {_HM_P1} {_HM_P2}' AS text,
+               CAST(6 AS INT) AS n_blocks,
+               CAST(3 AS INT) AS n_content_blocks,
+               CAST(length('{_HM_H1}') + length('{_HM_P1}')
+                    + length('{_HM_P2}') AS INT) AS content_chars,
+               CAST(29 AS INT) AS boiler_chars
+        FROM documents""",
+    doc="main-content extraction: readability-style boilerplate removal "
+        "(block segmentation + link-density and min-length rules) over "
+        "per-doc pages carrying a nav, a headline, long paragraphs with "
+        "an inline link, a too-short paragraph and a footer — the exact "
+        "surviving text and the four block-accounting numbers rebuilt "
+        "closed-form in SQL",
+    tags=("text", "html", "crawl", "quality"),
+)
+def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage over doc_id, zero shuffle — the same
+    100 TB shape as q_html_extract; the density rule is O(chars)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.html_text import extract_main_content
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_content_blocks", T.IntegerType()),
+        T.StructField("content_chars", T.IntegerType()),
+        T.StructField("boiler_chars", T.IntegerType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            texts, nb, nc, cc, bc = [], [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (
+                    "<html><body>"
+                    '<nav><a href="/a">L0</a> <a href="/b">L1</a> '
+                    '<a href="/c">L2</a></nav>'
+                    f"<article><h1>Headline {i} with enough characters "
+                    "to pass</h1>"
+                    f"<p>First paragraph {i} of the body with plenty of "
+                    "running text.</p>"
+                    "<p>Short.</p>"
+                    f"<p>Second paragraph {i} with a "
+                    f'<a href="/x">link {i}</a> inside but mostly '
+                    "prose.</p></article>"
+                    '<footer><a href="/p">Privacy</a> | '
+                    '<a href="/t">Terms</a></footer>'
+                    "</body></html>")
+                r = extract_main_content(html)
+                texts.append(r["text"])
+                nb.append(r["n_blocks"])
+                nc.append(r["n_content_blocks"])
+                cc.append(r["content_chars"])
+                bc.append(r["boiler_chars"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "text": texts,
+                "n_blocks": pd.array(nb, dtype="Int32"),
+                "n_content_blocks": pd.array(nc, dtype="Int32"),
+                "content_chars": pd.array(cc, dtype="Int32"),
+                "boiler_chars": pd.array(bc, dtype="Int32")})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)

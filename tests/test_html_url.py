@@ -97,3 +97,53 @@ def test_html_title_inside_skipped_subtree_not_leaked():
     assert r["title"] == "Real"
     assert r["text"] == "body"
     assert r["n_links"] == 0                   # hidden anchor not counted
+
+
+# --- main-content extraction (r5 wave 8) -----------------------------------------
+
+
+def test_main_content_basic_split():
+    from flink_job_spark.functions.html_text import extract_main_content
+    h = ("<body><nav><a href=/a>Home</a> <a href=/b>About</a></nav>"
+         "<p>A real paragraph that is comfortably long enough to keep.</p>"
+         "<p>Tiny.</p>"
+         "<footer><a href=/p>Privacy</a> <a href=/t>Terms</a></footer>"
+         "</body>")
+    r = extract_main_content(h)
+    assert r["text"] == ("A real paragraph that is comfortably long "
+                         "enough to keep.")
+    assert r["n_blocks"] == 4 and r["n_content_blocks"] == 1
+    assert r["content_chars"] == len(r["text"])
+
+
+def test_main_content_link_density_rule():
+    from flink_job_spark.functions.html_text import extract_main_content
+    # long enough, but >50% of its characters are anchor text → boiler
+    farm = ('<p><a href=/1>A very long anchor label here</a> and '
+            '<a href=/2>another very long anchor label</a> x</p>')
+    assert extract_main_content(farm)["n_content_blocks"] == 0
+    # same length mostly prose with one short link → content
+    prose = ('<p>Plenty of ordinary prose text around '
+             '<a href=/1>tiny</a> link in this paragraph.</p>')
+    assert extract_main_content(prose)["n_content_blocks"] == 1
+
+
+def test_main_content_nested_blocks_and_soup():
+    from flink_job_spark.functions.html_text import extract_main_content
+    # inner blocks finalize independently; unclosed tags flush via finish()
+    h = ("<div>outer text that is long enough to be counted as content"
+         "<p>inner paragraph also long enough to count as content</p>")
+    r = extract_main_content(h)
+    assert r["n_content_blocks"] == 2
+    for soup in ("", "<p>", "<<<>", "</div></div>", "<a href='x"):
+        extract_main_content(soup)            # never raises
+
+
+def test_main_content_skips_script_subtrees():
+    from flink_job_spark.functions.html_text import extract_main_content
+    h = ("<p>Visible paragraph long enough to stay in the output.</p>"
+         "<script>var x = 'this string is long but must never appear';"
+         "</script>")
+    r = extract_main_content(h)
+    assert "never appear" not in r["text"]
+    assert r["n_blocks"] == 1
