@@ -43,13 +43,19 @@ import unicodedata
 
 # CP-1252 leaves five bytes unassigned; real-world decoders (WHATWG
 # windows-1252) map them through to the Latin-1 C1 controls so decode is
-# total. Build that table once.
-_CP1252_FALLBACK = {}
-for _b in range(256):
-    try:
-        _CP1252_FALLBACK[_b] = bytes([_b]).decode("cp1252")
-    except UnicodeDecodeError:
-        _CP1252_FALLBACK[_b] = chr(_b)
+# total. A registered codec error handler keeps the whole decode at
+# C speed — Python runs only at the (rare) unassigned bytes. Measured by
+# tools/container_throughput.py: a str.translate remap ran at 6 MB/s
+# (per-char dict probes); this path decodes at latin-1-class speed.
+
+
+def _c1_passthrough(err: UnicodeError):
+    if isinstance(err, UnicodeDecodeError):
+        return (err.object[err.start:err.end].decode("latin-1"), err.end)
+    raise err
+
+
+codecs.register_error("flinkjob_c1_passthrough", _c1_passthrough)
 
 _BOMS = (  # order matters: UTF-32 BOMs contain the UTF-16 ones as a prefix
     (codecs.BOM_UTF32_LE, "utf-32-le"),
@@ -62,8 +68,9 @@ _BOMS = (  # order matters: UTF-32 BOMs contain the UTF-16 ones as a prefix
 
 def decode_cp1252_total(payload: bytes) -> str:
     """Total windows-1252 decode — unassigned bytes keep their Latin-1
-    identity, so this never raises (the WHATWG behavior)."""
-    return "".join(_CP1252_FALLBACK[b] for b in payload)
+    identity, so this never raises (the WHATWG behavior). C-speed via
+    the registered error handler; no per-byte Python loop."""
+    return payload.decode("cp1252", "flinkjob_c1_passthrough")
 
 
 def sniff_decode(payload: bytes) -> dict:
@@ -85,7 +92,7 @@ def sniff_decode(payload: bytes) -> dict:
                 break
     try:
         text = payload.decode("utf-8")
-        charset = "ascii" if all(b < 0x80 for b in payload) else "utf-8"
+        charset = "ascii" if payload.isascii() else "utf-8"
         return {"charset": charset, "had_bom": False, "text": text}
     except UnicodeDecodeError:
         return {"charset": "cp1252", "had_bom": False,

@@ -60,6 +60,9 @@ class Name(str):
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_STR_SPECIAL = re.compile(rb"[()\\]")
+_WS_COMMENT_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_REGULAR_TOKEN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
 
 class _Lexer:
@@ -68,17 +71,9 @@ class _Lexer:
         self.p = pos
 
     def _skip_ws(self) -> None:
-        d, p, n = self.d, self.p, len(self.d)
-        while p < n:
-            c = d[p:p + 1]
-            if c in (b"%",):              # comment to EOL
-                while p < n and d[p] not in b"\r\n":
-                    p += 1
-            elif c in _WS:
-                p += 1
-            else:
-                break
-        self.p = p
+        m = _WS_COMMENT_RE.match(self.d, self.p)
+        if m is not None:
+            self.p = m.end()
 
     def peek_token(self) -> bytes:
         save = self.p
@@ -107,15 +102,12 @@ class _Lexer:
         if c in b"[]()/{}":
             self.p = p + 1
             return c
-        # regular token: run to whitespace/delimiter
-        q = p
-        while q < n and d[q] not in _WS and d[q:q + 1] not in (
-                b"(", b")", b"<", b">", b"[", b"]", b"{", b"}", b"/", b"%"):
-            q += 1
-        if q == p:
+        # regular token: run to whitespace/delimiter (C-speed)
+        m = _REGULAR_TOKEN_RE.match(d, p)
+        if m is None:
             raise PdfFormatError(f"bad token at {p}")
-        self.p = q
-        return d[p:q]
+        self.p = m.end()
+        return m.group(0)
 
     # --- composite values -----------------------------------------------
 
@@ -168,13 +160,30 @@ class _Lexer:
         raise PdfFormatError(f"unexpected token {t!r}")
 
     def _parse_string(self) -> bytes:
+        # literal runs are copied as slices between the next special
+        # char found by a C-speed regex — no per-char Python appends
+        # (the tottime leader in the throughput profile before this)
         d, p, n = self.d, self.p, len(self.d)
         out = bytearray()
         depth = 1
         while p < n:
-            c = d[p]
-            if c == 0x5C:                 # backslash
-                p += 1
+            m = _STR_SPECIAL.search(d, p)
+            if m is None:
+                break
+            q = m.start()
+            out += d[p:q]                 # literal run
+            c = d[q]
+            p = q + 1
+            if c == 0x28:                 # (
+                depth += 1
+                out.append(c)
+            elif c == 0x29:               # )
+                depth -= 1
+                if depth == 0:
+                    self.p = p
+                    return bytes(out)
+                out.append(c)
+            else:                         # backslash escape
                 if p >= n:
                     break
                 e = d[p]
@@ -186,11 +195,11 @@ class _Lexer:
                     out.append(e)
                     p += 1
                 elif 0x30 <= e <= 0x37:   # up to 3 octal digits
-                    q = p
-                    while q < n and q - p < 3 and 0x30 <= d[q] <= 0x37:
-                        q += 1
-                    out.append(int(d[p:q], 8) & 0xFF)
-                    p = q
+                    q2 = p
+                    while q2 < n and q2 - p < 3 and 0x30 <= d[q2] <= 0x37:
+                        q2 += 1
+                    out.append(int(d[p:q2], 8) & 0xFF)
+                    p = q2
                 elif e in b"\r\n":        # line continuation
                     p += 1
                     if e == 0x0D and p < n and d[p] == 0x0A:
@@ -198,20 +207,6 @@ class _Lexer:
                 else:                     # unknown escape: char itself
                     out.append(e)
                     p += 1
-            elif c == 0x28:               # (
-                depth += 1
-                out.append(c)
-                p += 1
-            elif c == 0x29:               # )
-                depth -= 1
-                if depth == 0:
-                    self.p = p + 1
-                    return bytes(out)
-                out.append(c)
-                p += 1
-            else:
-                out.append(c)
-                p += 1
         raise PdfFormatError("unterminated string literal")
 
     def _parse_hex_string(self) -> bytes:
@@ -350,43 +345,73 @@ class _Document:
 _SHOW_OPS = (b"Tj", b"'", b'"')
 _NEWLINE_OPS = (b"Td", b"TD", b"T*", b"'", b'"')
 
+# One C-speed scan per content stream: stop only at string starts, hex
+# strings, dict-opens, comments, and the nine operators text extraction
+# cares about — numbers, names and every other operator are skipped by
+# the regex engine, not a Python loop (tools/container_throughput.py
+# measured the token-at-a-time walker at 0.4 MB/s; this scanner is the
+# fix). Lookarounds keep operator matches off identifier tails and /Names.
+_CONTENT_RE = re.compile(
+    rb"\(|<<|<|%|(?<![A-Za-z0-9*/])(BT|ET|Tj|TJ|Td|TD|T\*|'|\")"
+    rb"(?![A-Za-z0-9*])")
+
 
 def _extract_content_text(content: bytes) -> list[str]:
     """Walk one content stream; return text chunks (newline markers as
-    separate '\\n' entries). Only text inside BT/ET is taken."""
-    lex = _Lexer(content)
+    separate '\\n' entries). Only text inside BT/ET is taken.
+
+    Strings seen since the last recognized operator are the pending
+    operands: Tj/'/\" show the last one, TJ shows all of them (its array
+    brackets are transparent to the scan). An unrecognized operator
+    between a string and its show op would mis-attribute the string —
+    per spec that sequence is invalid, and text extractors tolerate it
+    the same way.
+    """
     chunks: list[str] = []
     in_text = False
-    stack: list[object] = []
-    while True:
-        lex._skip_ws()
-        if lex.p >= len(lex.d):
+    pending: list[bytes] = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        m = _CONTENT_RE.search(content, pos)
+        if m is None:
             break
-        c = lex.d[lex.p:lex.p + 1]
-        if c in (b"(", b"<", b"[", b"/") or _NUM_RE.match(
-                lex.d[lex.p:lex.p + 12]) and c not in (b"B", b"E", b"T"):
+        tok = m.group(0)
+        pos = m.end()
+        if tok == b"(":
+            lex = _Lexer(content, pos)
             try:
-                stack.append(lex.parse_object())
+                pending.append(lex._parse_string())
+                pos = lex.p
             except PdfFormatError:
-                lex.p += 1                # tolerant: garbage operand skipped
-            continue
-        op = lex.next_token()
-        if op == b"BT":
-            in_text = True
-        elif op == b"ET":
-            in_text = False
-        elif in_text and op in _NEWLINE_OPS:
-            if chunks and chunks[-1] != "\n":
-                chunks.append("\n")
-        if in_text and op in _SHOW_OPS:
-            if stack and isinstance(stack[-1], bytes):
-                chunks.append(stack[-1].decode("latin-1"))
-        elif in_text and op == b"TJ":
-            if stack and isinstance(stack[-1], list):
-                for el in stack[-1]:
-                    if isinstance(el, bytes):
-                        chunks.append(el.decode("latin-1"))
-        stack.clear()
+                pass                      # unterminated tail: scan ends
+        elif tok == b"<<":
+            continue                      # dict open: structural, skip
+        elif tok == b"<":
+            lex = _Lexer(content, pos)
+            try:
+                pending.append(lex._parse_hex_string())
+                pos = lex.p
+            except PdfFormatError:
+                pass
+        elif tok == b"%":
+            nl = content.find(b"\n", pos)
+            pos = n if nl < 0 else nl + 1
+        else:                             # one of the nine operators
+            op = m.group(1)
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif in_text and op in _NEWLINE_OPS:
+                if chunks and chunks[-1] != "\n":
+                    chunks.append("\n")
+            if in_text and op in _SHOW_OPS:
+                if pending:
+                    chunks.append(pending[-1].decode("latin-1"))
+            elif in_text and op == b"TJ":
+                chunks.extend(s.decode("latin-1") for s in pending)
+            pending.clear()
     return chunks
 
 

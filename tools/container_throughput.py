@@ -40,8 +40,20 @@ def run(label: str, blob: bytes, fn, reps: int = 3,
         best = min(best, time.perf_counter() - t0)
     vol = logical_bytes if logical_bytes is not None else len(blob)
     mbs = vol / best / 1e6
+
+    def clip(v, n=40):
+        r = repr(v)
+        return r if len(r) <= n else r[:n] + "…"
+
+    if isinstance(result, dict):
+        shown = "{" + ", ".join(
+            f"{k}: {clip(result[k])}" for k in list(result)[:3]) + "}"
+    elif isinstance(result, tuple):
+        shown = "(" + ", ".join(clip(v) for v in result[:3]) + ")"
+    else:
+        shown = clip(result)
     print(f"{label:28s} {vol/1e6:8.1f} MB  {best*1e3:9.1f} ms  "
-          f"{mbs:9.0f} MB/s  ({result if not isinstance(result, dict) else {k: result[k] for k in list(result)[:3]}})")
+          f"{mbs:9.0f} MB/s  ({shown})")
 
 
 def main() -> None:
@@ -69,6 +81,55 @@ def main() -> None:
     pages += [_ogg_page(1, i + 1, (i + 1) * 4096, b"z" * 4096)
               for i in range(10_000)]
     run("ogg page walk", b"".join(pages), ogg_meta)
+
+    # --- wave 8: document/charset/seed parsers ---------------------------
+
+    from flink_job_spark.functions.crawl_text import sniff_decode
+    from flink_job_spark.functions.html_text import extract_main_content
+    from flink_job_spark.functions.pdf import build_pdf, extract_pdf_text
+    from flink_job_spark.functions.sitemap import build_sitemap, parse_sitemap
+    from flink_job_spark.functions.tiff import (C_PACKBITS, PH_RGB,
+                                                decode_tiff, encode_tiff)
+
+    # charset sniff: 64 MiB unmarked UTF-8 with a late multibyte char
+    utf8 = b"a" * (64 * 1024 * 1024) + "é".encode()
+    run("charset sniff utf-8", utf8, sniff_decode)
+    cp = b"b" * (32 * 1024 * 1024) + b"\x92"       # invalid UTF-8 tail
+    run("charset sniff cp1252", cp, sniff_decode)
+
+    # PDF: 2000 pages x 20 lines ≈ 3 MB of content streams
+    pdf = build_pdf([[f"line {j} of page {i} with some running text"
+                      for j in range(20)] for i in range(2000)],
+                    compress=True)
+    run("pdf text extraction", pdf, extract_pdf_text)
+
+    # TIFF: 2048x2048 RGB PackBits (12.6 MB decoded)
+    w = h = 2048
+    px = bytes(((x * 7 + 13) % 256) for x in range(w * h)) * 3
+    px = px[:w * h * 3]
+    tif = encode_tiff(w, h, px, photometric=PH_RGB,
+                      rows_per_strip=64, compression=C_PACKBITS)
+    run("tiff decode (packbits)", tif, decode_tiff,
+        logical_bytes=w * h * 3)
+
+    # sitemap: the protocol-max 50k-URL urlset
+    sm = build_sitemap([{"loc": f"http://ex.com/p{i}",
+                         "lastmod": "2026-01-01", "priority": "0.5"}
+                        for i in range(50_000)])
+    run("sitemap 50k-url parse", sm, parse_sitemap)
+
+    # HTML main content: one 8 MB page of paragraphs + navs
+    blocks = []
+    for i in range(40_000):
+        if i % 10 == 0:
+            blocks.append('<nav><a href="/a">Home</a> <a href="/b">More'
+                          "</a></nav>")
+        blocks.append(f"<p>Paragraph {i} with enough prose to count as "
+                      "content in the density rule.</p>")
+    page = "<html><body>" + "".join(blocks) + "</body></html>"
+    run("html main-content 8MB", page.encode(),
+        lambda b: extract_main_content(b.decode()),
+        logical_bytes=len(page))
 
 
 if __name__ == "__main__":
