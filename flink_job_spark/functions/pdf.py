@@ -400,6 +400,11 @@ def _extract_content_text(content: bytes) -> list[str]:
         else:                             # one of the nine operators
             op = m.group(1)
             if op == b"BT":
+                # a new text object starts a new line: without this,
+                # show ops from adjacent BT blocks (or concatenated
+                # /Contents streams) run together with no separator
+                if chunks and chunks[-1] != "\n":
+                    chunks.append("\n")
                 in_text = True
             elif op == b"ET":
                 in_text = False
@@ -463,7 +468,9 @@ def extract_pdf_text(data: bytes) -> dict:
                         streams.append(cobj.get("__stream__", b""))
             else:
                 raise PdfFormatError("bad /Contents")
-            chunks = _extract_content_text(b"".join(streams))
+            # ISO 32000: a /Contents array is one logical stream with
+            # whitespace between the parts
+            chunks = _extract_content_text(b"\n".join(streams))
             page_texts.append("".join(chunks).strip("\n"))
         else:
             raise PdfFormatError(f"unexpected page-tree node type {typ!r}")

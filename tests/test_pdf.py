@@ -127,3 +127,89 @@ def test_pdf_lexer_hex_string_odd_digits():
     lx = _Lexer(b"<414>")
     assert lx.next_token() == b"<"
     assert lx._parse_hex_string() == b"A@"
+
+
+# --- parser paths the builder never emits (hand-crafted fixtures) -----------------
+
+
+def _minimal_pdf(objects: dict[int, bytes], root: int = 1) -> bytes:
+    """Assemble a one-generation PDF from raw object bodies."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n = max(objects) + 1
+    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, n):
+        out += f"{offsets.get(i, 0):010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root {root} 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_pdf_indirect_length_and_contents_array():
+    content1 = b"BT (first) Tj ET"
+    content2 = b"BT (second) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        # /Contents as an ARRAY of two streams; first stream's /Length
+        # is an INDIRECT reference to object 6
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        4: (b"<< /Length 6 0 R >>\nstream\n" + content1 + b"\nendstream"),
+        5: (b"<< /Length " + str(len(content2)).encode()
+            + b" >>\nstream\n" + content2 + b"\nendstream"),
+        6: str(len(content1)).encode(),
+    }
+    r = extract_pdf_text(_minimal_pdf(objs))
+    assert r == {"n_pages": 1, "text": "first\nsecond"}
+
+
+def test_pdf_nested_pages_tree():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",   # nested node
+        4: b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>",
+        5: b"<< /Length 14 >>\nstream\nBT (pa) Tj ET\nendstream",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        7: b"<< /Length 14 >>\nstream\nBT (pb) Tj ET\nendstream",
+    }
+    r = extract_pdf_text(_minimal_pdf(objs))
+    assert r == {"n_pages": 2, "text": "pa\npb"}
+
+
+def test_pdf_multi_section_xref_prev_chain():
+    """An incremental-update layout: the newest xref covers only the
+    updated object and /Prev points at the original table."""
+    base = _minimal_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 15 >>\nstream\nBT (old) Tj ET\nendstream",
+    })
+    old_xref_off = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    upd = bytearray(base)
+    new4_off = len(upd)
+    upd += (b"4 0 obj\n<< /Length 15 >>\nstream\nBT (new) Tj ET"
+            b"\nendstream\nendobj\n")
+    new_xref = len(upd)
+    upd += (b"xref\n4 1\n" + f"{new4_off:010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 5 /Root 1 0 R /Prev "
+            + str(old_xref_off).encode() + b" >>\nstartxref\n"
+            + str(new_xref).encode() + b"\n%%EOF\n")
+    r = extract_pdf_text(bytes(upd))
+    # newest xref section wins for object 4
+    assert r == {"n_pages": 1, "text": "new"}
+
+
+def test_pdf_hex_string_shown():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 17 >>\nstream\nBT <414243> Tj ET\nendstream",
+    }
+    assert extract_pdf_text(_minimal_pdf(objs))["text"] == "ABC"
