@@ -252,11 +252,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The politeness filter as a broadcast LIKE-join: rules per host are
     a tiny dimension (a few rules × hosts — even at 100 TB of URLs the
     robots corpus is MB-scale after parsing), so the URL side never
-    shuffles for the match. Longest-match = window over (specificity
-    DESC, allow DESC) per URL; unmatched URLs come back via left join
-    with allowed=true. One shuffle total (the per-URL window), and that
-    is removable at scale by making the broadcast join output a
-    map-side argmax via groupBy(doc_id) on the same partitioning."""
+    shuffles for the match. The join is LEFT so unmatched URLs stay
+    in-flight as one null-rule row each, and the longest-match winner is
+    ONE window over the join output — (specificity DESC NULLS LAST,
+    allow DESC), row_number 1 — with no join-back of winners to the URL
+    table (the first cut's SortMergeJoin, removed after a plan audit).
+    One shuffle total: the per-URL window; at scale that window's key is
+    the URL id, so AQE handles skew and a two-level max_by(struct) agg
+    is the drop-in alternative if rank semantics are ever unneeded."""
     import pandas as pd
 
     from flink_job_spark.functions.crawl_text import parse_robots
