@@ -143,14 +143,25 @@ def normalize_text(s: str) -> dict:
     """The canonical text-normalization policy (see module docstring).
 
     Returns ``{"text", "fixed_mojibake", "changed"}`` where ``changed``
-    covers ANY difference from the input.
+    covers ANY difference from the input. The pipeline runs to a
+    FIXPOINT (bounded): control/zero-width cleanup can expose a
+    mojibake string the first whole-string repair declined (Hypothesis
+    found "\u00c2\u00a1" behind an unencodable control char), so one pass is not
+    idempotent by itself. The repair's strict score decrease bounds the
+    loop; 4 iterations is already unreachable in practice.
     """
-    fixed, did_fix = repair_mojibake(s)
-    out = unicodedata.normalize("NFC", fixed)
-    out = _ZERO_WIDTH_RE.sub("", out)
-    out = out.replace("\u00a0", " ")
-    out = _CONTROL_RE.sub("", out)
-    out = _WS_RE.sub(" ", out).strip()
+    out, did_fix = s, False
+    for _ in range(4):
+        fixed, fixed_now = repair_mojibake(out)
+        did_fix = did_fix or fixed_now
+        nxt = unicodedata.normalize("NFC", fixed)
+        nxt = _ZERO_WIDTH_RE.sub("", nxt)
+        nxt = nxt.replace("\u00a0", " ")
+        nxt = _CONTROL_RE.sub("", nxt)
+        nxt = _WS_RE.sub(" ", nxt).strip()
+        if nxt == out:
+            break
+        out = nxt
     return {"text": out, "fixed_mojibake": did_fix, "changed": out != s}
 
 
@@ -391,3 +402,60 @@ def sniff_csv(text: str, max_lines: int = 100) -> dict:
     n_rows = len(lines) - (1 if has_header else 0)
     return {"delimiter": best, "has_header": has_header,
             "n_cols": best_cols, "n_rows": n_rows, "quoted": quoted}
+
+
+# --- sentence segmentation ---------------------------------------------------------
+
+_ABBREVIATIONS = {
+    "dr", "mr", "mrs", "ms", "prof", "sr", "jr", "st", "no", "fig",
+    "vs", "etc", "e.g", "i.e", "al", "inc", "ltd", "co", "corp",
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "oct", "nov", "dec", "approx", "dept", "est", "min", "max",
+}
+_SENT_END_RE = re.compile(r"[.!?]+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Rule-based sentence segmentation (the chunking granularity
+    training-pair construction wants).
+
+    Policy (deterministic, documented): a ``.``/``!``/``?`` run ends a
+    sentence when the NEXT non-space character starts like a sentence
+    (uppercase letter, digit, or an opening quote/paren) AND, for ``.``
+    only, the token before it is not an abbreviation (embedded list),
+    not a single-letter initial ("J. Smith"), and not a number's
+    decimal point ("3.14"). Whitespace is normalized per sentence.
+    Total: never raises; empty/whitespace input → [].
+    """
+    s = text.strip()
+    if not s:
+        return []
+    out: list[str] = []
+    start = 0
+    for m in _SENT_END_RE.finditer(s):
+        end = m.end()
+        if end < len(s) and not s[end].isspace():
+            continue                       # mid-token punctuation (3.14…)
+        # find the next non-space char; EOF always ends a sentence
+        j = end
+        while j < len(s) and s[j].isspace():
+            j += 1
+        if j < len(s) and not (s[j].isupper() or s[j].isdigit()
+                               or s[j] in "\"'(«“‘"):
+            continue                       # next token not sentence-shaped
+        if m.group(0) == ".":
+            before = s[start:m.start()].rsplit(None, 1)
+            token = before[-1] if before else ""
+            token_l = token.lower().lstrip("(\"'«“‘")
+            if token_l in _ABBREVIATIONS or f"{token_l}." in _ABBREVIATIONS:
+                continue                   # "Dr." / "No." / "Fig."
+            if len(token) == 1 and token.isupper():
+                continue                   # initials: "J. Smith"
+        sent = " ".join(s[start:end].split())
+        if sent:
+            out.append(sent)
+        start = j
+    tail = " ".join(s[start:].split())
+    if tail:
+        out.append(tail)
+    return out

@@ -905,3 +905,194 @@ def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_json_schema_infer: semi-structured schema profiling ------------------------
+#
+# The step BEFORE q_json_extract's declared schema exists: walk a corpus
+# of JSON payloads and report, per field path, how often it appears,
+# with which types (drift included), and how often it is null — the
+# profile a 100 TB semi-structured ingest runs to decide the read
+# schema. Fixtures drift deliberately: score flips float→int, fields go
+# missing, nulls appear, an extra field shows up late.
+
+_JSI_N = "(SELECT COUNT(*) FROM documents)"
+_JSI_M = lambda *modes: ("(SELECT COUNT(*) FROM documents WHERE doc_id % 4 IN ("  # noqa: E731
+                         + ",".join(str(m) for m in modes) + "))")
+
+
+@register(
+    "q_json_schema_infer",
+    f"""SELECT * FROM (VALUES
+          ('id',        'int',       {_JSI_N},             0),
+          ('user',      'object',    {_JSI_N},             0),
+          ('user.name', 'str',       {_JSI_M(0, 1, 2)},    {_JSI_M(3)}),
+          ('user.age',  'int',       {_JSI_M(0, 2, 3)},    0),
+          ('tags',      'array',     {_JSI_N},             0),
+          ('tags[]',    'str',       {_JSI_M(0, 1, 2)},    0),
+          ('score',     'float,int', {_JSI_M(0, 1, 3)},    {_JSI_M(2)}),
+          ('beta',      'bool',      {_JSI_M(2)},          0)
+        ) AS t(path, types, n_present, n_null)""",
+    doc="JSON schema inference: per-doc semi-structured payloads with "
+        "deliberate drift (score float->int, user.age missing in one "
+        "mode, user.name null in another, a late-appearing beta field, "
+        "empty arrays) profiled into per-path presence / null counts and "
+        "the sorted set of observed types — the profile that produces "
+        "q_json_extract's declared schema",
+    tags=("text", "json", "formats", "agg"),
+)
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched parse+flatten map stage emitting (doc, path,
+    type) rows, then a single path-keyed rollup — the profile table is
+    bounded by schema size, not corpus size, so the output side is tiny
+    and the one shuffle arrives pre-combined (partial aggs on counts,
+    collect_set dedup map-side)."""
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    def flatten(v, path, out):
+        if isinstance(v, dict):
+            if path:
+                out.add((path, "object", False))
+            for k, sub in v.items():
+                flatten(sub, f"{path}.{k}" if path else k, out)
+        elif isinstance(v, list):
+            out.add((path, "array", False))
+            for el in v:
+                flatten(el, path + "[]", out)
+        elif v is None:
+            out.add((path, "null", True))
+        elif isinstance(v, bool):
+            out.add((path, "bool", False))
+        elif isinstance(v, int):
+            out.add((path, "int", False))
+        elif isinstance(v, float):
+            out.add((path, "float", False))
+        else:
+            out.add((path, "str", False))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("typ", T.StringType(), False),
+        T.StructField("is_null", T.BooleanType(), False),
+    ])
+
+    def run(it):
+        import itertools
+        for pdf in it:
+            ids, paths, typs, nulls = [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mode = i % 4
+                doc = {"id": i,
+                       "user": {"name": f"u{i}", "age": i % 80},
+                       "tags": ["a", "b"],
+                       "score": 1.5}
+                if mode == 1:
+                    del doc["user"]["age"]
+                    doc["score"] = 7          # type drift: float -> int
+                elif mode == 2:
+                    doc["score"] = None
+                    doc["beta"] = True
+                elif mode == 3:
+                    doc["tags"] = []
+                    doc["user"]["name"] = None
+                payload = _json.dumps(doc)
+                out: set = set()
+                flatten(_json.loads(payload), "", out)
+                for path, typ, is_null in out:
+                    ids.append(i)
+                    paths.append(path)
+                    typs.append(typ)
+                    nulls.append(is_null)
+            yield pd.DataFrame({"doc_id": ids, "path": paths,
+                                "typ": typs, "is_null": nulls})
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select("doc_id").mapInPandas(run, schema=schema)
+    return (
+        rows.groupBy("path")
+        .agg(
+            _F.array_join(
+                _F.array_sort(_F.collect_set(
+                    _F.when(~_F.col("is_null"), _F.col("typ")))), ",")
+            .alias("types"),
+            _F.countDistinct(
+                _F.when(~_F.col("is_null"), _F.col("doc_id")))
+            .alias("n_present"),
+            _F.countDistinct(
+                _F.when(_F.col("is_null"), _F.col("doc_id")))
+            .alias("n_null"),
+        )
+    )
+
+
+# --- q_sentence_split: rule-based segmentation, value-exact -----------------------
+#
+# The chunking granularity training-pair construction wants. Even docs
+# carry every guard the splitter owns (abbreviations, decimal points,
+# ordinal "No. 4", single-letter initials, ! and ? terminators); odd
+# docs have no terminator at all (the tail sentence path).
+
+@register(
+    "q_sentence_split",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 1 END AS INT)
+                AS n_sentences,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'Dr. Smith met Mr. Jones at the 3.14 mile marker '
+                        || doc_id || '.'
+                   ELSE 'Single statement ' || doc_id || ' with trailing words'
+              END AS first_sentence,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'J. K. Rowling wrote it.'
+                   ELSE 'Single statement ' || doc_id || ' with trailing words'
+              END AS last_sentence
+       FROM documents""",
+    doc="sentence segmentation: rule-based splitting with abbreviation "
+        "(Dr./Mr./e.g./No./Fig.), decimal-point and single-letter-initial "
+        "guards plus a next-token shape check — sentence count and the "
+        "exact first/last sentences verified closed-form; the granularity "
+        "training-pair chunking runs at",
+    tags=("text", "crawl", "quality"),
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched map stage, zero shuffle."""
+    import pandas as pd
+
+    from flink_job_spark.functions.crawl_text import split_sentences
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_sentences", T.IntegerType()),
+        T.StructField("first_sentence", T.StringType()),
+        T.StructField("last_sentence", T.StringType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            ns, firsts, lasts = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    raw = (f"Dr. Smith met Mr. Jones at the 3.14 mile "
+                           f"marker {i}.  They arrived e.g. at noon! "
+                           f"Was it No. {i % 9} on Fig. 2? Yes. "
+                           "J. K. Rowling wrote it.")
+                else:
+                    raw = f"Single statement {i} with trailing words"
+                sents = split_sentences(raw)
+                ns.append(len(sents))
+                firsts.append(sents[0] if sents else None)
+                lasts.append(sents[-1] if sents else None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_sentences": pd.array(ns, dtype="Int32"),
+                "first_sentence": firsts, "last_sentence": lasts})
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(run, schema=schema)

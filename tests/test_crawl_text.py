@@ -218,3 +218,45 @@ def test_public_suffix_list_shape():
     # lowercase and dot-separated (the PSL invariants the matcher assumes)
     for s in PUBLIC_SUFFIXES:
         assert s == s.lower() and not s.startswith(".") and not s.endswith(".")
+
+
+# --- sentence segmentation (r5 wave 9) ---------------------------------------------
+
+
+def test_sentence_split_guards():
+    from flink_job_spark.functions.crawl_text import split_sentences
+    t = ("Dr. Smith met Mr. Jones at the 3.14 mile marker 7. They "
+         "arrived e.g. at noon! Was it No. 4 on Fig. 2? Yes. "
+         "J. K. Rowling wrote it.")
+    s = split_sentences(t)
+    assert len(s) == 5
+    assert s[0].endswith("marker 7.")
+    assert s[1] == "They arrived e.g. at noon!"
+    assert s[2] == "Was it No. 4 on Fig. 2?"
+    assert s[3] == "Yes."
+    assert s[4] == "J. K. Rowling wrote it."
+
+
+def test_sentence_split_edges():
+    from flink_job_spark.functions.crawl_text import split_sentences
+    assert split_sentences("") == []
+    assert split_sentences("   \n\t ") == []
+    assert split_sentences("No terminator here") == ["No terminator here"]
+    # lowercase continuation does not split ("etc. and so on")
+    assert split_sentences("First bit etc. and more. Second.") == [
+        "First bit etc. and more.", "Second."]
+    # quote/paren sentence starts DO split
+    assert split_sentences('Quote test. "Inner start" follows?') == [
+        "Quote test.", '"Inner start" follows?']
+    # ellipsis run followed by uppercase splits once
+    assert split_sentences("Wait... Then go.") == ["Wait...", "Then go."]
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_sentence_split_total_and_lossless_words(text):
+    from flink_job_spark.functions.crawl_text import split_sentences
+    sents = split_sentences(text)
+    # totality + conservation: the concatenated sentences contain exactly
+    # the input's whitespace-normalized content
+    assert " ".join(" ".join(sents).split()) == " ".join(text.split())
