@@ -2,12 +2,19 @@
 
 Fourth REAL media codec next to png.py / bmp.py / gif.py and the WAV path:
 AVI exercises the chunked-container format family (RIFF lists, stream
-headers, a seekable frame index). Frames are uncompressed ``BI_RGB`` DIBs
-('DIB ' handler) — the same BGR / bottom-up / 4-byte-row-padding pixel
-conventions as bmp.py — so the files are genuine playable AVIs while
-staying implementable without a codec library. The COMPRESSED video family
-(H.264/VP9/AV1) still needs ffmpeg-class libraries absent here; that
-boundary is documented in operators/multimodal.py.
+headers, a seekable frame index). Two frame codecs:
+
+- ``DIB``  — uncompressed ``BI_RGB`` DIBs ('DIB ' handler), the same BGR /
+  bottom-up / 4-byte-row-padding pixel conventions as bmp.py;
+- ``MJPG`` — Motion JPEG: every ``00dc`` chunk is an independent baseline
+  JPEG decoded by functions/jpeg.py. This is REAL compressed video (the
+  format old cameras, capture cards and many surveillance systems ship);
+  each frame is a keyframe by construction, so the idx1 seek semantics are
+  identical to the DIB path.
+
+The INTER-frame compressed family (H.264/VP9/AV1) still needs ffmpeg-class
+libraries absent here; that boundary is documented in
+operators/multimodal.py.
 
 Scale-relevant design: :func:`decode_avi_frame` seeks via the ``idx1``
 index (falling back to a ``movi`` chunk walk) and touches ONLY the
@@ -58,27 +65,47 @@ def _dib_to_frame(width: int, height: int, body: bytes) -> bytes:
     return rgb.tobytes()
 
 
-def encode_avi(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
-    """frames = row-major top-down RGB buffers -> single-stream AVI with an
-    idx1 index (every frame a keyframe, as BI_RGB requires)."""
+def encode_avi(width: int, height: int, fps: int, frames: list[bytes],
+               codec: str = "DIB") -> bytes:
+    """Single-stream AVI with an idx1 index (every frame a keyframe).
+
+    codec="DIB":  ``frames`` are row-major top-down RGB buffers, stored as
+                  uncompressed BI_RGB ``00db`` chunks.
+    codec="MJPG": ``frames`` are ALREADY-ENCODED baseline-JPEG blobs
+                  (functions/jpeg.py or any conforming encoder), stored as
+                  ``00dc`` chunks — genuine Motion JPEG. The container stays
+                  codec-agnostic: it never re-encodes, only frames and
+                  indexes the blobs.
+    """
     if fps <= 0 or 1_000_000 % fps:
         raise AviFormatError(f"fps must divide 1e6 exactly, got {fps}")
     if not frames:
         raise AviFormatError("at least one frame required")
+    if codec not in ("DIB", "MJPG"):
+        raise AviFormatError(f"unsupported codec {codec!r}")
+    mjpg = codec == "MJPG"
+    if mjpg:
+        for f in frames:
+            if bytes(f[:2]) != b"\xff\xd8":
+                raise AviFormatError("MJPG frame is not a JPEG (missing SOI)")
     usec = 1_000_000 // fps
-    framesize = _pad_row(width) * height
+    dib_size = _pad_row(width) * height
+    # suggested buffer = largest chunk the player must hold
+    bufsize = max(len(f) for f in frames) if mjpg else dib_size
 
-    avih = struct.pack("<14I", usec, framesize * fps, 0, 0x10,  # HASINDEX
-                       len(frames), 0, 1, framesize, width, height, 0, 0, 0, 0)
+    avih = struct.pack("<14I", usec, bufsize * fps, 0, 0x10,  # HASINDEX
+                       len(frames), 0, 1, bufsize, width, height, 0, 0, 0, 0)
     # AVISTREAMHEADER body (56 bytes incl. the two fourccs): flags, prio,
     # lang, initialFrames, scale, rate, start, length, suggBufSize,
-    # quality, sampleSize, rcFrame[4]
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+    # quality, sampleSize (0 = variable, as MJPG needs), rcFrame[4]
+    handler = b"MJPG" if mjpg else b"DIB "
+    strh = (b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, len(frames),
-                                            framesize, 0xFFFFFFFF, 0)
+                                            bufsize, 0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, width, height))
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-                       framesize, 0, 0, 0, 0)
+    bi_compression = struct.unpack("<I", b"MJPG")[0] if mjpg else 0
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       bi_compression, 0 if mjpg else dib_size, 0, 0, 0, 0)
 
     def chunk(ckid: bytes, body: bytes) -> bytes:
         return ckid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
@@ -89,13 +116,14 @@ def encode_avi(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
 
+    ckid_frame = b"00dc" if mjpg else b"00db"
     movi_body = b"movi"
     index = bytearray()
-    for rgb in frames:
+    for frame in frames:
         off = len(movi_body)       # offset of ckid relative to 'movi' fourcc
-        body = _frame_to_dib(width, height, rgb)
-        movi_body += chunk(b"00db", body)
-        index += b"00db" + struct.pack("<III", 0x10, off, len(body))  # KEYFRAME
+        body = bytes(frame) if mjpg else _frame_to_dib(width, height, frame)
+        movi_body += chunk(ckid_frame, body)
+        index += ckid_frame + struct.pack("<III", 0x10, off, len(body))  # KEYFRAME
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     idx1 = chunk(b"idx1", bytes(index))
 
@@ -132,10 +160,19 @@ def _parse(data: bytes) -> dict:
                         info.update(usec_per_frame=v[0], n_frames=v[4],
                                     width=v[8], height=v[9])
                     elif c2 == b"LIST" and data[b2:b2 + 4] == b"strl":
+                        is_vids = False
                         for c3, b3, s3 in _chunks(data, b2 + 4, b2 + s2):
                             if c3 == b"strh" and data[b3:b3 + 4] == b"vids":
+                                is_vids = True
                                 scale, rate = struct.unpack("<II", data[b3 + 20:b3 + 28])
                                 info["fps"] = rate // max(scale, 1)
+                            elif c3 == b"strf" and is_vids and s3 >= 20:
+                                # BITMAPINFOHEADER.biCompression at offset 16:
+                                # 0 = BI_RGB, else a codec fourcc (e.g. MJPG)
+                                comp = data[b3 + 16:b3 + 20]
+                                info["compression"] = (
+                                    "DIB" if comp == b"\x00\x00\x00\x00"
+                                    else comp.decode("ascii", "replace"))
             elif kind == b"movi":
                 info["movi"] = (body + 4, body + size)  # after the fourcc
                 info["movi_base"] = body                # idx1 offsets are
@@ -197,13 +234,32 @@ def decode_frame_at(data: bytes, info: dict,
     """Decode ONLY the indexed frame (negative indexes from the end) ->
     row-major top-down RGB. Out-of-range indexes (e.g. an avih frame count
     larger than the real chunk list) raise AviFormatError, never
-    IndexError — decode faults must stay catchable as data."""
+    IndexError — decode faults must stay catchable as data. MJPG chunks
+    route through the baseline-JPEG codec; any JPEG fault is re-raised as
+    AviFormatError so the operator layer's errors-as-data contract holds."""
     if not offs:
         raise AviFormatError("no video frames")
     if not -len(offs) <= index < len(offs):
         raise AviFormatError(
             f"frame index {index} out of range ({len(offs)} frames)")
     body, size = offs[index]
+    comp = info.get("compression", "DIB")
+    if comp == "MJPG":
+        from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+
+        try:
+            w, h, c, px = decode_jpeg(data[body:body + size])
+        except JpegFormatError as e:
+            raise AviFormatError(f"bad MJPEG frame: {e}") from e
+        if (w, h) != (info["width"], info["height"]):
+            raise AviFormatError(
+                f"MJPEG frame dims {w}x{h} disagree with container "
+                f"{info['width']}x{info['height']}")
+        if c == 1:      # grayscale JPEG in a color container: replicate
+            px = np.repeat(np.frombuffer(px, np.uint8), 3).tobytes()
+        return px
+    if comp != "DIB":
+        raise AviFormatError(f"unsupported video compression {comp!r}")
     return _dib_to_frame(info["width"], info["height"], data[body:body + size])
 
 
@@ -216,6 +272,5 @@ def decode_avi_frame(data: bytes, index: int) -> bytes:
 def decode_avi(data: bytes) -> tuple[int, int, int, int, list[bytes]]:
     """Full decode -> (width, height, n_frames, usec_per_frame, frames)."""
     info, offs = open_avi(data)
-    frames = [_dib_to_frame(info["width"], info["height"], data[b:b + s])
-              for b, s in offs]
+    frames = [decode_frame_at(data, info, offs, i) for i in range(len(offs))]
     return info["width"], info["height"], len(frames), info["usec_per_frame"], frames

@@ -25,8 +25,11 @@ route through Pillow and compressed audio (mp3/ogg/flac) through an
 ffmpeg stdin pipe WHEN the host has those libraries — behind the same
 errors-as-data contract — and degrade to the documented
 ``NotImplementedError`` / ``decode_error`` rows where (as in this build
-sandbox) they are absent. COMPRESSED video (H.264/VP9/AV1) remains the
-one documented stub either way.
+sandbox) they are absent. Compressed video is covered natively for the
+INTRA-frame family — Motion JPEG AVIs decode through functions/avi.py +
+functions/jpeg.py (every frame an independent baseline JPEG) — while
+INTER-frame codecs (H.264/VP9/AV1) remain the one documented stub either
+way.
 """
 
 from __future__ import annotations
@@ -258,8 +261,10 @@ def video_frame_stats(media: DataFrame,
     never decodes the same frame twice. The idx1 seek table means only
     sampled frames' bytes are touched — O(samples), not O(video) —
     which is the property that matters when the payload column is 100 TB.
-    Errors are data (`decode_error`); compressed video (H.264/VP9/AV1)
-    remains stubbed pending a codec library (module docstring)."""
+    Errors are data (`decode_error`). Frame codecs: uncompressed BI_RGB and
+    Motion JPEG (each sampled frame is one independent baseline-JPEG
+    decode); inter-frame codecs (H.264/VP9/AV1) remain stubbed pending a
+    codec library (module docstring)."""
     import numpy as np
 
     from flink_job_spark.functions.avi import (AviFormatError,

@@ -899,3 +899,96 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(wr).cast("long"))
             .filter(F.col("rank") <= TOPK)
     )
+
+
+# --- q_semdedup_prune: cluster-local semantic deduplication ------------------------
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper): embed, coarse-
+# cluster, then prune near-duplicates WITHIN each cluster only, keeping the
+# lowest-id member of every near-dup set. The cluster stage is what makes
+# semantic dedup sub-quadratic: pairs are only scored inside a cell, never
+# across the corpus. Centroids here are the same deterministic id-sample the
+# IVF keys use (kmeans-trained centroids are a drop-in via
+# kmeans_lite_centroids — identical plan shape).
+
+SEMDEDUP_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+@register(
+    "q_semdedup_prune",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+  assign AS (
+    SELECT vec_id, v, cent_id FROM (
+      SELECT e.vec_id, e.v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cosine_duck('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cents c) WHERE rn = 1
+  ),
+  pruned AS (
+    SELECT DISTINCT b.vec_id
+    FROM assign a JOIN assign b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE round({cosine_duck('a.v', 'b.v')}, 6) >= {SEMDEDUP_THRESHOLD}
+  )
+  SELECT a.vec_id, a.cent_id AS cell, (p.vec_id IS NULL) AS keep
+  FROM assign a LEFT JOIN pruned p ON a.vec_id = p.vec_id""",
+    doc=f"SemDeDup semantic dedup: map-side assignment to {IVF_CENTROIDS} "
+        "coarse cells, then cosine near-dup pruning INSIDE each cell only "
+        f"(≥ {SEMDEDUP_THRESHOLD}, keep the lowest vec_id) — the "
+        "cluster-then-prune shape that makes embedding-level dedup "
+        "sub-quadratic on a 100 TB corpus",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: centroid literals -> zero-shuffle map-side cell assignment
+    (same expression as the IVF keys), ONE shuffle grouping rows by cell,
+    then the memory-tiled within-cell pair scorer (_score_pairs_tiled —
+    FP-parity with the SQL fold, both axes tiled, sub-diagonal tiles
+    skipped). Only pruned ids leave the Python worker; the keep flag is a
+    small left join back onto the assignment.
+
+    Scale contract: within-cell work is quadratic in CELL size by design —
+    SemDeDup picks k proportional to corpus size so cells stay
+    bounded (the paper uses k ≈ n/10k on LAION); here k = IVF_CENTROIDS
+    matches the IVF keys so the oracle shares their assignment CTE. The
+    raw-score prefilter runs at threshold−1e-6 inside the worker and the
+    exact HALF_UP rounding decides at the boundary JVM-side, the same
+    boundary discipline as q_embedding_cosine_dup/lsh."""
+    import numpy as np
+    import pandas as pd
+
+    prefilter = SEMDEDUP_THRESHOLD - 1e-6
+    e = _vecs(spark, sf_dir)
+    cents = sorted(
+        e.filter(F.col("vec_id") < IVF_CENTROIDS)
+         .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
+             for c in cents]
+    assigned = e.withColumn("cell", _cell_assignment(cents))
+
+    def score_cell(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "raw": []}).astype(
+                {"v1": "int64", "v2": "int64", "raw": "float64"})
+        order = np.argsort(ids)
+        ids = ids[order]
+        vm = np.stack([np.asarray(x, dtype=np.float64)
+                       for x in pdf["v"].iloc[order]])
+        nm = pdf["nv"].to_numpy(dtype=np.float64)[order]
+        a, b, r = _score_pairs_tiled(ids, vm, nm, prefilter)
+        return pd.DataFrame({"v1": a, "v2": b, "raw": r})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        score_cell, "v1 bigint, v2 bigint, raw double")
+    pruned = (pairs.filter(F.round("raw", 6) >= SEMDEDUP_THRESHOLD)
+                   .select(F.col("v2").alias("vec_id"))
+                   .distinct()
+                   .withColumn("is_pruned", F.lit(True)))
+    return (assigned.select("vec_id", "cell")
+                    .join(pruned, "vec_id", "left")
+                    .select("vec_id", "cell",
+                            F.col("is_pruned").isNull().alias("keep")))

@@ -1097,3 +1097,100 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_lm_cross_entropy: add-one bigram language-model quality score ------------
+#
+# The classic perplexity-style corpus-quality gate (KenLM-shaped, before a
+# real LM exists): train an add-one-smoothed bigram model ON the corpus, then
+# score every document by its mean negative log-likelihood under that model.
+# Low cross-entropy = predictable/templated text, high = noisy or
+# out-of-distribution — both tails get dropped or down-weighted in
+# training-data pipelines. max_nll (the doc's single most surprising bigram)
+# is the companion worst-case signal — an aggregate MIN, so it is
+# partition-order-free by construction.
+
+@register(
+    "q_lm_cross_entropy",
+    f"""WITH tok AS (
+          SELECT doc_id, {words_duck('text')} AS l FROM documents
+        ),
+        big AS (
+          SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+                FROM tok WHERE len(l) >= 2)
+        ),
+        c2 AS (SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c2
+               FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(COUNT(1) AS BIGINT) AS c1
+               FROM big GROUP BY w1),
+        v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+              FROM (SELECT unnest(l) AS w FROM tok)),
+        t AS (
+          SELECT b.doc_id,
+                 CAST(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                         / CAST(c1.c1 + v.v AS DOUBLE))
+                      AS DECIMAL(38,18)) AS lp
+          FROM big b
+          JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          JOIN c1 ON b.w1 = c1.w1, v
+        )
+        SELECT doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+               ROUND((-CAST(SUM(lp) AS DOUBLE)) / COUNT(1), 4)
+                 AS cross_entropy,
+               ROUND(-CAST(MIN(lp) AS DOUBLE), 4) AS max_nll
+        FROM t GROUP BY doc_id""",
+    doc="add-one bigram LM trained on the corpus itself, then every doc "
+        "scored by mean negative log-likelihood (nats) — the perplexity "
+        "quality gate of training-data pipelines; max_nll is the doc's "
+        "single most surprising bigram (worst-case novelty signal)",
+    tags=("text", "quality", "lm"),
+)
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model tables are VOCABULARY-bounded, not corpus-bounded: bigram and
+    context counts reduce with map-side partial aggregation before their
+    one shuffle each, so at 100 TB the shuffled bytes are |V|²-capped
+    (and far below — only observed bigrams exist). Scoring joins the
+    doc-bigram stream to those count tables on token keys — hot bigrams
+    ("of the") skew partition sizes, which AQE's skew-join split absorbs;
+    the join fans out nothing (each bigram instance matches exactly one
+    count row). The vocabulary size is a broadcast 1-row scalar. The Σ lp
+    term rides the q_word_entropy decimal detour (each double ln cast to
+    DECIMAL(38,18) before summing) so the per-doc aggregate is
+    partition-order-free and engine-comparable; max_nll is a MIN, which is
+    order-free natively. sequence(1, size-1) is guarded by size >= 2 —
+    Spark's sequence(1, 0) counts DOWN rather than returning empty (the
+    q_bpe_merges trap)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", words("text").alias("l"))
+    big = (
+        tok.filter(F.size("l") >= 2)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(l) - 1), "
+               "i -> struct(element_at(l, i) AS w1, "
+               "element_at(l, i + 1) AS w2))")).alias("bg"))
+           .select("doc_id", F.col("bg.w1").alias("w1"),
+                   F.col("bg.w2").alias("w2"))
+           .persist()
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    v = tok.select(F.explode("l").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v"))
+    t = (
+        big.join(c2, ["w1", "w2"])
+           .join(c1, ["w1"])
+           .crossJoin(F.broadcast(v))
+           .select(
+               "doc_id",
+               F.log((F.col("c2") + 1).cast("double")
+                     / (F.col("c1") + F.col("v")).cast("double"))
+                .cast("decimal(38,18)").alias("lp"))
+    )
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round((-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4)
+         .alias("cross_entropy"),
+        F.round(-F.min("lp").cast("double"), 4).alias("max_nll"),
+    )

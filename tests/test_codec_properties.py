@@ -74,6 +74,107 @@ def test_avi_roundtrip_and_seek_fuzz(dims, n_frames, fps, seed):
     assert decode_avi_frame(g, -n_frames) == frames[0]
 
 
+@settings(max_examples=20, deadline=None)
+@given(_DIMS, st.integers(1, 5), st.sampled_from([5, 10, 20, 25]),
+       st.integers(0, 2 ** 32 - 1))
+def test_mjpeg_container_lossless_vs_direct_jpeg_decode(dims, n_frames, fps,
+                                                        seed):
+    """Motion JPEG: the AVI container layer around the JPEG blobs is
+    LOSSLESS — decoding frame i of the MJPG AVI returns bit-identical
+    pixels to decoding blob i directly, for arbitrary content (the JPEG
+    layer's own lossiness is orthogonal and proven elsewhere). Also pins
+    idx1 seek at both index conventions and the header metadata."""
+    import numpy as np
+
+    from flink_job_spark.functions.avi import (avi_meta, decode_avi,
+                                               decode_avi_frame, encode_avi)
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = dims
+    blobs = [encode_jpeg(w, h,
+                         bytes((seed + f * 131 + i * 2654435761) % 256
+                               for i in range(w * h * 3)),
+                         3, quality=75)
+             for f in range(n_frames)]
+    avi = encode_avi(w, h, fps, blobs, codec="MJPG")
+    assert avi_meta(avi) == (w, h, n_frames, 1_000_000 // fps)
+    W, H, N, U, frames = decode_avi(avi)
+    assert (W, H, N, U) == (w, h, n_frames, 1_000_000 // fps)
+    for f in range(n_frames):
+        want = decode_jpeg(blobs[f])[3]
+        assert frames[f] == want
+    assert decode_avi_frame(avi, n_frames - 1) == decode_jpeg(blobs[-1])[3]
+    assert decode_avi_frame(avi, -n_frames) == decode_jpeg(blobs[0])[3]
+    # sanity: np path above didn't shadow the plain-bytes contract
+    assert isinstance(frames[0], bytes) and len(frames[0]) == w * h * 3
+    del np
+
+
+def test_mjpeg_constant_even_frames_exact_and_gray_replicates():
+    """The q_media_mjpeg_frames exactness lemma: constant even-valued color
+    frames at quality 50 roundtrip EXACTLY through the lossy codec (Y DC
+    divisible by the step-16 quantizer, chroma DCs quantize to 0), odd dims
+    included; a grayscale JPEG inside the MJPG container replicates to RGB."""
+    import numpy as np
+
+    from flink_job_spark.functions.avi import decode_avi_frame, encode_avi
+    from flink_job_spark.functions.jpeg import encode_jpeg
+
+    w, h = 13, 9                      # odd dims -> partial MCUs everywhere
+    vals = [2 * ((7 + f * 13) % 128) for f in range(4)]
+    blobs = [encode_jpeg(w, h, bytes([v]) * (w * h * 3), 3, quality=50)
+             for v in vals]
+    avi = encode_avi(w, h, 10, blobs, codec="MJPG")
+    for f, v in enumerate(vals):
+        px = np.frombuffer(decode_avi_frame(avi, f), np.uint8)
+        assert px.size == w * h * 3 and (px == v).all(), (f, v)
+
+    gray = encode_jpeg(8, 8, bytes([100]) * 64, 1, quality=50)
+    gavi = encode_avi(8, 8, 5, [gray], codec="MJPG")
+    px = np.frombuffer(decode_avi_frame(gavi, 0), np.uint8)
+    assert px.size == 8 * 8 * 3 and (px == 100).all()
+
+
+def test_mjpeg_errors_stay_avi_format_errors():
+    """A corrupted JPEG frame, a dims-lying frame, and an unknown
+    compression fourcc all surface as AviFormatError (the exception the
+    operator layer's errors-as-data handler catches) — never a raw
+    JpegFormatError/struct.error/IndexError leaking from the inner codec."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.avi import (AviFormatError, decode_avi,
+                                               decode_avi_frame, encode_avi,
+                                               open_avi)
+    from flink_job_spark.functions.jpeg import encode_jpeg
+
+    blob = encode_jpeg(8, 8, bytes([100]) * (8 * 8 * 3), 3, quality=50)
+    avi = encode_avi(8, 8, 10, [blob], codec="MJPG")
+    info, offs = open_avi(avi)
+
+    corrupted = bytearray(avi)
+    corrupted[offs[0][0] + 2] ^= 0xFF
+    with pytest.raises(AviFormatError):
+        decode_avi_frame(bytes(corrupted), 0)
+
+    # frame decodes fine but its dims disagree with the container header
+    other = encode_jpeg(16, 8, bytes([100]) * (16 * 8 * 3), 3, quality=50)
+    lying = encode_avi(8, 8, 10, [other], codec="MJPG")
+    with pytest.raises(AviFormatError, match="disagree"):
+        decode_avi(lying)
+
+    # unknown compression fourcc: rewrite handler + biCompression to 'H264'
+    h264 = avi.replace(b"MJPG", b"H264")
+    assert struct.pack("<I", struct.unpack("<I", b"H264")[0]) == b"H264"
+    with pytest.raises(AviFormatError, match="unsupported video compression"):
+        decode_avi_frame(h264, 0)
+
+    # encoder-side contract: MJPG frames must be JPEGs
+    with pytest.raises(AviFormatError, match="missing SOI"):
+        encode_avi(8, 8, 10, [b"not a jpeg"], codec="MJPG")
+
+
 def test_gif_lzw_table_overflow_roundtrip():
     """Deterministic large-image case guaranteeing width growth to 12 bits
     and the 4096-entry CLEAR/reset path (random fuzz dims stay small)."""

@@ -154,3 +154,50 @@ def test_bfs_deep_hops_checkpoint_bounded(spark):
     # sym + level0 + one frontier per hop (33) + <= one checkpoint gen (2)
     assert len(live) <= 2 + (clen + 1) + 2, f"{len(live)} live RDDs"
     unpersist_all(spark)
+
+
+def test_label_propagation_deep_iterations_checkpoint_bounded(spark):
+    """25 LPA supersteps on two disjoint 16-chains: the loop must (a)
+    complete (same lineage-stall shape as pagerank/min-label — synchronous
+    LPA legitimately OSCILLATES on path graphs, so a fixed deep iteration
+    count is exactly the reuse case), (b) agree NODE-FOR-NODE with a plain
+    Python twin of the update rule (majority neighbor label, tie -> min),
+    and (c) retain at most one live checkpoint generation."""
+    from collections import Counter
+
+    from flink_job_spark.queries.analytics import label_propagation_labels
+    from flink_job_spark.session import persistent_rdd_ids, unpersist_all
+
+    unpersist_all(spark)
+    base = persistent_rdd_ids(spark)
+    pairs = (spark.range(32).filter(F.pmod("id", F.lit(16)) != 15)
+             .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst")))
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    rows = label_propagation_labels(sym, iters=25).collect()
+    assert len(rows) == 32
+    got = {r["node"]: r["label"] for r in rows}
+    assert len(got) == 32
+
+    # independent sequential twin of the synchronous update rule
+    nbrs = {v: [] for v in range(32)}
+    for v in range(32):
+        if v % 16 != 15:
+            nbrs[v].append(v + 1)
+            nbrs[v + 1].append(v)
+    labels = {v: v for v in range(32)}
+    for _ in range(25):
+        nxt = {}
+        for v in range(32):
+            cnt = Counter(labels[u] for u in nbrs[v])
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    assert got == labels
+    # labels never cross components
+    assert all(lab < 16 for v, lab in got.items() if v < 16)
+    assert all(lab >= 16 for v, lab in got.items() if v >= 16)
+
+    live = persistent_rdd_ids(spark) - base
+    assert len(live) <= 3, f"checkpoint blocks accumulate: {len(live)} live"
+    unpersist_all(spark)
