@@ -84,6 +84,57 @@ def extract_visible_text(html: str) -> dict:
             "text_len": len(text)}
 
 
+class _LinkExtractor(HTMLParser):
+    """Collects (href, anchor-text) pairs; skip-subtree discipline matches
+    _VisibleText (an <a> inside <noscript>/<script>/... never leaks). Tag
+    soup cannot raise; an unclosed <a> is flushed at the next anchor or at
+    EOF (best-effort, how tolerant browsers treat it)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._href: str | None = None
+        self._anchor_chunks: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join(" ".join(self._anchor_chunks).split())
+            self.links.append((self._href, text))
+        self._href, self._anchor_chunks = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif self._skip_depth:
+            return
+        elif tag == "a":
+            self._flush()
+            href = next((v for k, v in attrs if k == "href" and v), None)
+            self._href = href
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "a" and not self._skip_depth:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth or self._href is None:
+            return
+        self._anchor_chunks.append(data)
+
+
+def extract_links(html: str) -> list[dict]:
+    """→ [{href, anchor}] in document order; href-less anchors are skipped,
+    anchors inside skip subtrees never leak. Never raises on tag soup."""
+    p = _LinkExtractor()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return [{"href": h, "anchor": a} for h, a in p.links]
+
+
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4."""
     out: list[str] = []

@@ -1096,3 +1096,91 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(run, schema=schema)
+
+
+# --- q_html_links: outlink extraction + anchor-text rollup -----------------------
+#
+# The stage that builds the WEB GRAPH from a crawl: per-page <a href>
+# extraction, RFC 3986 canonicalization of every target (uppercase hosts,
+# default ports, dot segments and tracking params all collapse to one
+# canonical URL), then the per-target rollup search/link-analysis pipelines
+# consume (in-link count, distinct referrers, anchor text). The fixture
+# plants an href-less anchor and a <noscript>-wrapped spam link per page —
+# if either leaks into the graph the oracle hash-mismatches — and each
+# 4-link page references one target TWICE so n_refs > n_src_docs is
+# exercised (j and j+3 collapse via j % 3).
+
+@register(
+    "q_html_links",
+    """WITH l AS (
+         SELECT doc_id, unnest(range(1 + doc_id % 4)) AS j FROM documents
+       ),
+       t AS (
+         SELECT doc_id, (doc_id * 3 + (j % 3)) % 11 AS t FROM l
+       )
+       SELECT 'http://site' || (t % 4) || '.com/p' || t || '?id=' || t
+                AS target,
+              CAST(COUNT(1) AS BIGINT) AS n_refs,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+              MIN('L' || t || ' d' || doc_id) AS top_anchor
+       FROM t GROUP BY t""",
+    doc="web-graph construction from HTML: per-page outlink extraction "
+        "(skip-subtree and href-less anchors excluded), RFC 3986 "
+        "canonicalization collapsing four surface forms per target, then "
+        "the per-target in-link rollup (refs, distinct referrers, minimum "
+        "anchor text) link analysis and crawl frontiers consume",
+    tags=("crawl", "html", "graph"),
+)
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction + canonicalization is one Arrow-batched map stage that
+    emits (doc_id, target, anchor) rows — at 100 TB the only shuffle is
+    the final combine-enabled per-target rollup, whose partial aggregation
+    absorbs the in-link fan-in map-side (hot targets like a homepage are
+    exactly the skew partial aggs exist for). The canonical string is the
+    join key of every downstream link-graph op, so normalizing BEFORE the
+    shuffle is what keeps one logical page from splitting into four
+    shuffle keys."""
+    import pandas as pd
+
+    from flink_job_spark.functions.html_text import canonical_url, extract_links
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("target", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            out_doc, out_tgt, out_anchor = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                anchors = []
+                for j in range(1 + i % 4):
+                    t = (i * 3 + (j % 3)) % 11
+                    if j % 2 == 0:
+                        href = (f"HTTP://SITE{t % 4}.COM:80/p{t}"
+                                f"?id={t}&utm_source=x")
+                    else:
+                        href = (f"http://site{t % 4}.com/a/../p{t}"
+                                f"?id={t}&fbclid=y")
+                    anchors.append(f'<a href="{href}">L{t} d{i}</a>')
+                html = (
+                    f"<html><body><h1>Page {i}</h1>" + " ".join(anchors)
+                    + '<a name="no-href"></a>'
+                    + '<noscript><a href="http://spam.example/x">spam</a>'
+                    + "</noscript></body></html>")
+                for link in extract_links(html):
+                    out_doc.append(i)
+                    out_tgt.append(canonical_url(link["href"])["canonical"])
+                    out_anchor.append(link["anchor"])
+            yield pd.DataFrame({"doc_id": pd.array(out_doc, dtype="int64"),
+                                "target": out_tgt, "anchor": out_anchor})
+
+    d = load_table(spark, sf_dir, "documents")
+    links = d.select("doc_id").mapInPandas(run, schema=schema)
+    return links.groupBy("target").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_src_docs"),
+        F.min("anchor").alias("top_anchor"),
+    )

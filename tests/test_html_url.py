@@ -147,3 +147,32 @@ def test_main_content_skips_script_subtrees():
     r = extract_main_content(h)
     assert "never appear" not in r["text"]
     assert r["n_blocks"] == 1
+
+
+def test_extract_links_skip_subtrees_and_soup():
+    """Link extraction discipline: href-less anchors skipped, anchors inside
+    skip subtrees (noscript/script) never leak, nested inline tags keep
+    their text, an unclosed <a> is flushed at EOF, and tag soup never
+    raises."""
+    from flink_job_spark.functions.html_text import extract_links
+
+    html = (
+        '<body><a href="http://a.com/1">one</a>'
+        '<a name="x"></a>'
+        '<a href="http://a.com/2">two <b>bold</b> tail</a>'
+        '<noscript><a href="http://spam.example/x">spam</a></noscript>'
+        '<script>document.write(\'<a href="http://spam.example/y">s</a>\')'
+        "</script>"
+        '<a href="/rel">unclosed')
+    links = extract_links(html)
+    assert [l["href"] for l in links] == [
+        "http://a.com/1", "http://a.com/2", "/rel"]
+    assert links[1]["anchor"] == "two bold tail"
+    assert links[2]["anchor"] == "unclosed"
+    # a new <a> before the old one closes flushes the first (soup rule)
+    soup = '<a href="http://a.com/p">first<a href="http://a.com/q">second</a>'
+    got = extract_links(soup)
+    assert [(l["href"], l["anchor"]) for l in got] == [
+        ("http://a.com/p", "first"), ("http://a.com/q", "second")]
+    # garbage never raises
+    assert extract_links("<<<>>><a href=>< broken &#; soup") == []
