@@ -167,3 +167,71 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, snap, ["c_custkey"], ["c_acctbal", "c_mktsegment"],
         dt.datetime.fromisoformat(SCD2_T3),
     )
+
+
+# --- q_compaction_plan: small-file bin-packing for table maintenance -----------------
+#
+# The maintenance pass every large Iceberg/parquet table needs: group small
+# files into target-sized rewrite bins (the reference pins
+# write.target-file-size-bytes = 512 MB on its tables,
+# mis_initial_job/src/main/java/com/rzdmed/flink/FirebirdToIcebergJob.java:888-913;
+# compaction is how a table keeps honoring that target after many
+# incremental loads). Files are binned PER PARTITION (source) by the
+# sequential-fill rule: a file joins the bin in which its first byte lands
+# when files are laid end-to-end in file-id order — one window cumsum, no
+# driver loop, and exactly what a planner needs to emit one rewrite task
+# per bin.
+
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024     # bench-scaled stand-in for 512 MB
+COMPACT_FILE_SCALE = 4096                  # n_chars -> synthetic file bytes
+
+
+@register(
+    "q_compaction_plan",
+    f"""WITH files AS (
+          SELECT source, doc_id AS file_id,
+                 CAST(n_chars AS BIGINT) * {COMPACT_FILE_SCALE} AS bytes
+          FROM documents
+        ),
+        placed AS (
+          SELECT source, file_id, bytes,
+                 (SUM(bytes) OVER (PARTITION BY source ORDER BY file_id)
+                  - bytes) // {COMPACT_TARGET_BYTES} AS bin
+          FROM files
+        )
+        SELECT source, CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(1) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        FROM placed GROUP BY source, bin""",
+    doc="compaction planning: per-partition sequential-fill bin packing of "
+        "small files into target-size rewrite groups (the maintenance op "
+        "behind Iceberg rewrite_data_files; the reference pins a 512 MB "
+        "target file size) — one window cumsum per partition, each output "
+        "row is one rewrite task",
+    tags=("cdc", "maintenance", "layout"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the partition key, then a running sum inside each
+    partition — the plan a metadata-scale input deserves (file inventories
+    are rows-per-FILE, not rows-per-record: a 100 TB table is ~200k files,
+    driver-free but trivially distributed). The bin rule is pure integer
+    math ((cumsum - size) DIV target), so engines agree bitwise; a greedy
+    first-fit-decreasing variant packs ~10% tighter but is inherently
+    sequential per partition — the window form is the one that stays a
+    2-exchange plan at any file count."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.select(
+        "source", F.col("doc_id").alias("file_id"),
+        (F.col("n_chars").cast("bigint") * COMPACT_FILE_SCALE).alias("bytes"))
+    placed = files.withColumn(
+        "bin", F.expr(f"(sum(bytes) OVER (PARTITION BY source ORDER BY "
+                      f"file_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                      f"CURRENT ROW) - bytes) div {COMPACT_TARGET_BYTES}"))
+    return placed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    ).select("source", F.col("bin").cast("bigint").alias("bin"),
+             "n_files", "total_bytes", "first_file", "last_file")
