@@ -131,6 +131,49 @@ def main() -> None:
         lambda b: extract_main_content(b.decode()),
         logical_bytes=len(page))
 
+    # --- wave 10: Motion JPEG frame sampling ------------------------------
+    # The video_frame_stats contract is O(sampled frames): container
+    # open+index must be header-cheap, and each sampled frame is one
+    # independent baseline-JPEG decode. Report both costs separately —
+    # open time bounds the per-video overhead of SKIPPING, frame decode
+    # bounds the per-sample cost a 100 TB sampling pass pays.
+    import numpy as np
+
+    from flink_job_spark.functions.avi import (decode_frame_at, encode_avi,
+                                               open_avi)
+    from flink_job_spark.functions.jpeg import encode_jpeg
+
+    vw, vh, nf = 320, 240, 200
+    xx = np.arange(vw)[None, :]
+    yy = np.arange(vh)[:, None]
+    blobs = []
+    for f in range(nf):
+        r = (xx * 255) // (vw - 1) + np.zeros((vh, vw), np.int64)
+        g = (yy * 255) // (vh - 1) + np.zeros((vh, vw), np.int64)
+        b = ((xx + yy + f) * 255) // (vw + vh)
+        blobs.append(encode_jpeg(
+            vw, vh, np.stack([r, g, b], -1).astype(np.uint8).tobytes(),
+            3, quality=75, subsampling="420"))
+    mj = encode_avi(vw, vh, 25, blobs, codec="MJPG")
+
+    best_open = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        info, offs = open_avi(mj)
+        best_open = min(best_open, time.perf_counter() - t0)
+    best_dec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in (0, nf // 2, nf - 1):
+            decode_frame_at(mj, info, offs, i)
+        best_dec = min(best_dec, (time.perf_counter() - t0) / 3)
+    px_mb = vw * vh * 3 / 1e6
+    print(f"{'mjpeg open+index (200fr)':28s} {len(mj)/1e6:8.1f} MB  "
+          f"{best_open*1e3:9.2f} ms  (index of {len(offs)} frames)")
+    print(f"{'mjpeg sampled-frame decode':28s} {px_mb:8.1f} MB  "
+          f"{best_dec*1e3:9.1f} ms  {px_mb/best_dec:9.1f} MB/s  "
+          f"({1/best_dec:.1f} fps/core at {vw}x{vh})")
+
 
 if __name__ == "__main__":
     main()
