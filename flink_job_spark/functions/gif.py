@@ -267,3 +267,167 @@ def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS
         rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[pix]
         return w, h, 3, rgb.tobytes()
     raise GifFormatError("no image data")
+
+
+# --- GIF89a animation ------------------------------------------------------------
+#
+# Multi-frame GIFs: NETSCAPE2.0 loop extension + one Graphic Control
+# Extension (delay, disposal) per image. The index walk below touches only
+# block HEADERS (sub-block length hops) — like the AVI idx1 path, sampling
+# a frame LZW-decodes only that frame's bytes, the property that matters
+# when the payload column is 100 TB. Compositing of PARTIAL frames (left/
+# top offsets smaller than the logical screen) requires decoding every
+# prior frame, so frame seeking is only offered for full-screen frames —
+# which is what this encoder emits and what screen-recording/banner GIFs
+# mostly are; partial-frame files raise GifFormatError (errors-as-data
+# upstream).
+
+
+def encode_gif_anim(width: int, height: int, frames: list[bytes],
+                    delay_cs: int = 10, palette: bytes | None = None) -> bytes:
+    """frames = row-major top-down 8-bit palette-index buffers, all
+    full-screen; one GCE per frame with the given delay (centiseconds)."""
+    if not frames:
+        raise GifFormatError("at least one frame required")
+    if not 0 < delay_cs < 65536:
+        raise GifFormatError("delay out of range")
+    if palette is None:
+        palette = bytes(b for i in range(256) for b in (i, i, i))
+    if len(palette) != 768:
+        raise GifFormatError("palette must be 256 RGB entries")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0) + palette
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for indices in frames:
+        if len(indices) != width * height:
+            raise GifFormatError("frame buffer does not match dims")
+        # GCE: disposal 1 (leave in place), no transparency
+        out += b"\x21\xF9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        payload = _lzw_encode(8, indices)
+        out += bytes([8])
+        for i in range(0, len(payload), 255):
+            out += bytes([min(255, len(payload) - i)]) + payload[i:i + 255]
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def open_gif_anim(data: bytes) -> dict:
+    """Header/index walk (no LZW work): -> {width, height, palette,
+    frames: [(left, top, w, h, ipacked, mcs, [(blockpos, blocklen), ...],
+    delay_cs)], total_delay_cs}."""
+    if data[:6] not in GIF_SIGNATURES:
+        raise GifFormatError("not a GIF")
+    if len(data) < 13:
+        raise GifFormatError("truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos:pos + n]
+        if len(gct) < n:
+            raise GifFormatError("truncated global color table")
+        pos += n
+    frames: list[tuple] = []
+    total_delay = 0
+    delay = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:                       # extension
+            if pos + 2 > len(data):
+                raise GifFormatError("truncated extension")
+            label = data[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and p < len(data) and data[p] == 4:
+                if p + 5 > len(data):
+                    raise GifFormatError("truncated GCE")
+                (delay,) = struct.unpack("<H", data[p + 2:p + 4])
+            while p < len(data) and data[p] != 0:
+                p += 1 + data[p]
+            if p >= len(data):
+                raise GifFormatError("unterminated extension")
+            pos = p + 1
+            continue
+        if b0 != 0x2C:
+            raise GifFormatError(f"unexpected block 0x{b0:02x}")
+        if pos + 10 > len(data):
+            raise GifFormatError("truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB",
+                                                 data[pos + 1:pos + 10])
+        if w * h > MAX_PIXELS:
+            raise GifFormatError(f"dims too large ({w}x{h} > {MAX_PIXELS} px)")
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos:pos + n]
+            if len(pal) < n:
+                raise GifFormatError("truncated local color table")
+            pos += n
+        if not pal:
+            raise GifFormatError("no color table")
+        if pos >= len(data):
+            raise GifFormatError("truncated before LZW data")
+        mcs = data[pos]
+        pos += 1
+        if not (2 <= mcs <= 8):
+            raise GifFormatError(f"bad LZW min code size {mcs}")
+        blocks: list[tuple[int, int]] = []
+        while pos < len(data) and data[pos] != 0:
+            n = data[pos]
+            if pos + 1 + n > len(data):
+                raise GifFormatError("truncated data sub-block")
+            blocks.append((pos + 1, n))
+            pos += 1 + n
+        if pos >= len(data):
+            raise GifFormatError("missing block terminator")
+        pos += 1
+        frames.append((left, top, w, h, ipacked, mcs, blocks, delay, pal))
+        total_delay += delay
+        delay = 0
+    if not frames:
+        raise GifFormatError("no image data")
+    return {"width": sw, "height": sh, "frames": frames,
+            "total_delay_cs": total_delay}
+
+
+def gif_anim_meta(data: bytes) -> tuple[int, int, int, int]:
+    """Header-only (width, height, n_frames, total_delay_cs)."""
+    info = open_gif_anim(data)
+    return (info["width"], info["height"], len(info["frames"]),
+            info["total_delay_cs"])
+
+
+def decode_gif_anim_frame(data: bytes, info: dict, index: int) -> bytes:
+    """Decode ONLY the indexed frame -> top-down RGB. Requires the frame to
+    cover the full logical screen (see module note on compositing);
+    negative indexes count from the end."""
+    frames = info["frames"]
+    if not -len(frames) <= index < len(frames):
+        raise GifFormatError(
+            f"frame index {index} out of range ({len(frames)} frames)")
+    left, top, w, h, ipacked, mcs, blocks, _delay, pal = frames[index]
+    if (left, top, w, h) != (0, 0, info["width"], info["height"]):
+        raise GifFormatError(
+            "partial frame needs compositing (full-screen frames only)")
+    payload = b"".join(data[p:p + n] for p, n in blocks)
+    idx = _lzw_decode(mcs, payload, w * h)
+    if len(idx) < w * h:
+        raise GifFormatError(
+            f"LZW stream ended early ({len(idx)}/{w * h} pixels)")
+    if ipacked & 0x40:
+        seq = bytearray(w * h)
+        for dst_row, y in enumerate(_interlace_rows(h)):
+            seq[y * w:(y + 1) * w] = idx[dst_row * w:(dst_row + 1) * w]
+        idx = seq
+    ncolors = len(pal) // 3
+    pix = np.frombuffer(bytes(idx[:w * h]), dtype=np.uint8)
+    if int(pix.max(initial=0)) >= ncolors:
+        raise GifFormatError("palette index out of range")
+    return np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[pix].tobytes()

@@ -269,6 +269,9 @@ def video_frame_stats(media: DataFrame,
 
     from flink_job_spark.functions.avi import (AviFormatError,
                                                decode_frame_at, open_avi)
+    from flink_job_spark.functions.gif import (GIF_SIGNATURES, GifFormatError,
+                                               decode_gif_anim_frame,
+                                               open_gif_anim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ["width", "height", "n_frames", "duration_ms", "mean_luma",
@@ -277,34 +280,43 @@ def video_frame_stats(media: DataFrame,
             cols: dict[str, list] = {k: [] for k in keys}
             for payload in pdf["payload"]:
                 w = h = nf = dur = luma = err = None
+                raw = bytes(payload) if payload is not None else b""
+                is_avi = raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+                is_gif = raw[:6] in GIF_SIGNATURES
                 if payload is None:
                     err = "null payload"
-                elif bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"AVI ":
+                elif not (is_avi or is_gif):
                     err = "not a decodable video payload"
                 else:
                     try:
-                        raw = bytes(payload)
                         # parse the container/index ONCE per payload; each
                         # sampled frame is then a direct seek
-                        info, offs = open_avi(raw)
-                        w, h = info["width"], info["height"]
-                        nf, usec = info["n_frames"], info["usec_per_frame"]
-                        dur = nf * usec // 1000
+                        if is_avi:
+                            info, offs = open_avi(raw)
+                            w, h = info["width"], info["height"]
+                            nf, usec = info["n_frames"], info["usec_per_frame"]
+                            dur = nf * usec // 1000
+                            dec = lambda i: decode_frame_at(raw, info, offs, i)  # noqa: E731
+                        else:                 # animated GIF
+                            info = open_gif_anim(raw)
+                            w, h = info["width"], info["height"]
+                            nf = len(info["frames"])
+                            dur = info["total_delay_cs"] * 10
+                            dec = lambda i: decode_gif_anim_frame(raw, info, i)  # noqa: E731
                         idxs = sorted({min(p * nf // 1000, nf - 1)
                                        for p in sample}) if nf else []
                         tot = cnt = 0
                         for i in idxs:
                             # a lying avih frame count (nf > len(offs))
                             # surfaces as AviFormatError -> decode_error row
-                            px = np.frombuffer(
-                                decode_frame_at(raw, info, offs, i),
-                                dtype=np.uint8)
+                            px = np.frombuffer(dec(i), dtype=np.uint8)
                             tot += int(px.sum())      # exact int accumulation
                             cnt += px.size
                         luma = round(tot / cnt, 6) if cnt else None
-                    except (AviFormatError, struct.error) as e:
+                    except (AviFormatError, GifFormatError,
+                            struct.error) as e:
                         w = h = nf = dur = luma = None
-                        err = f"bad avi: {e}"
+                        err = f"bad video: {e}"
                 cols["width"].append(w); cols["height"].append(h)
                 cols["n_frames"].append(nf); cols["duration_ms"].append(dur)
                 cols["mean_luma"].append(luma); cols["decode_error"].append(err)

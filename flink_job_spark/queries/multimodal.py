@@ -778,6 +778,71 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "duration_ms", "mean_luma")
 
 
+# --- q_media_gif_anim: animated GIF (GIF89a multi-frame), oracle-checked -----------
+#
+# The other real-world animation container next to MJPEG AVI: NETSCAPE loop
+# extension + one Graphic Control Extension per frame. LZW is LOSSLESS, so
+# constant-index frames need no quantization lemma at all — the decoded
+# pixel mean over the sampled frames is exactly the closed-form index mean.
+
+GIFA_W_MOD, GIFA_H_MOD, GIFA_F_MOD, GIFA_D_MOD = 16, 12, 6, 5
+
+@register(
+    "q_media_gif_anim",
+    f"""SELECT doc_id AS media_id,
+               CAST(9 + doc_id % {GIFA_W_MOD} AS INT) AS width,
+               CAST(9 + doc_id % {GIFA_H_MOD} AS INT) AS height,
+               CAST(2 + doc_id % {GIFA_F_MOD} AS BIGINT) AS n_frames,
+               CAST((2 + doc_id % {GIFA_F_MOD})
+                    * (4 + doc_id % {GIFA_D_MOD}) * 10 AS BIGINT)
+                 AS duration_ms,
+               round((SELECT AVG(CAST((doc_id * 31 + s.f * 17) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT DISTINCT f FROM
+                              (SELECT unnest([0, (2 + doc_id % {GIFA_F_MOD}) // 2,
+                                              1 + doc_id % {GIFA_F_MOD}]) AS f) u) s)
+                     , 6) AS mean_luma
+        FROM documents""",
+    doc="animated-GIF roundtrip (GIF89a: NETSCAPE loop block, per-frame "
+        "Graphic Control delays, per-frame LZW streams): encoded and then "
+        "SAMPLED — first/middle/last frames only, seeked via the sub-block "
+        "index walk so unsampled frames are never LZW-decoded — in "
+        "mapInPandas; the lossless codec makes the sampled-frame pixel "
+        "mean exactly the closed-form index mean",
+    tags=("multimodal", "video", "gif"),
+)
+def q_media_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same O(sampled frames) contract as the AVI/MJPEG keys: open_gif_anim
+    walks block headers only (sub-block length hops), and each sampled
+    frame is one LZW decode. Shares video_frame_stats with the AVI paths —
+    one operator, three container/codec layouts, magic-dispatched."""
+    import pandas as pd
+
+    from flink_job_spark.functions.gif import encode_gif_anim
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, video_frame_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 9 + i % GIFA_W_MOD, 9 + i % GIFA_H_MOD
+                nf = 2 + i % GIFA_F_MOD
+                frames = [bytes([(i * 31 + f * 17) % 256]) * (w * h)
+                          for f in range(nf)]
+                payloads.append(encode_gif_anim(
+                    w, h, frames, delay_cs=4 + i % GIFA_D_MOD))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "video",
+                                "mime": "image/gif", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = video_frame_stats(media, sample=(0, 500, 999))
+    return stats.select("media_id", "width", "height", "n_frames",
+                        "duration_ms", "mean_luma")
+
+
 # --- q_media_audio_features: ZCR / peak / FFT dominant bin, oracle-checked ----------
 
 # signal: square wave with half-period p = 1 + doc_id % 8 samples; n is a

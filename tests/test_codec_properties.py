@@ -790,3 +790,69 @@ def test_jpeg_16bit_dqt_decodes_identically():
     dqt = struct.pack(">HH", 0xFFDB, 2 + 1 + 100) + bytes([0x10]) + bytes(100)
     with pytest.raises(JpegFormatError, match="truncated DQT"):
         decode_jpeg(b"\xff\xd8" + dqt + b"\xff\xd9")
+
+
+@settings(max_examples=20, deadline=None)
+@given(_DIMS, st.integers(1, 5), st.integers(1, 100),
+       st.integers(0, 2 ** 32 - 1))
+def test_gif_anim_roundtrip_and_seek_fuzz(dims, n_frames, delay, seed):
+    """Animated GIF: per-frame LZW roundtrip is exact for arbitrary index
+    content, the header walk reports frame count and total delay, frame
+    seeking agrees at both index conventions, and the single-image
+    decode_gif still returns frame 0 of an animated file."""
+    from flink_job_spark.functions.gif import (decode_gif,
+                                               decode_gif_anim_frame,
+                                               encode_gif_anim, gif_anim_meta,
+                                               open_gif_anim)
+
+    w, h = dims
+    frames = [bytes((seed + f * 131 + i * 2654435761) % 256
+                    for i in range(w * h)) for f in range(n_frames)]
+    g = encode_gif_anim(w, h, frames, delay_cs=delay)
+    assert gif_anim_meta(g) == (w, h, n_frames, n_frames * delay)
+    info = open_gif_anim(g)
+    for f, idx in enumerate(frames):
+        want = bytes(b for v in idx for b in (v, v, v))
+        assert decode_gif_anim_frame(g, info, f) == want
+    assert decode_gif_anim_frame(g, info, -n_frames) == \
+        decode_gif_anim_frame(g, info, 0)
+    first = decode_gif(g)
+    assert first == (w, h, 3, decode_gif_anim_frame(g, info, 0))
+
+
+def test_gif_anim_errors_stay_format_errors():
+    """Truncation at every byte, a partial (non-full-screen) frame, and an
+    out-of-range index all surface as GifFormatError — never
+    struct.error/IndexError — so the shared video operator keeps them as
+    decode_error rows."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.gif import (GifFormatError,
+                                               decode_gif_anim_frame,
+                                               encode_gif_anim, open_gif_anim)
+
+    g = encode_gif_anim(7, 5, [bytes([9]) * 35, bytes([200]) * 35],
+                        delay_cs=3)
+    for cut in range(1, len(g)):
+        trunc = g[:cut]
+        try:
+            info = open_gif_anim(trunc)
+            for f in range(len(info["frames"])):
+                decode_gif_anim_frame(trunc, info, f)
+        except GifFormatError:
+            pass
+
+    info = open_gif_anim(g)
+    with pytest.raises(GifFormatError, match="out of range"):
+        decode_gif_anim_frame(g, info, 2)
+
+    # partial frame: rewrite the second image descriptor to 6x4 at (1,1)
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, 7, 5, 0)
+    idx = g.index(desc, g.index(desc) + 1)
+    partial = g[:idx] + b"\x2C" + struct.pack("<HHHHB", 1, 1, 6, 4, 0) \
+        + g[idx + 10:]
+    pinfo = open_gif_anim(partial)
+    with pytest.raises(GifFormatError, match="compositing"):
+        decode_gif_anim_frame(partial, pinfo, 1)

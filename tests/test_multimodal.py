@@ -663,7 +663,7 @@ def test_video_frame_stats_samples_and_errors(spark):
     vals = [(f * 13 + j * 7) % 256 for f in sampled for j in range(w * h)]
     assert ok["mean_luma"] == round(sum(vals) / len(vals), 6)
     assert ok["decode_error"] is None
-    assert rows[2]["decode_error"].startswith("bad avi")
+    assert rows[2]["decode_error"].startswith("bad video")
     assert rows[3]["decode_error"] == "null payload"
 
 
@@ -688,7 +688,7 @@ def test_avi_lying_frame_count_is_data_not_crash(spark):
             "media_id long, kind string, mime string, payload binary"),
         sample=(0, 999),
     ).collect()
-    assert rows[0]["decode_error"].startswith("bad avi")
+    assert rows[0]["decode_error"].startswith("bad video")
     assert "out of range" in rows[0]["decode_error"]
 
 
