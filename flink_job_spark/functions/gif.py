@@ -276,8 +276,10 @@ def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS
 # block HEADERS (sub-block length hops) — like the AVI idx1 path, sampling
 # a frame LZW-decodes only that frame's bytes, the property that matters
 # when the payload column is 100 TB. Compositing of PARTIAL frames (left/
-# top offsets smaller than the logical screen) requires decoding every
-# prior frame, so frame seeking is only offered for full-screen frames —
+# top offsets smaller than the logical screen) or TRANSPARENT frames
+# (prior pixels show through the transparent index) requires decoding
+# every prior frame, so frame seeking is only offered for opaque
+# full-screen frames —
 # which is what this encoder emits and what screen-recording/banner GIFs
 # mostly are; partial-frame files raise GifFormatError (errors-as-data
 # upstream).
@@ -289,6 +291,8 @@ def encode_gif_anim(width: int, height: int, frames: list[bytes],
     full-screen; one GCE per frame with the given delay (centiseconds)."""
     if not frames:
         raise GifFormatError("at least one frame required")
+    if not (0 < width < 65536 and 0 < height < 65536):
+        raise GifFormatError("dims out of range")
     if not 0 < delay_cs < 65536:
         raise GifFormatError("delay out of range")
     if palette is None:
@@ -335,6 +339,7 @@ def open_gif_anim(data: bytes) -> dict:
     frames: list[tuple] = []
     total_delay = 0
     delay = 0
+    transparent = False
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x3B:
@@ -348,6 +353,7 @@ def open_gif_anim(data: bytes) -> dict:
                 if p + 5 > len(data):
                     raise GifFormatError("truncated GCE")
                 (delay,) = struct.unpack("<H", data[p + 2:p + 4])
+                transparent = bool(data[p + 1] & 0x01)
             while p < len(data) and data[p] != 0:
                 p += 1 + data[p]
             if p >= len(data):
@@ -388,9 +394,11 @@ def open_gif_anim(data: bytes) -> dict:
         if pos >= len(data):
             raise GifFormatError("missing block terminator")
         pos += 1
-        frames.append((left, top, w, h, ipacked, mcs, blocks, delay, pal))
+        frames.append((left, top, w, h, ipacked, mcs, blocks, delay, pal,
+                       transparent))
         total_delay += delay
         delay = 0
+        transparent = False
     if not frames:
         raise GifFormatError("no image data")
     return {"width": sw, "height": sh, "frames": frames,
@@ -412,10 +420,18 @@ def decode_gif_anim_frame(data: bytes, info: dict, index: int) -> bytes:
     if not -len(frames) <= index < len(frames):
         raise GifFormatError(
             f"frame index {index} out of range ({len(frames)} frames)")
-    left, top, w, h, ipacked, mcs, blocks, _delay, pal = frames[index]
+    (left, top, w, h, ipacked, mcs, blocks, _delay, pal,
+     transparent) = frames[index]
     if (left, top, w, h) != (0, 0, info["width"], info["height"]):
         raise GifFormatError(
             "partial frame needs compositing (full-screen frames only)")
+    if transparent:
+        # a transparent full-screen frame shows prior-frame pixels through
+        # its transparent index — decoding it standalone would silently
+        # return the palette color instead (review-caught r5); same
+        # errors-as-data boundary as partial frames
+        raise GifFormatError(
+            "transparent frame needs compositing (opaque frames only)")
     payload = b"".join(data[p:p + n] for p, n in blocks)
     idx = _lzw_decode(mcs, payload, w * h)
     if len(idx) < w * h:

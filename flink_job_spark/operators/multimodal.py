@@ -280,9 +280,14 @@ def video_frame_stats(media: DataFrame,
             cols: dict[str, list] = {k: [] for k in keys}
             for payload in pdf["payload"]:
                 w = h = nf = dur = luma = err = None
-                raw = bytes(payload) if payload is not None else b""
-                is_avi = raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
-                is_gif = raw[:6] in GIF_SIGNATURES
+                # magic check on SLICES only — the full-payload bytes()
+                # copy is deferred to the decode branch so non-video rows
+                # reject for free (review-caught r5)
+                is_avi = (payload is not None
+                          and bytes(payload[:4]) == b"RIFF"
+                          and bytes(payload[8:12]) == b"AVI ")
+                is_gif = (payload is not None
+                          and bytes(payload[:6]) in GIF_SIGNATURES)
                 if payload is None:
                     err = "null payload"
                 elif not (is_avi or is_gif):
@@ -291,6 +296,7 @@ def video_frame_stats(media: DataFrame,
                     try:
                         # parse the container/index ONCE per payload; each
                         # sampled frame is then a direct seek
+                        raw = bytes(payload)
                         if is_avi:
                             info, offs = open_avi(raw)
                             w, h = info["width"], info["height"]

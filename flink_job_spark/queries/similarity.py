@@ -967,7 +967,9 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
              for c in cents]
-    assigned = e.withColumn("cell", _cell_assignment(cents))
+    # both the pair scorer and the final keep-join read the assignment;
+    # persist so the scan + norm + argmax run once (house pattern)
+    assigned = e.withColumn("cell", _cell_assignment(cents)).persist()
 
     def score_cell(key, pdf):
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)

@@ -856,3 +856,20 @@ def test_gif_anim_errors_stay_format_errors():
     pinfo = open_gif_anim(partial)
     with pytest.raises(GifFormatError, match="compositing"):
         decode_gif_anim_frame(partial, pinfo, 1)
+
+    # transparent full-screen frame: prior pixels show through its
+    # transparent index, so a standalone decode would silently return the
+    # palette color — must raise, not emit wrong pixels (review-caught r5)
+    gce = b"\x21\xF9\x04\x04"
+    i2 = g.index(gce, g.index(gce) + 1)
+    transp = g[:i2] + b"\x21\xF9\x04\x05" + g[i2 + 4:]
+    tinfo = open_gif_anim(transp)
+    assert decode_gif_anim_frame(transp, tinfo, 0) is not None  # opaque OK
+    with pytest.raises(GifFormatError, match="transparent frame"):
+        decode_gif_anim_frame(transp, tinfo, 1)
+
+    # encoder input validation stays a GifFormatError, never struct.error
+    with pytest.raises(GifFormatError, match="dims out of range"):
+        encode_gif_anim(70000, 5, [bytes(70000 * 5)])
+    with pytest.raises(GifFormatError, match="dims out of range"):
+        encode_gif_anim(0, 0, [b""])

@@ -150,7 +150,7 @@ def main() -> None:
     for f in range(nf):
         r = (xx * 255) // (vw - 1) + np.zeros((vh, vw), np.int64)
         g = (yy * 255) // (vh - 1) + np.zeros((vh, vw), np.int64)
-        b = ((xx + yy + f) * 255) // (vw + vh)
+        b = ((xx + yy + f) * 255) // (vw + vh + nf - 2)  # stays <= 255
         blobs.append(encode_jpeg(
             vw, vh, np.stack([r, g, b], -1).astype(np.uint8).tobytes(),
             3, quality=75, subsampling="420"))
