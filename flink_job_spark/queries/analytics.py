@@ -1861,3 +1861,69 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .otherwise(0)).cast("bigint").alias("n_customers"))
                .orderBy("lvl")
     )
+
+
+# --- q_hits_scores: HITS hubs & authorities, integer-exact ---------------------------
+
+HITS_TOPK = 20
+
+
+@register(
+    "q_hits_scores",
+    f"""WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    a1 AS (SELECT dst AS node, CAST(COUNT(1) AS BIGINT) AS auth1
+           FROM e0 GROUP BY dst),
+    h1 AS (SELECT e.src AS node, CAST(SUM(a.auth1) AS BIGINT) AS hub1
+           FROM e0 e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst AS node, CAST(SUM(h.hub1) AS BIGINT) AS auth2
+           FROM e0 e JOIN h1 h ON h.node = e.src GROUP BY e.dst)
+    SELECT node, auth1, auth2, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT a2.node, a1.auth1, a2.auth2,
+             row_number() OVER (ORDER BY a2.auth2 DESC, a2.node) AS rank
+      FROM a2 JOIN a1 ON a1.node = a2.node)
+    WHERE rank <= {HITS_TOPK}""",
+    doc=f"HITS hubs-and-authorities (Kleinberg) on the directed customer->"
+        f"supplier purchase graph: two unnormalized power iterations from "
+        f"hub=1 — auth1 = in-degree, hub1 = sum of neighbor authorities, "
+        f"auth2 = sum of neighbor hubs — top-{HITS_TOPK} authorities; "
+        "skipping the per-step normalization keeps every score an exact "
+        "BIGINT (normalization only rescales, the RANKING is identical), "
+        "so the iterated fixpoint is engine-exact with zero float ops",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each half-iteration is one hash join of the score vector onto the
+    edge list (shuffle on node id) plus one combine-enabled integer sum —
+    the same per-superstep shape and cost as q_pagerank, minus the decimal
+    detour because integer addition is associative. The edge list is
+    persisted across the two iterations; scores are node-sized, never
+    edge-sized. At 100 TB: identical scaling story to q_pagerank (the
+    recorded 16M-edge A/B applies — join partitioned on node id), and the
+    two-step unroll needs no lineage truncation. The bipartite direction is
+    the realistic one: hubs are buyers, authorities are suppliers."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select((F.col("o_custkey") * 2).alias("src"),
+                 (F.col("l_suppkey") * 2 + 1).alias("dst"))
+         .distinct()
+         .persist()
+    )
+    a1 = e0.groupBy(F.col("dst").alias("node")) \
+           .agg(F.count(F.lit(1)).cast("bigint").alias("auth1"))
+    h1 = (e0.join(a1, e0["dst"] == a1["node"])
+             .groupBy(F.col("src").alias("hnode"))
+             .agg(F.sum("auth1").cast("bigint").alias("hub1")))
+    a2 = (e0.join(h1, e0["src"] == h1["hnode"])
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub1").cast("bigint").alias("auth2")))
+    out = (a2.join(a1, "node")
+             .select("node", "auth1", "auth2",
+                     F.row_number().over(
+                         Window.orderBy(F.col("auth2").desc(), F.col("node")))
+                      .cast("bigint").alias("rank"))
+             .filter(F.col("rank") <= HITS_TOPK))
+    return out

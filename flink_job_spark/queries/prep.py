@@ -246,6 +246,124 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_exact_substr: sliding-window duplicate-span dedup (ExactSubstr) ---------------
+
+EXSUB_K = 16  # window width in words (the paper's 50-token spans, corpus-scaled)
+
+
+@register(
+    "q_exact_substr",
+    f"""WITH w AS (
+          SELECT doc_id, {words_duck('text')} AS w FROM documents
+        ),
+        win AS (
+          SELECT doc_id, len(w) AS n_words,
+                 unnest(range(1, greatest(len(w) - {EXSUB_K - 1}, 1) + 1)) AS s, w
+          FROM w
+        ),
+        h AS (
+          SELECT doc_id, n_words, s,
+                 md5(array_to_string(list_slice(w, s, s + {EXSUB_K - 1}), ' ')) AS h
+          FROM win
+        ),
+        f AS (SELECT h, MIN(doc_id) AS first_doc FROM h GROUP BY h),
+        b AS (
+          SELECT h.doc_id, h.n_words, h.s,
+                 CASE WHEN f.first_doc < h.doc_id THEN 1 ELSE 0 END AS dup
+          FROM h JOIN f USING (h)
+        ),
+        tot AS (
+          SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_windows,
+                 CAST(COALESCE(SUM(dup), 0) AS BIGINT) AS n_dup_windows
+          FROM b GROUP BY doc_id
+        ),
+        d AS (SELECT doc_id, s, LEAST({EXSUB_K}, n_words) AS wd FROM b WHERE dup = 1),
+        sp AS (
+          SELECT doc_id, s, wd,
+                 MAX(s + wd - 1) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM d
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+                 CAST(SUM(GREATEST(0, s + wd - 1
+                                      - GREATEST(COALESCE(prev_end, 0), s - 1)))
+                      AS BIGINT) AS n_dup_words
+          FROM sp GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_windows, t.n_dup_windows,
+               CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(a.n_dup_words, 0) AS BIGINT) AS n_dup_words
+        FROM tot t LEFT JOIN agg a USING (doc_id)""",
+    doc=f"ExactSubstr span dedup (Lee et al. 2022): hash every SLIDING "
+        f"{EXSUB_K}-word window, own each window by its earliest doc, then "
+        "merge overlapping duplicated windows per doc into maximal spans — "
+        "per doc: window/duplicate counts, merged span count and the exact "
+        "number of words covered by duplicated text (what the paper cuts "
+        "out of the corpus); the sub-document sibling of q_block_dedup that "
+        "catches duplicates at ANY alignment, not just block boundaries",
+    tags=("prep", "dedup"),
+)
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper builds a corpus-wide suffix array; the distributed
+    re-expression is windowed hashing — every sliding K-word window hashes
+    map-side inside a transform (only (doc_id, s, 32-char) rows explode, the
+    words array never leaves the row), ownership is one min-window over the
+    hash shuffle, and span merging is a per-doc prefix-max window (the
+    classic interval-union-by-running-max trick: a window opens a new span
+    iff it starts past the running coverage end + 1, and contributes
+    exactly the coverage it extends). Two shuffles total — one on the
+    window hash, one on doc_id — both bounded by total corpus words; the
+    prefix-max window streams (no frame buffering). At 100 TB the hash
+    shuffle is the cost, the same bound MinHash shingling already pays."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", words("text").alias("w"))
+         .select(
+             "doc_id", F.size("w").alias("n_words"),
+             F.posexplode(F.expr(
+                 f"transform(sequence(1, greatest(size(w) - {EXSUB_K - 1}, 1)), "
+                 f"s -> md5(concat_ws(' ', slice(w, s, {EXSUB_K}))))"
+             )).alias("pos", "h"),
+         )
+         .select("doc_id", "n_words", (F.col("pos") + 1).alias("s"), "h")
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
+    b = b.withColumn("dup", (first_doc < F.col("doc_id")).cast("int"))
+
+    tot = b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+    )
+
+    dups = (b.filter(F.col("dup") == 1)
+             .select("doc_id", "s",
+                     F.least(F.lit(EXSUB_K), F.col("n_words")).alias("wd")))
+    prev = Window.partitionBy("doc_id").orderBy("s") \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    dups = dups.withColumn("prev_end", F.max(F.col("s") + F.col("wd") - 1).over(prev))
+    spans = dups.groupBy("doc_id").agg(
+        F.sum((F.col("prev_end").isNull()
+               | (F.col("s") > F.col("prev_end") + 1)).cast("int"))
+         .cast("bigint").alias("n_spans"),
+        F.sum(F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("s") + F.col("wd") - 1
+             - F.greatest(F.coalesce(F.col("prev_end"), F.lit(0)),
+                          F.col("s") - 1)).cast("bigint"),
+        )).cast("bigint").alias("n_dup_words"),
+    )
+    return (
+        tot.join(spans, "doc_id", "left")
+           .select("doc_id", "n_windows", "n_dup_windows",
+                   F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+                   F.coalesce("n_dup_words", F.lit(0)).cast("bigint")
+                    .alias("n_dup_words"))
+    )
+
+
 # --- q_contamination: benchmark n-gram overlap ---------------------------------------
 
 CONTAM_K = 8          # n-gram width used for decontamination
@@ -1096,4 +1214,70 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sum_price"),
         F.min("p_name").alias("min_name"),
         F.max("p_partkey").alias("max_key"),
+    )
+
+
+# --- q_shard_snake: balanced shard assignment by snake order -------------------------
+
+SNAKE_SHARDS = 8
+
+
+@register(
+    "q_shard_snake",
+    f"""WITH t AS (
+          SELECT source, doc_id, {ws_token_count_duck('text')} AS tok
+          FROM documents
+        ),
+        r AS (
+          SELECT source, doc_id, tok,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY tok DESC, doc_id) - 1 AS r
+          FROM t
+        ),
+        s AS (
+          SELECT source, doc_id, tok,
+                 CASE WHEN (r // {SNAKE_SHARDS}) % 2 = 0
+                      THEN r % {SNAKE_SHARDS}
+                      ELSE {SNAKE_SHARDS - 1} - (r % {SNAKE_SHARDS}) END AS shard
+          FROM r
+        )
+        SELECT source, CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+               CAST(MAX(tok) AS BIGINT) AS max_tokens
+        FROM s GROUP BY source, shard""",
+    doc=f"balanced training-shard assignment: within each source, docs rank "
+        f"by token count (desc, doc_id tie-break) and deal into "
+        f"{SNAKE_SHARDS} shards in SNAKE order (0..N-1 then N-1..0), the "
+        "deterministic parallel-friendly approximation of LPT bin packing — "
+        "per-shard doc/token rollups; snake keeps every shard's token total "
+        "within one max-document of the mean, which plain round-robin does "
+        "not",
+    tags=("prep", "sampling", "layout"),
+)
+def q_shard_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank window partitions by source, so it parallelizes across
+    sources (the global-sort variant would need a range-partitioned rank;
+    per-source is what shard writers actually do — one output directory per
+    source). Integer division pins the snake flip in both engines (DuckDB
+    needs `//` — its `/` is float division; Spark truncates the double via
+    CAST, identical to floor here because r >= 0).
+    Shuffles: one for the window, one combine-enabled rollup — both keyed
+    on source, the natural write-partitioning at 100 TB; a pathological
+    single giant source would salt the rank the same way q_train_shuffle's
+    docstring records."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", ws_token_count("text").alias("tok"))
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("tok").desc(), "doc_id")) - 1
+    t = t.withColumn("r", r)
+    k = (F.col("r") / SNAKE_SHARDS).cast("bigint")  # floor: r >= 0
+    pos = F.col("r") % SNAKE_SHARDS
+    shard = F.when(k % 2 == 0, pos).otherwise(F.lit(SNAKE_SHARDS - 1) - pos)
+    return (
+        t.withColumn("shard", shard.cast("int"))
+         .groupBy("source", "shard")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("tok").cast("bigint").alias("sum_tokens"),
+              F.max("tok").cast("bigint").alias("max_tokens"))
     )

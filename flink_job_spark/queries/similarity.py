@@ -994,3 +994,206 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .join(pruned, "vec_id", "left")
                     .select("vec_id", "cell",
                             F.col("is_pruned").isNull().alias("keep")))
+
+
+# --- q_ann_pq (product quantization: subspace codebooks + ADC scan) ----------------
+
+PQ_M = 8         # subspaces (64-dim vectors -> 8 sub-vectors of 8 dims)
+PQ_SUBDIM = 8    # dims per subspace
+PQ_CODES = 16    # codes per subspace codebook (deterministic id-sample)
+
+PQ_CANDIDATES = 50  # ADC survivors per query kept for the exact rerank
+
+_PQ_ONES = "[" + ", ".join(["1.0"] * PQ_SUBDIM) + "]"
+_PQ_M_ONES = "[" + ", ".join(["1.0"] * PQ_M) + "]"
+_PQ_FULL_ONES = "[" + ", ".join(["1.0"] * (PQ_M * PQ_SUBDIM)) + "]"
+
+
+def _pq_subdist_duck(a: str, b: str) -> str:
+    """Squared L2 between two DOUBLE[{PQ_SUBDIM}] lists with a pinned IEEE
+    sequence: term_i = (a_i-b_i)*(a_i-b_i), folded left via list_dot_product
+    against a ones vector (x*1.0 is exact, so the fold is acc + term_i in
+    index order — bit-identical to Spark's aggregate(zip_with(...)) and to a
+    Python left fold, verified empirically)."""
+    return (
+        f"list_dot_product(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), {_PQ_ONES})"
+    )
+
+
+def pq_codebooks(e: DataFrame) -> list[list[tuple[int, list[float]]]]:
+    """books[m] = [(code_id, subvec)] in code order — the deterministic
+    id-sample codebook (vec_id < PQ_CODES), k*dim-tiny by definition."""
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < PQ_CODES).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    return [
+        [(int(r["vec_id"]),
+          [float(x) for x in r["v"][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]])
+         for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+
+
+def pq_encode(e: DataFrame,
+              books: list[list[tuple[int, list[float]]]] | None = None
+              ) -> DataFrame:
+    """(vec_id, codes array<int>[PQ_M]) — pure map-side projection, zero
+    shuffle of the big table.
+
+    The fold form (aggregate over zip_with of the sub-slice vs the literal
+    code vector) is deliberate, same reasoning as _vecs: a fully unrolled
+    1024-term constant expression looked codegen-friendly but its janino
+    compile dominated the key outright (14.1 s vs ~1 s at sf0.01 — the
+    dot_fixed lesson at 16x the terms); the interpreted HOF evaluates the
+    identical IEEE sequence (acc + (x-y)*(x-y) in index order from 0.0)
+    with zero compile cost."""
+    if books is None:
+        books = pq_codebooks(e)
+
+    def _code_expr(m: int):
+        # min (dist, code): array_max of (-dist, -code) structs — field-wise
+        # compare, ties pick the lowest code id (oracle: ORDER BY d, code_id)
+        cb_lit = F.array(*[
+            F.struct(F.lit(cid).alias("cid"),
+                     F.array(*[F.lit(x) for x in cv]).alias("cv"))
+            for cid, cv in books[m]
+        ])
+        sub = F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(sub, c["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, p: acc + p,
+        )
+        best = F.array_max(F.transform(
+            cb_lit,
+            lambda c: F.struct((-dist(c)).alias("negd"),
+                               (-c["cid"]).alias("negc")),
+        ))
+        return (-best["negc"]).cast("int")
+
+    return e.select("vec_id",
+                    F.array(*[_code_expr(m) for m in range(PQ_M)]).alias("codes"))
+
+
+@register(
+    "q_ann_pq",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+  cb AS (SELECT c.vec_id AS code_id, ms.m,
+                list_slice(c.v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS cv
+         FROM e c, ms WHERE c.vec_id < {PQ_CODES}),
+  sub AS (SELECT e.vec_id, ms.m,
+                 list_slice(e.v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+          FROM e, ms),
+  assign AS (
+    SELECT vec_id, m, code_id FROM (
+      SELECT s.vec_id, s.m, cb.code_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {_pq_subdist_duck('s.sv', 'cb.cv')}, cb.code_id)
+               AS rn
+      FROM sub s JOIN cb ON cb.m = s.m) WHERE rn = 1),
+  lut AS (
+    SELECT q.vec_id AS qid, cb.m, cb.code_id,
+           {_pq_subdist_duck('q.sv', 'cb.cv')} AS d
+    FROM sub q JOIN cb ON cb.m = q.m WHERE q.vec_id < {N_QUERY_VECS}),
+  adc AS (
+    SELECT l.qid, a.vec_id,
+           round(list_dot_product(list(l.d ORDER BY l.m), {_PQ_M_ONES}), 6) AS adc
+    FROM assign a JOIN lut l ON l.m = a.m AND l.code_id = a.code_id
+    WHERE a.vec_id <> l.qid
+    GROUP BY l.qid, a.vec_id),
+  cand AS (
+    SELECT qid, vec_id, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+      FROM adc) WHERE rn <= {PQ_CANDIDATES}),
+  rer AS (
+    SELECT c.qid, c.vec_id, c.adc,
+           round(list_dot_product(list_transform(range(1, {PQ_M * PQ_SUBDIM + 1}),
+                 i -> (eq.v[i] - ev.v[i]) * (eq.v[i] - ev.v[i])),
+                 {_PQ_FULL_ONES}), 6) AS l2
+    FROM cand c
+    JOIN e ev ON ev.vec_id = c.vec_id
+    JOIN e eq ON eq.vec_id = c.qid)
+  SELECT qid, vec_id, adc, l2, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rank
+    FROM rer) WHERE rank <= {TOPK}""",
+    doc=f"product-quantization ANN (Jégou et al. ADC + rerank): {PQ_M} "
+        f"subspaces x {PQ_CODES}-code codebooks (deterministic id-sample), "
+        f"every vector encoded map-side to {PQ_M} bytes, queries scanned via "
+        f"additive per-subspace distance LUTs, top-{PQ_CANDIDATES} ADC "
+        f"survivors reranked by exact L2 to top-{TOPK} — the memory-bound "
+        "two-stage ANN scan (8 bytes/vector coarse pass, exact floats only "
+        "for candidates), the PQ sibling of q_ann_quantized's SQ8 rerank",
+    tags=("similarity", "ann", "pq", "quantize"),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ layout for a 100 TB corpus: codebooks are k*dim-tiny by definition
+    (collected once, embedded as literals), so ENCODE is a pure map-side
+    projection — zero shuffle of the big table, and the encoded corpus is
+    PQ_M bytes/vector (32x smaller than the float rows), which is the whole
+    point: the ADC scan streams codes, not vectors. Query LUTs (M x CODES
+    doubles per query) are computed driver-side with the same IEEE fold the
+    SQL twin uses and broadcast; the scan is LUT-lookup + an in-row fold over
+    M, followed by the per-query candidate rank. The exact rerank touches
+    only PQ_CANDIDATES rows per query (broadcast of the tiny candidate set
+    back onto the vector table — the float column is read for ~50 rows, not
+    the corpus), so at 100 TB the scan cost is the 8-byte code stream and
+    the rerank cost is O(queries x candidates). Recall@{TOPK} vs exact L2 is
+    asserted in test_ivf_recall.py; raw ADC on these id-sample codebooks
+    recalls ~0.3 (random synthetic vectors quantize poorly at 16 codes),
+    the rerank pass lifts what the candidate set retains — kmeans-trained
+    books would share this exact plan shape with better books."""
+    e = _vecs(spark, sf_dir)
+    books = pq_codebooks(e)
+    enc = pq_encode(e, books)
+
+    # driver-side LUTs for the tiny query set, same IEEE fold as the oracle
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    probes = []
+    for qr in qrows:
+        qv = [float(x) for x in qr["v"]]
+        lut = []
+        for m in range(PQ_M):
+            row = []
+            for cid, cv in books[m]:
+                acc = 0.0
+                for i, bx in enumerate(cv):
+                    d = qv[m * PQ_SUBDIM + i] - bx
+                    acc = acc + d * d
+                row.append(acc)
+            lut.append(row)
+        probes.append((int(qr["vec_id"]), qv, lut))
+    probe_df = spark.createDataFrame(
+        probes, "qid bigint, qv array<double>, lut array<array<double>>")
+
+    d_arr = F.zip_with("lut", "codes", lambda l, c: F.element_at(l, c + 1))
+    scored = (
+        enc.crossJoin(F.broadcast(probe_df.select("qid", "lut")))
+           .filter(F.col("vec_id") != F.col("qid"))
+           .select("qid", "vec_id",
+                   F.round(F.aggregate(d_arr, F.lit(0.0), lambda a, x: a + x), 6)
+                    .alias("adc"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    cand = (scored.withColumn("rn", F.row_number().over(wc))
+                  .filter(F.col("rn") <= PQ_CANDIDATES)
+                  .drop("rn"))
+
+    # exact rerank: the tiny candidate set broadcasts back onto the vector
+    # table — the float column is read for candidate rows only
+    sq = F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y))
+    rer = (
+        e.select("vec_id", "v")
+         .join(F.broadcast(cand), "vec_id")
+         .join(F.broadcast(probe_df.select("qid", "qv")), "qid")
+         .select("qid", "vec_id", "adc",
+                 F.round(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x), 6)
+                  .alias("l2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("vec_id"))
+    return (rer.withColumn("rank", F.row_number().over(w).cast("long"))
+               .filter(F.col("rank") <= TOPK))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_job_spark.functions.text import (
+    STOPWORDS_EN,
     bpe_token_count,
     bpe_token_count_duck,
     fingerprint_columns,
@@ -1193,4 +1194,158 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4)
          .alias("cross_entropy"),
         F.round(-F.min("lp").cast("double"), 4).alias("max_nll"),
+    )
+
+
+# --- q_gopher_rules: the MassiveText/Gopher document-quality rule battery -----------
+
+# Published rule SHAPE (Rae et al. 2021, A1.1), thresholds re-parameterized to
+# this synthetic corpus so BOTH branches of every flag fire at every SF (the
+# paper's 50..100k word bounds would pass/fail vacuously here). Every flag is
+# decided by integer cross-multiplication — no float threshold can drift
+# between engines.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MWL_MIN = 4    # mean word length lower bound (paper: 3)
+GOPHER_MWL_MAX = 5    # mean word length upper bound (paper: 10)
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords present (paper: 2 of 8)
+
+_GOPHER_STOP_DUCK = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+
+@register(
+    "q_gopher_rules",
+    f"""WITH w AS (
+          SELECT doc_id, text, {words_duck('text')} AS w FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+                   AS n_word_chars,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                      AS BIGINT) AS n_alpha_words,
+                 CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+                   AS n_symbols,
+                 CAST(len(list_filter({_GOPHER_STOP_DUCK},
+                                      s -> list_contains(w, s))) AS BIGINT)
+                   AS n_stopwords
+          FROM w
+        )
+        SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+               n_stopwords,
+               CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                         THEN 1 ELSE 0 END AS INTEGER) AS wc_pass,
+               CAST(CASE WHEN n_word_chars BETWEEN {GOPHER_MWL_MIN} * n_words
+                                               AND {GOPHER_MWL_MAX} * n_words
+                         THEN 1 ELSE 0 END AS INTEGER) AS mwl_pass,
+               CAST(CASE WHEN n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                         THEN 1 ELSE 0 END AS INTEGER) AS stop_pass,
+               CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                          AND n_word_chars BETWEEN {GOPHER_MWL_MIN} * n_words
+                                               AND {GOPHER_MWL_MAX} * n_words
+                          AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                         THEN 1 ELSE 0 END AS INTEGER) AS passes
+        FROM m""",
+    doc="Gopher/MassiveText quality-rule battery: per-doc word count, total "
+        "word chars, alphabetic-word and symbol (#/ellipsis) counts, distinct-"
+        "stopword hits, plus the word-count / mean-word-length / stopword "
+        "rule flags and the all-rules gate — every flag decided by integer "
+        "cross-multiplication (mean-word-length in [4,5] is 4n <= chars <= "
+        "5n), the repetition rules live in q_repetition",
+    tags=("text", "quality", "gopher"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: every signal is a built-in expression over the shared
+    words() array (one projection, zero shuffles, fully codegen-resident) —
+    at 100 TB this is a pure scan whose cost is the regex tokenizer, shared
+    with every other text key. Flags compare integers only: mean word length
+    never materializes as a float, and the stopword rule counts DISTINCT
+    stopwords present via a 10-element literal-array filter, not a regex
+    over the text (so a doc repeating 'the' 50 times scores 1, not 50)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    m = d.select(
+        "doc_id",
+        F.size(words("text")).cast("bigint").alias("n_words"),
+        F.aggregate(F.transform(words("text"),
+                                lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("n_word_chars"),
+        F.size(F.filter(words("text"), lambda x: x.rlike("[a-z]")))
+         .cast("bigint").alias("n_alpha_words"),
+        (F.regexp_count(F.col("text"), F.lit("#"))
+         + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+         .cast("bigint").alias("n_symbols"),
+        F.size(F.filter(stop_lit,
+                        lambda s: F.array_contains(words("text"), s)))
+         .cast("bigint").alias("n_stopwords"),
+    )
+    wc_pass = (F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS))
+    mwl_pass = (F.col("n_word_chars") >= GOPHER_MWL_MIN * F.col("n_words")) \
+        & (F.col("n_word_chars") <= GOPHER_MWL_MAX * F.col("n_words"))
+    stop_pass = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id", "n_words", "n_word_chars", "n_alpha_words", "n_symbols",
+        "n_stopwords",
+        wc_pass.cast("int").alias("wc_pass"),
+        mwl_pass.cast("int").alias("mwl_pass"),
+        stop_pass.cast("int").alias("stop_pass"),
+        (wc_pass & mwl_pass & stop_pass).cast("int").alias("passes"),
+    )
+
+
+# --- q_quality_classifier: hashed-feature linear quality scorer ----------------------
+
+QCLF_BUCKETS = 64     # hashed feature space (shared shape with q_feature_hash)
+QCLF_WEIGHT_MOD = 2001  # weights uniform in [-1000, 1000], md5-derived
+
+
+@register(
+    "q_quality_classifier",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({words_duck('text')}) AS word FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST({md5_u32_duck(f"'qclf|' || CAST({md5_u32_duck('word')} % {QCLF_BUCKETS} AS VARCHAR)")}
+                      % {QCLF_WEIGHT_MOD} - {(QCLF_WEIGHT_MOD - 1) // 2} AS BIGINT)
+                   AS w
+          FROM tok
+        )
+        SELECT doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_tokens,
+               CAST(SUM(w) AS BIGINT) AS logit,
+               CAST(CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+        FROM scored GROUP BY doc_id""",
+    doc=f"fastText-shaped linear quality classifier SCORING: every token "
+        f"hashes into {QCLF_BUCKETS} buckets and the md5-derived integer "
+        "bucket weight (stand-in for trained coefficients — same plan, "
+        "different constants) accumulates into a per-doc logit; label = "
+        "sign. The model-based quality gate (DCLM/FineWeb-style) scored "
+        "entirely with integer arithmetic — no float can drift between "
+        "engines, no vocabulary pass, no model file",
+    tags=("text", "ml", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + ONE combine-enabled reduction on doc_id: the weight is
+    an inline expression of the bucket id (md5 of md5), so there is no
+    weight-table join at all — a real trained model would broadcast its
+    {QCLF_BUCKETS}-row coefficient vector instead, same plan shape. Partial
+    aggregation sums weights map-side, so the shuffle carries one
+    (doc_id, count, sum) triple per doc per partition. At 100 TB this is
+    the cheapest possible model-scoring plan: a scan, a projection, a
+    combine."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_u32(F.col("word")) % QCLF_BUCKETS
+    w = (md5_u32(F.concat(F.lit("qclf|"), bucket.cast("string")))
+         % QCLF_WEIGHT_MOD - (QCLF_WEIGHT_MOD - 1) // 2).cast("bigint")
+    return (
+        d.select("doc_id", F.explode(words("text")).alias("word"))
+         .select("doc_id", w.alias("w"))
+         .groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+              F.sum("w").cast("bigint").alias("logit"),
+              (F.sum("w") > 0).cast("int").alias("label"))
     )

@@ -387,3 +387,35 @@ def test_media_ahash_pairs_verify_against_hashes(spark, sf_dir):
         and shares_band(hashes[a], hashes[b])
     }
     assert set(got) == expected
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    """auth1/auth2 re-derived by a dict-based two-step power iteration over
+    the same distinct edge set — integer-exact, so equality is ==, no
+    tolerance."""
+    from flink_job_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = {
+        (r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1)
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    auth1: dict[int, int] = {}
+    for s, t in edges:
+        auth1[t] = auth1.get(t, 0) + 1
+    hub1: dict[int, int] = {}
+    for s, t in edges:
+        hub1[s] = hub1.get(s, 0) + auth1[t]
+    auth2: dict[int, int] = {}
+    for s, t in edges:
+        auth2[t] = auth2.get(t, 0) + hub1[s]
+
+    from flink_job_spark.queries.analytics import HITS_TOPK
+
+    want = sorted(auth2.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    rows = all_queries()["q_hits_scores"].fn(spark, sf_dir).collect()
+    got = [(r["node"], r["auth2"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
+    for r in rows:
+        assert r["auth1"] == auth1[r["node"]]

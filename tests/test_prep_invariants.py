@@ -88,3 +88,96 @@ def test_k_anonymity_invariants(spark, sf_dir):
         else:
             assert r["segment_qi"] == "*" and r["band_qi"] == "*"
     assert sum(1 for r in rows if r["nation_qi"] == "*") <= 1
+
+
+def test_exact_substr_matches_python_interval_twin(spark, sf_dir):
+    """Span merging re-derived by a brute-force Python twin: recompute every
+    doc's duplicated windows from scratch (dict-of-hashes ownership), merge
+    intervals imperatively, and demand identical span counts and covered-word
+    totals — the window-function prefix-max trick vs the obvious algorithm."""
+    import hashlib
+    import re
+
+    from flink_job_spark.queries.prep import EXSUB_K
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = {}
+    for r in d:
+        t = re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).strip()
+        docs[r["doc_id"]] = t.split(" ")
+
+    owner: dict[str, int] = {}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for doc_id in sorted(docs):
+        w = docs[doc_id]
+        n = max(len(w) - EXSUB_K + 1, 1)
+        lst = []
+        for s in range(1, n + 1):
+            h = hashlib.md5(" ".join(w[s - 1:s - 1 + EXSUB_K]).encode()).hexdigest()
+            lst.append((s, h))
+            if h not in owner:
+                owner[h] = doc_id
+        wins[doc_id] = lst
+
+    expected = {}
+    for doc_id, lst in wins.items():
+        wd = min(EXSUB_K, len(docs[doc_id]))
+        dup = [(s, s + wd - 1) for s, h in lst if owner[h] < doc_id]
+        merged: list[list[int]] = []
+        for s, e in dup:  # already sorted by s
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expected[doc_id] = (
+            len(lst), len(dup), len(merged),
+            sum(e - s + 1 for s, e in merged),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_spans"],
+                      r["n_dup_words"])
+        for r in all_queries()["q_exact_substr"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # non-vacuous on the shipped corpus: some doc actually carries a dup span
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_shard_snake_balances_and_conserves(spark, sf_dir):
+    """Snake sharding re-derived in Python per source, plus the balance
+    guarantee the doc string claims: every shard's token total within one
+    max-document of any other shard's (round-robin does NOT satisfy this
+    on sorted input — its first shard gets every N-th largest doc)."""
+    import re
+
+    from flink_job_spark.queries.prep import SNAKE_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("source", "doc_id", "text").collect()
+    per_source: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        tok = len(re.findall(r"\S+", r["text"]))
+        per_source.setdefault(r["source"], []).append((tok, r["doc_id"]))
+
+    expected: dict[tuple[str, int], tuple[int, int, int]] = {}
+    for src, lst in per_source.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        shards: dict[int, list[int]] = {}
+        for i, (tok, _) in enumerate(lst):
+            k, pos = divmod(i, SNAKE_SHARDS)
+            sh = pos if k % 2 == 0 else SNAKE_SHARDS - 1 - pos
+            shards.setdefault(sh, []).append(tok)
+        for sh, toks in shards.items():
+            expected[(src, sh)] = (len(toks), sum(toks), max(toks))
+
+    rows = all_queries()["q_shard_snake"].fn(spark, sf_dir).collect()
+    got = {(r["source"], r["shard"]): (r["n_docs"], r["sum_tokens"],
+                                       r["max_tokens"]) for r in rows}
+    assert got == expected
+    # balance: within each source, spread <= that source's max doc tokens
+    for src, lst in per_source.items():
+        sums = [got[(src, sh)][1] for sh in range(SNAKE_SHARDS)
+                if (src, sh) in got]
+        max_doc = max(t for t, _ in lst)
+        assert max(sums) - min(sums) <= max_doc, (src, sums, max_doc)

@@ -223,3 +223,66 @@ def test_bpe_encode_compression_invariants(spark, sf_dir):
     assert rows
     assert all(r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"] for r in rows)
     assert any(r["n_bpe_tokens"] < r["n_chars"] for r in rows)
+
+
+def test_gopher_rules_flags_and_signals(spark, sf_dir):
+    """Flags re-derived from the reported integer signals (the flag columns
+    can never disagree with the numbers they summarize), plus non-vacuity:
+    every rule fails somewhere and passes somewhere on the shipped corpus —
+    a threshold that never fires is a dead rule."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX,
+        GOPHER_MWL_MIN,
+    )
+
+    rows = all_queries()["q_gopher_rules"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        wc = int(GOPHER_MIN_WORDS <= r["n_words"] <= GOPHER_MAX_WORDS)
+        mwl = int(GOPHER_MWL_MIN * r["n_words"] <= r["n_word_chars"]
+                  <= GOPHER_MWL_MAX * r["n_words"])
+        st = int(r["n_stopwords"] >= GOPHER_MIN_STOPWORDS)
+        assert (r["wc_pass"], r["mwl_pass"], r["stop_pass"]) == (wc, mwl, st)
+        assert r["passes"] == (wc & mwl & st)
+        assert 0 <= r["n_alpha_words"] <= r["n_words"]
+        assert 0 <= r["n_stopwords"] <= 10
+    for flag in ("wc_pass", "mwl_pass", "stop_pass"):
+        vals = {r[flag] for r in rows}
+        assert vals == {0, 1}, f"{flag} is vacuous on this corpus: {vals}"
+
+
+def test_quality_classifier_matches_python_twin(spark, sf_dir):
+    """Logits re-derived per doc with hashlib: same normalize, same bucket
+    hash, same weight derivation — integer-exact equality, plus label
+    non-vacuity (a classifier that says one thing is dead)."""
+    import hashlib
+    import re
+
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.text import QCLF_BUCKETS, QCLF_WEIGHT_MOD
+    from flink_job_spark.sources.tables import load_table
+
+    def u32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        ws = re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).strip().split(" ")
+        logit = 0
+        for w in ws:
+            b = u32(w) % QCLF_BUCKETS
+            logit += u32(f"qclf|{b}") % QCLF_WEIGHT_MOD - (QCLF_WEIGHT_MOD - 1) // 2
+        expected[r["doc_id"]] = (len(ws), logit, int(logit > 0))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["label"])
+        for r in all_queries()["q_quality_classifier"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    labels = {v[2] for v in got.values()}
+    assert labels == {0, 1}, f"classifier is vacuous: labels={labels}"
