@@ -1,10 +1,19 @@
 """Minimal pure-stdlib PNG codec (zlib + struct — no imaging library).
 
-Supports non-interlaced 8-bit grayscale (color type 0), RGB (2) and RGBA (6)
-— the formats a training-data pipeline overwhelmingly sees after
-normalization. Encode writes filter-0 scanlines; decode implements all five
-PNG scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), so any
-conforming encoder's output of these color types round-trips.
+Decodes every non-interlaced PNG color-type/bit-depth combination the spec
+defines (RFC 2083 §6 / ISO 15948 table 11.1): grayscale (0) at depths
+1/2/4/8/16, RGB (2) at 8/16, PALETTE (3) at 1/2/4/8 with PLTE lookup and
+optional tRNS alpha, gray+alpha (4) and RGBA (6) at 8/16. Sub-8-bit samples
+unpack MSB-first per row (rows pad to byte boundaries); sub-8 grayscale
+scales to 8-bit by the spec's exact integer factor (255/(2^d-1) is integral
+for d in 1/2/4); 16-bit samples keep their high byte (the spec's sample
+depth rescaling truncation). Encode writes filter-0 scanlines for gray/RGB/
+RGBA plus palette images at any legal depth (encode_png_palette — used by
+fixtures and the roundtrip fuzz). Decode implements all five PNG scanline
+filters (None/Sub/Up/Average/Paeth) with the spec's bpp offset (>= 1 byte),
+so any conforming encoder's output of these layouts round-trips. Interlaced
+(Adam7) files are rejected as decode errors — rare in training corpora and
+always re-encodable.
 
 This exists so the multimodal operators decode REAL image bytes inside the
 sandbox (no Pillow/opencv present): the mapInPandas media path is exercised
@@ -25,7 +34,12 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # training-corpus image; oversized claims become decode errors (= data).
 MAX_PIXELS = 64_000_000
 
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit encode surface)
+
+# samples per pixel and legal bit depths per color type (spec table 11.1)
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
 
 
 class PngFormatError(ValueError):
@@ -55,6 +69,42 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
             + chunk(b"IEND", b""))
 
 
+def encode_png_palette(width: int, height: int, indices: bytes,
+                       palette: list[tuple[int, int, int]], depth: int = 8,
+                       trns: list[int] | None = None) -> bytes:
+    """Color-type-3 PNG: one palette index per pixel, packed MSB-first at
+    ``depth`` bits (1/2/4/8), rows padded to byte boundaries, filter 0.
+    ``trns`` (per-entry alpha) emits a tRNS chunk; decode then yields RGBA."""
+    if depth not in (1, 2, 4, 8):
+        raise PngFormatError(f"bad palette depth {depth}")
+    if not 1 <= len(palette) <= min(256, 1 << depth):
+        raise PngFormatError("palette size out of range for depth")
+    if len(indices) != width * height:
+        raise PngFormatError("index buffer does not match dims")
+    if any(v >= len(palette) for v in indices):
+        raise PngFormatError("index out of palette range")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    stride = (width * depth + 7) // 8
+    rows = bytearray()
+    per_byte = 8 // depth
+    for y in range(height):
+        line = bytearray(stride)
+        for x in range(width):
+            v = indices[y * width + x]
+            line[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
+        rows += b"\x00" + line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(bytes(rows))) + chunk(b"IEND", b"")
+
+
 def png_meta(data: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from IHDR — header-only read,
     never touches IDAT (cheap metadata scans over binary columns)."""
@@ -76,15 +126,20 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes, max_pixels: int = MAX_PIXELS
                ) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixels) — full unfilter of IDAT scanlines."""
+    """(width, height, channels, pixels) — full unfilter of IDAT scanlines,
+    then sample expansion to 8-bit: sub-8 grayscale scales by the exact
+    255/(2^d-1) factor, palette indices map through PLTE (RGBA when tRNS is
+    present), 16-bit samples keep their high byte."""
     w, h, depth, ctype = png_meta(data)
-    if depth != 8 or ctype not in _CHANNELS:
+    samples = _SAMPLES.get(ctype)
+    if samples is None or depth not in _VALID_DEPTHS.get(ctype, ()):
         raise PngFormatError(f"unsupported PNG (depth={depth}, color={ctype})")
     if w * h > max_pixels:
         raise PngFormatError(f"dims too large ({w}x{h} > {max_pixels} px)")
-    ch = _CHANNELS[ctype]
 
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     pos = 8
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -95,10 +150,19 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS
         elif tag == b"IHDR":
             if struct.unpack(">B", body[12:13])[0] != 0:
                 raise PngFormatError("interlaced PNG not supported")
+        elif tag == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise PngFormatError("bad PLTE length")
+            plte = bytes(body)
+        elif tag == b"tRNS" and ctype == 3:
+            trns = bytes(body)
         elif tag == b"IEND":
             break
         pos += 12 + length
-    stride = w * ch
+
+    # filter offset: bytes per complete pixel, rounded up to one (spec §6.2)
+    bpp = max(1, (samples * depth) // 8)
+    stride = (w * samples * depth + 7) // 8
     expected = h * (stride + 1)
     # Bounded inflate: ask for at most expected+1 bytes so a stream that
     # zlib-expands past the header-declared dims is rejected without ever
@@ -112,22 +176,64 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
         if ftype == 1:    # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise PngFormatError(f"unknown filter {ftype}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
-    return w, h, ch, bytes(out)
+
+    # --- sample expansion to 8-bit ------------------------------------------------
+    if depth == 16:
+        vals = bytes(out[0::2])                    # high byte per sample
+        return w, h, samples, vals
+    if depth == 8 and ctype != 3:
+        return w, h, samples, bytes(out)
+
+    # sub-8-bit (and 8-bit palette): per-row unpack, MSB-first, pad ignored
+    if depth == 8:
+        idxs = bytes(out)
+    else:
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        vals8 = bytearray(w * h)          # samples == 1 for ctypes 0 and 3
+        p = 0
+        for y in range(h):
+            row = out[y * stride:(y + 1) * stride]
+            for x in range(w):
+                b = row[x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                vals8[p] = (b >> shift) & mask
+                p += 1
+        idxs = bytes(vals8)
+
+    if ctype == 0:
+        scale = 255 // ((1 << depth) - 1)          # exact for d in 1/2/4
+        return w, h, 1, bytes(v * scale for v in idxs)
+
+    # ctype 3: palette lookup
+    if plte is None:
+        raise PngFormatError("palette PNG missing PLTE")
+    n_pal = len(plte) // 3
+    ch = 4 if trns is not None else 3
+    px = bytearray(w * h * ch)
+    for i, v in enumerate(idxs):
+        if v >= n_pal:
+            raise PngFormatError(f"palette index {v} out of range ({n_pal})")
+        o = i * ch
+        px[o:o + 3] = plte[v * 3:v * 3 + 3]
+        if ch == 4:
+            px[o + 3] = trns[v] if v < len(trns) else 255
+    return w, h, ch, bytes(px)

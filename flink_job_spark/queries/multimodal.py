@@ -2128,3 +2128,84 @@ def q_media_tar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
+# --- q_media_png_palette_stats: indexed-color PNG decode, oracle-checked -------------
+
+# depth cycles 1/2/4/8 by doc_id; palette colors, indices and (every 3rd
+# doc) tRNS alpha are all closed-form in doc_id so plain SQL can rebuild
+# the decoded sample mean without touching bytes.
+PAL_TRNS_MOD = 3
+
+
+@register(
+    "q_media_png_palette_stats",
+    f"""WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % {PNG_W_MOD} AS w,
+             8 + doc_id % {PNG_H_MOD} AS h,
+             CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                             WHEN 2 THEN 4 ELSE 8 END AS depth,
+             CASE WHEN doc_id % {PAL_TRNS_MOD} = 0 THEN 4 ELSE 3 END AS ch
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h, ch,
+             (doc_id + (sm // ch) * 5) % (1 << depth) AS idx,
+             sm % ch AS k
+      FROM (SELECT doc_id, w, h, depth, ch,
+                   unnest(range(w * h * ch)) AS sm FROM d)
+    ),
+    v AS (
+      SELECT doc_id, w, h, ch,
+             CASE k WHEN 0 THEN (doc_id * 13 + idx * 37) % 256
+                    WHEN 1 THEN (doc_id * 17 + idx * 41) % 256
+                    WHEN 2 THEN (doc_id * 19 + idx * 43) % 256
+                    ELSE (doc_id + idx * 7) % 256 END AS val
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           round(AVG(CAST(val AS DOUBLE)), 6) AS mean_luma
+    FROM v GROUP BY doc_id, w, h, ch""",
+    doc="indexed-color (palette) PNG decode: per-doc color-type-3 files at "
+        "bit depth 1/2/4/8 (MSB-first packed rows, PLTE lookup, tRNS alpha "
+        "on every 3rd doc -> RGBA) — the icon/screenshot/older-web layout "
+        "that was previously a decode_error; dims, channel count and the "
+        "decoded sample mean rebuilt closed-form in SQL",
+    tags=("multimodal", "png"),
+)
+def q_media_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zero-shuffle mapInPandas shape as q_media_png_stats: encode and
+    decode run executor-side over Arrow batches, payload bytes never reach
+    the driver; the only new cost is the per-row bit unpack + palette
+    lookup, bounded by the same MAX_PIXELS bomb guard. At 100 TB this is a
+    scan; swapping the synthetic source for an S3 binary column changes
+    only the first select."""
+    import pandas as pd
+
+    from flink_job_spark.functions.png import encode_png_palette
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % PNG_W_MOD, 8 + i % PNG_H_MOD
+                depth = (1, 2, 4, 8)[i % 4]
+                npal = 1 << depth
+                pal = [((i * 13 + c * 37) % 256, (i * 17 + c * 41) % 256,
+                        (i * 19 + c * 43) % 256) for c in range(npal)]
+                idx = bytes((i + j * 5) % npal for j in range(w * h))
+                trns = ([(i + c * 7) % 256 for c in range(npal)]
+                        if i % PAL_TRNS_MOD == 0 else None)
+                payloads.append(encode_png_palette(w, h, idx, pal, depth,
+                                                   trns=trns))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/png", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")

@@ -873,3 +873,129 @@ def test_gif_anim_errors_stay_format_errors():
         encode_gif_anim(70000, 5, [bytes(70000 * 5)])
     with pytest.raises(GifFormatError, match="dims out of range"):
         encode_gif_anim(0, 0, [b""])
+
+
+# ---- PNG palette / sub-8-bit / 16-bit decode (round-5 wave-11 extension) ----
+
+def test_png_palette_roundtrip_all_depths():
+    """encode_png_palette -> decode_png == direct palette lookup, at every
+    legal depth, with and without tRNS, across widths that exercise row
+    padding (odd widths at sub-8 depths leave pad bits)."""
+    import random
+
+    from flink_job_spark.functions.png import decode_png, encode_png_palette
+
+    rnd = random.Random(7)
+    for depth in (1, 2, 4, 8):
+        for w, h in [(1, 1), (3, 2), (8, 5), (13, 7)]:
+            npal = min(1 << depth, 19)
+            pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                   for _ in range(npal)]
+            idx = bytes(rnd.randrange(npal) for _ in range(w * h))
+            got = decode_png(encode_png_palette(w, h, idx, pal, depth))
+            assert got == (w, h, 3, b"".join(bytes(pal[v]) for v in idx))
+            trns = [rnd.randrange(256) for _ in range(max(1, npal - 2))]
+            w2, h2, ch, px = decode_png(
+                encode_png_palette(w, h, idx, pal, depth, trns=trns))
+            assert (w2, h2, ch) == (w, h, 4)
+            want = b"".join(
+                bytes(pal[v]) + bytes([trns[v] if v < len(trns) else 255])
+                for v in idx)
+            assert px == want
+
+
+def test_png_sub8_gray_scales_exactly():
+    """Depth-4 grayscale: decoded bytes are index * 17 (255/15 is integral —
+    the spec's exact sample scaling for d in 1/2/4)."""
+    import random
+    import struct
+    import zlib
+
+    from flink_job_spark.functions.png import PNG_SIGNATURE, decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    rnd = random.Random(11)
+    w, h, depth = 5, 3, 4
+    vals = [[rnd.randrange(16) for _ in range(w)] for _ in range(h)]
+    stride = (w * depth + 7) // 8
+    raw = bytearray()
+    for row in vals:
+        line = bytearray(stride)
+        for x, v in enumerate(row):
+            line[x // 2] |= v << (8 - 4 * (x % 2 + 1))
+        raw += b"\x00" + line
+    blob = (PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob) == (
+        w, h, 1, bytes(v * 17 for row in vals for v in row))
+
+
+def test_png_16bit_rgb_keeps_high_byte_with_sub_filter():
+    """16-bit RGB under the Sub filter: bpp must be 6 bytes (not 3) or the
+    unfilter desyncs; decoded bytes are each sample's MSB."""
+    import random
+    import struct
+    import zlib
+
+    from flink_job_spark.functions.png import PNG_SIGNATURE, decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    rnd = random.Random(13)
+    w, h = 4, 2
+    samples = [rnd.randrange(65536) for _ in range(w * h * 3)]
+    raw = bytearray()
+    for y in range(h):
+        row = b"".join(struct.pack(">H", s)
+                       for s in samples[y * w * 3:(y + 1) * w * 3])
+        enc = bytearray(row)
+        for i in range(len(enc) - 1, 5, -1):
+            enc[i] = (enc[i] - row[i - 6]) & 0xFF
+        raw += b"\x01" + bytes(enc)
+    blob = (PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob) == (w, h, 3, bytes(s >> 8 for s in samples))
+
+
+def test_png_palette_errors_are_format_errors():
+    """Malformed palette layouts must raise PngFormatError (errors-as-data
+    in the operators), never escape as IndexError/struct.error."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from flink_job_spark.functions.png import (PNG_SIGNATURE, PngFormatError,
+                                               decode_png, encode_png_palette)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # missing PLTE
+    raw = b"".join(b"\x00" + bytes([0, 1]) for _ in range(2))
+    blob = (PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="missing PLTE"):
+        decode_png(blob)
+    # index beyond palette
+    good = encode_png_palette(2, 2, bytes([0, 1, 0, 1]), [(1, 2, 3), (4, 5, 6)])
+    tampered = good.replace(chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6])),
+                            chunk(b"PLTE", bytes([1, 2, 3])))
+    with pytest.raises(PngFormatError, match="out of range"):
+        decode_png(tampered)
+    # bad depth / oversize palette rejected at encode time
+    with pytest.raises(PngFormatError):
+        encode_png_palette(1, 1, b"\x00", [(0, 0, 0)], depth=3)
+    with pytest.raises(PngFormatError):
+        encode_png_palette(1, 1, b"\x00", [(0, 0, 0)] * 3, depth=1)
