@@ -445,8 +445,31 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                                 else:
                                     err = "bad wav: empty data chunk"
                     except (wave.Error, EOFError, struct.error) as e:
+                        # stdlib wave is PCM-only: G.711 companded WAVs
+                        # (mu-law fmt 7 / A-law fmt 6 — the telephony
+                        # layout) decode natively before giving up
                         sr = ch = nf = dur = rms = None
-                        err = f"bad wav: {e}"
+                        try:
+                            from flink_job_spark.functions.g711 import (
+                                G711FormatError, decode_g711)
+                            sr, ch, nf, samples = decode_g711(bytes(payload))
+                            dur = round(nf * 1000.0 / sr, 6) if sr else None
+                            if samples:
+                                import math
+
+                                # integer squares sum exactly (< 2^53), and
+                                # math.sqrt IS the IEEE sqrt the SQL oracle
+                                # calls — ** 0.5 routes through pow and may
+                                # differ an ulp
+                                acc = 0.0
+                                for s in samples:
+                                    acc += float(s) * float(s)
+                                rms = round(math.sqrt(acc / len(samples)), 6)
+                            else:
+                                err = "bad wav: empty data chunk"
+                        except G711FormatError:
+                            sr = ch = nf = dur = rms = None
+                            err = f"bad wav: {e}"
                 else:
                     # MP3-shaped payloads (ID3 prefix or a fully valid
                     # first frame header — NOT a bare 0xFF-0xEx, which

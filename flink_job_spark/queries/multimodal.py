@@ -2209,3 +2209,83 @@ def q_media_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_g711_rms: telephony mu-law / A-law WAV decode, oracle-checked -----------
+
+G711_SR = 8000  # the G.711 clock
+
+
+@register(
+    "q_media_g711_rms",
+    f"""WITH d AS (
+      SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n, (doc_id * 7 + j * 11) % 256 AS byte
+      FROM (SELECT doc_id, n, unnest(range(n)) AS j FROM d)
+    ),
+    v AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 0 THEN
+               -- ulaw2linear(byte): u = ~byte, t = (((u&15)<<3)+132) << seg
+               CASE WHEN (255 - byte) & 128 > 0
+                    THEN 132 - (((((255 - byte) & 15) << 3) + 132)
+                                << (((255 - byte) & 112) >> 4))
+                    ELSE (((((255 - byte) & 15) << 3) + 132)
+                          << (((255 - byte) & 112) >> 4)) - 132 END
+             ELSE
+               -- alaw2linear(byte): a = byte^0x55, segmented expansion
+               CASE WHEN (xor(byte, 85) & 128) > 0 THEN 1 ELSE -1 END *
+               CASE (xor(byte, 85) & 112) >> 4
+                 WHEN 0 THEN ((xor(byte, 85) & 15) << 4) + 8
+                 WHEN 1 THEN ((xor(byte, 85) & 15) << 4) + 264
+                 ELSE (((xor(byte, 85) & 15) << 4) + 264)
+                      << ((((xor(byte, 85) & 112) >> 4)) - 1) END
+             END AS val
+      FROM b
+    )
+    SELECT doc_id AS media_id,
+           CAST({G711_SR} AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           round(CAST(n AS DOUBLE) * 1000.0 / {G711_SR}, 6) AS duration_ms,
+           round(sqrt(CAST(SUM(val * val) AS DOUBLE) / n), 6) AS rms
+    FROM v GROUP BY doc_id, n""",
+    doc="G.711 telephony WAV decode: per-doc 8 kHz companded files — mu-law "
+        "(fmt 7) on even docs, A-law (fmt 6) on odd — expanded to 16-bit "
+        "linear by the ITU piecewise formulas natively (stdlib wave is "
+        "PCM-only and previously errored these); rate/frames/duration/RMS "
+        "rebuilt closed-form in SQL with the SAME integer bit arithmetic, "
+        "so the decoded-stream RMS is engine-exact (integer squares sum "
+        "exactly below 2^53)",
+    tags=("multimodal", "audio"),
+)
+def q_media_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched encode->decode shape as q_media_wav_rms: payloads
+    are built and decoded executor-side, the driver sees only stats rows.
+    The G.711 expansion is a 256-entry table lookup per byte — at 100 TB
+    the scan cost is I/O-bound like every other container walk here."""
+    import pandas as pd
+
+    from flink_job_spark.functions.g711 import encode_g711_wav
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_audio_meta)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 256 + i % 64
+                body = bytes((i * 7 + j * 11) % 256 for j in range(n))
+                payloads.append(encode_g711_wav(G711_SR, 1, body,
+                                                mulaw=(i % 2 == 0)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "audio",
+                                "mime": "audio/wav", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_audio_meta(media)
+    return stats.select("media_id", "sample_rate", "channels", "n_frames",
+                        "duration_ms", "rms")

@@ -1281,3 +1281,67 @@ def q_shard_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("tok").cast("bigint").alias("sum_tokens"),
               F.max("tok").cast("bigint").alias("max_tokens"))
     )
+
+
+# --- q_mix_temperature: temperature-scaled source mixture ----------------------------
+
+MIX_TEMP_ALPHA = 0.5        # p_i^alpha with alpha = 1/2 -> one exact sqrt
+MIX_TEMP_BUDGET = 1_000_000  # token budget the shares allocate
+
+
+@register(
+    "q_mix_temperature",
+    f"""WITH c AS (
+          SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_docs, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM c
+        ),
+        tot AS (
+          SELECT CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(38, 12)))
+                      AS DOUBLE) AS tw
+          FROM w
+        )
+        SELECT source, n_docs, n_tokens,
+               round(w, 6) AS weight,
+               round(w / tw, 6) AS share,
+               CAST(FLOOR((w / tw) * {MIX_TEMP_BUDGET}) AS BIGINT) AS alloc_tokens
+        FROM w, tot""",
+    doc=f"temperature-scaled source mixing (the multilingual/multi-domain "
+        f"sampling formula p_i^a / sum p_j^a at a={MIX_TEMP_ALPHA}): "
+        "per-source TOKEN totals -> sqrt weights -> normalized shares -> "
+        f"floor token allocations from a {MIX_TEMP_BUDGET:,}-token budget — "
+        "the upsampling schedule that keeps small sources from vanishing; "
+        "sqrt is ONE correctly-rounded IEEE op on an integer-valued double "
+        "and the weight total rides the exact-decimal detour, so every "
+        "share is engine-exact",
+    tags=("prep", "sampling"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One combine-enabled count by source, then source-cardinality-sized
+    arithmetic: the weight table is as big as the number of sources (tiny
+    by definition at any corpus size), broadcast back as a 1-row total.
+    The only floats are sqrt (correctly rounded, both engines), the share
+    division and the budget multiply — each pinned to one op on identical
+    operands; the cross-source SUM is where engines could reorder, so it
+    runs in exact decimal (VARCHAR hop = shortest-repr rounding, the
+    similarity.py idiom)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ws_token_count("text")).cast("bigint").alias("n_tokens"))
+    w = c.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("w").cast("string").cast("decimal(38,12)"))
+         .cast("double").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+         .select("source", "n_docs", "n_tokens",
+                 F.round("w", 6).alias("weight"),
+                 F.round(F.col("w") / F.col("tw"), 6).alias("share"),
+                 F.floor((F.col("w") / F.col("tw")) * MIX_TEMP_BUDGET)
+                  .cast("bigint").alias("alloc_tokens"))
+    )

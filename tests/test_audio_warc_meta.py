@@ -289,3 +289,84 @@ def test_zip_tar_guards():
         tar_stats(bytes(1024))                 # zero blocks only
     with pytest.raises(ArchiveFormatError):
         tar_stats(b"x" * 512)                  # no ustar magic
+
+
+# ---- G.711 companded WAV (round-5 wave-11) ----
+
+def test_g711_tables_match_itu_reference_points():
+    """Spot-check the expansion tables against published G.711 anchor
+    values plus structural properties: full 16-bit-ish range, odd symmetry
+    between sign halves, monotone magnitude within a segment."""
+    from flink_job_spark.functions.g711 import ALAW2LIN, ULAW2LIN
+
+    assert len(ULAW2LIN) == len(ALAW2LIN) == 256
+    assert max(ULAW2LIN) == 32124 and min(ULAW2LIN) == -32124
+    assert max(ALAW2LIN) == 32256 and min(ALAW2LIN) == -32256
+    # mu-law: 0xFF encodes +0 magnitude -> 0; 0x7F encodes -0 -> 0
+    assert ULAW2LIN[0xFF] == 0 and ULAW2LIN[0x7F] == 0
+    # sign symmetry: clearing the sign bit negates (mu-law stores ~value)
+    for b in range(128):
+        assert ULAW2LIN[b] == -ULAW2LIN[b | 0x80]
+        assert ALAW2LIN[b] == -ALAW2LIN[b | 0x80]
+
+
+def test_g711_wav_roundtrip_and_stdlib_wave_rejects_it():
+    """Our encoder's file decodes through decode_g711 to the exact table
+    values, and stdlib wave really does refuse it (the gap this closes)."""
+    import io
+    import wave
+
+    import pytest
+
+    from flink_job_spark.functions.g711 import (ALAW2LIN, ULAW2LIN,
+                                                decode_g711, encode_g711_wav)
+
+    body = bytes(range(256))
+    for mulaw, table in [(True, ULAW2LIN), (False, ALAW2LIN)]:
+        blob = encode_g711_wav(8000, 1, body, mulaw=mulaw)
+        sr, ch, nf, samples = decode_g711(blob)
+        assert (sr, ch, nf) == (8000, 1, 256)
+        assert samples == [table[b] for b in body]
+        with pytest.raises(wave.Error):
+            wave.open(io.BytesIO(blob))
+
+
+def test_g711_malformed_stays_format_error():
+    """Truncations and non-G.711 tags raise G711FormatError only — the
+    operator's errors-as-data contract."""
+    import pytest
+
+    from flink_job_spark.functions.g711 import (G711FormatError, decode_g711,
+                                                encode_g711_wav)
+
+    good = encode_g711_wav(8000, 1, bytes(64), mulaw=True)
+    for cut in (0, 4, 11, 13, 20, 30, len(good) - 1):
+        try:
+            decode_g711(good[:cut])
+        except G711FormatError:
+            pass  # expected shape
+    with pytest.raises(G711FormatError, match="not a G.711"):
+        # PCM fmt tag (1) must NOT route through the companded tables
+        import struct
+        pcm = good.replace(struct.pack("<HH", 7, 1), struct.pack("<HH", 1, 1), 1)
+        decode_g711(pcm)
+
+
+def test_g711_through_audio_operator(spark):
+    """A mu-law WAV through decode_audio_meta yields rate/frames/RMS —
+    no decode_error — and a corrupted one stays errors-as-data."""
+    from flink_job_spark.functions.g711 import encode_g711_wav
+    from flink_job_spark.operators.multimodal import decode_audio_meta
+
+    blob = encode_g711_wav(8000, 1, bytes((j * 11) % 256 for j in range(320)))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob[:30]))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in decode_audio_meta(
+        df.selectExpr("media_id", "'audio' kind", "'audio/wav' mime",
+                      "payload")).collect()}
+    ok = rows[1]
+    assert ok["decode_error"] is None
+    assert (ok["sample_rate"], ok["channels"], ok["n_frames"]) == (8000, 1, 320)
+    assert ok["rms"] is not None and ok["rms"] > 0
+    assert rows[2]["decode_error"] is not None

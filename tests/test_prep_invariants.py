@@ -181,3 +181,21 @@ def test_shard_snake_balances_and_conserves(spark, sf_dir):
                 if (src, sh) in got]
         max_doc = max(t for t, _ in lst)
         assert max(sums) - min(sums) <= max_doc, (src, sums, max_doc)
+
+
+def test_mix_temperature_flattens_toward_uniform(spark, sf_dir):
+    """The temperature property itself: a below-average source's share is
+    LARGER than its raw token proportion, an above-average source's is
+    smaller (alpha<1 flattens), shares sum to ~1 and allocations never
+    exceed the budget."""
+    from flink_job_spark.queries.prep import MIX_TEMP_BUDGET
+
+    rows = all_queries()["q_mix_temperature"].fn(spark, sf_dir).collect()
+    total_tok = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["alloc_tokens"] for r in rows) <= MIX_TEMP_BUDGET
+    lo = min(rows, key=lambda r: r["n_tokens"])
+    hi = max(rows, key=lambda r: r["n_tokens"])
+    assert lo["n_tokens"] < hi["n_tokens"]  # corpus really is non-uniform
+    assert lo["share"] > lo["n_tokens"] / total_tok
+    assert hi["share"] < hi["n_tokens"] / total_tok
