@@ -318,7 +318,12 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     window hash, one on doc_id — both bounded by total corpus words; the
     prefix-max window streams (no frame buffering). At 100 TB the hash
     shuffle is the cost, the same bound MinHash shingling already pays."""
-    d = load_table(spark, sf_dir, "documents")
+    return exact_substr_spans(load_table(spark, sf_dir, "documents"))
+
+
+def exact_substr_spans(d: DataFrame) -> DataFrame:
+    """Shared core of q_exact_substr over any (doc_id, text) frame —
+    imported (not reimplemented) by tools/exsub_ab.py for the scale A/B."""
     b = (
         d.select("doc_id", words("text").alias("w"))
          .select(

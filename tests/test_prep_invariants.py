@@ -199,3 +199,37 @@ def test_mix_temperature_flattens_toward_uniform(spark, sf_dir):
     assert lo["n_tokens"] < hi["n_tokens"]  # corpus really is non-uniform
     assert lo["share"] > lo["n_tokens"] / total_tok
     assert hi["share"] < hi["n_tokens"] / total_tok
+
+
+def test_exact_substr_catches_unaligned_copy_block_grid_misses(spark):
+    """The any-alignment property, pinned: a 20-word run copied to an
+    offset that straddles the 16-word block grid is invisible to
+    q_block_dedup's aligned blocks but yields exactly one span of 20
+    covered words in exact_substr_spans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_job_spark.queries.prep import (
+        _doc_block_hashes,
+        exact_substr_spans,
+    )
+
+    a = [f"a{j}" for j in range(40)]
+    b = [f"b{j}" for j in range(40)]
+    # copy a[5:25] into b[9:29]: source offset 5, dest offset 9 — neither
+    # run covers any aligned [0,16) or [16,32) block completely
+    b[9:29] = a[5:25]
+    d = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string")
+
+    rows = {r["doc_id"]: r for r in exact_substr_spans(d).collect()}
+    assert rows[0]["n_spans"] == 0
+    assert rows[1]["n_spans"] == 1
+    assert rows[1]["n_dup_windows"] == 5   # 20 - 16 + 1 sliding windows
+    assert rows[1]["n_dup_words"] == 20    # the exact copied run
+
+    blocks = _doc_block_hashes(d)
+    first = F.min("doc_id").over(Window.partitionBy("block_hash"))
+    missed = (blocks.withColumn("f", first)
+                    .filter((F.col("f") < F.col("doc_id"))).count())
+    assert missed == 0  # the aligned grid sees nothing
