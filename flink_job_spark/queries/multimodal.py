@@ -2289,3 +2289,79 @@ def q_media_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = decode_audio_meta(media)
     return stats.select("media_id", "sample_rate", "channels", "n_frames",
                         "duration_ms", "rms")
+
+
+# --- q_media_bmp_layouts: 32-bit / palettized / RLE8 DIB decode, oracle-checked ------
+
+BMP_PAL_COLORS = 16
+
+
+@register(
+    "q_media_bmp_layouts",
+    f"""WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % {BMP_W_MOD} AS w,
+             8 + doc_id % {BMP_H_MOD} AS h,
+             doc_id % 3 AS layout
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, layout, i,
+             CASE WHEN layout = 0 THEN (doc_id * 31 + i * 7) % 256
+                  ELSE CASE i % 3
+                    WHEN 0 THEN (doc_id * 13 + ((doc_id + (i // 3) * 5)
+                                 % {BMP_PAL_COLORS}) * 37) % 256
+                    WHEN 1 THEN (doc_id * 17 + ((doc_id + (i // 3) * 5)
+                                 % {BMP_PAL_COLORS}) * 41) % 256
+                    ELSE (doc_id * 19 + ((doc_id + (i // 3) * 5)
+                          % {BMP_PAL_COLORS}) * 43) % 256 END
+             END AS v
+      FROM (SELECT doc_id, w, h, layout, unnest(range(w * h * 3)) AS i FROM d)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma
+    FROM px GROUP BY doc_id""",
+    doc="the OTHER real-world DIB layouts: 32-bit BGRX (doc_id%3==0, the "
+        "screenshot format — X dropped), 8-bit palettized (==1) and 8-bit "
+        "BI_RLE8 run-length (==2), same closed-form palette/index functions "
+        "as the palette-PNG key so SQL rebuilds the decoded sample mean; "
+        "previously all three were decode_error rows",
+    tags=("multimodal", "bmp"),
+)
+def q_media_bmp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zero-shuffle mapInPandas shape as q_media_bmp_stats; the RLE
+    decode is the only per-byte Python loop and it is bounded by the
+    stream's own end-of-bitmap marker plus the MAX_BMP_PIXELS cap."""
+    import pandas as pd
+
+    from flink_job_spark.functions.bmp import encode_bmp8, encode_bmp32
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % BMP_W_MOD, 8 + i % BMP_H_MOD
+                if i % 3 == 0:
+                    px = bytes(((i * 31 + j * 7) % 256)
+                               for j in range(w * h * 3))
+                    payloads.append(encode_bmp32(w, h, px,
+                                                 top_down=bool(i % 2)))
+                else:
+                    pal = [((i * 13 + c * 37) % 256, (i * 17 + c * 41) % 256,
+                            (i * 19 + c * 43) % 256)
+                           for c in range(BMP_PAL_COLORS)]
+                    idx = bytes((i + p * 5) % BMP_PAL_COLORS
+                                for p in range(w * h))
+                    payloads.append(encode_bmp8(w, h, idx, pal,
+                                                rle=(i % 3 == 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/bmp", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")

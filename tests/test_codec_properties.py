@@ -999,3 +999,62 @@ def test_png_palette_errors_are_format_errors():
         encode_png_palette(1, 1, b"\x00", [(0, 0, 0)], depth=3)
     with pytest.raises(PngFormatError):
         encode_png_palette(1, 1, b"\x00", [(0, 0, 0)] * 3, depth=1)
+
+
+# ---- BMP 32-bit / palettized / RLE8 layouts (round-5 wave-11) ----
+
+def test_bmp_layout_roundtrips():
+    """32-bit BGRX, 8-bit palette (both row orders) and RLE8 decode to the
+    exact palette/pixel expansion; RLE absolute-mode and delta streams
+    hand-built; malformed streams stay BmpFormatError."""
+    import random
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.bmp import (BmpFormatError, decode_bmp,
+                                               encode_bmp8, encode_bmp32)
+
+    rnd = random.Random(5)
+    for td in (False, True):
+        w, h = 6, 4
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        assert decode_bmp(encode_bmp32(w, h, px, top_down=td)) == (w, h, 3, px)
+        pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(7)]
+        idx = bytes(rnd.randrange(7) for _ in range(5 * 3))
+        got = decode_bmp(encode_bmp8(5, 3, idx, pal, top_down=td))
+        assert got == (5, 3, 3, b"".join(bytes(pal[v]) for v in idx))
+    # RLE8 runs + an absolute-mode + delta stream built by hand
+    pal = [(c * 3 % 256, c * 5 % 256, c * 7 % 256) for c in range(16)]
+    idx = bytes(rnd.randrange(16) for _ in range(9 * 4))
+    got = decode_bmp(encode_bmp8(9, 4, idx, pal, rle=True))
+    assert got == (9, 4, 3, b"".join(bytes(pal[v]) for v in idx))
+    table = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    offset = 14 + 40 + len(table)
+    # bottom row: abs-mode 3 pixels (pad byte), delta skip (2,1), EOL, EOB
+    stream = (b"\x00\x03" + bytes([4, 5, 6]) + b"\x00"
+              + b"\x00\x02\x02\x01" + b"\x00\x00" + b"\x00\x01")
+    hdr = (b"BM" + struct.pack("<IHHI", offset + len(stream), 0, 0, offset)
+           + struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 8, 1, len(stream),
+                         2835, 2835, 16, 0))
+    w2, h2, ch, px2 = decode_bmp(hdr + table + stream)
+    assert (w2, h2, ch) == (5, 2, 3)
+    rows = [px2[i * 15:(i + 1) * 15] for i in range(2)]
+    # stored bottom-up: decoded row 1 (bottom) = abs pixels 4,5,6 then 0,0
+    assert rows[1] == b"".join(bytes(pal[v]) for v in (4, 5, 6, 0, 0))
+    assert rows[0] == b"".join(bytes(pal[0]) for _ in range(5))
+    # malformed: run overflowing the row must not escape as numpy error
+    bad = (b"\xff\x01" * 8) + b"\x00\x01"
+    hdr_bad = (b"BM" + struct.pack("<IHHI", offset + len(bad), 0, 0, offset)
+               + struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 8, 1, len(bad),
+                             2835, 2835, 16, 0))
+    with pytest.raises(BmpFormatError):
+        decode_bmp(hdr_bad + table + bad)
+    # missing end-of-bitmap
+    noeob = b"\x02\x01\x00\x00"
+    hdr_ne = (b"BM" + struct.pack("<IHHI", offset + len(noeob), 0, 0, offset)
+              + struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 8, 1, len(noeob),
+                            2835, 2835, 16, 0))
+    with pytest.raises(BmpFormatError, match="end-of-bitmap"):
+        decode_bmp(hdr_ne + table + noeob)
