@@ -1,6 +1,9 @@
 """Baseline TIFF 6.0 codec (pure Python): encode + decode for the layouts
 a crawl actually meets in .tif payloads — 8-bit grayscale and RGB,
-stripped, both byte orders, Compression 1 (none) and 32773 (PackBits).
+stripped, both byte orders, Compression 1 (none), 5 (LZW, the TIFF
+MSB-first early-change variant — NOT gif.py's LSB-first late-change one),
+8/32946 (Deflate) and 32773 (PackBits), with Predictor 2 (horizontal
+differencing) composing with LZW/Deflate the way real writers pair them.
 
 Why not reuse functions/exif.py's IFD walk: that walker is a *metadata*
 reader embedded in JPEG APP1 (JpegFormatError contract, scalar tags only).
@@ -39,7 +42,14 @@ T_ROWS_PER_STRIP = 278
 T_STRIP_COUNTS = 279
 
 C_NONE = 1
+C_LZW = 5
+C_DEFLATE = 8        # "Adobe" deflate; 32946 is the older private code
+C_DEFLATE_OLD = 32946
 C_PACKBITS = 32773
+
+T_PREDICTOR = 317
+PRED_NONE = 1
+PRED_HDIFF = 2       # horizontal differencing (TIFF 6.0 section 14)
 
 PH_GRAY = 1          # BlackIsZero
 PH_RGB = 2
@@ -100,19 +110,164 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+# --- LZW (TIFF 6.0 section 13: MSB-first codes, EARLY code-width change) ----------
+#
+# This is the TIFF variant, not GIF's (functions/gif.py): codes pack
+# MSB-first, the initial width is 9 with ClearCode=256 / EOI=257, and the
+# width bumps ONE CODE EARLY (when the next free slot reaches 2^w - 1,
+# libtiff's documented off-by-one vs the GIF rule). Encoder resets the
+# table at slot 4094 as real writers do.
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def lzw_encode(raw: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = bitlen = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf = (bitbuf << width) | code
+        bitlen += width
+        while bitlen >= 8:
+            bitlen -= 8
+            out.append((bitbuf >> bitlen) & 0xFF)
+
+    table: dict[bytes, int] = {}
+    width = 9
+    next_code = _LZW_FIRST
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = {bytes([b]): b for b in range(256)}
+        width = 9
+        next_code = _LZW_FIRST
+
+    reset()
+    put(_LZW_CLEAR, width)
+    s = b""
+    for b in raw:
+        t = s + bytes([b])
+        if t in table:
+            s = t
+            continue
+        put(table[s], width)
+        table[t] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4094:
+            put(_LZW_CLEAR, width)
+            reset()
+        s = bytes([b])
+    if s:
+        put(table[s], width)
+    put(_LZW_EOI, width)
+    if bitlen:
+        out.append((bitbuf << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = bitbuf = bitlen = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, bitbuf, bitlen
+        while bitlen < width:
+            if pos >= len(data):
+                raise TiffFormatError("LZW stream truncated")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitlen += 8
+        bitlen -= width
+        return (bitbuf >> bitlen) & ((1 << width) - 1)
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([b]) for b in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = get(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code >= 256:
+                raise TiffFormatError("LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                 # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffFormatError("LZW code out of range")
+        if len(table) + 1 == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        out += entry
+        if len(out) > expected:
+            raise TiffFormatError("LZW output overruns strip")
+        prev = entry
+    if len(out) != expected:
+        raise TiffFormatError(
+            f"LZW output {len(out)} != expected {expected}")
+    return bytes(out)
+
+
+# --- horizontal-differencing predictor (TIFF 6.0 section 14) ----------------------
+
+def _hdiff_encode(raw: bytes, width: int, spp: int) -> bytes:
+    out = bytearray(raw)
+    row_bytes = width * spp
+    for r0 in range(0, len(out), row_bytes):
+        for i in range(row_bytes - 1, spp - 1, -1):
+            out[r0 + i] = (out[r0 + i] - out[r0 + i - spp]) & 0xFF
+    return bytes(out)
+
+
+def _hdiff_decode(raw: bytes, width: int, spp: int) -> bytes:
+    out = bytearray(raw)
+    row_bytes = width * spp
+    for r0 in range(0, len(out), row_bytes):
+        for i in range(spp, row_bytes):
+            out[r0 + i] = (out[r0 + i] + out[r0 + i - spp]) & 0xFF
+    return bytes(out)
+
+
 # --- encoder ---------------------------------------------------------------------
 
 def encode_tiff(width: int, height: int, pixels: bytes, *,
                 byte_order: str = "II", photometric: int = PH_RGB,
                 rows_per_strip: int = 0,
-                compression: int = C_NONE) -> bytes:
+                compression: int = C_NONE,
+                predictor: int = PRED_NONE) -> bytes:
     """Write a baseline TIFF: header, pixel strips, then one IFD.
 
     ``pixels`` is row-major gray (1 B/px, photometric 1) or RGB
     (3 B/px, photometric 2). ``rows_per_strip`` 0 → single strip.
+    Compression: none / PackBits / LZW / Deflate; predictor 2
+    (horizontal differencing) composes with LZW and Deflate the way
+    real writers pair them.
     """
+    import zlib
+
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be II or MM")
+    if predictor not in (PRED_NONE, PRED_HDIFF):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == PRED_HDIFF and compression in (C_NONE, C_PACKBITS):
+        raise ValueError("predictor 2 pairs with LZW/Deflate")
     e = "<" if byte_order == "II" else ">"
     spp = 1 if photometric == PH_GRAY else 3
     if len(pixels) != width * height * spp:
@@ -124,8 +279,16 @@ def encode_tiff(width: int, height: int, pixels: bytes, *,
     for y0 in range(0, height, rps):
         rows = min(rps, height - y0)
         raw = pixels[y0 * row_bytes:(y0 + rows) * row_bytes]
-        strips.append(packbits_encode(raw) if compression == C_PACKBITS
-                      else raw)
+        if predictor == PRED_HDIFF:
+            raw = _hdiff_encode(raw, width, spp)
+        if compression == C_PACKBITS:
+            strips.append(packbits_encode(raw))
+        elif compression == C_LZW:
+            strips.append(lzw_encode(raw))
+        elif compression in (C_DEFLATE, C_DEFLATE_OLD):
+            strips.append(zlib.compress(raw))
+        else:
+            strips.append(raw)
 
     header = struct.pack(e + "2sHI", byte_order.encode(), 42, 8)
     data = bytearray(header)
@@ -159,6 +322,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, *,
     add(T_SAMPLES, 3, [spp])
     add(T_ROWS_PER_STRIP, 4, [rps])
     add(T_STRIP_COUNTS, 4, counts)
+    if predictor != PRED_NONE:
+        add(T_PREDICTOR, 3, [predictor])
     entries.sort(key=lambda x: x[0])      # spec: ascending tag order
 
     ifd_off = len(data)
@@ -243,7 +408,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             raise TiffFormatError("absurd IFD count")
         if tag in (T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTOMETRIC,
                    T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP,
-                   T_STRIP_COUNTS):
+                   T_STRIP_COUNTS, T_PREDICTOR):
             tags[tag] = _entry_values(data, e, typ, count, p + 8)
 
     def one(tag: int, default: int | None = None) -> int:
@@ -265,8 +430,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     bits = tags.get(T_BITS, [8])
     if any(b != 8 for b in bits):
         raise TiffFormatError(f"unsupported BitsPerSample {bits}")
-    if compression not in (C_NONE, C_PACKBITS):
+    if compression not in (C_NONE, C_PACKBITS, C_LZW, C_DEFLATE,
+                           C_DEFLATE_OLD):
         raise TiffFormatError(f"unsupported compression {compression}")
+    predictor = one(T_PREDICTOR, PRED_NONE)
+    if predictor not in (PRED_NONE, PRED_HDIFF):
+        raise TiffFormatError(f"unsupported predictor {predictor}")
     if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
         raise TiffFormatError(f"bad dimensions {width}x{height}")
 
@@ -292,12 +461,28 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         expected = rows * row_bytes
         raw = data[off:off + cnt]
         if compression == C_PACKBITS:
-            out += packbits_decode(raw, expected)
+            strip = packbits_decode(raw, expected)
+        elif compression == C_LZW:
+            strip = lzw_decode(raw, expected)
+        elif compression in (C_DEFLATE, C_DEFLATE_OLD):
+            import zlib
+
+            try:
+                # bounded inflate, the png.py bomb discipline
+                strip = zlib.decompressobj().decompress(raw, expected + 1)
+            except zlib.error as ex:
+                raise TiffFormatError(f"deflate strip: {ex}") from ex
+            if len(strip) != expected:
+                raise TiffFormatError(
+                    f"deflate output {len(strip)} != expected {expected}")
         else:
             if cnt != expected:
                 raise TiffFormatError(
                     f"strip byte count {cnt} != expected {expected}")
-            out += raw
+            strip = raw
+        if predictor == PRED_HDIFF:
+            strip = _hdiff_decode(strip, width, spp)
+        out += strip
         remaining_rows -= rows
     if remaining_rows != 0:
         raise TiffFormatError("strips do not cover the image")

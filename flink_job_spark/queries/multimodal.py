@@ -2365,3 +2365,65 @@ def q_media_bmp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_tiff_lzw_stats: LZW/Deflate + predictor-2 TIFF decode -------------------
+
+
+@register(
+    "q_media_tiff_lzw_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {TIFF_W_MOD} AS INT) AS width,
+               CAST(8 + doc_id % {TIFF_H_MOD} AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+                 AS channels,
+               round((SELECT AVG(CAST((doc_id * 23 + t.i * 13) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range(
+                                (8 + doc_id % {TIFF_W_MOD})
+                              * (8 + doc_id % {TIFF_H_MOD})
+                              * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)))
+                            AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="compressed-TIFF decode: per-doc files cycle LZW (doc_id%4 in 0/1 — "
+        "the TIFF MSB-first EARLY-change variant, 9->12-bit codes) and "
+        "Deflate (2/3), odd pairs with Predictor 2 horizontal differencing "
+        "(the libtiff default pairing), gray/RGB alternating, multi-strip, "
+        "byte order flipping with doc parity — what `tiff -c lzw` output "
+        "actually looks like; dims/channels/pixel mean closed-form in SQL",
+    tags=("multimodal", "tiff"),
+)
+def q_media_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zero-shuffle mapInPandas shape as q_media_tiff_stats; the LZW
+    bit walk is the added decode cost, bounded per strip by the declared
+    output size (overruns raise, the bomb discipline)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.tiff import (C_DEFLATE, C_LZW, PH_GRAY,
+                                                PH_RGB, PRED_HDIFF, PRED_NONE,
+                                                encode_tiff)
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % TIFF_W_MOD, 8 + i % TIFF_H_MOD
+                ph = PH_GRAY if i % 2 == 0 else PH_RGB
+                spp = 1 if ph == PH_GRAY else 3
+                px = bytes(((i * 23 + j * 13) % 256) for j in range(w * h * spp))
+                comp = C_LZW if i % 4 in (0, 1) else C_DEFLATE
+                pred = PRED_HDIFF if i % 2 == 1 else PRED_NONE
+                payloads.append(encode_tiff(
+                    w, h, px, byte_order="II" if i % 3 else "MM",
+                    photometric=ph, rows_per_strip=TIFF_RPS,
+                    compression=comp, predictor=pred))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/tiff", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")

@@ -154,3 +154,84 @@ def test_decode_any_image_routes_tiff():
     with pytest.raises(ImageDecodeError) as ei:
         _decode_any_image(b"II*\x00garbage")
     assert "tiff" in str(ei.value)
+
+
+# ---- LZW / Deflate / predictor-2 (round-5 wave-11) ----
+
+def test_tiff_lzw_deflate_predictor_roundtrips():
+    """Every (byte order x photometric x compression x strip x predictor)
+    cell round-trips exactly; predictor 2 genuinely shrinks smooth
+    gradients under LZW (the property it exists for)."""
+    import random
+
+    from flink_job_spark.functions.tiff import (C_DEFLATE, C_DEFLATE_OLD,
+                                                C_LZW, PH_GRAY, PH_RGB,
+                                                PRED_HDIFF, decode_tiff,
+                                                encode_tiff)
+
+    rnd = random.Random(9)
+    for bo in ("II", "MM"):
+        for ph, spp in [(PH_GRAY, 1), (PH_RGB, 3)]:
+            for comp in (C_LZW, C_DEFLATE, C_DEFLATE_OLD):
+                for rps in (0, 3):
+                    w, h = 13, 7
+                    px = bytes(rnd.randrange(256) for _ in range(w * h * spp))
+                    blob = encode_tiff(w, h, px, byte_order=bo,
+                                       photometric=ph, rows_per_strip=rps,
+                                       compression=comp)
+                    assert decode_tiff(blob) == (w, h, spp, px)
+                    if comp in (C_LZW, C_DEFLATE):
+                        blob = encode_tiff(w, h, px, byte_order=bo,
+                                           photometric=ph, rows_per_strip=rps,
+                                           compression=comp,
+                                           predictor=PRED_HDIFF)
+                        assert decode_tiff(blob) == (w, h, spp, px)
+    w, h = 64, 64
+    grad = bytes(((x + y) // 2) % 256 for y in range(h) for x in range(w))
+    plain = len(encode_tiff(w, h, grad, photometric=PH_GRAY,
+                            compression=C_LZW))
+    pred = len(encode_tiff(w, h, grad, photometric=PH_GRAY,
+                           compression=C_LZW, predictor=PRED_HDIFF))
+    assert pred < plain
+
+
+def test_tiff_lzw_width_boundaries_and_table_reset():
+    """Streams long enough to cross the 9->10->11-bit EARLY code-width
+    changes and the 4094-slot table reset round-trip byte-exactly (the
+    libtiff early-change off-by-one is the whole difference vs GIF LZW)."""
+    import random
+
+    from flink_job_spark.functions.tiff import lzw_decode, lzw_encode
+
+    rnd = random.Random(1)
+    for size in (300, 1000, 3000, 20000, 60000):
+        raw = bytes(rnd.randrange(256) for _ in range(size))
+        assert lzw_decode(lzw_encode(raw), size) == raw
+        runs = b"".join(bytes([rnd.randrange(256)]) * rnd.randrange(1, 30)
+                        for _ in range(size // 8))
+        assert lzw_decode(lzw_encode(runs), len(runs)) == runs
+
+
+def test_tiff_lzw_corruption_stays_format_error():
+    """Bit-flipped / truncated LZW strips and oversized output raise
+    TiffFormatError, never IndexError — errors-as-data holds."""
+    import pytest
+
+    from flink_job_spark.functions.tiff import (C_LZW, PH_GRAY,
+                                                TiffFormatError, decode_tiff,
+                                                encode_tiff, lzw_decode,
+                                                lzw_encode)
+
+    blob = encode_tiff(6, 6, bytes(range(36)), photometric=PH_GRAY,
+                       compression=C_LZW)
+    for i in range(8, len(blob), 7):
+        bad = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:]
+        try:
+            decode_tiff(bad)
+        except TiffFormatError:
+            pass  # the only acceptable failure shape
+    enc = lzw_encode(bytes(100))
+    with pytest.raises(TiffFormatError):
+        lzw_decode(enc[:3], 100)
+    with pytest.raises(TiffFormatError):
+        lzw_decode(enc, 9)   # declared size smaller than stream output
