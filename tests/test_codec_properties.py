@@ -1058,3 +1058,68 @@ def test_bmp_layout_roundtrips():
                             2835, 2835, 16, 0))
     with pytest.raises(BmpFormatError, match="end-of-bitmap"):
         decode_bmp(hdr_ne + table + noeob)
+
+
+def test_png_adam7_interlace_roundtrips():
+    """Adam7 decode equals the plain decode of the same pixels across
+    color types, palette depths, and dims that leave passes empty
+    (w or h < 8)."""
+    import random
+
+    from flink_job_spark.functions.png import (decode_png, encode_png,
+                                               encode_png_palette)
+
+    rnd = random.Random(21)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        for w, h in [(1, 1), (2, 3), (7, 9), (8, 8), (13, 11), (16, 4)]:
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            assert decode_png(encode_png(w, h, px, ct, interlace=True)) \
+                == decode_png(encode_png(w, h, px, ct)) == (w, h, ch, px)
+    for depth in (1, 2, 4, 8):
+        npal = 1 << depth
+        pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(npal)]
+        idx = bytes(rnd.randrange(npal) for _ in range(13 * 6))
+        assert decode_png(
+            encode_png_palette(13, 6, idx, pal, depth, interlace=True)) \
+            == decode_png(encode_png_palette(13, 6, idx, pal, depth))
+
+
+def test_png_adam7_nonzero_filters_inside_passes():
+    """Real encoders filter per pass row; a pass stream re-filtered with
+    Sub must decode to the same pixels as the filter-0 stream."""
+    import struct
+    import zlib
+
+    from flink_job_spark.functions.png import (PNG_SIGNATURE, _ADAM7,
+                                               decode_png, encode_png)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    w, h, ch = 11, 9, 3
+    px = bytes(((x * 7 + y * 13 + c * 29) % 256)
+               for y in range(h) for x in range(w) for c in range(ch))
+    base = decode_png(encode_png(w, h, px, 2, interlace=True))
+
+    # rebuild the pass stream with every row Sub-filtered (bpp = 3)
+    rows = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        for j in range(ph):
+            y = y0 + j * dy
+            line = bytearray()
+            for i in range(pw):
+                x = x0 + i * dx
+                line += px[(y * w + x) * ch:(y * w + x) * ch + ch]
+            enc = bytearray(line)
+            for k in range(len(enc) - 1, ch - 1, -1):
+                enc[k] = (enc[k] - line[k - ch]) & 0xFF
+            rows.append(b"\x01" + bytes(enc))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    blob = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob) == base == (w, h, ch, px)
