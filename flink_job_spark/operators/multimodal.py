@@ -688,6 +688,14 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_tiff(payload)
         except (TiffFormatError, structmod.error) as e:
             raise ImageDecodeError("tiff", e) from e
+    if payload[:4] == b"\x00\x00\x01\x00":
+        # ICO (favicon.ico — the most crawled image URL there is); weak
+        # 4-byte magic, so it sits after the strong signatures
+        from flink_job_spark.functions.ico import IcoFormatError, decode_ico
+        try:
+            return decode_ico(payload)
+        except (IcoFormatError, structmod.error, zlib.error) as e:
+            raise ImageDecodeError("ico", e) from e
     if payload[:2] == b"\xff\xd8":
         from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
         try:

@@ -2427,3 +2427,67 @@ def q_media_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_ico_stats: favicon.ico decode (largest entry), oracle-checked -----------
+
+
+@register(
+    "q_media_ico_stats",
+    f"""WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % {PNG_W_MOD} AS w,
+             8 + doc_id % {PNG_H_MOD} AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS ch
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h, ch,
+             CASE WHEN ch = 3 THEN (doc_id * 31 + i * 7) % 256
+                  ELSE (doc_id * 11 + i * 5) % 256 END AS v
+      FROM (SELECT doc_id, w, h, ch, unnest(range(w * h * ch)) AS i FROM d)
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           round(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma
+    FROM s GROUP BY doc_id, w, h, ch""",
+    doc="favicon.ico decode: per-doc ICO containers holding a 4x4 32-bit "
+        "decoy entry plus the real one — an embedded PNG on every 3rd doc "
+        "(the modern layout), a 32-bit BGRA DIB with AND mask otherwise "
+        "(the classic one); the walker must pick the LARGEST entry like "
+        "browsers do, and the decoded sample mean over the winning entry "
+        "is rebuilt closed-form in SQL",
+    tags=("multimodal", "ico", "png"),
+)
+def q_media_ico_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zero-shuffle mapInPandas shape as the other image keys; the
+    decoy entry proves largest-entry selection (decoding the first entry
+    instead hash-mismatches every row)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.ico import encode_ico, encode_ico_dib
+    from flink_job_spark.functions.png import encode_png
+    from flink_job_spark.operators.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % PNG_W_MOD, 8 + i % PNG_H_MOD
+                decoy = encode_ico_dib(
+                    4, 4, bytes((i + j) % 256 for j in range(64)))
+                if i % 3 == 0:
+                    px = bytes((i * 31 + j * 7) % 256 for j in range(w * h * 3))
+                    main = encode_png(w, h, px, 2)
+                else:
+                    px = bytes((i * 11 + j * 5) % 256 for j in range(w * h * 4))
+                    main = encode_ico_dib(w, h, px)
+                payloads.append(encode_ico([decoy, main]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/x-icon", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")

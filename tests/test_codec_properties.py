@@ -1123,3 +1123,59 @@ def test_png_adam7_nonzero_filters_inside_passes():
             + chunk(b"IDAT", zlib.compress(b"".join(rows)))
             + chunk(b"IEND", b""))
     assert decode_png(blob) == base == (w, h, ch, px)
+
+
+# ---- ICO / favicon container (round-5 wave-11) ----
+
+def test_ico_roundtrips_and_largest_entry_selection():
+    """32-bit DIB and embedded-PNG entries roundtrip; the walker picks the
+    LARGEST entry (browser convention); all-zero-alpha 32-bit entries fall
+    back to the AND mask; truncations stay IcoFormatError."""
+    import random
+
+    from flink_job_spark.functions.ico import (IcoFormatError, decode_ico,
+                                               encode_ico, encode_ico_dib,
+                                               ico_meta)
+    from flink_job_spark.functions.png import encode_png
+
+    rnd = random.Random(33)
+    w, h = 12, 9
+    rgba = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+    small = encode_ico_dib(4, 4, bytes(rnd.randrange(256) for _ in range(64)))
+    blob = encode_ico([small, encode_ico_dib(w, h, rgba)])
+    assert ico_meta(blob) == [(4, 4), (12, 9)]
+    assert decode_ico(blob) == (w, h, 4, rgba)
+
+    png = encode_png(16, 13, bytes(rnd.randrange(256)
+                                   for _ in range(16 * 13 * 3)), 2)
+    got = decode_ico(encode_ico([small, png]))
+    assert (got[0], got[1], got[2]) == (16, 13, 3)
+
+    rgba0 = bytes(b if i % 4 != 3 else 0 for i, b in enumerate(rgba))
+    _, _, _, px = decode_ico(encode_ico([encode_ico_dib(w, h, rgba0)]))
+    assert all(px[i] == 255 for i in range(3, len(px), 4))
+
+    full = encode_ico([encode_ico_dib(w, h, rgba)])
+    for cut in (2, 5, 10, 21, 30, len(full) // 2):
+        try:
+            decode_ico(full[:cut])
+        except IcoFormatError:
+            pass
+
+
+def test_ico_through_pixel_operator(spark):
+    """An ICO through decode_pixel_stats decodes (largest entry), and a
+    corrupt one stays errors-as-data."""
+    from flink_job_spark.functions.ico import encode_ico, encode_ico_dib
+    from flink_job_spark.operators.multimodal import decode_pixel_stats
+
+    blob = encode_ico([encode_ico_dib(6, 5, bytes(range(120)))])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob[:15]))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in decode_pixel_stats(
+        df.selectExpr("media_id", "'image' kind", "'image/x-icon' mime",
+                      "payload")).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (6, 5, 4)
+    assert rows[2]["decode_error"] is not None
