@@ -2491,3 +2491,88 @@ def q_media_ico_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
+# --- q_media_svg_meta: vector-image triage (size + element census) -------------------
+
+
+@register(
+    "q_media_svg_meta",
+    f"""WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 90
+                  ELSE (3 * (4 + doc_id % 30)) * 4 // 3 END AS width_px,
+             CASE WHEN doc_id % 2 = 0 THEN 3 * (5 + doc_id % 20) * 4 // 3
+                  ELSE 12 + doc_id % 80 END AS height_px,
+             doc_id % 5 AS n_paths,
+             doc_id % 4 + doc_id % 3 AS n_shapes,
+             doc_id % 2 AS n_text,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS has_script
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(width_px AS BIGINT) AS width_px,
+           CAST(height_px AS BIGINT) AS height_px,
+           CAST(n_paths AS BIGINT) AS n_paths,
+           CAST(n_shapes AS BIGINT) AS n_shapes,
+           CAST(n_text AS BIGINT) AS n_text,
+           CAST(has_script AS INTEGER) AS has_script
+    FROM d""",
+    doc="SVG triage: per-doc vector images mixing px and pt intrinsic "
+        "sizes (pt converts at the exact CSS 4/3 ratio), namespaced and "
+        "bare markup, path/shape/text censuses and the has_script "
+        "active-content flag (every 7th doc) — metadata only, never "
+        "rasterization; DTDs rejected outright like the sitemap parser",
+    tags=("multimodal", "svg", "formats"),
+)
+def q_media_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas over built SVG byte payloads — the ElementTree walk is
+    bounded by the element cap; at 100 TB this is a metadata-only scan
+    like the EXIF/MP3/MP4 keys (header bytes, no raster work)."""
+    import pandas as pd
+
+    from flink_job_spark.functions.svg import SvgFormatError, svg_meta
+
+    def run(it):
+        for pdf in it:
+            rows = {k: [] for k in ["media_id", "width_px", "height_px",
+                                    "n_paths", "n_shapes", "n_text",
+                                    "has_script"]}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    wattr = f"{10 + i % 90}px"
+                    hattr = f"{3 * (5 + i % 20)}pt"
+                else:
+                    wattr = f"{3 * (4 + i % 30)}pt"
+                    hattr = f"{12 + i % 80}"
+                ns = ' xmlns="http://www.w3.org/2000/svg"' if i % 2 else ""
+                parts = [f'<svg{ns} width="{wattr}" height="{hattr}" '
+                         f'viewBox="0 0 500 400">']
+                parts += [f'<path d="M0 0 L{j} {j}"/>' for j in range(i % 5)]
+                parts += ['<rect width="3" height="4"/>'] * (i % 4)
+                parts += ['<circle r="2"/>'] * (i % 3)
+                parts += ['<text>t</text>'] * (i % 2)
+                if i % 7 == 0:
+                    parts.append('<script>console.log(1)</script>')
+                parts.append("</svg>")
+                blob = "".join(parts).encode()
+                try:
+                    m = svg_meta(blob)
+                except SvgFormatError:  # pragma: no cover — fixture is valid
+                    m = {k: None for k in ["width_px", "height_px", "n_paths",
+                                           "n_shapes", "n_text", "has_script"]}
+                rows["media_id"].append(i)
+                rows["width_px"].append(m["width_px"])
+                rows["height_px"].append(m["height_px"])
+                rows["n_paths"].append(m["n_paths"])
+                rows["n_shapes"].append(m["n_shapes"])
+                rows["n_text"].append(m["n_text"])
+                rows["has_script"].append(int(bool(m["has_script"])))
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        run, schema="media_id long, width_px long, height_px long, "
+                    "n_paths long, n_shapes long, n_text long, "
+                    "has_script int")

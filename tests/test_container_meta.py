@@ -248,3 +248,41 @@ def test_decode_audio_meta_adts_not_misrouted(spark):
     media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
     row = decode_audio_meta(media).collect()[0]
     assert row["decode_error"] == "not a decodable audio payload"
+
+
+# ---- SVG triage (round-5 wave-11) ----
+
+def test_svg_meta_dimensions_and_census():
+    """px/pt/viewBox dimension resolution (pt at the exact 4/3 CSS ratio),
+    namespaced and bare markup, censuses, and the active-content flag."""
+    from flink_job_spark.functions.svg import svg_meta
+
+    m = svg_meta(b'<svg width="120px" height="90pt" viewBox="0 0 5 6">'
+                 b'<path d="M0 0"/><rect/><text>x</text></svg>')
+    assert (m["width_px"], m["height_px"]) == (120, 120)
+    assert (m["n_paths"], m["n_shapes"], m["n_text"]) == (1, 1, 1)
+    assert m["has_script"] is False
+    # viewBox fallback when width/height absent or percentages
+    m = svg_meta(b'<svg xmlns="http://www.w3.org/2000/svg" width="100%" '
+                 b'viewBox="0 0 640 480"><script>x</script></svg>')
+    assert (m["width_px"], m["height_px"]) == (640, 480)
+    assert m["has_script"] is True
+    # nested shapes inside groups still count (root.iter is recursive)
+    m = svg_meta(b'<svg viewBox="0,0,10,20"><g><g><circle r="1"/>'
+                 b'<polyline points="0,0 1,1"/></g></g></svg>')
+    assert m["n_shapes"] == 2 and (m["width_px"], m["height_px"]) == (10, 20)
+
+
+def test_svg_meta_rejects_bombs_and_soup():
+    import pytest
+
+    from flink_job_spark.functions.svg import SvgFormatError, svg_meta
+
+    with pytest.raises(SvgFormatError, match="DTD"):
+        svg_meta(b'<!DOCTYPE svg [<!ENTITY a "bbbb">]><svg>&a;</svg>')
+    with pytest.raises(SvgFormatError, match="bad XML"):
+        svg_meta(b'<svg><unclosed></svg>')
+    with pytest.raises(SvgFormatError, match="root element"):
+        svg_meta(b'<html></html>')
+    with pytest.raises(SvgFormatError, match="exceeds"):
+        svg_meta(b'<svg>' + b' ' * (9 * 1024 * 1024) + b'</svg>')
