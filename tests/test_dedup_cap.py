@@ -170,3 +170,36 @@ def test_star_cc_fuzz_vs_union_find(spark):
         got = {r["doc_id"]: r["component"]
                for r in connected_components_star(docs, pairs).collect()}
         assert got == _uf_components(n, edges), (n, sorted(edges))
+
+
+def test_entity_resolution_oversized_block_cap(spark, tmp_path):
+    """An oversized block (> ER_MAX_BLOCK rows sharing (nation, prefix))
+    is skipped outright — the linkage-literature rule that bounds
+    pairs-per-record; small blocks still pair. Caught by the r5 sf1 gate:
+    TPC-H zero-padded names give the 6-char high-order prefix tiny
+    cardinality, so uncapped blocks grow linearly and pairs
+    quadratically (measured 14.6x at 10x data before the cap)."""
+    from flink_job_spark.queries import all_queries
+    from flink_job_spark.queries.dedup import ER_MAX_BLOCK
+
+    rows = []
+    # hot block: ER_MAX_BLOCK + 10 customers, names "Customer#000000xxx"
+    # (shared 6-char prefix at position 10), nation 0
+    for i in range(ER_MAX_BLOCK + 10):
+        rows.append((i, f"Customer#000000{i % 1000:03d}", "SEG0",
+                     float(i % 50), 0))
+    # small block in nation 1: three customers one edit apart
+    for j, tail in enumerate(["111111101", "111111102", "111111103"]):
+        rows.append((10_000 + j, f"Customer#{tail}", "SEG1",
+                     1.0 + j, 1))
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string, "
+              "c_acctbal double, c_nationkey long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    got = all_queries()["q_entity_resolution"].fn(spark, str(tmp_path)) \
+        .collect()
+    spark.catalog.clearCache()
+    keys = {r["key_a"] for r in got} | {r["key_b"] for r in got}
+    assert keys == {10_000, 10_001, 10_002}  # hot block contributed nothing
+    assert len(got) == 3  # the three one-edit-apart pairs

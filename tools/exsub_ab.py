@@ -89,7 +89,7 @@ def main() -> None:
     sizes = [int(s) for s in os.environ.get(
         "EXSUB_AB_SIZES", "30000,100000,300000").split(",")]
     base = os.environ.get("EXSUB_AB_DIR", "/tmp/exsub_ab")
-    spark = get_spark(app="exsub_ab")
+    spark = get_spark("exsub_ab")
     for n in sizes:
         path = f"{base}/docs_{n}"
         build_corpus(spark, n, path)
