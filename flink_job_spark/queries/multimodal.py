@@ -2576,3 +2576,96 @@ def q_media_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="media_id long, width_px long, height_px long, "
                     "n_paths long, n_shapes long, n_text long, "
                     "has_script int")
+
+
+# --- q_media_subtitles: SRT/WebVTT transcript parsing, oracle-checked ----------------
+
+SUB_CUE_MS = 1500   # every cue lasts 1.5 s
+SUB_GAP_MS = 500    # with a 0.5 s gap to the next
+
+
+@register(
+    "q_media_subtitles",
+    f"""WITH d AS (
+      SELECT doc_id, 3 + doc_id % 10 AS n_cues FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END
+                AS VARCHAR) AS kind,
+           CAST(n_cues AS BIGINT) AS n_cues,
+           CAST(n_cues * {SUB_CUE_MS} AS BIGINT) AS speech_ms,
+           CAST((doc_id % 7) * 250 AS BIGINT) AS first_start_ms,
+           CAST((n_cues - 1) * {SUB_CUE_MS + SUB_GAP_MS} + {SUB_CUE_MS}
+                AS BIGINT) AS span_ms,
+           CAST(2 * n_cues AS BIGINT) AS n_words
+    FROM d""",
+    doc="SRT/WebVTT transcript parsing: per-doc subtitle files (SRT on "
+        "even docs with renumber-hostile indices; WebVTT on odd with "
+        "header metadata, a NOTE block, cue identifiers and cue settings) "
+        "parsed into cues — cue count, total speech time, first-start-to-"
+        "last-end span and word count verified closed-form; the "
+        "video->caption alignment pass that runs before any frame decode",
+    tags=("multimodal", "video", "text", "formats"),
+)
+def q_media_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas over built subtitle payloads through the REAL parsers
+    (functions/subtitles.py) — metadata-only text scan, same 100 TB story
+    as the container-triage keys."""
+    import pandas as pd
+
+    from flink_job_spark.functions.subtitles import parse_srt, parse_vtt
+
+    def fmt_srt(ms):
+        s, ms = divmod(ms, 1000)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    def fmt_vtt(ms):
+        return fmt_srt(ms).replace(",", ".")
+
+    def run(it):
+        for pdf in it:
+            rows = {k: [] for k in ["media_id", "kind", "n_cues",
+                                    "speech_ms", "first_start_ms",
+                                    "span_ms", "n_words"]}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 3 + i % 10
+                off = (i % 7) * 250
+                cues = []
+                for c in range(n):
+                    start = off + c * (SUB_CUE_MS + SUB_GAP_MS)
+                    cues.append((start, start + SUB_CUE_MS,
+                                 f"cue{c} word{(i + c) % 97}"))
+                if i % 2 == 0:
+                    # SRT with hostile renumbering (all indices '1')
+                    blob = "\n\n".join(
+                        f"1\n{fmt_srt(s)} --> {fmt_srt(e)}\n{t}"
+                        for s, e, t in cues).encode()
+                    parsed = parse_srt(blob)
+                    kind = "srt"
+                else:
+                    parts = ["WEBVTT\nKind: captions",
+                             "NOTE synthetic fixture"]
+                    for ci, (s, e, t) in enumerate(cues):
+                        parts.append(
+                            f"id{ci}\n{fmt_vtt(s)} --> {fmt_vtt(e)} "
+                            f"align:start\n{t}")
+                    blob = ("\n\n".join(parts) + "\n").encode()
+                    parsed = parse_vtt(blob)
+                    kind = "vtt"
+                rows["media_id"].append(i)
+                rows["kind"].append(kind)
+                rows["n_cues"].append(len(parsed))
+                rows["speech_ms"].append(sum(e - s for s, e, _ in parsed))
+                rows["first_start_ms"].append(parsed[0][0])
+                rows["span_ms"].append(parsed[-1][1] - parsed[0][0])
+                rows["n_words"].append(sum(len(t.split()) for _, _, t in parsed))
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        run, schema="media_id long, kind string, n_cues long, "
+                    "speech_ms long, first_start_ms long, span_ms long, "
+                    "n_words long")

@@ -286,3 +286,35 @@ def test_svg_meta_rejects_bombs_and_soup():
         svg_meta(b'<html></html>')
     with pytest.raises(SvgFormatError, match="exceeds"):
         svg_meta(b'<svg>' + b' ' * (9 * 1024 * 1024) + b'</svg>')
+
+
+# ---- SRT / WebVTT subtitles (round-5 wave-11) ----
+
+def test_subtitle_parsers_grammar_corners():
+    """Hostile-but-real inputs: SRT renumbering and BOM, VTT header
+    metadata / NOTE blocks / cue identifiers / cue settings / the hourless
+    MM:SS.mmm short form; malformed timing stays SubtitleFormatError."""
+    import pytest
+
+    from flink_job_spark.functions.subtitles import (SubtitleFormatError,
+                                                     parse_srt, parse_vtt)
+
+    srt = ("﻿1\n00:00:01,000 --> 00:00:03,500\nHello there\nsecond\n\n"
+           "1\n00:00:04,000 --> 00:00:05,000\nBye\n").encode()
+    assert parse_srt(srt) == [(1000, 3500, "Hello there second"),
+                              (4000, 5000, "Bye")]
+
+    vtt = (b"WEBVTT\nKind: captions\n\nNOTE a comment\nmore comment\n\n"
+           b"intro\n00:00:01.000 --> 00:00:03.500 align:start\n"
+           b"Hello <b>there</b>\n\n00:10.250 --> 00:12.000\nShort form\n")
+    assert parse_vtt(vtt) == [(1000, 3500, "Hello <b>there</b>"),
+                              (10250, 12000, "Short form")]
+
+    with pytest.raises(SubtitleFormatError, match="WEBVTT"):
+        parse_vtt(b"1\n00:00:01.000 --> 00:00:02.000\nx\n")
+    with pytest.raises(SubtitleFormatError, match="timestamp"):
+        parse_srt(b"1\n00:99:00,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(SubtitleFormatError, match="ends before"):
+        parse_srt(b"1\n00:00:05,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(SubtitleFormatError, match="timing"):
+        parse_srt(b"1\nnot a timing line\ntext\n")
