@@ -267,11 +267,14 @@ def video_frame_stats(media: DataFrame,
     codec library (module docstring)."""
     import numpy as np
 
+    from flink_job_spark.functions.apng import (ApngFormatError,
+                                                decode_apng_frames)
     from flink_job_spark.functions.avi import (AviFormatError,
                                                decode_frame_at, open_avi)
     from flink_job_spark.functions.gif import (GIF_SIGNATURES, GifFormatError,
                                                decode_gif_anim_frame,
                                                open_gif_anim)
+    from flink_job_spark.functions.png import PNG_SIGNATURE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = ["width", "height", "n_frames", "duration_ms", "mean_luma",
@@ -288,16 +291,32 @@ def video_frame_stats(media: DataFrame,
                           and bytes(payload[8:12]) == b"AVI ")
                 is_gif = (payload is not None
                           and bytes(payload[:6]) in GIF_SIGNATURES)
+                is_png = (payload is not None
+                          and bytes(payload[:8]) == PNG_SIGNATURE)
                 if payload is None:
                     err = "null payload"
-                elif not (is_avi or is_gif):
+                elif not (is_avi or is_gif or is_png):
                     err = "not a decodable video payload"
                 else:
                     try:
                         # parse the container/index ONCE per payload; each
-                        # sampled frame is then a direct seek
+                        # sampled frame is then a direct seek (AVI/GIF) —
+                        # APNG has NO seek table (dispose/blend state), so
+                        # sampling composites the whole stream: honest
+                        # O(video), documented in the key
                         raw = bytes(payload)
-                        if is_avi:
+                        if is_png:
+                            if b"acTL" not in raw:
+                                raise ApngFormatError(
+                                    "still PNG — not an animation")
+                            meta, snaps = decode_apng_frames(raw, None)
+                            w, h = meta["width"], meta["height"]
+                            nf = meta["num_frames"]
+                            dur = sum(f["delay_num"] * 1000 // f["delay_den"]
+                                      for f in meta["frames"])
+                            canv = {i: c for i, c in snaps}
+                            dec = lambda i: canv[i]  # noqa: E731
+                        elif is_avi:
                             info, offs = open_avi(raw)
                             w, h = info["width"], info["height"]
                             nf, usec = info["n_frames"], info["usec_per_frame"]
@@ -319,7 +338,7 @@ def video_frame_stats(media: DataFrame,
                             tot += int(px.sum())      # exact int accumulation
                             cnt += px.size
                         luma = round(tot / cnt, 6) if cnt else None
-                    except (AviFormatError, GifFormatError,
+                    except (ApngFormatError, AviFormatError, GifFormatError,
                             struct.error) as e:
                         w = h = nf = dur = luma = None
                         err = f"bad video: {e}"

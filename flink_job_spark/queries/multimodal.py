@@ -2669,3 +2669,85 @@ def q_media_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="media_id long, kind string, n_cues long, "
                     "speech_ms long, first_start_ms long, span_ms long, "
                     "n_words long")
+
+
+# --- q_media_apng_frames: animated PNG decode, oracle-checked ------------------------
+
+APNG_F_MOD = 5      # 2..6 frames per animation
+APNG_DELAY_DEN = 10
+
+
+@register(
+    "q_media_apng_frames",
+    f"""WITH d AS (
+      SELECT doc_id,
+             9 + doc_id % {GIFA_W_MOD} AS w,
+             9 + doc_id % {GIFA_H_MOD} AS h,
+             2 + doc_id % {APNG_F_MOD} AS nf,
+             2 + doc_id % 3 AS dnum
+      FROM documents
+    ),
+    fr AS (
+      SELECT DISTINCT doc_id, w, h, nf,
+             LEAST(p * nf // 1000, nf - 1) AS f
+      FROM (SELECT doc_id, w, h, nf, unnest([0, 500, 999]) AS p FROM d)
+    ),
+    px AS (
+      SELECT doc_id, w, h, f,
+             (doc_id * 29 + f * 13 + i * 7) % 256 AS v
+      FROM (SELECT doc_id, w, h, f, unnest(range(w * h * 3)) AS i FROM fr)
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(v) AS BIGINT) AS rgb_sum,
+             CAST(COUNT(1) AS BIGINT) AS rgb_n
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.nf * d.dnum * 100 AS BIGINT) AS duration_ms,
+           round((CAST(m.rgb_sum AS DOUBLE) + 255.0 * (m.rgb_n // 3))
+                 / (m.rgb_n + m.rgb_n // 3), 6) AS mean_luma
+    FROM d JOIN m ON m.doc_id = d.doc_id""",
+    doc="animated PNG decode: per-doc APNGs (acTL/fcTL/fdAT, full-frame "
+        "SOURCE-blend frames with per-frame delay fractions) composited "
+        "and sampled at first/middle/last like the AVI/GIF keys — frame "
+        "count, delay-sum duration and the sampled-canvas RGBA mean "
+        "rebuilt closed-form (canvas alpha is opaque 255, hence the "
+        "+255/4 term); APNG has no seek table so sampling honestly "
+        "composites the stream (O(video), unlike idx1-seeked AVI)",
+    tags=("multimodal", "video", "png"),
+)
+def q_media_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth animation layout through the ONE video_frame_stats operator
+    (AVI/BI_RGB, AVI/MJPEG, GIF89a, APNG) — magic + acTL dispatch."""
+    import pandas as pd
+
+    from flink_job_spark.functions.apng import encode_apng
+    from flink_job_spark.operators.multimodal import (
+        MEDIA_SCHEMA, video_frame_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 9 + i % GIFA_W_MOD, 9 + i % GIFA_H_MOD
+                nf = 2 + i % APNG_F_MOD
+                dnum = 2 + i % 3
+                frames = [{
+                    "w": w, "h": h,
+                    "pixels": bytes((i * 29 + f * 13 + p * 7) % 256
+                                    for p in range(w * h * 3)),
+                    "delay_num": dnum, "delay_den": APNG_DELAY_DEN,
+                } for f in range(nf)]
+                payloads.append(encode_apng(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "video",
+                                "mime": "image/apng", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = video_frame_stats(media, sample=(0, 500, 999))
+    return stats.select("media_id", "width", "height", "n_frames",
+                        "duration_ms", "mean_luma")

@@ -1179,3 +1179,88 @@ def test_ico_through_pixel_operator(spark):
     assert rows[1]["decode_error"] is None
     assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (6, 5, 4)
     assert rows[2]["decode_error"] is not None
+
+
+# ---- APNG (round-5 wave-11) ----
+
+def test_apng_compositing_dispose_blend():
+    """Partial regions paste at their offsets (SOURCE); OVER
+    alpha-composites with the documented integer rounding; dispose 1
+    clears the region; dispose 2 restores the previous canvas; plain PNGs
+    are rejected; truncation/byte-flip fuzz stays ApngFormatError."""
+    import random
+
+    import pytest
+
+    from flink_job_spark.functions.apng import (ApngFormatError,
+                                                decode_apng_frames,
+                                                encode_apng, parse_apng)
+    from flink_job_spark.functions.png import encode_png
+
+    rnd = random.Random(41)
+    W, H = 10, 8
+    f0 = bytes(rnd.randrange(256) for _ in range(W * H * 3))
+    f1 = bytes(rnd.randrange(256) for _ in range(4 * 3 * 3))
+    f2 = bytes(rnd.randrange(256) for _ in range(W * H * 3))
+    blob = encode_apng(W, H, [
+        {"w": W, "h": H, "pixels": f0},
+        {"w": 4, "h": 3, "x": 2, "y": 1, "pixels": f1, "dispose": 2},
+        {"w": W, "h": H, "pixels": f2},
+    ])
+    meta, snaps = decode_apng_frames(blob)
+    assert meta["num_frames"] == 3
+    c0, c1, c2 = (s for _, s in snaps)
+    assert all(c0[4 * i + k] == f0[3 * i + k]
+               for i in range(W * H) for k in range(3))
+    assert all(c0[4 * i + 3] == 255 for i in range(W * H))
+    for j in range(3):
+        for i in range(4):
+            pos = (1 + j) * W + 2 + i
+            assert c1[4 * pos:4 * pos + 3] == f1[(j * 4 + i) * 3:
+                                                 (j * 4 + i) * 3 + 3]
+    assert c1[0:3] == c0[0:3]          # outside the region: untouched
+    assert all(c2[4 * i + k] == f2[3 * i + k]
+               for i in range(W * H) for k in range(3))
+
+    with pytest.raises(ApngFormatError, match="acTL"):
+        parse_apng(encode_png(4, 4, bytes(48), 2))
+
+    for cut in range(0, len(blob), 7):
+        try:
+            decode_apng_frames(blob[:cut])
+        except ApngFormatError:
+            pass
+    for i in range(8, len(blob), 11):
+        bad = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:]
+        try:
+            decode_apng_frames(bad)
+        except ApngFormatError:
+            pass
+
+
+def test_apng_through_video_operator(spark):
+    """An APNG through video_frame_stats yields frame count/duration/mean;
+    a STILL png is 'not an animation' as data; truncation stays data."""
+    from flink_job_spark.functions.apng import encode_apng
+    from flink_job_spark.operators.multimodal import video_frame_stats
+
+    frames = [{"w": 6, "h": 4, "pixels": bytes([v]) * 72,
+               "delay_num": 3, "delay_den": 10} for v in (10, 20, 30)]
+    blob = encode_apng(6, 4, frames)
+    from flink_job_spark.functions.png import encode_png
+    still = encode_png(6, 4, bytes(72), 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(still)),
+         (3, bytearray(blob[:40]))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in video_frame_stats(
+        df.selectExpr("media_id", "'video' kind", "'image/apng' mime",
+                      "payload"), sample=(0, 999)).collect()}
+    ok = rows[1]
+    assert ok["decode_error"] is None
+    assert (ok["width"], ok["height"], ok["n_frames"]) == (6, 4, 3)
+    assert ok["duration_ms"] == 3 * 300
+    # sampled frames 0 and 2: constant 10 and 30 + opaque alpha
+    assert abs(ok["mean_luma"] - ((10 * 3 + 255 + 30 * 3 + 255) / 8)) < 1e-6
+    assert "not an animation" in rows[2]["decode_error"]
+    assert rows[3]["decode_error"] is not None
