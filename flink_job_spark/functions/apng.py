@@ -27,6 +27,9 @@ from flink_job_spark.functions.png import (PNG_SIGNATURE, PngFormatError,
                                            decode_png, png_meta)
 
 _MAX_FRAMES = 4096
+# Work bomb guard: highly-compressible frames make a tiny file demand
+# frames x pixels of compositing work; bound the TOTAL decoded pixels.
+_MAX_TOTAL_PIXELS = 256_000_000
 
 
 class ApngFormatError(ValueError):
@@ -111,6 +114,8 @@ def parse_apng(data: bytes) -> dict:
 
     if actl is None:
         raise ApngFormatError("no acTL chunk — not an APNG")
+    if sum(f["w"] * f["h"] for f in frames) > _MAX_TOTAL_PIXELS:
+        raise ApngFormatError("total frame pixels exceed cap")
     if len(frames) != actl[0]:
         raise ApngFormatError(
             f"fcTL count {len(frames)} != acTL frame count {actl[0]}")

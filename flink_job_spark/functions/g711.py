@@ -80,10 +80,15 @@ def parse_wav_chunks(data: bytes) -> tuple[tuple[int, int, int, int], bytes]:
     return fmt, body
 
 
+_MAX_SAMPLES = 64_000_000   # ~2 hours of 8 kHz audio; bounds the int list
+
+
 def decode_g711(data: bytes) -> tuple[int, int, int, list[int]]:
     """(sample_rate, channels, n_frames, 16-bit samples) for a mu-law or
     A-law WAV. Raises G711FormatError on anything else."""
     (afmt, ch, sr, bits), body = parse_wav_chunks(data)
+    if len(body) > _MAX_SAMPLES:
+        raise G711FormatError("sample count exceeds cap")
     if afmt not in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
         raise G711FormatError(f"not a G.711 format tag ({afmt})")
     if bits != 8:

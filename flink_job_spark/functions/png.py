@@ -36,6 +36,11 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # training-corpus image; oversized claims become decode errors (= data).
 MAX_PIXELS = 64_000_000
 
+# The Adam7 path materializes per-VALUE Python ints (30x the bytes of the
+# linear path) — a 64 MP interlaced claim would be a multi-GB allocation.
+# Real interlaced files are small thumbnails/icons; cap them separately.
+MAX_INTERLACED_PIXELS = 4_000_000
+
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit encode surface)
 
 # samples per pixel and legal bit depths per color type (spec table 11.1)
@@ -305,6 +310,10 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS
     bpp = max(1, (samples * depth) // 8)
     stride = (w * samples * depth + 7) // 8
     if interlace:
+        if w * h > MAX_INTERLACED_PIXELS:
+            raise PngFormatError(
+                f"interlaced dims too large ({w}x{h} > "
+                f"{MAX_INTERLACED_PIXELS} px)")
         out = _deinterlace(bytes(idat), w, h, samples, depth, bpp, stride)
     else:
         expected = h * (stride + 1)

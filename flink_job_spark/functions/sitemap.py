@@ -50,8 +50,11 @@ def parse_sitemap(data: bytes) -> dict:
         data = dec
     if len(data) > _MAX_INPUT:
         raise SitemapFormatError("sitemap exceeds size cap")
-    head = data[:4096]
-    if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+    # scan the WHOLE payload, not a 4 KB head: a DOCTYPE is legal anywhere
+    # before the root element, so leading comments could smuggle an
+    # entity-expansion bomb past a head-limited scan (review-caught r5
+    # w11; the size cap above bounds the substring search)
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         raise SitemapFormatError("DTD not allowed in sitemaps")
     try:
         root = ET.fromstring(data)

@@ -51,8 +51,11 @@ def svg_meta(data: bytes) -> dict:
     absent or non-absolute."""
     if len(data) > _MAX_BYTES:
         raise SvgFormatError(f"SVG exceeds {_MAX_BYTES} bytes")
-    head = data[:4096]
-    if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+    # scan the WHOLE payload: a DOCTYPE is legal anywhere before the root
+    # element, so a head-limited scan is bypassable with 4 KB of leading
+    # comments (review-caught r5 w11; substring search is ~GB/s, the size
+    # cap above bounds it)
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         raise SvgFormatError("DTD not allowed in SVG triage")
     try:
         root = ET.fromstring(data)

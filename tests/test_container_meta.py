@@ -318,3 +318,23 @@ def test_subtitle_parsers_grammar_corners():
         parse_srt(b"1\n00:00:05,000 --> 00:00:01,000\nx\n")
     with pytest.raises(SubtitleFormatError, match="timing"):
         parse_srt(b"1\nnot a timing line\ntext\n")
+
+
+def test_xml_dtd_guard_not_bypassable_by_leading_comments():
+    """The review-caught r5 bypass: a DOCTYPE after 4 KB of comments used
+    to slip past the head-limited scan and expat WOULD expand its
+    entities; both XML triage parsers now scan the whole payload."""
+    import pytest
+
+    from flink_job_spark.functions.sitemap import (SitemapFormatError,
+                                                   parse_sitemap)
+    from flink_job_spark.functions.svg import SvgFormatError, svg_meta
+
+    pad = ("<!-- " + "x" * 5000 + " -->").encode()
+    bomb = pad + b'<!DOCTYPE svg [<!ENTITY a "bbbb">]><svg>&a;</svg>'
+    with pytest.raises(SvgFormatError, match="DTD"):
+        svg_meta(bomb)
+    smap = pad + (b'<!DOCTYPE urlset [<!ENTITY a "bbbb">]>'
+                  b'<urlset><url><loc>http://x/&a;</loc></url></urlset>')
+    with pytest.raises(SitemapFormatError, match="DTD"):
+        parse_sitemap(smap)
