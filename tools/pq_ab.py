@@ -46,7 +46,7 @@ from flink_job_spark.queries.similarity import (  # noqa: E402
 from flink_job_spark.session import get_spark, unpersist_all  # noqa: E402
 
 DIM = PQ_M * PQ_SUBDIM
-N_QUERIES = 5
+N_QUERIES = 25
 
 
 def build_vectors(spark, n: int, path: str) -> None:
@@ -176,6 +176,75 @@ def main() -> None:
         recalls = [len(set(reranked[q]) & truth[q]) / len(truth[q])
                    for q in truth]
 
+        # --- trained-books cell: per-subspace k-means on a 10k sample ---
+        # (numpy Lloyd, deterministic first-16 init — the production path
+        # the id-sample cell's recall decay points at; same pq_encode /
+        # LUT / rerank plan, only the book VALUES change)
+        import numpy as np
+
+        sample = np.array(
+            [r["v"] for r in e.filter(F.col("vec_id") < 10_000)
+                             .select("v").collect()], dtype=np.float64)
+        trained = []
+        for m in range(PQ_M):
+            sub = sample[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            cents = sub[:16].copy()
+            for _ in range(10):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                lab = d2.argmin(1)
+                for k in range(16):
+                    pts = sub[lab == k]
+                    if len(pts):
+                        cents[k] = pts.mean(0)
+            trained.append([(k, [float(x) for x in cents[k]])
+                            for k in range(16)])
+        pq_encode(e, trained).write.mode("overwrite") \
+            .parquet(cpath + "_trained")
+        tluts = []
+        for r in qrows:
+            qv = [float(x) for x in r["v"]]
+            lut = []
+            for m in range(PQ_M):
+                row = []
+                for _, cv in trained[m]:
+                    acc = 0.0
+                    for i, bx in enumerate(cv):
+                        d = qv[m * PQ_SUBDIM + i] - bx
+                        acc = acc + d * d
+                    row.append(acc)
+                lut.append(row)
+            tluts.append((int(r["vec_id"]), lut))
+        tlut_df = spark.createDataFrame(
+            tluts, "qid bigint, lut array<array<double>>")
+        tcand = (spark.read.parquet(cpath + "_trained")
+                 .crossJoin(F.broadcast(tlut_df))
+                 .filter(F.col("vec_id") != F.col("qid"))
+                 .select("qid", "vec_id",
+                         F.aggregate(d_arr, F.lit(0.0),
+                                     lambda a, x: a + x).alias("adc")))
+        tcands = (tcand.withColumn("rk", F.row_number().over(wc))
+                       .filter(F.col("rk") <= PQ_CANDIDATES).collect())
+        tvecs = {int(r["vec_id"]): [float(x) for x in r["v"]]
+                 for r in e.filter(F.col("vec_id").isin(
+                     [int(c["vec_id"]) for c in tcands]
+                     + list(range(N_QUERIES)))).collect()}
+        trecalls = []
+        for qid in range(N_QUERIES):
+            qv = tvecs[qid]
+            scored = []
+            for c in tcands:
+                if c["qid"] != qid:
+                    continue
+                v = tvecs[int(c["vec_id"])]
+                acc = 0.0
+                for a, b in zip(qv, v):
+                    acc += (a - b) * (a - b)
+                scored.append((acc, int(c["vec_id"])))
+            scored.sort()
+            got = {vid for _, vid in scored[:TOPK]}
+            trecalls.append(len(got & truth[qid]) / len(truth[qid]))
+        unpersist_all(spark)
+
         fbytes, cbytes = du_bytes(fpath), du_bytes(cpath)
         print(json.dumps({
             "n_vectors": n, "dim": DIM,
@@ -185,6 +254,7 @@ def main() -> None:
             "brute_scan_wall_s": brute_wall,
             "adc_scan_wall_s": adc_wall,
             "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            "trained_recall_at_10": round(sum(trecalls) / len(trecalls), 3),
         }), flush=True)
         unpersist_all(spark)
     spark.stop()
