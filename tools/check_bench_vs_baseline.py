@@ -64,6 +64,14 @@ def main(argv: list[str]) -> int:
         bench = json.load(fh)["queries"]
     base = baseline_table()
     if "--slopes" in argv:
+        # refuse the implicit default: `--slopes` without an explicit
+        # sf1 file silently compared BENCH_FULL.json (sf0.1) against the
+        # sf0.1 baseline and reported every key "fixed" — a nonsense
+        # report that LOOKS like a clean gate (caught r5 w11)
+        if len(argv) > 1 and argv[1].startswith("--"):
+            raise SystemExit(
+                "--slopes needs the sf1 run file FIRST: "
+                "check_bench_vs_baseline.py SF1_RUN.json --slopes")
         return slopes(bench, base)
 
     missing = sorted(set(bench) - set(base))
