@@ -175,10 +175,14 @@ def decode_apng_frames(data: bytes,
             raise ApngFormatError(f"frame {idx}: {e}") from e
         region = _to_rgba(fw, fh, ch, px)
         before = bytes(canvas) if f["dispose"] == 2 else None
+        # APNG spec: for the very first frame, blend_op OVER must be
+        # treated as SOURCE (the canvas is fully transparent but the
+        # composite rule is still "replace", not "over transparent black")
+        blend = 0 if idx == 0 else f["blend"]
         for j in range(fh):
             dst0 = ((f["y"] + j) * w + f["x"]) * 4
             src0 = j * fw * 4
-            if f["blend"] == 0:
+            if blend == 0:
                 canvas[dst0:dst0 + fw * 4] = region[src0:src0 + fw * 4]
             else:
                 for i in range(fw):
@@ -206,25 +210,29 @@ def decode_apng_frames(data: bytes,
 
 
 def encode_apng(width: int, height: int,
-                frames: list[dict]) -> bytes:
-    """Fixture builder: frames = [{x, y, pixels(bytes RGB), w, h,
-    delay_num, delay_den, dispose, blend}] — color type 2 regions,
+                frames: list[dict],
+                color_type: int = 2) -> bytes:
+    """Fixture builder: frames = [{x, y, pixels(bytes RGB, or RGBA when
+    color_type=6), w, h, delay_num, delay_den, dispose, blend}] —
     filter-0 scanlines, first frame as IDAT, the rest as fdAT."""
+    if color_type not in (2, 6):
+        raise ApngFormatError("fixture builder supports color type 2/6")
+    bpp = 3 if color_type == 2 else 4
     out = bytearray(PNG_SIGNATURE)
     out += _mk_chunk(b"IHDR", struct.pack(">IIBBBBB", width, height,
-                                          8, 2, 0, 0, 0))
+                                          8, color_type, 0, 0, 0))
     out += _mk_chunk(b"acTL", struct.pack(">II", len(frames), 0))
     seq = 0
     for idx, f in enumerate(frames):
         fw, fh = f["w"], f["h"]
-        if len(f["pixels"]) != fw * fh * 3:
+        if len(f["pixels"]) != fw * fh * bpp:
             raise ApngFormatError("frame pixel buffer mismatch")
         out += _mk_chunk(b"fcTL", struct.pack(
             ">IIIIIHHBB", seq, fw, fh, f.get("x", 0), f.get("y", 0),
             f.get("delay_num", 1), f.get("delay_den", 10),
             f.get("dispose", 0), f.get("blend", 0)))
         seq += 1
-        raw = b"".join(b"\x00" + f["pixels"][j * fw * 3:(j + 1) * fw * 3]
+        raw = b"".join(b"\x00" + f["pixels"][j * fw * bpp:(j + 1) * fw * bpp]
                        for j in range(fh))
         z = zlib.compress(raw)
         if idx == 0:

@@ -21,7 +21,9 @@ import re
 _MAX_BYTES = 16 * 1024 * 1024
 _MAX_CUES = 500_000
 
-_SRT_TS = re.compile(r"^(\d{2}):(\d{2}):(\d{2})[,.](\d{3})$")
+# hours: 2-or-more digits — WebVTT explicitly allows >99h recordings
+# ("hours" is 2+ digits in the spec grammar); SRT files in the wild do too
+_SRT_TS = re.compile(r"^(\d{2,}):(\d{2}):(\d{2})[,.](\d{3})$")
 _ARROW = re.compile(r"\s*-->\s*")
 
 

@@ -455,12 +455,18 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                                 # header yet return no data — no RMS, not a
                                 # ZeroDivisionError
                                 if len(frames) >= 2:
+                                    import math
+
                                     acc = 0.0
                                     for i in range(0, len(frames), 2):
                                         s = int.from_bytes(frames[i:i + 2],
                                                            "little", signed=True)
                                         acc += float(s) * float(s)
-                                    rms = round((acc / (len(frames) // 2)) ** 0.5, 6)
+                                    # math.sqrt, same as the G.711 branch:
+                                    # it IS the IEEE sqrt the SQL oracle
+                                    # calls, while ** 0.5 routes through
+                                    # pow and may differ an ulp
+                                    rms = round(math.sqrt(acc / (len(frames) // 2)), 6)
                                 else:
                                     err = "bad wav: empty data chunk"
                     except (wave.Error, EOFError, struct.error) as e:

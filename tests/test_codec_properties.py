@@ -1238,6 +1238,47 @@ def test_apng_compositing_dispose_blend():
             pass
 
 
+def test_apng_first_frame_blend_over_is_source():
+    """APNG spec: on frame 0, blend_op OVER MUST behave as SOURCE. A
+    first frame with partial alpha must land verbatim on the canvas, not
+    be composited over transparent black ((src*a+127)//255 would darken
+    every channel); later frames keep real OVER semantics."""
+    import random
+
+    from flink_job_spark.functions.apng import (decode_apng_frames,
+                                                encode_apng)
+
+    rnd = random.Random(7)
+    W, H = 6, 4
+    # frame 0: RGBA, alpha=128 everywhere, blend=1 (OVER)
+    f0 = bytes(b for _ in range(W * H)
+               for b in (rnd.randrange(256), rnd.randrange(256),
+                         rnd.randrange(256), 128))
+    # frame 1: a 2x2 RGBA patch at (1,1), alpha=100, blend=1
+    f1 = bytes(b for _ in range(4)
+               for b in (rnd.randrange(256), rnd.randrange(256),
+                         rnd.randrange(256), 100))
+    blob = encode_apng(W, H, [
+        {"w": W, "h": H, "pixels": f0, "blend": 1},
+        {"w": 2, "h": 2, "x": 1, "y": 1, "pixels": f1, "blend": 1},
+    ], color_type=6)
+    _, snaps = decode_apng_frames(blob)
+    c0, c1 = (s for _, s in snaps)
+    # frame 0: verbatim SOURCE paste despite blend=1
+    assert bytes(c0) == f0
+    # frame 1: genuine OVER against the frame-0 canvas
+    for j in range(2):
+        for i in range(2):
+            pos = (1 + j) * W + 1 + i
+            s = (j * 2 + i) * 4
+            a, na = f1[s + 3], 255 - f1[s + 3]
+            for k in range(3):
+                want = (f1[s + k] * a + c0[4 * pos + k] * na + 127) // 255
+                assert c1[4 * pos + k] == want
+            assert c1[4 * pos + 3] == (a * 255 + c0[4 * pos + 3] * na
+                                       + 127) // 255
+
+
 def test_apng_through_video_operator(spark):
     """An APNG through video_frame_stats yields frame count/duration/mean;
     a STILL png is 'not an animation' as data; truncation stays data."""

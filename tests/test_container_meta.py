@@ -319,6 +319,13 @@ def test_subtitle_parsers_grammar_corners():
     with pytest.raises(SubtitleFormatError, match="timing"):
         parse_srt(b"1\nnot a timing line\ntext\n")
 
+    # WebVTT's grammar allows 2-OR-MORE hour digits: a >99-hour recording
+    # (live-stream archives hit this) must parse, not become an error row
+    long_vtt = (b"WEBVTT\n\n100:00:00.000 --> 100:00:01.500\nstill going\n")
+    assert parse_vtt(long_vtt) == [(360000000, 360001500, "still going")]
+    long_srt = b"1\n123:00:00,000 --> 123:00:02,000\nmarathon\n"
+    assert parse_srt(long_srt) == [(442800000, 442802000, "marathon")]
+
 
 def test_xml_dtd_guard_not_bypassable_by_leading_comments():
     """The review-caught r5 bypass: a DOCTYPE after 4 KB of comments used
