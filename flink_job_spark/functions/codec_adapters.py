@@ -125,6 +125,148 @@ def decode_audio_ffmpeg(payload: bytes) -> tuple[int, int, bytes]:
     return rate, ch, pcm
 
 
+# Work-bomb cap for the video adapter: a stream claiming to be video must
+# not make one executor task decode unbounded frames (a 100k-frame cap is
+# ~55 min of 30 fps footage — beyond that the row becomes an error, which
+# is data).
+MAX_ADAPTER_FRAMES = 100_000
+
+
+def probe_video_ffprobe(payload: bytes) -> tuple[int, int,
+                                                 float | None, float | None]:
+    """(width, height, fps|None, duration_sec|None) of the SOURCE v:0
+    stream via ffprobe — frame geometry comes from the file, not a
+    transcode (the same file-properties rule the audio adapter follows).
+    Caller must have checked ffprobe_available(); process faults
+    propagate for errors-as-data wrapping. fps/duration are best-effort:
+    a pipe-fed MP4 with a trailing moov atom legitimately reports N/A."""
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0",
+         "-show_entries", "stream=width,height,avg_frame_rate,duration",
+         "-of", "csv=p=0", "pipe:0"],
+        input=payload, capture_output=True, check=True,
+        timeout=FFMPEG_TIMEOUT_SEC)
+    fields = out.stdout.decode("ascii", "replace").strip().split(",")
+    if len(fields) < 2:
+        raise ValueError(f"ffprobe returned {out.stdout!r}")
+    w, h = int(fields[0]), int(fields[1])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"ffprobe reported {w}x{h}")
+    fps = None
+    if len(fields) >= 3 and "/" in fields[2]:
+        num, _, den = fields[2].partition("/")
+        try:
+            if int(den) > 0 and int(num) > 0:
+                fps = int(num) / int(den)
+        except ValueError:
+            pass
+    dur = None
+    if len(fields) >= 4:
+        try:
+            dur = float(fields[3])
+        except ValueError:
+            pass
+    return w, h, fps, dur
+
+
+def read_gray_frame_sums(stream, frame_bytes: int,
+                         max_frames: int = MAX_ADAPTER_FRAMES) -> list[int]:
+    """Per-frame pixel sums from a raw gray8 frame stream, read
+    incrementally — O(1) memory per frame (16 bytes of state each), never
+    the whole decoded video. This is the honest shape for INTER-frame
+    codecs: they must decode sequentially anyway, so the adapter streams
+    once and keeps only scalars; the sampled-frame mean is then a pure
+    index computation over the sums. A partial trailing frame (truncated
+    stream) is dropped; exceeding `max_frames` raises (work bomb →
+    errors-as-data upstream)."""
+    import numpy as np
+
+    sums: list[int] = []
+    while True:
+        if len(sums) >= max_frames:
+            raise ValueError(f"frame count exceeds cap {max_frames}")
+        buf = bytearray()
+        while len(buf) < frame_bytes:
+            chunk = stream.read(frame_bytes - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        if len(buf) < frame_bytes:
+            return sums
+        sums.append(int(np.frombuffer(bytes(buf), dtype=np.uint8)
+                        .sum(dtype=np.int64)))
+
+
+def sampled_frame_indices(n_frames: int,
+                          sample: tuple[int, ...]) -> list[int]:
+    """The engine-wide sampling rule (video_frame_stats): fractional
+    positions in 1/1000ths → frame indices, duplicates collapsed. Shared
+    so native AVI/GIF/APNG paths and the adapter sample identically."""
+    if not n_frames:
+        return []
+    return sorted({min(p * n_frames // 1000, n_frames - 1) for p in sample})
+
+
+def decode_video_ffmpeg(payload: bytes,
+                        sample: tuple[int, ...] = (0,)
+                        ) -> tuple[int, int, int, int | None, float]:
+    """(width, height, n_frames, duration_ms|None, mean_luma) by piping an
+    INTER-frame compressed payload (H.264/VP9/AV1 in MP4/MKV/AVI) through
+    ffmpeg to gray8 rawvideo. Geometry is probed from the source stream;
+    frames stream through `read_gray_frame_sums` (O(1) memory per frame),
+    and mean_luma covers the same sampled index set the native codecs use.
+    duration_ms prefers the container's declared duration, else nf/fps,
+    else None (both legitimately absent on pipe-fed streams). Caller must
+    have checked ffmpeg_available(); faults propagate for errors-as-data
+    wrapping."""
+    import threading
+
+    w, h, fps, dur_sec = probe_video_ffprobe(payload)
+    proc = subprocess.Popen(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0",
+         "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE)
+
+    def feed() -> None:
+        try:
+            proc.stdin.write(payload)
+        except (BrokenPipeError, OSError):
+            pass
+        finally:
+            try:
+                proc.stdin.close()
+            except OSError:
+                pass
+
+    feeder = threading.Thread(target=feed, daemon=True)
+    feeder.start()
+    killer = threading.Timer(FFMPEG_TIMEOUT_SEC, proc.kill)
+    killer.start()
+    try:
+        sums = read_gray_frame_sums(proc.stdout, w * h)
+        rc = proc.wait()
+        stderr_tail = proc.stderr.read()[-200:]
+    finally:
+        killer.cancel()
+        proc.kill()
+        feeder.join(timeout=5)
+    if not sums:
+        raise ValueError(
+            f"ffmpeg decoded no frames (exit {rc}): "
+            f"{stderr_tail.decode('ascii', 'replace').strip()}")
+    nf = len(sums)
+    idxs = sampled_frame_indices(nf, sample)
+    mean_luma = round(sum(sums[i] for i in idxs) / (len(idxs) * w * h), 6)
+    if dur_sec is not None and dur_sec > 0:
+        dur_ms: int | None = int(round(dur_sec * 1000))
+    elif fps:
+        dur_ms = int(round(nf * 1000 / fps))
+    else:
+        dur_ms = None
+    return w, h, nf, dur_ms, mean_luma
+
+
 def pcm16_stats(pcm: bytes) -> tuple[int, float]:
     """(n_samples, rms) of signed-16LE PCM — the same stats the WAV path
     reports, so adapter-decoded audio lands in identical output columns.

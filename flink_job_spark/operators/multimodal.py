@@ -27,9 +27,12 @@ errors-as-data contract — and degrade to the documented
 ``NotImplementedError`` / ``decode_error`` rows where (as in this build
 sandbox) they are absent. Compressed video is covered natively for the
 INTRA-frame family — Motion JPEG AVIs decode through functions/avi.py +
-functions/jpeg.py (every frame an independent baseline JPEG) — while
-INTER-frame codecs (H.264/VP9/AV1) remain the one documented stub either
-way.
+functions/jpeg.py (every frame an independent baseline JPEG) — and
+INTER-frame codecs (H.264/VP9/AV1 in MP4/MKV/WebM or AVI) route through
+the ffmpeg video adapter (r6, codec_adapters.decode_video_ffmpeg:
+streamed gray8 frames, O(1) memory per frame, same sampled-index rule as
+the native paths) when the host has ffmpeg. Remaining boundary on
+adapter-absent hosts: inter-frame video and arithmetic-coded JPEG.
 """
 
 from __future__ import annotations
@@ -263,8 +266,12 @@ def video_frame_stats(media: DataFrame,
     which is the property that matters when the payload column is 100 TB.
     Errors are data (`decode_error`). Frame codecs: uncompressed BI_RGB and
     Motion JPEG (each sampled frame is one independent baseline-JPEG
-    decode); inter-frame codecs (H.264/VP9/AV1) remain stubbed pending a
-    codec library (module docstring)."""
+    decode) natively; INTER-frame codecs (H.264/VP9/AV1 in MP4/MKV/WebM
+    containers, or unknown FourCCs inside AVI) route through the
+    capability-gated ffmpeg adapter (codec_adapters.decode_video_ffmpeg —
+    streamed gray8 decode, O(1) memory per frame, same sampled-index
+    rule) when the host has ffmpeg, and degrade to the documented
+    decode_error row when it is absent (as in this build sandbox)."""
     import numpy as np
 
     from flink_job_spark.functions.apng import (ApngFormatError,
@@ -293,8 +300,18 @@ def video_frame_stats(media: DataFrame,
                           and bytes(payload[:6]) in GIF_SIGNATURES)
                 is_png = (payload is not None
                           and bytes(payload[:8]) == PNG_SIGNATURE)
+                # inter-frame containers: ISO-BMFF (ftyp at offset 4 —
+                # mp4/mov/m4v) and EBML (mkv/webm) — adapter-only formats
+                is_isobmff = (payload is not None
+                              and bytes(payload[4:8]) == b"ftyp")
+                is_ebml = (payload is not None
+                           and bytes(payload[:4]) == b"\x1a\x45\xdf\xa3")
+                adapter_reason = None   # non-None => try the ffmpeg adapter
                 if payload is None:
                     err = "null payload"
+                elif is_isobmff or is_ebml:
+                    adapter_reason = ("inter-frame container needs the "
+                                      "ffmpeg adapter")
                 elif not (is_avi or is_gif or is_png):
                     err = "not a decodable video payload"
                 else:
@@ -341,7 +358,26 @@ def video_frame_stats(media: DataFrame,
                     except (ApngFormatError, AviFormatError, GifFormatError,
                             struct.error) as e:
                         w = h = nf = dur = luma = None
-                        err = f"bad video: {e}"
+                        if is_avi:
+                            # an AVI the native path declines (unknown
+                            # FourCC — H.264-in-AVI etc.) FALLS THROUGH
+                            # to the adapter, like the audio operator's
+                            # failed-mp3-walk rule
+                            adapter_reason = str(e)
+                        else:
+                            err = f"bad video: {e}"
+                if adapter_reason is not None:
+                    from flink_job_spark.functions.codec_adapters import (
+                        decode_video_ffmpeg, ffmpeg_available)
+                    if ffmpeg_available():
+                        try:
+                            w, h, nf, dur, luma = decode_video_ffmpeg(
+                                bytes(payload), sample)
+                        except Exception as e:
+                            w = h = nf = dur = luma = None
+                            err = f"bad video: {e}"
+                    else:
+                        err = f"bad video: {adapter_reason}"
                 cols["width"].append(w); cols["height"].append(h)
                 cols["n_frames"].append(nf); cols["duration_ms"].append(dur)
                 cols["mean_luma"].append(luma); cols["decode_error"].append(err)

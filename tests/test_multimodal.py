@@ -887,3 +887,97 @@ def test_adapter_absence_keeps_documented_boundary():
 
     with pytest.raises(ImageDecodeError, match="not a decodable image"):
         _decode_any_image(b"RIFFxxxxWEBPVP8 ....")
+
+
+def test_video_adapter_stream_math_pure():
+    """The video adapter's streamed frame math, tested without ffmpeg:
+    read_gray_frame_sums chunks a raw gray8 stream into per-frame sums
+    with O(1) state, drops a partial trailing frame, and raises past the
+    work-bomb cap; sampled_frame_indices matches the engine-wide rule
+    video_frame_stats uses for the native codecs (collapse duplicates,
+    clamp to the last frame)."""
+    import io
+
+    import pytest
+
+    from flink_job_spark.functions.codec_adapters import (
+        read_gray_frame_sums, sampled_frame_indices)
+
+    fb = 4 * 3                        # a 4x3 gray frame
+    f0 = bytes(range(fb))             # sum = 66
+    f1 = bytes([10] * fb)             # sum = 120
+    f2 = bytes([255] * fb)            # sum = 3060
+    stream = io.BytesIO(f0 + f1 + f2 + b"\x01\x02")   # + partial frame
+    assert read_gray_frame_sums(stream, fb) == [66, 120, 3060]
+    # the trailing partial frame is dropped, not an off-by-one sum
+    assert read_gray_frame_sums(io.BytesIO(b""), fb) == []
+    with pytest.raises(ValueError, match="cap"):
+        read_gray_frame_sums(io.BytesIO(bytes(fb * 3)), fb, max_frames=2)
+
+    # identical to the inline rule in video_frame_stats
+    assert sampled_frame_indices(5, (0, 500, 999)) == [0, 2, 4]
+    assert sampled_frame_indices(1, (0, 500, 999)) == [0]   # collapses
+    assert sampled_frame_indices(0, (0, 500, 999)) == []
+    for nf in (1, 2, 3, 7, 100):
+        for p in (0, 250, 500, 750, 999):
+            assert sampled_frame_indices(nf, (p,)) == [min(p * nf // 1000,
+                                                           nf - 1)]
+
+
+def test_video_adapter_absent_keeps_error_rows(spark):
+    """Adapter-absent hosts (this sandbox): an MP4/MKV payload through
+    video_frame_stats is a decode_error ROW naming the adapter boundary,
+    never an executor exception; native AVI/GIF/APNG rows next to it are
+    untouched. Gated to hosts without ffmpeg."""
+    import pytest
+
+    from flink_job_spark.functions.avi import encode_avi
+    from flink_job_spark.functions.codec_adapters import ffmpeg_available
+    from flink_job_spark.operators.multimodal import video_frame_stats
+
+    if ffmpeg_available():
+        pytest.skip("host has ffmpeg; adapter will really decode")
+    avi = encode_avi(4, 4, 10, [bytes([100] * 48), bytes([200] * 48)])
+    mp4ish = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    mkvish = b"\x1a\x45\xdf\xa3" + b"\x00" * 64
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", bytearray(avi)),
+         (2, "video", "video/mp4", bytearray(mp4ish)),
+         (3, "video", "video/webm", bytearray(mkvish))],
+        "media_id long, kind string, mime string, payload binary")
+    rows = {r["media_id"]: r for r in video_frame_stats(media).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["n_frames"] == 2
+    assert "ffmpeg adapter" in rows[2]["decode_error"]
+    assert "ffmpeg adapter" in rows[3]["decode_error"]
+
+
+def test_video_adapter_decodes_h264_when_available(spark):
+    """CAPABILITY-GATED (skips in this sandbox): on a host with ffmpeg,
+    an H.264 MP4 routes through decode_video_ffmpeg — geometry from
+    ffprobe, n_frames from the streamed gray decode, mean_luma over the
+    engine's sampled index set."""
+    import subprocess
+
+    import pytest
+
+    from flink_job_spark.functions.codec_adapters import ffmpeg_available
+    from flink_job_spark.operators.multimodal import video_frame_stats
+
+    if not ffmpeg_available():
+        pytest.skip("no ffmpeg on this host")
+    # 6 gray frames, 16x16, constant luma 60 — libx264 lossless
+    enc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "color=c=0x3c3c3c:s=16x16:d=0.6:r=10",
+         "-c:v", "libx264", "-qp", "0", "-pix_fmt", "yuv420p",
+         "-movflags", "frag_keyframe+empty_moov", "-f", "mp4", "pipe:1"],
+        capture_output=True, check=True)
+    media = spark.createDataFrame(
+        [(1, "video", "video/mp4", bytearray(enc.stdout))],
+        "media_id long, kind string, mime string, payload binary")
+    row = video_frame_stats(media, sample=(0, 500, 999)).collect()[0]
+    assert row["decode_error"] is None
+    assert (row["width"], row["height"]) == (16, 16)
+    assert row["n_frames"] == 6
+    # 0x3c=60 in RGB; BT.601 luma of gray (60,60,60) is 60 ± codec rounding
+    assert abs(row["mean_luma"] - 60) < 2.0
