@@ -14,16 +14,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # --- normalization: lower, non-alnum runs → single space, trim ---------------
+#
+# Script-aware (r6): "words" in space-delimited scripts are the space-split
+# tokens, but no-space scripts (CJK ideographs + kana + Thai) have no word
+# separators at all — under the old rule their text normalized to EMPTY and
+# every downstream word operator (shingles, token counts, Gopher rules, BPE)
+# silently saw zero-word documents. The fallback segmenter treats each
+# no-space-script codepoint as its own token (the standard degradation used
+# by large-scale corpus pipelines when no dictionary segmenter ships):
+#   * Latin/digits: unchanged — lowercased, non-alnum runs → one space.
+#   * CJK ideographs (U+3400-4DBF ext-A, U+4E00-9FFF), Hiragana/Katakana
+#     (U+3040-30FF), Thai (U+0E00-0E7F): kept, one token per codepoint.
+#   * Hangul is NOT in the list: Korean text uses spaces.
+# Both engines see the same literal codepoint ranges (Java regex ∩ RE2),
+# so the Spark builder and the DuckDB twin stay bit-identical; pure-ASCII
+# text takes the exact same path as before (the extra pass is a no-op).
 
-NORM_RE = "[^a-z0-9]+"
+_NOSPACE_RANGES = "㐀-䶿一-鿿぀-ヿ฀-๿"
+NORM_RE = f"[^a-z0-9{_NOSPACE_RANGES}]+"
+_NOSPACE_CHAR = f"([{_NOSPACE_RANGES}])"
 
 
-def norm_text(col: str = "text") -> Column:
-    return F.trim(F.regexp_replace(F.lower(F.col(col)), NORM_RE, " "))
+def norm_text(col: str | Column = "text") -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    spaced = F.regexp_replace(F.lower(c), _NOSPACE_CHAR, " $1 ")
+    return F.trim(F.regexp_replace(spaced, NORM_RE, " "))
 
 
 def norm_text_duck(col: str = "text") -> str:
-    return f"trim(regexp_replace(lower({col}), '{NORM_RE}', ' ', 'g'))"
+    spaced = f"regexp_replace(lower({col}), '{_NOSPACE_CHAR}', ' \\1 ', 'g')"
+    return f"trim(regexp_replace({spaced}, '{NORM_RE}', ' ', 'g'))"
 
 
 def words(col: str = "text") -> Column:

@@ -286,3 +286,69 @@ def test_quality_classifier_matches_python_twin(spark, sf_dir):
     assert got == expected
     labels = {v[2] for v in got.values()}
     assert labels == {0, 1}, f"classifier is vacuous: labels={labels}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet=(string.ascii_letters + string.digits + " .,!"
+                      + "今日は良天気中文本分析測試"
+                      + "カタひらがな混在ーー・"
+                      + "สวัสดีครับไทย"),
+            min_size=0, max_size=120),
+    min_size=1, max_size=20))
+def test_multiscript_segmentation_twins_agree(spark, texts):
+    """r6 script-aware words(): Spark and DuckDB segment mixed
+    Latin/CJK/kana/Thai text identically — normalized form, word count,
+    distinct count, and 3-shingle count all bit-equal. Under the pre-r6
+    rule every no-space-script char was STRIPPED (CJK docs had zero
+    words); this property keeps the per-codepoint fallback honest."""
+    import duckdb
+
+    from flink_job_spark.functions.text import (word_shingles,
+                                                word_shingles_duck, words,
+                                                words_duck)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    staged = df.select("text", norm_text("text").alias("norm"),
+                       words("text").alias("w"))
+    got = staged.select(
+        "norm",
+        F.size("w").alias("nw"),
+        F.size(F.array_distinct("w")).alias("nu"),
+        F.size(word_shingles("w")).alias("ns"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    ws = words_duck("text")
+    duck = con.execute(
+        f"SELECT {norm_text_duck('text')}, len({ws}), "
+        f"len(list_distinct({ws})), len({word_shingles_duck(ws)}) FROM t"
+    ).fetchall()
+    for i, (g, d) in enumerate(zip(got, duck)):
+        assert g["norm"] == d[0], (texts[i], g["norm"], d[0])
+        assert (g["nw"], g["nu"], g["ns"]) == (d[1], d[2], d[3]), texts[i]
+
+
+def test_multiscript_segmentation_rule_pinned(spark):
+    """The per-script rule, pinned on known strings: CJK/kana/Thai one
+    token per codepoint, Latin unchanged, mixed text interleaves."""
+    from pyspark.sql import functions as F
+
+    from flink_job_spark.functions.text import words
+
+    cases = {
+        "Hello, World! 42": 3,
+        "今日は良い天気です": 9,          # 9 codepoints = 9 tokens
+        "mixed 中文 and ENGLISH text": 6,
+        "สวัสดีครับ": 10,
+        "カタカナとひらがな混在": 11,
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: r["n"] for r in
+           df.select("text", F.size(words("text")).alias("n")).collect()}
+    assert got == cases
