@@ -17,6 +17,14 @@ This replaces the round-2 habit of appending "total adjusted to ..."
 paragraphs per key wave (the accretion the round-2 judge flagged): adding
 keys now means re-running the sweep and re-invoking this script, which
 rewrites the whole block atomically.
+
+Provenance (r6): every recording ALSO appends one line to the append-only
+BASELINE_HISTORY.jsonl — {round, date, sf, host_factor, medians} — so the
+2x gate can be judged against the FIRST recording of each key, not just
+the freshest one (which is partly self-referential: a slow regression
+re-recorded every round would silently become its own baseline). Pass
+`--round N`; host_factor is read from the newest run's
+paired_vs_baseline block when present (else recorded as null).
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ from pathlib import Path
 START = "<!-- BASELINE_TABLE_START -->"
 END = "<!-- BASELINE_TABLE_END -->"
 BASELINE_MD = Path(__file__).resolve().parent.parent / "BASELINE.md"
+HISTORY = Path(__file__).resolve().parent.parent / "BASELINE_HISTORY.jsonl"
 
 
 def load_runs(paths: list[str]) -> list[dict]:
@@ -46,6 +55,14 @@ def load_runs(paths: list[str]) -> list[dict]:
 def main(argv: list[str]) -> None:
     if len(argv) < 2:
         raise SystemExit(__doc__)
+    round_no = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        round_no = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if round_no is None:
+        raise SystemExit("--round N is required (r6): the recording must "
+                         "land in BASELINE_HISTORY.jsonl with its round")
     runs = load_runs(argv[1:])
     sfs = {r.get("sf") for r in runs}
     if len(sfs) != 1:
@@ -110,6 +127,19 @@ def main(argv: list[str]) -> None:
         raise SystemExit(f"markers not found in {BASELINE_MD}")
     BASELINE_MD.write_text(text)
     print(f"wrote {len(med)} keys, total {total:.1f} s -> {BASELINE_MD}")
+
+    host_factor = None
+    for r in runs:
+        paired = r.get("paired_vs_baseline")
+        if isinstance(paired, dict) and paired.get("host_factor") is not None:
+            host_factor = paired["host_factor"]
+    entry = {"round": round_no, "date": today, "sf": sf,
+             "host_factor": host_factor,
+             "medians": {k: round(v, 3) for k, v in med.items()}}
+    with open(HISTORY, "a") as fh:
+        fh.write(json.dumps(entry, sort_keys=True) + "\n")
+    print(f"appended round-{round_no} recording "
+          f"(host_factor={host_factor}) -> {HISTORY}")
 
 
 if __name__ == "__main__":
