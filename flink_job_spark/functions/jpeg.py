@@ -16,8 +16,10 @@ coefficient accumulation (interleaved MCU order or the component's own
 block grid), dequant + de-zigzag + batched float IDCT, level shift,
 sample-replication upsampling, YCbCr→RGB / (YCCK|CMYK)→RGB via the
 stored-domain quick conversion, crop to declared dims. Together this
-covers virtually every Huffman-coded JPEG in a real crawl; only
-arithmetic-coded (SOF9+) and lossless/hierarchical frames are rejected.
+covers virtually every JPEG in a real crawl — including (r6)
+arithmetic-coded SOF9/SOF10 frames via the QM-coder in
+functions/jpeg_arith.py; only lossless/hierarchical frames and 12-bit
+precision are rejected.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -630,15 +632,15 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        if marker in (0xC0, 0xC1, 0xC2):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             if pos + 4 + 6 > len(data):
                 raise JpegFormatError("truncated SOF")
             _prec, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4:pos + 10])
             return w, h, ncomp
-        if marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(baseline sequential + progressive huffman only)")
+                "(sequential/progressive, huffman or arithmetic)")
         if marker == 0xD9:
             break
         pos += 2 + seglen
@@ -902,6 +904,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         raise JpegFormatError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    # arithmetic conditioning (DAC, T.81 B.2.4.3); keys are table ids
+    arith_cond = {"dc": {}, "ac": {}}
     sof = None
     restart_interval = 0
     adobe_transform = None
@@ -950,7 +954,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 tab[list(ZIGZAG)] = ent
                 qt[tq] = tab.reshape(8, 8)
                 p += 1 + 64 * step
-        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2,       # SOF0/1 baseline, SOF2 prog.
+                        0xC9, 0xCA):            # SOF9/10 arithmetic (r6)
             if sof is not None:
                 raise JpegFormatError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -984,11 +989,12 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             geom = (hmax, vmax, mcux, mcuy)
             coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
                      for _, _, hi, vi in comps]
-            sof = (w, h, comps, marker == 0xC2)
+            sof = (w, h, comps, marker in (0xC2, 0xCA),
+                   marker in (0xC9, 0xCA))
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(baseline sequential + progressive huffman only)")
+                "(sequential/progressive, huffman or arithmetic)")
         elif marker == 0xC4:                    # DHT
             p = 0
             while p < len(body):
@@ -1002,6 +1008,25 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                     raise JpegFormatError("truncated DHT")
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
+        elif marker == 0xCC:                    # DAC: arith conditioning
+            p = 0
+            while p + 2 <= len(body):
+                tc, tb = body[p] >> 4, body[p] & 0x0F
+                cs = body[p + 1]
+                if tb > 3:
+                    raise JpegFormatError(f"bad DAC table id {tb}")
+                if tc == 0:                     # DC: Cs packs (U << 4) | L
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if lo > hi or hi > 15:
+                        raise JpegFormatError(f"bad DC conditioning {cs}")
+                    arith_cond["dc"][tb] = (lo, hi)
+                elif tc == 1:                   # AC: Cs = Kx
+                    if not 1 <= cs <= 63:
+                        raise JpegFormatError(f"bad AC conditioning Kx={cs}")
+                    arith_cond["ac"][tb] = cs
+                else:
+                    raise JpegFormatError(f"bad DAC class {tc}")
+                p += 2
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xEE:                    # APP14: Adobe transform
@@ -1011,7 +1036,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             if sof is None:
                 raise JpegFormatError("SOS before SOF")
             pos = _decode_scan(data, pos + 2 + seglen, body, sof, geom,
-                               coefs, qt, huff, restart_interval)
+                               coefs, qt, huff, restart_interval,
+                               arith_cond)
             nscans += 1
             continue
         # APPn / COM / anything else with a length: skip
@@ -1021,10 +1047,12 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
 
 
 def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
-                 restart_interval):
+                 restart_interval, arith_cond=None):
     """Decode one entropy-coded scan into the coefficient planes; returns
-    the stream position of the next marker after the scan."""
-    w, h, comps, progressive = sof
+    the stream position of the next marker after the scan. Entropy coding
+    is Huffman (SOF0/1/2) or arithmetic (SOF9/10, functions/jpeg_arith.py
+    — same scan walk, different per-block decoder)."""
+    w, h, comps, progressive, arith = sof
     hmax, vmax, mcux, mcuy = geom
     ns = body[0]
     if len(body) < 1 + 2 * ns + 3:
@@ -1049,6 +1077,12 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
         ci = match[0]
         if comps[ci][1] not in qt:
             raise JpegFormatError(f"missing quant table {comps[ci][1]}")
+        if arith:
+            # td/ta select arithmetic conditioning tables, not DHTs
+            if td > 3 or ta > 3:
+                raise JpegFormatError(f"bad arith table id {td}/{ta}")
+            order.append((ci, td, ta))
+            continue
         dct = act = None
         if has_dc and ah == 0:
             if (0, td) not in huff:
@@ -1060,18 +1094,61 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
             act = huff[(1, ta)]
         order.append((ci, dct, act))
 
-    br = _BitReader(data, pos)
-    st = _ScanState(len(comps))
+    if arith:
+        from flink_job_spark.functions import jpeg_arith as ja
 
-    def block(ci, dct, act, by, bx):
-        coef = coefs[ci][by, bx]
-        if has_dc:
-            _dec_dc(br, st, ci, coef, dct, ah, al)
-        if has_ac:
-            if ah == 0:
-                _dec_ac_first(br, st, coef, act, max(ss, 1), se, al)
-            else:
-                _dec_ac_refine(br, st, coef, act, max(ss, 1), se, al)
+        dec = ja.ArithDecoder(data, pos)
+        stats = ja._Stats()
+        stats.need({td for _, td, _ in order}, {ta for _, _, ta in order})
+        dc_cond = (arith_cond or {}).get("dc", {})
+        ac_cond = (arith_cond or {}).get("ac", {})
+        dc_ctx = [0] * len(comps)
+        last_dc = [0] * len(comps)
+
+        def block(ci, td, ta, by, bx):
+            coef = coefs[ci][by, bx]
+            if has_dc:
+                if ah == 0:
+                    lo, hi = dc_cond.get(td, ja.DEFAULT_DC_COND)
+                    coef[0] = ja.decode_dc(dec, stats.dc[td], dc_ctx,
+                                           last_dc, ci, lo, hi) << al
+                else:
+                    ja.decode_dc_refine(dec, stats.fixed, coef, al)
+            if has_ac:
+                kx = ac_cond.get(ta, ja.DEFAULT_AC_KX)
+                if ah == 0:
+                    ja.decode_ac(dec, stats.ac[ta], stats.fixed, coef,
+                                 max(ss, 1), se, kx, al)
+                else:
+                    ja.decode_ac_refine(dec, stats.ac[ta], stats.fixed,
+                                        coef, max(ss, 1), se, al)
+
+        def do_restart():
+            dec.restart()
+            stats.reset()
+            dc_ctx[:] = [0] * len(comps)
+            last_dc[:] = [0] * len(comps)
+
+        end_pos = dec
+    else:
+        br = _BitReader(data, pos)
+        st = _ScanState(len(comps))
+
+        def block(ci, dct, act, by, bx):
+            coef = coefs[ci][by, bx]
+            if has_dc:
+                _dec_dc(br, st, ci, coef, dct, ah, al)
+            if has_ac:
+                if ah == 0:
+                    _dec_ac_first(br, st, coef, act, max(ss, 1), se, al)
+                else:
+                    _dec_ac_refine(br, st, coef, act, max(ss, 1), se, al)
+
+        def do_restart():
+            br.restart()
+            st.reset()
+
+        end_pos = br
 
     unit = 0                            # MCUs (interleaved) / blocks (not)
     if ns > 1:
@@ -1085,8 +1162,7 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and unit and unit % restart_interval == 0:
-                    br.restart()
-                    st.reset()
+                    do_restart()
                 for ci, dct, act in order:
                     hi, vi = comps[ci][2], comps[ci][3]
                     for r in range(vi):
@@ -1104,19 +1180,18 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
         for by in range(nbyc):
             for bx in range(nbxc):
                 if restart_interval and unit and unit % restart_interval == 0:
-                    br.restart()
-                    st.reset()
+                    do_restart()
                 block(ci, dct, act, by, bx)
                 unit += 1
 
-    return _next_marker(data, br.pos)
+    return _next_marker(data, end_pos.pos)
 
 
 def _reconstruct(sof, geom, coefs, qt,
                  adobe_transform=None) -> tuple[int, int, int, bytes]:
     """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
     level shift, replication upsample, crop, color-convert."""
-    w, h, comps, _prog = sof
+    w, h, comps, _prog, _arith = sof
     hmax, vmax, mcux, mcuy = geom
     zznat = np.array(ZIGZAG)
     cropped = []

@@ -32,7 +32,9 @@ INTER-frame codecs (H.264/VP9/AV1 in MP4/MKV/WebM or AVI) route through
 the ffmpeg video adapter (r6, codec_adapters.decode_video_ffmpeg:
 streamed gray8 frames, O(1) memory per frame, same sampled-index rule as
 the native paths) when the host has ffmpeg. Remaining boundary on
-adapter-absent hosts: inter-frame video and arithmetic-coded JPEG.
+adapter-absent hosts: inter-frame video and 12-bit/lossless JPEG
+(arithmetic-coded SOF9/SOF10 decodes natively since r6,
+functions/jpeg_arith.py).
 """
 
 from __future__ import annotations
@@ -114,8 +116,9 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             w, h, _ = jpeg_meta(bytes(payload))
             return int(w), int(h), None
         except (JpegFormatError, struct.error) as e:
-            # JPEG features the built-in walk declines (arithmetic-coded
-            # SOF9+, 12-bit precision) route through the Pillow adapter
+            # JPEG features the built-in walk declines (12-bit
+            # precision, lossless/hierarchical; arithmetic SOF9/SOF10
+            # parse natively since r6) route through the Pillow adapter
             # like the pixel path does (review-caught r5: the metadata
             # and pixel paths must agree on what decodes)
             from flink_job_spark.functions.codec_adapters import (
@@ -762,10 +765,11 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
         try:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
-            # a JPEG feature the pure-Python decoder declines (r5: only
-            # arithmetic-coded SOF9+ and lossless/hierarchical frames —
-            # baseline, progressive and Adobe CMYK/YCCK all decode
-            # natively): route through Pillow when the host has it; the
+            # a JPEG feature the pure-Python decoder declines (r6: only
+            # 12-bit precision and lossless/hierarchical frames —
+            # baseline, progressive, Adobe CMYK/YCCK AND arithmetic
+            # SOF9/SOF10 all decode natively, functions/jpeg_arith.py):
+            # route through Pillow when the host has it; the
             # library is an EXTENSION, never the path an oracle-checked
             # key depends on (codec_adapters.py)
             got = _try_pillow(payload)
@@ -780,7 +784,7 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def _try_pillow(payload: bytes):
     """Adapter fallback: full decode via Pillow when installed (WebP/HEIC/
-    arithmetic-coded JPEG/exotic TIFF compressions/...). Returns None when the
+    12-bit JPEG/exotic TIFF compressions/...). Returns None when the
     library is absent or the payload still doesn't decode — the caller keeps
     its own error."""
     from flink_job_spark.functions.codec_adapters import (

@@ -1088,6 +1088,68 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
 
+# --- q_media_jpeg_arith_stats: arithmetic-coded JPEG (SOF9/SOF10), r6 ----------
+#
+# Same DC-exactness lemma as q_media_jpeg_stats (constant even-valued 8x8
+# blocks at quality 50 roundtrip EXACTLY), but the entropy layer is the
+# T.81 QM arithmetic coder (functions/jpeg_arith.py): even docs get SOF9
+# sequential files, odd docs SOF10 progressive (all four arithmetic scan
+# kinds exercised at sf scale). A wrong Table D.3 constant, byte-stuffing
+# slip or conditioning-context bug corrupts the decoded DC values and
+# hash-mismatches the closed-form oracle.
+
+@register(
+    "q_media_jpeg_arith_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 * (1 + doc_id % {JPEG_WB_MOD}) AS INT) AS width,
+               CAST(8 * (1 + doc_id % {JPEG_HB_MOD}) AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               round((SELECT AVG(CAST(2 * ((doc_id * 31 + t.i * 17) % 128)
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range((1 + doc_id % {JPEG_WB_MOD})
+                                 * (1 + doc_id % {JPEG_HB_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="arithmetic-coded JPEG roundtrip (SOF9 sequential / SOF10 "
+        "progressive alternating per doc): QM-coder encode→decode in "
+        "mapInPandas with the same DC-exact closed form as the Huffman "
+        "key — plain SQL verifies dims and decoded pixel means",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only like every codec key: encode and decode both happen
+    executor-side in one Arrow-batched pass, no payload bytes cross the
+    shuffle. At 100 TB the QM-coder costs the same shape as the Huffman
+    walk (pure-Python per-bit loop over tiny fixture blocks); real crawl
+    payloads decode through the identical decode_jpeg entry point."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = 1 + i % JPEG_WB_MOD, 1 + i % JPEG_HB_MOD
+                b = np.arange(nby * nbx).reshape(nby, nbx)
+                vals = (2 * ((i * 31 + b * 17) % 128)).astype(np.uint8)
+                px = np.kron(vals, np.ones((8, 8), np.uint8))
+                payloads.append(encode_jpeg_arith(
+                    nbx * 8, nby * 8, px.tobytes(), 1, quality=50,
+                    progressive=bool(i % 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels", "mean_luma")
+
+
 # --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
 #
 # Smooth per-channel gradients with partial edge blocks exercise the parts

@@ -1367,3 +1367,110 @@ def test_wave11_work_bomb_caps():
         decode_g711(real)
     with pytest.raises(G711FormatError):
         decode_g711(huge)
+
+
+# ---- arithmetic-coded JPEG (SOF9/SOF10, r6, functions/jpeg_arith.py) ----
+
+@settings(max_examples=8, deadline=None)
+@given(dims=st.tuples(st.integers(8, 40), st.integers(8, 40)),
+       seed=st.integers(0, 2**31), quality=st.sampled_from([35, 50, 75]),
+       channels=st.sampled_from([1, 3]),
+       progressive=st.booleans())
+def test_jpeg_arith_twin_decodes_bit_identical(dims, seed, quality,
+                                               channels, progressive):
+    """The arithmetic twin proof: encode_jpeg_arith writes the EXACT
+    quantized coefficients of the Huffman file (same quantization ops),
+    so decoding the SOF9/SOF10 file must reproduce the Huffman decode
+    bit-for-bit — this exercises the whole QM-coder (Table D.3 state
+    machine, byte stuffing, carry discipline, DC conditioning contexts,
+    AC Kx ladders, and for SOF10 all four progressive scan kinds)."""
+    import random
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    w, h = dims
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    ref = decode_jpeg(encode_jpeg(w, h, px, channels=channels,
+                                  quality=quality))
+    arith = encode_jpeg_arith(w, h, px, channels=channels, quality=quality,
+                              progressive=progressive)
+    assert decode_jpeg(arith) == ref
+
+
+def test_jpeg_arith_meta_and_compression():
+    """SOF9/SOF10 headers parse through jpeg_meta (metadata walks never
+    touch entropy data), and the arithmetic file is SMALLER than its
+    Huffman twin — the property that motivated the format."""
+    import random
+
+    from flink_job_spark.functions.jpeg import encode_jpeg, jpeg_meta
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    rnd = random.Random(7)
+    px = bytes(rnd.randrange(256) for _ in range(32 * 24 * 3))
+    huff = encode_jpeg(32, 24, px, channels=3)
+    for prog in (False, True):
+        arith = encode_jpeg_arith(32, 24, px, channels=3, progressive=prog)
+        assert jpeg_meta(arith) == (32, 24, 3)
+        assert len(arith) < len(huff)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(3, 17))
+def test_jpeg_arith_fuzz_stays_format_error(seed, step):
+    """Truncation and byte-flip fuzz over an arithmetic file never leaks
+    a foreign exception: JpegFormatError or a successful decode, nothing
+    else (the arithmetic decoder legally pads zero bytes at markers, so
+    many corruptions still 'decode' — to wrong pixels, which is fine;
+    crashing an executor is not)."""
+    import random
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(16 * 16))
+    data = encode_jpeg_arith(16, 16, px, channels=1)
+    for cut in range(2, len(data), step):
+        try:
+            decode_jpeg(data[:cut])
+        except JpegFormatError:
+            pass
+    for i in range(2, len(data), step):
+        bad = data[:i] + bytes([data[i] ^ rnd.randrange(1, 256)]) + data[i + 1:]
+        try:
+            decode_jpeg(bad)
+        except JpegFormatError:
+            pass
+
+
+def test_jpeg_arith_cross_validates_against_libjpeg_when_available():
+    """CAPABILITY-GATED (skips in this sandbox): on hosts whose Pillow
+    links a libjpeg with D_ARITH_CODING_SUPPORTED, our SOF9 encoding must
+    decode identically through libjpeg's jdarith — external validation
+    that the Table D.3 constants and decision sequences match the real
+    standard, not merely each other."""
+    import io
+
+    import pytest
+
+    from flink_job_spark.functions.codec_adapters import pillow_available
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    if not pillow_available():
+        pytest.skip("no Pillow on this host")
+    import PIL.Image
+
+    px = bytes((i * 31 + 7) % 256 for i in range(24 * 16))
+    arith = encode_jpeg_arith(24, 16, px, channels=1)
+    try:
+        im = PIL.Image.open(io.BytesIO(arith))
+        libjpeg_px = im.convert("L").tobytes()
+    except Exception:
+        pytest.skip("host libjpeg lacks arithmetic decoding")
+    w, h, c, ours = decode_jpeg(arith)
+    assert (w, h, c) == (24, 16, 1)
+    assert libjpeg_px == ours
