@@ -1001,3 +1001,87 @@ def test_sessionize_state_eviction_is_bounded(spark, tmp_path):
                            "session_end timestamp, n_events long")
          .parquet(out).count())
     assert n >= K, f"evicted sessions must be emitted: {n} < {K}"
+
+
+def test_stream_crawl_extract_matches_batch_and_admits_once(spark, tmp_path):
+    """Streaming twin of the crawl front-end (r6): WARC payloads stream
+    through warc_visible_extract + admission. Asserts (1) the extracted
+    columns equal the SAME transformation run in one batch over the same
+    input, (2) cross-batch duplicates admit first-wins like
+    q_dedup_incremental, (3) a restart after completion re-processes
+    nothing, (4) malformed WARCs surface as extract_error rows."""
+    import pandas as pd
+
+    from flink_job_spark.functions.warc import build_warc
+    from flink_job_spark.streaming.crawl import (WARC_DOC_SCHEMA,
+                                                 stream_crawl_extract,
+                                                 warc_visible_extract)
+
+    def warc_for(i: int, text_id: int) -> bytes:
+        html = (f"<html><head><title>Doc {text_id}</title>"
+                "<script>var hidden=1;</script></head>"
+                f"<body><h1>Title {text_id}</h1>"
+                f'<a href="http://ex.com/{text_id}">L</a>'
+                f"<p>body &amp; text {text_id}</p></body></html>")
+        return build_warc([
+            ("warcinfo", b"software: fjs-test", None),
+            ("response", html.encode("utf-8"), f"http://ex.com/{i}"),
+        ], gzip_per_record=(i % 2 == 0))
+
+    src = str(tmp_path / "warc_src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: docs 0-3; file 2: docs 4-7 where doc 5 duplicates doc 1's
+    # CONTENT and doc 6 is a malformed WARC; file 3: doc 8 duplicates 1
+    rows1 = [(i, bytearray(warc_for(i, i))) for i in range(4)]
+    rows2 = [(4, bytearray(warc_for(4, 4))),
+             (5, bytearray(warc_for(5, 1))),
+             (6, bytearray(b"NOT A WARC AT ALL" * 3)),
+             (7, bytearray(warc_for(7, 7)))]
+    rows3 = [(8, bytearray(warc_for(8, 1)))]
+    for n, rows in (("a", rows1), ("b", rows2), ("c", rows3)):
+        spark.createDataFrame(rows, WARC_DOC_SCHEMA).coalesce(1) \
+             .write.mode("overwrite").parquet(f"{src}_{n}")
+        spark.read.parquet(f"{src}_{n}").write.mode("append").parquet(src)
+
+    stream_crawl_extract(spark, src, state, out, ckpt,
+                         max_files_per_trigger=1)
+
+    got = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert len(rows) == 9
+
+    # (1) batch-equals-stream on the extracted columns
+    batch = {r["doc_id"]: r for r in
+             warc_visible_extract(spark.read.parquet(src)).collect()}
+    for i in range(9):
+        for c in ["n_records", "charset", "title", "n_links", "text",
+                  "extract_error"]:
+            assert rows[i][c] == batch[i][c], (i, c)
+
+    # (4) malformed WARC is an error row, never an exception
+    assert rows[6]["extract_error"] is not None
+    assert rows[6]["verdict"] is None          # error rows aren't admitted
+    assert rows[0]["title"] == "Doc 0"
+    assert rows[0]["n_links"] == 1
+    assert "body & text 0" in rows[0]["text"]
+
+    # (2) admission: content of doc 1 reappears as docs 5 and 8 in LATER
+    # batches -> dup_historical; each batch's own fresh docs are unique
+    assert rows[1]["verdict"] == "unique"
+    assert rows[5]["verdict"] == "dup_historical"
+    assert rows[8]["verdict"] == "dup_historical"
+    for i in (0, 2, 3, 4, 7):
+        assert rows[i]["verdict"] == "unique", i
+
+    # (3) restart: a second availableNow run sees no new files, changes
+    # nothing (same row count, same verdicts)
+    before = sorted((r["doc_id"], r["verdict"]) for r in got.collect())
+    stream_crawl_extract(spark, src, state, out,
+                         str(tmp_path / "ckpt2"),
+                         max_files_per_trigger=1)
+    after = sorted((r["doc_id"], r["verdict"])
+                   for r in spark.read.parquet(out).collect())
+    assert after == before
