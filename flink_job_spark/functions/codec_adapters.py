@@ -251,10 +251,15 @@ def decode_video_ffmpeg(payload: bytes,
         killer.cancel()
         proc.kill()
         feeder.join(timeout=5)
-    if not sums:
+    if rc != 0:
+        # a non-zero exit means the frame stream is TRUNCATED (decode
+        # fault or the watchdog kill) — partial stats reported as success
+        # would silently understate n_frames; the row becomes an error
         raise ValueError(
-            f"ffmpeg decoded no frames (exit {rc}): "
+            f"ffmpeg exit {rc} after {len(sums)} frames: "
             f"{stderr_tail.decode('ascii', 'replace').strip()}")
+    if not sums:
+        raise ValueError("ffmpeg decoded no frames")
     nf = len(sums)
     idxs = sampled_frame_indices(nf, sample)
     mean_luma = round(sum(sums[i] for i in idxs) / (len(idxs) * w * h), 6)

@@ -958,6 +958,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                         0xC9, 0xCA):            # SOF9/10 arithmetic (r6)
             if sof is not None:
                 raise JpegFormatError("multiple SOF markers")
+            if len(body) < 6:
+                raise JpegFormatError("truncated SOF body")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegFormatError(f"unsupported precision {prec}")
@@ -966,6 +968,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             if w * h > max_pixels:
                 raise JpegFormatError(
                     f"dims too large ({w}x{h} > {max_pixels} px)")
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegFormatError("truncated SOF component specs")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -1028,6 +1032,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                     raise JpegFormatError(f"bad DAC class {tc}")
                 p += 2
         elif marker == 0xDD:                    # DRI
+            if len(body) < 2:
+                raise JpegFormatError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xEE:                    # APP14: Adobe transform
             if body[:5] == b"Adobe" and len(body) >= 12:

@@ -613,8 +613,6 @@ def encode_ac_refine(enc: ArithEncoder, st: bytearray, fixed: bytearray,
 # L=0/U=1, Kx=5 are also what we encode with); no restart intervals.
 
 def _quantize_444(width, height, pixels, channels, quality):
-    import struct
-
     from flink_job_spark.functions.jpeg import (ZIGZAG, _DCT_A, JpegFormatError,
                                                 _plane_blocks, _rgb_to_ycbcr,
                                                 quant_tables)

@@ -1417,6 +1417,9 @@ def test_jpeg_arith_meta_and_compression():
         assert len(arith) < len(huff)
 
 
+@example(seed=229, step=5)   # pinned: byte-flip shrank a SOF seglen so
+# body[:6] underran struct.unpack — raw struct.error leaked (r6, fixed
+# with explicit SOF/DRI body-length checks)
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(0, 2**31), step=st.integers(3, 17))
 def test_jpeg_arith_fuzz_stays_format_error(seed, step):
