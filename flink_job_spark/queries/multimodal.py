@@ -665,9 +665,9 @@ VID_W_MOD, VID_H_MOD, VID_F_MOD = 12, 8, 6
 )
 def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closes the video gap in the codec family (PNG/BMP/GIF/WAV/AVI): the
-    container, stream-header, and frame-index plumbing are real; only
-    COMPRESSED video (H.264-class, needs ffmpeg) stays out of scope, per
-    operators/multimodal.py. Frame sampling decodes O(samples) bytes per
+    container, stream-header, and frame-index plumbing are real; INTER-
+    frame compressed video (H.264-class) routes through the r6
+    capability-gated ffmpeg adapter, per operators/multimodal.py. Frame sampling decodes O(samples) bytes per
     video — the shape that survives a 100 TB payload column. Sampled set
     {first, middle, last} hits both ends of the index; with 2..7 frames the
     positions collapse when they collide, and the oracle's DISTINCT mirrors
