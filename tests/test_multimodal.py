@@ -981,3 +981,60 @@ def test_video_adapter_decodes_h264_when_available(spark):
     assert row["n_frames"] == 6
     # 0x3c=60 in RGB; BT.601 luma of gray (60,60,60) is 60 ± codec rounding
     assert abs(row["mean_luma"] - 60) < 2.0
+
+
+def test_video_adapter_plumbing_with_fake_ffmpeg(tmp_path, monkeypatch):
+    """Drives decode_video_ffmpeg's REAL subprocess plumbing (feeder
+    thread, streamed frame reader, probe parse, duration fallbacks,
+    nonzero-exit refusal) without ffmpeg: stub `ffprobe`/`ffmpeg`
+    executables on PATH emit a deterministic gray stream. This is the
+    sandbox-runnable e2e for the adapter — the capability-gated H.264
+    test covers real codecs on hosts that have them."""
+    import os
+    import stat
+
+    import pytest
+
+    import flink_job_spark.functions.codec_adapters as ca
+
+    w, h, nf = 8, 6, 5
+    # frame f is constant value (10*f + 3) -> per-frame means are known
+    # (octal escapes: POSIX sh printf has no \xHH, dash prints it literally)
+    frames = "".join(f"\\{10 * f + 3:03o}" * (w * h) for f in range(nf))
+
+    def script(path, body):
+        path.write_text("#!/bin/sh\n" + body)
+        path.chmod(path.stat().st_mode | stat.S_IEXEC)
+
+    script(tmp_path / "ffprobe",
+           f'cat > /dev/null\nprintf "{w},{h},10/1,N/A\\n"\n')
+    script(tmp_path / "ffmpeg",
+           f'cat > /dev/null\nprintf "{frames}"\n')
+
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    ca.ffmpeg_available.cache_clear()
+    ca.ffprobe_available.cache_clear()
+    try:
+        assert ca.ffmpeg_available() and ca.ffprobe_available()
+        gw, gh, gnf, dur, luma = ca.decode_video_ffmpeg(
+            b"\x00\x00\x00\x18ftypisom payload", sample=(0, 500, 999))
+        assert (gw, gh, gnf) == (w, h, nf)
+        # duration: container N/A -> nf/fps fallback = 5 frames / 10 fps
+        assert dur == 500
+        # sampled indices {0, 2, 4} -> mean of constants 3, 23, 43
+        assert luma == round((3 + 23 + 43) / 3, 6)
+
+        # nonzero exit after partial frames must be an error, never
+        # silently truncated stats
+        script(tmp_path / "ffmpeg",
+               f'cat > /dev/null\nprintf "{frames}"\nexit 3\n')
+        with pytest.raises(ValueError, match="exit 3"):
+            ca.decode_video_ffmpeg(b"\x00\x00\x00\x18ftypisom x")
+
+        # garbage probe output must raise, not index-error
+        script(tmp_path / "ffprobe", 'cat > /dev/null\nprintf "nope\\n"\n')
+        with pytest.raises(Exception):
+            ca.decode_video_ffmpeg(b"\x00\x00\x00\x18ftypisom x")
+    finally:
+        ca.ffmpeg_available.cache_clear()
+        ca.ffprobe_available.cache_clear()
