@@ -203,3 +203,32 @@ def test_entity_resolution_oversized_block_cap(spark, tmp_path):
     keys = {r["key_a"] for r in got} | {r["key_b"] for r in got}
     assert keys == {10_000, 10_001, 10_002}  # hot block contributed nothing
     assert len(got) == 3  # the three one-edit-apart pairs
+
+
+def test_minhash_lsh_finds_cjk_near_dups(spark):
+    """r6 multilingual honesty, end to end: with the script-aware
+    segmenter, the REAL MinHash+LSH pipeline detects planted near-dup
+    pairs in Japanese and Thai (no-space scripts). Under the pre-r6 rule
+    these docs normalized to ZERO words — every doc got the identical
+    degenerate shingle set, so dedup on a CJK corpus was either vacuous
+    or all-pairs-duplicate. Distinct docs must NOT pair."""
+    from flink_job_spark.queries.dedup import minhash_lsh_pairs
+
+    ja = ("今日は良い天気ですので公園へ散歩に行きます"
+          "友達と一緒にお弁当を食べます楽しい一日になりそうです")
+    ja_near = ja.replace("公園", "海岸")         # one 2-char phrase differs
+    th = ("วันนี้อากาศดีมากผมจึงไปเดินเล่นที่สวนสาธารณะ"
+          "กับเพื่อนของผมและกินข้าวกลางวันด้วยกัน")
+    th_near = th.replace("สวน", "ชายหาด")
+    ja_other = ("昨日は雨が降っていたので家で本を読んでいました"
+                "静かな時間を過ごすのも悪くないと思いました")
+    docs = spark.createDataFrame(
+        [(1, ja), (2, ja_near), (3, th), (4, th_near), (5, ja_other)],
+        "doc_id long, text string")
+    pairs = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs, "ja near-dup pair missed"
+    assert (3, 4) in pairs, "th near-dup pair missed"
+    assert (1, 5) not in pairs and (2, 5) not in pairs, \
+        "distinct ja docs must not pair"
+    assert not any(d1 in (1, 2) and d2 in (3, 4) for d1, d2 in pairs), \
+        "cross-language pairs must not appear"
