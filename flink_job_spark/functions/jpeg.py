@@ -18,8 +18,9 @@ sample-replication upsampling, YCbCr→RGB / (YCCK|CMYK)→RGB via the
 stored-domain quick conversion, crop to declared dims. Together this
 covers virtually every JPEG in a real crawl — including (r6)
 arithmetic-coded SOF9/SOF10 frames via the QM-coder in
-functions/jpeg_arith.py; only lossless/hierarchical frames and 12-bit
-precision are rejected.
+functions/jpeg_arith.py and 12-bit-precision grayscale (normalized to
+v >> 4 at the 8-bit output contract); only lossless/hierarchical frames
+and 12-bit color are rejected.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -961,10 +962,17 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             if len(body) < 6:
                 raise JpegFormatError("truncated SOF body")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            # 12-bit precision (r6): extended sequential / progressive
+            # frames only (T.81 restricts SOF0 baseline to 8-bit), and
+            # GRAYSCALE only — the YCbCr matrices assume 8-bit chroma
+            # centering; 12-bit color stays the Pillow-adapter boundary
+            if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
                 raise JpegFormatError(f"unsupported precision {prec}")
             if ncomp not in (1, 3, 4):
                 raise JpegFormatError(f"unsupported component count {ncomp}")
+            if prec == 12 and ncomp != 1:
+                raise JpegFormatError(
+                    "12-bit precision supported for grayscale only")
             if w * h > max_pixels:
                 raise JpegFormatError(
                     f"dims too large ({w}x{h} > {max_pixels} px)")
@@ -994,7 +1002,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
                      for _, _, hi, vi in comps]
             sof = (w, h, comps, marker in (0xC2, 0xCA),
-                   marker in (0xC9, 0xCA))
+                   marker in (0xC9, 0xCA), prec)
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
@@ -1058,7 +1066,7 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
     the stream position of the next marker after the scan. Entropy coding
     is Huffman (SOF0/1/2) or arithmetic (SOF9/10, functions/jpeg_arith.py
     — same scan walk, different per-block decoder)."""
-    w, h, comps, progressive, arith = sof
+    w, h, comps, progressive, arith, _prec = sof
     hmax, vmax, mcux, mcuy = geom
     ns = body[0]
     if len(body) < 1 + 2 * ns + 3:
@@ -1197,7 +1205,7 @@ def _reconstruct(sof, geom, coefs, qt,
                  adobe_transform=None) -> tuple[int, int, int, bytes]:
     """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
     level shift, replication upsample, crop, color-convert."""
-    w, h, comps, _prog, _arith = sof
+    w, h, comps, _prog, _arith, prec = sof
     hmax, vmax, mcux, mcuy = geom
     zznat = np.array(ZIGZAG)
     cropped = []
@@ -1207,7 +1215,7 @@ def _reconstruct(sof, geom, coefs, qt,
         nat = np.zeros((nby, nbx, 64), np.float64)
         nat[:, :, zznat] = cz * q               # dequant + de-zigzag
         blocks = nat.reshape(nby, nbx, 8, 8)
-        rec = (_DCT_A.T @ blocks) @ _DCT_A + 128.0
+        rec = (_DCT_A.T @ blocks) @ _DCT_A + float(1 << (prec - 1))
         p = rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hi != hmax:
             p = np.repeat(p, hmax // hi, axis=1)
@@ -1241,5 +1249,12 @@ def _reconstruct(sof, geom, coefs, qt,
         rgb = np.clip(cmy, 0.0, 255.0) * k / 255.0
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, 3, out.tobytes()
+    if prec == 12:
+        # normalize to the engine-wide 8-bit sample contract: clip to the
+        # declared 12-bit range, then drop the 4 extra bits (floor — the
+        # same v >> 4 a downstream stats pipeline applies; documented in
+        # the 12-bit keys' oracles)
+        hi = np.clip(np.round(cropped[0]), 0, 4095).astype(np.uint16)
+        return w, h, 1, (hi >> 4).astype(np.uint8).tobytes()
     out = np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
     return w, h, 1, out.tobytes()

@@ -612,18 +612,26 @@ def encode_ac_refine(enc: ArithEncoder, st: bytearray, fixed: bytearray,
 # runs. 4:4:4 only (fixture scope); no DAC segment (decoder defaults
 # L=0/U=1, Kx=5 are also what we encode with); no restart intervals.
 
-def _quantize_444(width, height, pixels, channels, quality):
+def _quantize_444(width, height, pixels, channels, quality, precision=8):
     from flink_job_spark.functions.jpeg import (ZIGZAG, _DCT_A, JpegFormatError,
                                                 _plane_blocks, _rgb_to_ycbcr,
                                                 quant_tables)
 
     if channels not in (1, 3):
         raise JpegFormatError("arith fixture encoder: 1 or 3 channels")
-    if len(pixels) != width * height * channels:
+    if precision not in (8, 12):
+        raise JpegFormatError(f"unsupported precision {precision}")
+    if precision == 12 and channels != 1:
+        raise JpegFormatError("12-bit fixtures are grayscale only")
+    sw = 1 if precision == 8 else 2     # bytes per sample (12-bit: <u2)
+    if len(pixels) != width * height * channels * sw:
         raise JpegFormatError("pixel buffer does not match dims")
     qtabs = quant_tables(quality)
-    arr = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(
+    arr = (np.frombuffer(pixels, np.uint8) if precision == 8
+           else np.frombuffer(pixels, "<u2")).astype(np.float64).reshape(
         height, width, channels)
+    if precision == 12 and arr.max(initial=0.0) > 4095:
+        raise JpegFormatError("12-bit sample out of range")
     if channels == 3:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., c] for c in range(3)]
@@ -636,16 +644,17 @@ def _quantize_444(width, height, pixels, channels, quality):
     zz = np.array(ZIGZAG)
     comps_zz = []
     nby = nbx = 0
+    mid = float(1 << (precision - 1))
     for plane, qi in zip(planes, qsel):
         blocks, nby, nbx = _plane_blocks(plane, 8)
-        f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 128.0, _DCT_A.T)
+        f = np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - mid, _DCT_A.T)
         q = np.round(f / qtabs[qi]).astype(np.int32)
         comps_zz.append(q.reshape(nby, nbx, 64)[:, :, zz].astype(np.int64))
     return qtabs, qsel, tsels, comps_zz, nby, nbx
 
 
 def _arith_headers(sof_marker, width, height, channels, qtabs, qsel,
-                   tsels) -> bytes:
+                   tsels, precision=8) -> bytes:
     import struct
 
     from flink_job_spark.functions.jpeg import JPEG_SOI, ZIGZAG
@@ -661,7 +670,7 @@ def _arith_headers(sof_marker, width, height, channels, qtabs, qsel,
     for ti in range(max(qsel) + 1):
         tab = qtabs[ti].reshape(64)[zz]
         out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in tab))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci in range(channels):
         sof += bytes([ci + 1, 0x11, qsel[ci]])
     out += seg(sof_marker, sof)
@@ -680,14 +689,18 @@ def _sos_seg(comp_ids, tsels, ss, se, ah, al) -> bytes:
 
 def encode_jpeg_arith(width: int, height: int, pixels: bytes,
                       channels: int = 1, quality: int = 50,
-                      progressive: bool = False) -> bytes:
+                      progressive: bool = False,
+                      precision: int = 8) -> bytes:
     """SOF9 (sequential) / SOF10 (progressive) arithmetic-coded fixture.
     Progressive uses the same scan script as the Huffman progressive
     encoder: interleaved DC first (Al=1), per-component AC first
     (Ss=1..63, Al=1), DC refinement, per-component AC refinement —
-    each scan its own arithmetic codeword with fresh statistics."""
+    each scan its own arithmetic codeword with fresh statistics.
+    precision=12 (grayscale only): pixels are little-endian uint16
+    samples in 0..4095 — the arithmetic coder is table-free, so 12-bit
+    needs no extended Huffman specs."""
     qtabs, qsel, tsels, comps_zz, nby, nbx = _quantize_444(
-        width, height, pixels, channels, quality)
+        width, height, pixels, channels, quality, precision)
     lo, hi = DEFAULT_DC_COND
     kx = DEFAULT_AC_KX
     comp_ids = [ci + 1 for ci in range(channels)]
@@ -700,7 +713,7 @@ def encode_jpeg_arith(width: int, height: int, pixels: bytes,
 
     out = bytearray(_arith_headers(0xFFCA if progressive else 0xFFC9,
                                    width, height, channels, qtabs, qsel,
-                                   tsels))
+                                   tsels, precision))
     if not progressive:
         enc, stats = fresh()
         dc_ctx = [0] * channels

@@ -1150,6 +1150,66 @@ def q_media_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
 
+# --- q_media_jpeg12_stats: 12-bit precision JPEG (grayscale), r6 ---------------
+#
+# Extended-precision frames (DICOM/scanner lineage): the DC-exactness
+# lemma lifts to 12-bit — a constant block with even v has DC 8*(v-2048),
+# the quality-50 DC step 16 divides it, and the decoder's documented
+# 8-bit normalization emits exactly v >> 4. Arithmetic entropy coding
+# (SOF9) because the QM coder is table-free at any precision; Huffman
+# 12-bit decode is proven separately by the hand-built-DHT twin test.
+
+@register(
+    "q_media_jpeg12_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 * (1 + doc_id % {JPEG_WB_MOD}) AS INT) AS width,
+               CAST(8 * (1 + doc_id % {JPEG_HB_MOD}) AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               round((SELECT AVG(CAST((2 * ((doc_id * 31 + t.i * 17) % 2048))
+                                      // 16 AS DOUBLE))
+                      FROM (SELECT unnest(range((1 + doc_id % {JPEG_WB_MOD})
+                                 * (1 + doc_id % {JPEG_HB_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="12-bit precision JPEG roundtrip (SOF9 arithmetic, grayscale): "
+        "per-doc constant even-valued 12-bit blocks decode EXACTLY and "
+        "normalize to v >> 4 under the engine's 8-bit sample contract — "
+        "dims and decoded means verified closed-form in SQL",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same map-only shape as every codec key; the 12-bit samples travel
+    as little-endian uint16 pairs only inside the fixture builder — the
+    payload column itself is the opaque JPEG bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = 1 + i % JPEG_WB_MOD, 1 + i % JPEG_HB_MOD
+                b = np.arange(nby * nbx).reshape(nby, nbx)
+                vals = (2 * ((i * 31 + b * 17) % 2048)).astype("<u2")
+                px = np.kron(vals, np.ones((8, 8), "<u2"))
+                payloads.append(encode_jpeg_arith(
+                    nbx * 8, nby * 8, px.astype("<u2").tobytes(), 1,
+                    quality=50, precision=12))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "channels",
+                        "mean_luma")
+
+
 # --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
 #
 # Smooth per-channel gradients with partial edge blocks exercise the parts

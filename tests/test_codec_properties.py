@@ -1477,3 +1477,144 @@ def test_jpeg_arith_cross_validates_against_libjpeg_when_available():
     w, h, c, ours = decode_jpeg(arith)
     assert (w, h, c) == (24, 16, 1)
     assert libjpeg_px == ours
+
+
+# ---- 12-bit precision JPEG (grayscale, r6) ----
+
+@settings(max_examples=6, deadline=None)
+@given(dims=st.tuples(st.integers(8, 32), st.integers(8, 24)),
+       seed=st.integers(0, 2**31), progressive=st.booleans())
+def test_jpeg12_arith_matches_independent_transform_twin(dims, seed,
+                                                         progressive):
+    """12-bit grayscale (SOF9/SOF10): decode(encode12(px)) must equal the
+    independently computed transform model round(idct(dequant(quant(
+    dct(px - 2048)))) + 2048) clipped to 0..4095 then >>4 — the same
+    twin-proof style as the 8-bit bitstream test, at the wider range."""
+    import random
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (ZIGZAG, _DCT_A, decode_jpeg,
+                                                quant_tables)
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    w, h = dims
+    w, h = (w // 8) * 8, (h // 8) * 8          # full blocks: exact model
+    rnd = random.Random(seed)
+    px = np.array([rnd.randrange(4096) for _ in range(w * h)], "<u2")
+    data = encode_jpeg_arith(w, h, px.tobytes(), 1, quality=50,
+                             precision=12, progressive=progressive)
+    gw, gh, c, out = decode_jpeg(data)
+    assert (gw, gh, c) == (w, h, 1)
+
+    qt = quant_tables(50)[0]
+    plane = px.astype(np.float64).reshape(h, w)
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    q = np.round(np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 2048.0,
+                           _DCT_A.T) / qt)
+    rec = (_DCT_A.T @ (q * qt)) @ _DCT_A + 2048.0
+    rec = np.clip(np.round(rec), 0, 4095).astype(np.uint16) >> 4
+    want = rec.transpose(0, 2, 1, 3).reshape(h, w).astype(np.uint8)
+    assert out == want.tobytes()
+
+
+def test_jpeg12_huffman_decodes_via_generic_dht_path():
+    """The Huffman decoder is DHT-driven, so 12-bit files need no code
+    change — prove it by hand-building a 12-bit SOF1 file with EXTENDED
+    tables (DC categories to 15, AC sizes to 14 — beyond Annex K's 8-bit
+    specs) around the same quantized coefficients the arithmetic encoder
+    writes, and asserting both decode to identical pixels."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import (ZIGZAG, _BitWriter,
+                                                _canonical_codes,
+                                                _encode_block, decode_jpeg)
+    from flink_job_spark.functions.jpeg_arith import (_quantize_444,
+                                                      encode_jpeg_arith)
+
+    w, h = 24, 16
+    rnd = random.Random(11)
+    px = np.array([rnd.randrange(4096) for _ in range(w * h)], "<u2")
+
+    qtabs, qsel, _, comps_zz, nby, nbx = _quantize_444(
+        w, h, px.tobytes(), 1, 50, precision=12)
+
+    # extended tables: 16 DC categories at length 5; EOB+ZRL+all
+    # (run 0..15, size 1..14) AC symbols at length 8 (225 <= 2^8)
+    dc_bits = [0] * 16
+    dc_bits[4] = 16
+    dc_vals = tuple(range(16))
+    ac_vals = tuple([0x00, 0xF0]
+                    + [(r << 4) | s for r in range(16) for s in range(1, 15)
+                       if (r << 4) | s not in (0xF0,)])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_codes = _canonical_codes(tuple(dc_bits), dc_vals)
+    ac_codes = _canonical_codes(tuple(ac_bits), ac_vals)
+
+    bw = _BitWriter()
+    prev = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            prev = _encode_block(bw, comps_zz[0][by, bx], prev,
+                                 dc_codes, ac_codes)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz = np.array(ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(v) for v in
+                                          qtabs[0].reshape(64)[zz]))
+    out += seg(0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.buf + b"\xff\xd9"
+
+    huff12 = decode_jpeg(bytes(out))
+    arith12 = decode_jpeg(encode_jpeg_arith(w, h, px.tobytes(), 1,
+                                            quality=50, precision=12))
+    assert huff12 == arith12
+    assert huff12[:3] == (w, h, 1)
+
+
+def test_jpeg12_rejections_and_dc_exactness():
+    """Boundary pins: SOF0 baseline must stay 8-bit; 12-bit color is
+    refused (chroma centering is 8-bit); and the DC-exactness lemma lifts
+    to 12-bit — constant even-valued blocks roundtrip to exactly v >> 4."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    with pytest.raises(JpegFormatError, match="grayscale"):
+        encode_jpeg_arith(8, 8, bytes(8 * 8 * 3 * 2), 3, precision=12)
+    with pytest.raises(JpegFormatError, match="out of range"):
+        encode_jpeg_arith(8, 8, np.full(64, 4096, "<u2").tobytes(),
+                          1, precision=12)
+
+    # SOF0 with prec=12 is illegal per T.81
+    data = bytearray(encode_jpeg_arith(8, 8,
+                                       np.full(64, 1000, "<u2").tobytes(),
+                                       1, precision=12))
+    i = data.find(struct.pack(">H", 0xFFC9))
+    data[i:i + 2] = struct.pack(">H", 0xFFC0)
+    with pytest.raises(JpegFormatError, match="precision"):
+        decode_jpeg(bytes(data))
+
+    # DC exactness: DC = 8*(v-2048); quality-50 DC step 16 divides it
+    # when v is even, AC all zero -> decoded 12-bit sample is exactly v
+    for v in (0, 2, 1000, 2048, 3000, 4094):
+        px = np.full(64, v, "<u2")
+        blob = encode_jpeg_arith(8, 8, px.tobytes(), 1, quality=50,
+                                 precision=12)
+        _, _, _, out = decode_jpeg(blob)
+        assert out == bytes([v >> 4]) * 64, v
