@@ -18,9 +18,10 @@ sample-replication upsampling, YCbCr→RGB / (YCCK|CMYK)→RGB via the
 stored-domain quick conversion, crop to declared dims. Together this
 covers virtually every JPEG in a real crawl — including (r6)
 arithmetic-coded SOF9/SOF10 frames via the QM-coder in
-functions/jpeg_arith.py and 12-bit-precision grayscale (normalized to
-v >> 4 at the 8-bit output contract); only lossless/hierarchical frames
-and 12-bit color are rejected.
+functions/jpeg_arith.py, 12-bit-precision grayscale (normalized to
+v >> 4 at the 8-bit output contract) and LOSSLESS SOF3 at 2..16-bit
+(functions/jpeg_lossless.py, exact roundtrip); only hierarchical frames
+and 12-bit color DCT are rejected.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -633,12 +634,12 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             if pos + 4 + 6 > len(data):
                 raise JpegFormatError("truncated SOF")
             _prec, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4:pos + 10])
             return w, h, ncomp
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
                 "(sequential/progressive, huffman or arithmetic)")
@@ -956,23 +957,33 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 qt[tq] = tab.reshape(8, 8)
                 p += 1 + 64 * step
         elif marker in (0xC0, 0xC1, 0xC2,       # SOF0/1 baseline, SOF2 prog.
+                        0xC3,                   # SOF3 lossless (r6)
                         0xC9, 0xCA):            # SOF9/10 arithmetic (r6)
             if sof is not None:
                 raise JpegFormatError("multiple SOF markers")
             if len(body) < 6:
                 raise JpegFormatError("truncated SOF body")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            lossless = marker == 0xC3
             # 12-bit precision (r6): extended sequential / progressive
             # frames only (T.81 restricts SOF0 baseline to 8-bit), and
             # GRAYSCALE only — the YCbCr matrices assume 8-bit chroma
-            # centering; 12-bit color stays the Pillow-adapter boundary
-            if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+            # centering; 12-bit color stays the Pillow-adapter boundary.
+            # Lossless (Annex H) allows 2..16-bit at any component count
+            # (components are independent; no color transform involved).
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise JpegFormatError(f"unsupported precision {prec}")
+            elif prec not in (8, 12) or (marker == 0xC0 and prec != 8):
                 raise JpegFormatError(f"unsupported precision {prec}")
             if ncomp not in (1, 3, 4):
                 raise JpegFormatError(f"unsupported component count {ncomp}")
-            if prec == 12 and ncomp != 1:
+            if prec == 12 and not lossless and ncomp != 1:
                 raise JpegFormatError(
                     "12-bit precision supported for grayscale only")
+            if lossless and ncomp not in (1, 3):
+                raise JpegFormatError(
+                    "lossless supported for 1 or 3 components")
             if w * h > max_pixels:
                 raise JpegFormatError(
                     f"dims too large ({w}x{h} > {max_pixels} px)")
@@ -999,11 +1010,18 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             geom = (hmax, vmax, mcux, mcuy)
-            coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
-                     for _, _, hi, vi in comps]
+            if lossless:
+                if hmax != 1 or vmax != 1:
+                    raise JpegFormatError(
+                        "lossless supported at 1x1 sampling only")
+                # sample planes, not coefficient planes
+                coefs = [np.zeros((h, w), np.int32) for _ in comps]
+            else:
+                coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+                         for _, _, hi, vi in comps]
             sof = (w, h, comps, marker in (0xC2, 0xCA),
-                   marker in (0xC9, 0xCA), prec)
-        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                   marker in (0xC9, 0xCA), prec, lossless)
+        elif 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
                 "(sequential/progressive, huffman or arithmetic)")
@@ -1057,6 +1075,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         # APPn / COM / anything else with a length: skip
         pos += 2 + seglen
 
+    if sof is not None and sof[6]:
+        from flink_job_spark.functions import jpeg_lossless as jl
+
+        return jl.reconstruct(sof, coefs)
     return _reconstruct(sof, geom, coefs, qt, adobe_transform)
 
 
@@ -1066,7 +1088,12 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
     the stream position of the next marker after the scan. Entropy coding
     is Huffman (SOF0/1/2) or arithmetic (SOF9/10, functions/jpeg_arith.py
     — same scan walk, different per-block decoder)."""
-    w, h, comps, progressive, arith, _prec = sof
+    w, h, comps, progressive, arith, _prec, lossless = sof
+    if lossless:
+        from flink_job_spark.functions import jpeg_lossless as jl
+
+        return jl.decode_scan(data, pos, body, sof, coefs, huff,
+                              restart_interval)
     hmax, vmax, mcux, mcuy = geom
     ns = body[0]
     if len(body) < 1 + 2 * ns + 3:
@@ -1205,7 +1232,7 @@ def _reconstruct(sof, geom, coefs, qt,
                  adobe_transform=None) -> tuple[int, int, int, bytes]:
     """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
     level shift, replication upsample, crop, color-convert."""
-    w, h, comps, _prog, _arith, prec = sof
+    w, h, comps, _prog, _arith, prec, _lossless = sof
     hmax, vmax, mcux, mcuy = geom
     zznat = np.array(ZIGZAG)
     cropped = []

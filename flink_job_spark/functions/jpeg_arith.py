@@ -619,6 +619,8 @@ def _quantize_444(width, height, pixels, channels, quality, precision=8):
 
     if channels not in (1, 3):
         raise JpegFormatError("arith fixture encoder: 1 or 3 channels")
+    if width <= 0 or height <= 0 or width > 65535 or height > 65535:
+        raise JpegFormatError(f"bad dims {width}x{height}")
     if precision not in (8, 12):
         raise JpegFormatError(f"unsupported precision {precision}")
     if precision == 12 and channels != 1:

@@ -32,10 +32,11 @@ INTER-frame codecs (H.264/VP9/AV1 in MP4/MKV/WebM or AVI) route through
 the ffmpeg video adapter (r6, codec_adapters.decode_video_ffmpeg:
 streamed gray8 frames, O(1) memory per frame, same sampled-index rule as
 the native paths) when the host has ffmpeg. Remaining boundary on
-adapter-absent hosts: inter-frame video and 12-bit-COLOR/lossless JPEG
-(arithmetic-coded SOF9/SOF10 and 12-bit grayscale decode natively since
-r6, functions/jpeg_arith.py; 12-bit samples normalize to v >> 4 under
-the 8-bit sample contract).
+adapter-absent hosts: inter-frame video, 12-bit-COLOR DCT JPEG and
+hierarchical JPEG (arithmetic SOF9/SOF10, 12-bit grayscale DCT and
+LOSSLESS SOF3 at 2..16-bit all decode natively since r6,
+functions/jpeg_arith.py + jpeg_lossless.py; wide samples normalize to
+the 8-bit contract by right shift).
 """
 
 from __future__ import annotations
@@ -117,10 +118,10 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             w, h, _ = jpeg_meta(bytes(payload))
             return int(w), int(h), None
         except (JpegFormatError, struct.error) as e:
-            # JPEG features the built-in walk declines (12-bit color,
-            # lossless/hierarchical; arithmetic SOF9/SOF10 and 12-bit
-            # grayscale parse natively since r6) route through the Pillow
-            # adapter
+            # JPEG features the built-in walk declines (12-bit color
+            # DCT, hierarchical; arithmetic SOF9/SOF10, 12-bit grayscale
+            # and lossless SOF3 parse natively since r6) route through
+            # the Pillow adapter
             # like the pixel path does (review-caught r5: the metadata
             # and pixel paths must agree on what decodes)
             from flink_job_spark.functions.codec_adapters import (
@@ -768,7 +769,7 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
             # a JPEG feature the pure-Python decoder declines (r6: only
-            # 12-bit COLOR and lossless/hierarchical frames —
+            # 12-bit COLOR DCT and hierarchical frames —
             # baseline, progressive, Adobe CMYK/YCCK AND arithmetic
             # SOF9/SOF10 all decode natively, functions/jpeg_arith.py):
             # route through Pillow when the host has it; the

@@ -1210,6 +1210,71 @@ def q_media_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mean_luma")
 
 
+# --- q_media_jpeg_lossless: SOF3 Annex H, exact roundtrip oracle ---------------
+#
+# The strongest oracle in the JPEG family: lossless coding is EXACT, so
+# arbitrary deterministic 16-bit content roundtrips sample-for-sample —
+# no constant-block lemma needed. Each doc uses a different predictor
+# (1 + doc_id % 7), so all seven Annex H predictors are exercised at
+# corpus scale; one wrong neighbor reference or mod-2^16 slip corrupts
+# every downstream sample and hash-mismatches.
+
+JPEG_LL_W_MOD, JPEG_LL_H_MOD = 10, 7
+
+@register(
+    "q_media_jpeg_lossless",
+    f"""SELECT doc_id AS media_id,
+               CAST(6 + doc_id % {JPEG_LL_W_MOD} AS INT) AS width,
+               CAST(5 + doc_id % {JPEG_LL_H_MOD} AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               CAST(1 + doc_id % 7 AS INT) AS predictor,
+               round((SELECT AVG(CAST(((doc_id * 31 + t.i * 7) % 65536)
+                                      // 256 AS DOUBLE))
+                      FROM (SELECT unnest(range((6 + doc_id % {JPEG_LL_W_MOD})
+                                 * (5 + doc_id % {JPEG_LL_H_MOD}))) AS i) t), 6)
+                 AS mean_luma
+        FROM documents""",
+    doc="lossless JPEG (SOF3, T.81 Annex H): per-doc 16-bit rasters are "
+        "prediction-coded (predictor rotates 1..7 across docs) and fully "
+        "decoded; lossless is EXACT, so the oracle rebuilds the decoded "
+        "mean of arbitrary deterministic content — the strongest check a "
+        "codec admits, no constant-block lemma required",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only like every codec key. 16-bit samples normalize to v >> 8
+    under the engine's 8-bit sample contract (functions/jpeg_lossless.py);
+    the oracle's // 256 mirrors that shift exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 6 + i % JPEG_LL_W_MOD, 5 + i % JPEG_LL_H_MOD
+                v = ((i * 31 + 7 * np.arange(w * h, dtype=np.int64))
+                     % 65536).astype("<u2")
+                payloads.append(encode_jpeg_lossless(
+                    w, h, v.tobytes(), 1, precision=16,
+                    predictor=1 + i % 7))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    stats = decode_pixel_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "channels",
+        ((F.col("media_id") % 7) + 1).cast("int").alias("predictor"),
+        "mean_luma")
+
+
 # --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
 #
 # Smooth per-channel gradients with partial edge blocks exercise the parts

@@ -1618,3 +1618,98 @@ def test_jpeg12_rejections_and_dc_exactness():
                                  precision=12)
         _, _, _, out = decode_jpeg(blob)
         assert out == bytes([v >> 4]) * 64, v
+
+
+# ---- lossless JPEG (SOF3, Annex H, r6) ----
+
+@settings(max_examples=8, deadline=None)
+@given(dims=st.tuples(st.integers(1, 24), st.integers(1, 20)),
+       seed=st.integers(0, 2**31),
+       prec=st.sampled_from([4, 8, 12, 16]),
+       pred=st.integers(1, 7),
+       channels=st.sampled_from([1, 3]))
+def test_jpeg_lossless_roundtrip_exact(dims, seed, prec, pred, channels):
+    """Annex H is EXACT: decode(encode(samples)) recovers every sample at
+    the coded precision (verified through the 8-bit normalization, which
+    is injective per sample value bucket — we compare against the same
+    normalization of the originals). All 7 predictors, 4..16-bit,
+    gray + 3-component, including 1-pixel-wide/tall rasters where the
+    first-line/first-column predictor rules carry everything."""
+    import random
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    w, h = dims
+    rnd = random.Random(seed)
+    vals = [rnd.randrange(1 << prec) for _ in range(w * h * channels)]
+    raw = bytes(vals) if prec <= 8 else np.array(vals, "<u2").tobytes()
+    blob = encode_jpeg_lossless(w, h, raw, channels, prec, predictor=pred)
+    gw, gh, gc, out = decode_jpeg(blob)
+    a = np.array(vals, np.int64)
+    want = (np.clip(a >> (prec - 8), 0, 255) if prec >= 8
+            else np.clip(a << (8 - prec), 0, 255)).astype(np.uint8)
+    assert (gw, gh, gc) == (w, h, channels)
+    assert out == want.tobytes()
+
+
+def test_jpeg_lossless_point_transform_and_rejections():
+    """Pt divides samples by 2^Pt before prediction and multiplies back
+    on output (A.4); boundary pins: bad predictor, Pt >= precision, and
+    arithmetic-lossless SOF11 stays rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    vals = np.arange(48, dtype=np.int64) * 80 % 4096
+    blob = encode_jpeg_lossless(8, 6, vals.astype("<u2").tobytes(), 1,
+                                precision=12, predictor=4,
+                                point_transform=2)
+    _, _, _, out = decode_jpeg(blob)
+    want = (((vals >> 2) << 2) >> 4).astype(np.uint8)
+    assert out == want.tobytes()
+
+    with pytest.raises(JpegFormatError, match="predictor"):
+        encode_jpeg_lossless(4, 4, bytes(16), 1, 8, predictor=0)
+    with pytest.raises(JpegFormatError, match="point transform"):
+        encode_jpeg_lossless(4, 4, bytes(16), 1, 8, point_transform=8)
+
+    # SOF11 (arithmetic lossless) remains a documented rejection
+    data = bytearray(encode_jpeg_lossless(4, 4, bytes(16), 1, 8))
+    i = data.find(struct.pack(">H", 0xFFC3))
+    data[i:i + 2] = struct.pack(">H", 0xFFCB)
+    with pytest.raises(JpegFormatError, match="unsupported SOF"):
+        decode_jpeg(bytes(data))
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(3, 17))
+def test_jpeg_lossless_fuzz_stays_format_error(seed, step):
+    """Truncation/byte-flip fuzz over SOF3 files: JpegFormatError or a
+    decode, never a foreign exception."""
+    import random
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    rnd = random.Random(seed)
+    raw = bytes(rnd.randrange(256) for _ in range(12 * 10))
+    data = encode_jpeg_lossless(12, 10, raw, 1, 8,
+                                predictor=rnd.randrange(1, 8))
+    for cut in range(2, len(data), step):
+        try:
+            decode_jpeg(data[:cut])
+        except JpegFormatError:
+            pass
+    for i in range(2, len(data), step):
+        bad = data[:i] + bytes([data[i] ^ rnd.randrange(1, 256)]) + data[i + 1:]
+        try:
+            decode_jpeg(bad)
+        except JpegFormatError:
+            pass
