@@ -18,10 +18,10 @@ sample-replication upsampling, YCbCr→RGB / (YCCK|CMYK)→RGB via the
 stored-domain quick conversion, crop to declared dims. Together this
 covers virtually every JPEG in a real crawl — including (r6)
 arithmetic-coded SOF9/SOF10 frames via the QM-coder in
-functions/jpeg_arith.py, 12-bit-precision grayscale (normalized to
-v >> 4 at the 8-bit output contract) and LOSSLESS SOF3 at 2..16-bit
-(functions/jpeg_lossless.py, exact roundtrip); only hierarchical frames
-and 12-bit color DCT are rejected.
+functions/jpeg_arith.py, 12-bit-precision DCT in grayscale AND color
+(chroma centered at 2^(P-1); normalized to v >> 4 at the 8-bit output
+contract) and LOSSLESS SOF3 at 2..16-bit (functions/jpeg_lossless.py,
+exact roundtrip); only hierarchical frames are rejected.
 
 Fourth REAL raster codec next to png.py (zlib + scanline filters),
 bmp.py (raw DIB) and gif.py (variable-width LZW): JPEG exercises the
@@ -256,16 +256,18 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
     return int(zz[0])
 
 
-def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(rgb: np.ndarray, mid: float = 128.0) -> np.ndarray:
+    # chroma centering scales with sample precision: 128 for 8-bit,
+    # 2048 for 12-bit (JFIF's offset is 2^(P-1))
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = mid - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = mid + 0.5 * r - 0.418688 * g - 0.081312 * b
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+def _ycbcr_to_rgb(ycc: np.ndarray, mid: float = 128.0) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - mid, ycc[..., 2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
@@ -966,11 +968,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             lossless = marker == 0xC3
             # 12-bit precision (r6): extended sequential / progressive
-            # frames only (T.81 restricts SOF0 baseline to 8-bit), and
-            # GRAYSCALE only — the YCbCr matrices assume 8-bit chroma
-            # centering; 12-bit color stays the Pillow-adapter boundary.
-            # Lossless (Annex H) allows 2..16-bit at any component count
-            # (components are independent; no color transform involved).
+            # frames only (T.81 restricts SOF0 baseline to 8-bit),
+            # grayscale or YCbCr color (chroma centering scales to
+            # 2^(P-1)); Adobe 4-component stays 8-bit. Lossless (Annex H)
+            # allows 2..16-bit (components independent, no transform).
             if lossless:
                 if not 2 <= prec <= 16:
                     raise JpegFormatError(f"unsupported precision {prec}")
@@ -978,9 +979,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 raise JpegFormatError(f"unsupported precision {prec}")
             if ncomp not in (1, 3, 4):
                 raise JpegFormatError(f"unsupported component count {ncomp}")
-            if prec == 12 and not lossless and ncomp != 1:
+            if prec == 12 and not lossless and ncomp not in (1, 3):
                 raise JpegFormatError(
-                    "12-bit precision supported for grayscale only")
+                    "12-bit precision supported for 1 or 3 components")
             if lossless and ncomp not in (1, 3):
                 raise JpegFormatError(
                     "lossless supported for 1 or 3 components")
@@ -1256,7 +1257,11 @@ def _reconstruct(sof, geom, coefs, qt,
             # this) — no YCbCr inversion (review-caught r5)
             rgb = np.stack(cropped, axis=-1)
         else:
-            rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+            rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1),
+                                mid=float(1 << (prec - 1)))
+        if prec == 12:
+            hi = np.clip(np.round(rgb), 0, 4095).astype(np.uint16)
+            return w, h, 3, (hi >> 4).astype(np.uint8).tobytes()
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return w, h, 3, out.tobytes()
     if len(cropped) == 4:

@@ -623,8 +623,7 @@ def _quantize_444(width, height, pixels, channels, quality, precision=8):
         raise JpegFormatError(f"bad dims {width}x{height}")
     if precision not in (8, 12):
         raise JpegFormatError(f"unsupported precision {precision}")
-    if precision == 12 and channels != 1:
-        raise JpegFormatError("12-bit fixtures are grayscale only")
+
     sw = 1 if precision == 8 else 2     # bytes per sample (12-bit: <u2)
     if len(pixels) != width * height * channels * sw:
         raise JpegFormatError("pixel buffer does not match dims")
@@ -634,8 +633,9 @@ def _quantize_444(width, height, pixels, channels, quality, precision=8):
         height, width, channels)
     if precision == 12 and arr.max(initial=0.0) > 4095:
         raise JpegFormatError("12-bit sample out of range")
+    mid_c = float(1 << (precision - 1))
     if channels == 3:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, mid=mid_c)
         planes = [ycc[..., c] for c in range(3)]
         qsel = [0, 1, 1]
         tsels = [0, 1, 1]

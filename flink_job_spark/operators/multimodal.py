@@ -32,11 +32,11 @@ INTER-frame codecs (H.264/VP9/AV1 in MP4/MKV/WebM or AVI) route through
 the ffmpeg video adapter (r6, codec_adapters.decode_video_ffmpeg:
 streamed gray8 frames, O(1) memory per frame, same sampled-index rule as
 the native paths) when the host has ffmpeg. Remaining boundary on
-adapter-absent hosts: inter-frame video, 12-bit-COLOR DCT JPEG and
-hierarchical JPEG (arithmetic SOF9/SOF10, 12-bit grayscale DCT and
-LOSSLESS SOF3 at 2..16-bit all decode natively since r6,
-functions/jpeg_arith.py + jpeg_lossless.py; wide samples normalize to
-the 8-bit contract by right shift).
+adapter-absent hosts: inter-frame video and HIERARCHICAL JPEG only
+(arithmetic SOF9/SOF10, 12-bit DCT gray AND color, and LOSSLESS SOF3 at
+2..16-bit all decode natively since r6, functions/jpeg_arith.py +
+jpeg_lossless.py; wide samples normalize to the 8-bit contract by right
+shift).
 """
 
 from __future__ import annotations
@@ -118,8 +118,8 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             w, h, _ = jpeg_meta(bytes(payload))
             return int(w), int(h), None
         except (JpegFormatError, struct.error) as e:
-            # JPEG features the built-in walk declines (12-bit color
-            # DCT, hierarchical; arithmetic SOF9/SOF10, 12-bit grayscale
+            # JPEG features the built-in walk declines (hierarchical
+            # frames only; arithmetic SOF9/SOF10, 12-bit DCT gray/color
             # and lossless SOF3 parse natively since r6) route through
             # the Pillow adapter
             # like the pixel path does (review-caught r5: the metadata
@@ -769,7 +769,7 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
             # a JPEG feature the pure-Python decoder declines (r6: only
-            # 12-bit COLOR DCT and hierarchical frames —
+            # hierarchical frames —
             # baseline, progressive, Adobe CMYK/YCCK AND arithmetic
             # SOF9/SOF10 all decode natively, functions/jpeg_arith.py):
             # route through Pillow when the host has it; the

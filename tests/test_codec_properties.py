@@ -1483,38 +1483,50 @@ def test_jpeg_arith_cross_validates_against_libjpeg_when_available():
 
 @settings(max_examples=6, deadline=None)
 @given(dims=st.tuples(st.integers(8, 32), st.integers(8, 24)),
-       seed=st.integers(0, 2**31), progressive=st.booleans())
+       seed=st.integers(0, 2**31), progressive=st.booleans(),
+       channels=st.sampled_from([1, 3]))
 def test_jpeg12_arith_matches_independent_transform_twin(dims, seed,
-                                                         progressive):
-    """12-bit grayscale (SOF9/SOF10): decode(encode12(px)) must equal the
-    independently computed transform model round(idct(dequant(quant(
-    dct(px - 2048)))) + 2048) clipped to 0..4095 then >>4 — the same
-    twin-proof style as the 8-bit bitstream test, at the wider range."""
+                                                         progressive,
+                                                         channels):
+    """12-bit (SOF9/SOF10), grayscale AND color: decode(encode12(px))
+    must equal the independently computed transform model with chroma
+    centered at 2048 (the 2^(P-1) offset), clipped to 0..4095 then >>4 —
+    the same twin-proof style as the 8-bit bitstream test."""
     import random
 
     import numpy as np
 
-    from flink_job_spark.functions.jpeg import (ZIGZAG, _DCT_A, decode_jpeg,
+    from flink_job_spark.functions.jpeg import (ZIGZAG, _DCT_A, _rgb_to_ycbcr,
+                                                _ycbcr_to_rgb, decode_jpeg,
                                                 quant_tables)
     from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
 
     w, h = dims
     w, h = (w // 8) * 8, (h // 8) * 8          # full blocks: exact model
     rnd = random.Random(seed)
-    px = np.array([rnd.randrange(4096) for _ in range(w * h)], "<u2")
-    data = encode_jpeg_arith(w, h, px.tobytes(), 1, quality=50,
+    px = np.array([rnd.randrange(4096) for _ in range(w * h * channels)],
+                  "<u2")
+    data = encode_jpeg_arith(w, h, px.tobytes(), channels, quality=50,
                              precision=12, progressive=progressive)
     gw, gh, c, out = decode_jpeg(data)
-    assert (gw, gh, c) == (w, h, 1)
+    assert (gw, gh, c) == (w, h, channels)
 
-    qt = quant_tables(50)[0]
-    plane = px.astype(np.float64).reshape(h, w)
-    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    q = np.round(np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 2048.0,
-                           _DCT_A.T) / qt)
-    rec = (_DCT_A.T @ (q * qt)) @ _DCT_A + 2048.0
-    rec = np.clip(np.round(rec), 0, 4095).astype(np.uint16) >> 4
-    want = rec.transpose(0, 2, 1, 3).reshape(h, w).astype(np.uint8)
+    qt = quant_tables(50)
+    arr = px.astype(np.float64).reshape(h, w, channels)
+    planes = ([arr[..., 0]] if channels == 1 else
+              [(_rgb_to_ycbcr(arr, mid=2048.0))[..., i] for i in range(3)])
+    qsel = [0] if channels == 1 else [0, 1, 1]
+    recs = []
+    for plane, qi in zip(planes, qsel):
+        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        q = np.round(np.einsum("ux,byxw,wv->byuv", _DCT_A, blocks - 2048.0,
+                               _DCT_A.T) / qt[qi])
+        rec = (_DCT_A.T @ (q * qt[qi])) @ _DCT_A + 2048.0
+        recs.append(rec.transpose(0, 2, 1, 3).reshape(h, w))
+    full = (recs[0] if channels == 1
+            else _ycbcr_to_rgb(np.stack(recs, axis=-1), mid=2048.0))
+    want = (np.clip(np.round(full), 0, 4095).astype(np.uint16)
+            >> 4).astype(np.uint8)
     assert out == want.tobytes()
 
 
@@ -1595,8 +1607,8 @@ def test_jpeg12_rejections_and_dc_exactness():
     from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
     from flink_job_spark.functions.jpeg_arith import encode_jpeg_arith
 
-    with pytest.raises(JpegFormatError, match="grayscale"):
-        encode_jpeg_arith(8, 8, bytes(8 * 8 * 3 * 2), 3, precision=12)
+    with pytest.raises(JpegFormatError, match="channels"):
+        encode_jpeg_arith(8, 8, bytes(8 * 8 * 2 * 2), 2, precision=12)
     with pytest.raises(JpegFormatError, match="out of range"):
         encode_jpeg_arith(8, 8, np.full(64, 4096, "<u2").tobytes(),
                           1, precision=12)
