@@ -54,6 +54,14 @@ JPEG_SOI = b"\xff\xd8"
 # are attacker-controlled 16-bit fields (65535x65535 -> ~4.3e9 samples).
 MAX_PIXELS = 64_000_000
 
+# Lossless (SOF3) decodes per-sample in pure Python (the entropy stream
+# is inherently serial — variable-length categories gate every sample),
+# so it gets its OWN tighter work-bomb cap, the Adam7/APNG precedent: a
+# 64 MP claim against the DCT cap would be minutes of CPU from one
+# crafted file; 2 MP is seconds and covers the DNG-thumbnail/DICOM-slice
+# sizes this family actually ships at.
+MAX_LOSSLESS_PIXELS = 2_000_000
+
 
 class JpegFormatError(ValueError):
     pass
@@ -1015,6 +1023,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 if hmax != 1 or vmax != 1:
                     raise JpegFormatError(
                         "lossless supported at 1x1 sampling only")
+                if w * h * ncomp > MAX_LOSSLESS_PIXELS:
+                    raise JpegFormatError(
+                        f"lossless dims too large ({w}x{h}x{ncomp} > "
+                        f"{MAX_LOSSLESS_PIXELS} samples)")
                 # sample planes, not coefficient planes
                 coefs = [np.zeros((h, w), np.int32) for _ in comps]
             else:

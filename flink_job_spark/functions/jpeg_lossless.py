@@ -151,8 +151,9 @@ def encode_jpeg_lossless(width: int, height: int, samples: bytes,
     channels=3. Exact-roundtrip by construction (modulo-2^16 prediction
     coding); the DHT carries the full 0..16 category alphabet."""
     from flink_job_spark.functions.jpeg import (JPEG_SOI, JpegFormatError,
-                                                MAX_PIXELS, _BitWriter,
-                                                _canonical_codes, _magnitude)
+                                                MAX_LOSSLESS_PIXELS,
+                                                _BitWriter, _canonical_codes,
+                                                _magnitude)
 
     if channels not in (1, 3):
         raise JpegFormatError("lossless fixture encoder: 1 or 3 channels")
@@ -162,7 +163,8 @@ def encode_jpeg_lossless(width: int, height: int, samples: bytes,
         raise JpegFormatError(f"bad predictor {predictor}")
     if not 0 <= point_transform < precision:
         raise JpegFormatError(f"bad point transform {point_transform}")
-    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+    if (width <= 0 or height <= 0
+            or width * height * channels > MAX_LOSSLESS_PIXELS):
         raise JpegFormatError(f"bad dims {width}x{height}")
     sw = 1 if precision <= 8 else 2
     if len(samples) != width * height * channels * sw:

@@ -1725,3 +1725,22 @@ def test_jpeg_lossless_fuzz_stays_format_error(seed, step):
             decode_jpeg(bad)
         except JpegFormatError:
             pass
+
+
+def test_jpeg_lossless_work_bomb_cap():
+    """Lossless decodes per-sample in Python, so it has its OWN tighter
+    pixel cap (the Adam7/APNG precedent): an oversized SOF3 claim is a
+    JpegFormatError before any sample loop runs."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    blob = bytearray(encode_jpeg_lossless(8, 8, bytes(64), 1, 8))
+    i = blob.find(struct.pack(">H", 0xFFC3))
+    # SOF body: len(2) prec(1) h(2) w(2) -> patch dims to 60000x60000
+    blob[i + 5:i + 9] = struct.pack(">HH", 60000, 60000)
+    with pytest.raises(JpegFormatError, match="too large"):
+        decode_jpeg(bytes(blob))
