@@ -1765,3 +1765,28 @@ def test_crawl_text_keys_no_shuffle(spark, sf_dir):
         assert "Exchange" not in p, f"{key} plan shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (key, p)
         assert read_schema_columns(p) == {"doc_id"}, (key, p)
+
+
+def test_round6_keys_are_map_only(spark, sf_dir):
+    """The r6 additions are all scan-side passes: script-aware
+    segmentation (two JVM regex passes + array ops in one projection) and
+    the three codec keys (Arrow-batched mapInPandas encode+decode). Any
+    Exchange is a regression — at 100 TB these must stay pure map."""
+    for name in ["q_segment_multiscript", "q_media_jpeg_arith_stats",
+                 "q_media_jpeg12_stats", "q_media_jpeg_lossless"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+
+
+def test_gopher_rules_tokenizes_once(spark, sf_dir):
+    """r6 regression pin: the five Gopher signals share ONE words() alias
+    in a staged projection. If CollapseProject ever inlines the non-cheap
+    split expression back into its many uses (4 projection references +
+    10 lambda-bound stopword probes), the tokenizer count in the plan
+    jumps and the 1.8x bench regression returns."""
+    p = plan(all_queries()["q_gopher_rules"].fn(spark, sf_dir))
+    assert "Exchange" not in p, f"gopher rules shuffles:\n{p}"
+    # the split(...NORM...) expression must appear exactly once per plan
+    n_splits = p.count("split(trim(regexp_replace(")
+    assert n_splits == 1, (
+        f"words() evaluated {n_splits}x — staging collapsed:\n{p[:2000]}")
