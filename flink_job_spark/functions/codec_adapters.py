@@ -241,12 +241,27 @@ def decode_video_ffmpeg(payload: bytes,
 
     feeder = threading.Thread(target=feed, daemon=True)
     feeder.start()
+    # stderr must drain CONCURRENTLY with the frame stream: an input that
+    # makes ffmpeg emit more than a pipe buffer of errors while frames are
+    # still flowing would otherwise deadlock until the watchdog kill,
+    # turning a decodable row into a timeout error
+    err_chunks: list[bytes] = []
+
+    def drain_err() -> None:
+        try:
+            err_chunks.append(proc.stderr.read())
+        except OSError:
+            pass
+
+    err_reader = threading.Thread(target=drain_err, daemon=True)
+    err_reader.start()
     killer = threading.Timer(FFMPEG_TIMEOUT_SEC, proc.kill)
     killer.start()
     try:
         sums = read_gray_frame_sums(proc.stdout, w * h)
         rc = proc.wait()
-        stderr_tail = proc.stderr.read()[-200:]
+        err_reader.join(timeout=5)
+        stderr_tail = b"".join(err_chunks)[-200:]
     finally:
         killer.cancel()
         proc.kill()

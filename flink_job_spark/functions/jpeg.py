@@ -736,12 +736,19 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Byte-align and consume an expected RSTn marker."""
+        """Byte-align and consume an expected RSTn marker. An unread
+        stuffed pad byte (0xFF 0x00 — a 1-filled final byte the decoder
+        never pulled bits from) and 0xFF fill bytes (B.1.1.2) may
+        legally precede the marker; skip both."""
         self._acc = 0
         self._n = 0
-        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            self.pos += 2
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0x00:
+            p += 2
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
         else:
             raise JpegFormatError("missing restart marker")
 

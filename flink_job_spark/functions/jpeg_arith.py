@@ -200,6 +200,10 @@ class ArithDecoder:
         p = self.marker_pos if self.marker_pos is not None else self.bpos
         while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
             p += 1
+        # B.1.1.2: any run of 0xFF fill bytes may precede the marker —
+        # advance to the LAST 0xFF before classifying the marker byte
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
         if p + 1 >= len(d) or not (0xD0 <= d[p + 1] <= 0xD7):
             raise JpegFormatError("expected restart marker")
         self.bpos = p + 2

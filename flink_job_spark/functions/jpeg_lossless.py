@@ -87,9 +87,6 @@ def decode_scan(data: bytes, pos: int, body: bytes, sof, planes,
 
     br = _BitReader(data, pos)
     default = 1 << (prec - pt - 1)
-    # per-component "use the default predictor for the next sample" flag:
-    # set at scan start and after every restart (H.2.2)
-    use_default = [True] * len(comps)
 
     def diff_of(dct) -> int:
         s = _decode_huff(br, dct)
@@ -101,17 +98,28 @@ def decode_scan(data: bytes, pos: int, body: bytes, sof, planes,
             return 0
         return _extend(br.bits(s), s)
 
+    # H.1.1/H.2.2: a restart resets the prediction AS AT SCAN START — the
+    # whole first line of each restart interval predicts with Ra (its
+    # first sample with the default). Restarts land at row starts because
+    # Ri must be a multiple of MCUs-per-row for lossless (B.2.3); a DRI
+    # that is not is rejected rather than decoded wrong.
+    restart_row = 0
     unit = 0
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
+                if x != 0:
+                    raise JpegFormatError(
+                        "lossless restart interval is not a multiple of "
+                        "MCUs per row (B.2.3)")
                 br.restart()
-                for i in range(len(use_default)):
-                    use_default[i] = True
+                restart_row = y
             for ci, dct in order:
-                pred = (default if use_default[ci]
-                        else _predict(planes[ci], x, y, sel, default))
-                use_default[ci] = False
+                if y == restart_row:
+                    # first line of the scan / restart interval (H.1.1)
+                    pred = default if x == 0 else int(planes[ci][y, x - 1])
+                else:
+                    pred = _predict(planes[ci], x, y, sel, default)
                 planes[ci][y, x] = (pred + diff_of(dct)) & 0xFFFF
             unit += 1
     # undo the point transform at scan end (each component is coded in
@@ -145,11 +153,16 @@ def reconstruct(sof, planes) -> tuple[int, int, int, bytes]:
 def encode_jpeg_lossless(width: int, height: int, samples: bytes,
                          channels: int = 1, precision: int = 8,
                          predictor: int = 1,
-                         point_transform: int = 0) -> bytes:
+                         point_transform: int = 0,
+                         restart_rows: int = 0) -> bytes:
     """SOF3 fixture: `samples` are uint8 bytes (precision <= 8) or
     little-endian uint16 (9..16), row-major, channel-interleaved for
     channels=3. Exact-roundtrip by construction (modulo-2^16 prediction
-    coding); the DHT carries the full 0..16 category alphabet."""
+    coding); the DHT carries the full 0..16 category alphabet.
+    `restart_rows` > 0 emits DRI = restart_rows * width (a row multiple,
+    B.2.3) with RSTn markers and the H.2.2 prediction reset — each
+    interval's first line codes against Ra / the default, as at scan
+    start — exercising the DICOM/DNG restart lineage."""
     from flink_job_spark.functions.jpeg import (JPEG_SOI, JpegFormatError,
                                                 MAX_LOSSLESS_PIXELS,
                                                 _BitWriter, _canonical_codes,
@@ -163,6 +176,8 @@ def encode_jpeg_lossless(width: int, height: int, samples: bytes,
         raise JpegFormatError(f"bad predictor {predictor}")
     if not 0 <= point_transform < precision:
         raise JpegFormatError(f"bad point transform {point_transform}")
+    if restart_rows < 0 or (restart_rows and restart_rows >= height):
+        raise JpegFormatError(f"bad restart_rows {restart_rows}")
     if (width <= 0 or height <= 0
             or width * height * channels > MAX_LOSSLESS_PIXELS):
         raise JpegFormatError(f"bad dims {width}x{height}")
@@ -185,13 +200,21 @@ def encode_jpeg_lossless(width: int, height: int, samples: bytes,
     bw = _BitWriter()
     default = 1 << (precision - point_transform - 1)
     planes = [arr[..., c] for c in range(channels)]
-    first = [True] * channels
+    restart_row = 0
+    rst_n = 0
     for y in range(height):
+        if restart_rows and y and y % restart_rows == 0:
+            bw.flush()                       # byte-align (1-fill pad)
+            bw.buf += bytes([0xFF, 0xD0 + rst_n])   # raw marker, unstuffed
+            rst_n = (rst_n + 1) & 7
+            restart_row = y
         for x in range(width):
             for ci in range(channels):
-                pred = (default if first[ci]
-                        else _predict(planes[ci], x, y, predictor, default))
-                first[ci] = False
+                if y == restart_row:         # first line of interval (H.1.1)
+                    pred = (default if x == 0
+                            else int(planes[ci][y, x - 1]))
+                else:
+                    pred = _predict(planes[ci], x, y, predictor, default)
                 d = (int(planes[ci][y, x]) - pred) & 0xFFFF
                 if d >= 32768:
                     d -= 65536                 # signed representative
@@ -213,6 +236,8 @@ def encode_jpeg_lossless(width: int, height: int, samples: bytes,
         sofb += bytes([ci + 1, 0x11, 0])
     out += seg(0xFFC3, sofb)
     out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_rows:
+        out += seg(0xFFDD, struct.pack(">H", restart_rows * width))
     sos = bytes([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00])

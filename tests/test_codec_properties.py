@@ -1449,6 +1449,60 @@ def test_jpeg_arith_fuzz_stays_format_error(seed, step):
             pass
 
 
+def test_jpeg_arith_t81_k4_conformance_vectors():
+    """ALWAYS-RUN external conformance (ADVICE r6): the ITU-T T.81 §K.4
+    known-answer test. Coding the published 256-decision test sequence
+    (32 bytes, one adaptive context starting at state 0 / MPS 0) must
+    produce the standard's codeword bit-exactly, and decoding the
+    standard's codeword must recover the decisions — so QM-coder
+    conformance no longer depends on an optional host libjpeg."""
+    from flink_job_spark.functions.jpeg_arith import ArithDecoder, ArithEncoder
+
+    test_data = bytes.fromhex(
+        "00020051000000c00352872aaaaaaaaa82c02000fcd79ef674eaabf7697ee74c")
+    # T.81 Figure K.9 compressed sequence; the final FF D9 in the
+    # standard's listing is the EOI marker appended after the flush
+    codeword = bytes.fromhex(
+        "655b5144f7969d517855bfff00fc5184c7cef93900287d46708ecbc0f6")
+
+    enc = ArithEncoder()
+    st = bytearray(1)
+    for b in test_data:
+        for k in range(7, -1, -1):
+            enc.encode(st, 0, (b >> k) & 1)
+    assert bytes(enc.flush()) == codeword
+
+    dec = ArithDecoder(codeword + b"\xff\xd9", 0)
+    st2 = bytearray(1)
+    rec = bytearray()
+    acc = 0
+    for i in range(256):
+        acc = (acc << 1) | dec.decode(st2, 0)
+        if i % 8 == 7:
+            rec.append(acc)
+            acc = 0
+    assert bytes(rec) == test_data
+
+
+def test_jpeg_arith_restart_skips_fill_bytes():
+    """B.1.1.2: any run of 0xFF fill bytes may precede a marker. The
+    arithmetic decoder's restart() must classify the LAST 0xFF of the
+    run as the marker prefix instead of rejecting a conforming stream
+    (ADVICE r6)."""
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError
+    from flink_job_spark.functions.jpeg_arith import ArithDecoder
+
+    dec = ArithDecoder(b"\x12\x34\xff\xff\xff\xd3\x99", 0)
+    dec.restart()
+    assert dec.pos == 6                       # positioned after RST3
+
+    dec = ArithDecoder(b"\x12\xff\xff\xc4\x00", 0)   # fill then non-RST
+    with pytest.raises(JpegFormatError, match="restart"):
+        dec.restart()
+
+
 def test_jpeg_arith_cross_validates_against_libjpeg_when_available():
     """CAPABILITY-GATED (skips in this sandbox): on hosts whose Pillow
     links a libjpeg with D_ARITH_CODING_SUPPORTED, our SOF9 encoding must
@@ -1665,6 +1719,92 @@ def test_jpeg_lossless_roundtrip_exact(dims, seed, prec, pred, channels):
             else np.clip(a << (8 - prec), 0, 255)).astype(np.uint8)
     assert (gw, gh, gc) == (w, h, channels)
     assert out == want.tobytes()
+
+
+@settings(max_examples=8, deadline=None)
+@given(dims=st.tuples(st.integers(2, 20), st.integers(3, 16)),
+       seed=st.integers(0, 2**31),
+       prec=st.sampled_from([8, 12, 16]),
+       pred=st.integers(1, 7),
+       channels=st.sampled_from([1, 3]),
+       rrows=st.integers(1, 5))
+def test_jpeg_lossless_restart_roundtrip_exact(dims, seed, prec, pred,
+                                               channels, rrows):
+    """DRI/RSTn lossless scans (the DICOM/DNG lineage, ADVICE r6): the
+    prediction resets AS AT SCAN START at each restart — the whole first
+    line of every interval codes against Ra (H.1.1/H.2.2). Roundtrip must
+    stay exact across predictors, precisions and interval lengths,
+    including intervals that don't divide the height."""
+    import random
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    w, h = dims
+    rnd = random.Random(seed)
+    vals = [rnd.randrange(1 << prec) for _ in range(w * h * channels)]
+    raw = bytes(vals) if prec <= 8 else np.array(vals, "<u2").tobytes()
+    blob = encode_jpeg_lossless(w, h, raw, channels, prec, predictor=pred,
+                                restart_rows=min(rrows, h - 1))
+    gw, gh, gc, out = decode_jpeg(blob)
+    a = np.array(vals, np.int64)
+    want = (np.clip(a >> (prec - 8), 0, 255) if prec >= 8
+            else np.clip(a << (8 - prec), 0, 255)).astype(np.uint8)
+    assert (gw, gh, gc) == (w, h, channels)
+    assert out == want.tobytes()
+
+
+def test_jpeg_lossless_restart_first_line_is_predictor_free():
+    """Spec pin for the H.1.1 reset (catches the 'only the next sample
+    uses the default' bug): with a restart EVERY row, every line is a
+    first line, so the entropy-coded bytes must be IDENTICAL for all 7
+    predictors — the selector is never consulted on a first line. Also:
+    fill bytes (0xFF runs, B.1.1.2) injected before each RSTn must not
+    break the decode, and a DRI that is not a row multiple is rejected."""
+    import random
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_lossless import encode_jpeg_lossless
+
+    rnd = random.Random(7)
+    raw = bytes(rnd.randrange(256) for _ in range(9 * 7))
+
+    def entropy_and_pixels(pred):
+        blob = encode_jpeg_lossless(9, 7, raw, 1, 8, predictor=pred,
+                                    restart_rows=1)
+        sos = blob.find(struct.pack(">H", 0xFFDA))
+        seg_len = struct.unpack(">H", blob[sos + 2:sos + 4])[0]
+        return blob, blob[sos + 2 + seg_len:], decode_jpeg(blob)[3]
+
+    base_blob, base_entropy, base_px = entropy_and_pixels(1)
+    assert base_px == raw
+    for pred in range(2, 8):
+        _, entropy, px = entropy_and_pixels(pred)
+        assert entropy == base_entropy
+        assert px == raw
+
+    # fill bytes before every RSTn stay legal (B.1.1.2)
+    padded = bytearray()
+    i = 0
+    while i < len(base_blob):
+        if (base_blob[i] == 0xFF and i + 1 < len(base_blob)
+                and 0xD0 <= base_blob[i + 1] <= 0xD7):
+            padded += b"\xff\xff"
+        padded.append(base_blob[i])
+        i += 1
+    assert decode_jpeg(bytes(padded))[3] == raw
+
+    # DRI not a multiple of MCUs-per-row: rejected, not decoded wrong
+    bad = bytearray(base_blob)
+    dri = bad.find(struct.pack(">H", 0xFFDD))
+    bad[dri + 4:dri + 6] = struct.pack(">H", 5)     # width is 9
+    with pytest.raises(JpegFormatError, match="row"):
+        decode_jpeg(bytes(bad))
 
 
 def test_jpeg_lossless_point_transform_and_rejections():
