@@ -1,15 +1,24 @@
 """Minimal-but-real PDF text extraction (pure Python): build + parse the
 subset of ISO 32000 a crawl's text pipeline needs.
 
-Builder (``build_pdf``): valid PDF 1.4 — catalog → page tree → per-page
+Builder (``build_pdf``): valid PDF — catalog → page tree → per-page
 content streams (optionally FlateDecode-compressed), Helvetica font,
-classic xref table + trailer. Exists to power the roundtrip twin proof,
-same pattern as the other codec builders (jpeg.py, gif.py, archive.py).
+and EITHER a classic xref table + trailer (1.4) or a PDF 1.5
+cross-reference stream (W [1 4 2], FlateDecode + PNG-Up Predictor 12),
+optionally with the non-stream dictionaries packed into a /Type /ObjStm
+object stream (type-2 entries). Emitting BOTH layouts keeps the
+roundtrip twin honest — a parser that silently ignored xref streams
+could not pass its own fixtures. Same pattern as the other codec
+builders (jpeg.py, gif.py, archive.py).
 
 Parser (``extract_pdf_text``): follows the REAL object graph, not regex
-over bytes — ``startxref`` → xref table → trailer ``/Root`` → catalog →
-``/Pages`` tree walk (recursive ``/Kids``) → per-page ``/Contents``
-(single ref or array), FlateDecode when ``/Filter`` says so, indirect
+over bytes — ``startxref`` → xref (classic tables, PDF >= 1.5 xref
+STREAMS with /W field widths + /Index subsections + FlateDecode
+predictors 1/2/10-15, hybrid ``/XRefStm`` trailers, mixed /Prev chains)
+→ trailer ``/Root`` → catalog → ``/Pages`` tree walk (recursive
+``/Kids``) → per-page ``/Contents`` (single ref or array), FlateDecode
+when ``/Filter`` says so, type-2 entries unpacked from /Type /ObjStm
+object streams (directory cached per document), indirect
 ``/Length`` resolution, then a content-stream tokenizer that understands
 ``BT``/``ET`` blocks and the text-showing operators ``Tj``, ``'``, ``"``
 and ``TJ`` (kerning numbers skipped), with ``Td``/``TD``/``T*``/``'``/``"``
@@ -228,15 +237,79 @@ class _Lexer:
         raise PdfFormatError("unterminated hex string")
 
 
+# --- stream filters ---------------------------------------------------------------
+
+
+def _inflate(raw: bytes) -> bytes:
+    try:
+        dec = zlib.decompressobj()
+        out = dec.decompress(raw, _MAX_STREAM)
+        if dec.unconsumed_tail:
+            raise PdfFormatError("stream inflate exceeds cap")
+        return out
+    except zlib.error as e:
+        raise PdfFormatError(f"bad FlateDecode stream: {e}") from e
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Undo a FlateDecode /DecodeParms predictor (7.4.4.4): 1 = none,
+    2 = TIFF horizontal differencing, 10-15 = the PNG filter family (the
+    per-row tag byte decides the actual filter — xref streams in the wild
+    are almost always Predictor 12/Up). 8-bit components only, which is
+    what PDF producers emit for xref and content streams."""
+    predictor = parms.get("Predictor", 1)
+    if not isinstance(predictor, int) or predictor == 1:
+        if predictor == 1:
+            return data
+        raise PdfFormatError("bad /Predictor")
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if not all(isinstance(v, int) and v > 0 for v in (colors, bpc, columns)):
+        raise PdfFormatError("bad predictor parameters")
+    if bpc != 8:
+        raise PdfFormatError(f"unsupported predictor BitsPerComponent {bpc}")
+    stride = columns * colors
+    if stride <= 0 or stride > _MAX_STREAM:
+        raise PdfFormatError("bad predictor row width")
+    if predictor == 2:                     # TIFF horizontal differencing
+        if len(data) % stride:
+            raise PdfFormatError("predictor data is not whole rows")
+        out = bytearray(data)
+        for r0 in range(0, len(out), stride):
+            for i in range(r0 + colors, r0 + stride):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if 10 <= predictor <= 15:              # PNG family, tag per row
+        from flink_job_spark.functions.png import PngFormatError, _unfilter
+        if len(data) % (stride + 1):
+            raise PdfFormatError("predictor data is not whole rows")
+        try:
+            return bytes(_unfilter(data, len(data) // (stride + 1),
+                                   stride, colors))
+        except PngFormatError as e:
+            raise PdfFormatError(f"bad PNG predictor row: {e}") from e
+    raise PdfFormatError(f"unsupported predictor {predictor}")
+
+
 # --- document structure ---------------------------------------------------------------
+
+# xref entry kinds: (1, byte_offset) = top-level object,
+# (2, objstm_num, index) = compressed object inside an object stream
+_XREF_TOPLEVEL = 1
+_XREF_IN_OBJSTM = 2
 
 
 class _Document:
     def __init__(self, data: bytes):
         self.d = data
-        self.xref: dict[int, int] = {}
+        self.xref: dict[int, tuple] = {}
         self.trailer: dict[str, object] = {}
+        self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes,
+                                            int]] = {}
         self._parse_xref()
+
+    # -- xref chain (classic tables, xref streams, hybrid /XRefStm) --------
 
     def _parse_xref(self) -> None:
         d = self.d
@@ -247,43 +320,16 @@ class _Document:
         if m is None:
             raise PdfFormatError("startxref not found")
         off = int(m.group(1))
-        seen = set()
+        seen: set[int] = set()
         while True:
             if off in seen:
                 raise PdfFormatError("xref loop")
             seen.add(off)
-            lex = _Lexer(d, off)
-            if lex.next_token() != b"xref":
-                raise PdfFormatError("classic xref table expected")
-            while True:
-                t = lex.peek_token()
-                if t == b"trailer":
-                    lex.next_token()
-                    break
-                start = lex.next_token()
-                count = lex.next_token()
-                if not (start.isdigit() and count.isdigit()):
-                    raise PdfFormatError("bad xref subsection header")
-                start_i, count_i = int(start), int(count)
-                if count_i > _MAX_OBJECTS:
-                    raise PdfFormatError("xref subsection exceeds cap")
-                for i in range(count_i):
-                    eoff = lex.next_token()
-                    lex.next_token()      # generation
-                    kind = lex.next_token()
-                    num = start_i + i
-                    if kind == b"n" and num not in self.xref:
-                        if not eoff.isdigit():
-                            raise PdfFormatError("bad xref offset")
-                        self.xref[num] = int(eoff)
-                    elif kind not in (b"n", b"f"):
-                        raise PdfFormatError("bad xref entry kind")
-            trailer = lex.parse_object()
-            if not isinstance(trailer, dict):
-                raise PdfFormatError("trailer is not a dict")
-            for k, v in trailer.items():
-                self.trailer.setdefault(k, v)
-            prev = trailer.get("Prev")
+            lex = _Lexer(d, max(0, off))
+            if lex.peek_token() == b"xref":
+                prev = self._parse_classic_section(lex)
+            else:
+                prev = self._parse_xref_stream(off)
             if prev is None:
                 break
             if not isinstance(prev, int):
@@ -291,6 +337,106 @@ class _Document:
             off = prev
         if len(self.xref) > _MAX_OBJECTS:
             raise PdfFormatError("object count exceeds cap")
+
+    def _parse_classic_section(self, lex: _Lexer):
+        """One classic xref table + trailer at lex's position; newest
+        section wins, so entries setdefault. Returns /Prev or None."""
+        if lex.next_token() != b"xref":
+            raise PdfFormatError("classic xref table expected")
+        entries: list[tuple[int, tuple]] = []
+        while True:
+            t = lex.peek_token()
+            if t == b"trailer":
+                lex.next_token()
+                break
+            start = lex.next_token()
+            count = lex.next_token()
+            if not (start.isdigit() and count.isdigit()):
+                raise PdfFormatError("bad xref subsection header")
+            start_i, count_i = int(start), int(count)
+            if count_i > _MAX_OBJECTS:
+                raise PdfFormatError("xref subsection exceeds cap")
+            for i in range(count_i):
+                eoff = lex.next_token()
+                lex.next_token()          # generation
+                kind = lex.next_token()
+                if kind == b"n":
+                    if not eoff.isdigit():
+                        raise PdfFormatError("bad xref offset")
+                    entries.append((start_i + i,
+                                    (_XREF_TOPLEVEL, int(eoff))))
+                elif kind != b"f":
+                    raise PdfFormatError("bad xref entry kind")
+        trailer = lex.parse_object()
+        if not isinstance(trailer, dict):
+            raise PdfFormatError("trailer is not a dict")
+        # hybrid file (7.5.8.4): the /XRefStm holds the entries a 1.4
+        # parser can't see; within this update level it takes precedence
+        # over the classic table, so apply it FIRST (both setdefault)
+        xstm = trailer.get("XRefStm")
+        if xstm is not None:
+            if not isinstance(xstm, int):
+                raise PdfFormatError("bad /XRefStm")
+            self._parse_xref_stream(xstm)
+        for num, entry in entries:
+            self.xref.setdefault(num, entry)
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        return trailer.get("Prev")
+
+    def _parse_xref_stream(self, off: int):
+        """A /Type /XRef cross-reference stream (7.5.8, PDF >= 1.5): W
+        field widths, /Index subsection ranges, type-2 entries pointing
+        into object streams. Returns /Prev or None."""
+        num, obj = self._parse_toplevel_at(off, None)
+        if not isinstance(obj, dict) or "__stream__" not in obj:
+            raise PdfFormatError("xref stream expected")
+        if obj.get("Type") != "XRef":
+            raise PdfFormatError("xref stream missing /Type /XRef")
+        size = obj.get("Size")
+        if not isinstance(size, int) or size < 0 or size > _MAX_OBJECTS:
+            raise PdfFormatError("bad xref stream /Size")
+        w = obj.get("W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
+            raise PdfFormatError("bad xref stream /W")
+        w0, w1, w2 = w
+        index = obj.get("Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) and x >= 0 for x in index)):
+            raise PdfFormatError("bad xref stream /Index")
+        data = obj["__stream__"]
+        rowlen = w0 + w1 + w2
+        if rowlen == 0:
+            raise PdfFormatError("zero-width xref stream rows")
+        pos = 0
+        for si in range(0, len(index), 2):
+            start, count = index[si], index[si + 1]
+            if count > _MAX_OBJECTS:
+                raise PdfFormatError("xref stream subsection exceeds cap")
+            for i in range(count):
+                row = data[pos:pos + rowlen]
+                if len(row) < rowlen:
+                    raise PdfFormatError("xref stream data truncated")
+                pos += rowlen
+                typ = (int.from_bytes(row[:w0], "big") if w0 else 1)
+                f2 = int.from_bytes(row[w0:w0 + w1], "big")
+                f3 = int.from_bytes(row[w0 + w1:], "big")
+                onum = start + i
+                if typ == 1:
+                    self.xref.setdefault(onum, (_XREF_TOPLEVEL, f2))
+                elif typ == 2:
+                    self.xref.setdefault(onum, (_XREF_IN_OBJSTM, f2, f3))
+                elif typ != 0:
+                    # 7.5.8.3: unknown types refer to the null object —
+                    # skipped, not an error (forward compatibility)
+                    pass
+        for k, v in obj.items():
+            if k != "__stream__":
+                self.trailer.setdefault(k, v)
+        return obj.get("Prev")
+
+    # -- object access -----------------------------------------------------
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, Ref):
@@ -301,13 +447,29 @@ class _Document:
         return v
 
     def get_object(self, num: int):
-        off = self.xref.get(num)
-        if off is None or off < 0 or off >= len(self.d):
+        entry = self.xref.get(num)
+        if entry is None:
             raise PdfFormatError(f"object {num} not in xref")
+        if entry[0] == _XREF_IN_OBJSTM:
+            return self._objstm_object(entry[1], entry[2], num)
+        off = entry[1]
+        _, obj = self._parse_toplevel_at(off, num)
+        return obj
+
+    def _parse_toplevel_at(self, off: int, want: int | None):
+        """Parse `num gen obj ... [stream]` at a byte offset; returns
+        (num, obj) with filters applied to any stream body. `want` pins
+        the expected object number (None while bootstrapping the xref
+        chain, when numbers aren't known yet)."""
+        if not isinstance(off, int) or off < 0 or off >= len(self.d):
+            raise PdfFormatError(f"object offset {off!r} out of range")
         lex = _Lexer(self.d, off)
         t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
-        if t3 != b"obj" or not t1.isdigit() or int(t1) != num:
-            raise PdfFormatError(f"object header mismatch for {num}")
+        if t3 != b"obj" or not t1.isdigit() or not t2.isdigit():
+            raise PdfFormatError(f"object header expected at {off}")
+        num = int(t1)
+        if want is not None and num != want:
+            raise PdfFormatError(f"object header mismatch for {want}")
         obj = lex.parse_object()
         lex._skip_ws()
         if self.d[lex.p:lex.p + 6] == b"stream":
@@ -323,21 +485,67 @@ class _Document:
                 raise PdfFormatError("bad stream /Length")
             if p + length > len(self.d):
                 raise PdfFormatError("stream overruns file")
-            raw = self.d[p:p + length]
-            filt = self.resolve(obj.get("Filter"))
-            if filt == "FlateDecode" or (
-                    isinstance(filt, list) and filt == ["FlateDecode"]):
-                try:
-                    dec = zlib.decompressobj()
-                    raw = dec.decompress(raw, _MAX_STREAM)
-                    if dec.unconsumed_tail:
-                        raise PdfFormatError("stream inflate exceeds cap")
-                except zlib.error as e:
-                    raise PdfFormatError(f"bad FlateDecode stream: {e}") from e
-            elif filt is not None:
-                raise PdfFormatError(f"unsupported filter {filt}")
-            obj["__stream__"] = raw
-        return obj
+            obj["__stream__"] = self._apply_filters(obj,
+                                                    self.d[p:p + length])
+        return num, obj
+
+    def _apply_filters(self, obj: dict, raw: bytes) -> bytes:
+        filt = self.resolve(obj.get("Filter"))
+        if filt is None:
+            return raw
+        parms = self.resolve(obj.get("DecodeParms", obj.get("DP")))
+        filters = filt if isinstance(filt, list) else [filt]
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for i, f in enumerate(filters):
+            f = self.resolve(f)
+            if f != "FlateDecode":
+                raise PdfFormatError(f"unsupported filter {f}")
+            raw = _inflate(raw)
+            p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            if isinstance(p, dict):
+                raw = _unpredict(raw, p)
+            elif p is not None:
+                raise PdfFormatError("bad /DecodeParms")
+        return raw
+
+    def _objstm_object(self, stm_num: int, idx: int, num: int):
+        """Fetch a type-2 (compressed) object out of a /Type /ObjStm
+        (7.5.7). The stream parses once per document and caches its
+        (objnum, offset) directory."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            entry = self.xref.get(stm_num)
+            if entry is None or entry[0] != _XREF_TOPLEVEL:
+                # an ObjStm carries a stream, so it can never itself
+                # live inside another object stream (7.5.7)
+                raise PdfFormatError(f"object stream {stm_num} not "
+                                     "top-level")
+            _, stm = self._parse_toplevel_at(entry[1], stm_num)
+            if (not isinstance(stm, dict) or stm.get("Type") != "ObjStm"
+                    or "__stream__" not in stm):
+                raise PdfFormatError(f"object {stm_num} is not an ObjStm")
+            n = stm.get("N")
+            first = stm.get("First")
+            if (not isinstance(n, int) or not isinstance(first, int)
+                    or n < 0 or n > _MAX_OBJECTS or first < 0):
+                raise PdfFormatError("bad ObjStm /N or /First")
+            data = stm["__stream__"]
+            hdr = _Lexer(data, 0)
+            pairs: list[tuple[int, int]] = []
+            for _ in range(n):
+                tn, to = hdr.next_token(), hdr.next_token()
+                if not (tn.isdigit() and to.isdigit()):
+                    raise PdfFormatError("bad ObjStm directory")
+                pairs.append((int(tn), int(to)))
+            cached = (pairs, data, first)
+            self._objstm_cache[stm_num] = cached
+        pairs, data, first = cached
+        if idx >= len(pairs) or pairs[idx][0] != num:
+            raise PdfFormatError(f"object {num} not at ObjStm index {idx}")
+        off = first + pairs[idx][1]
+        if off >= len(data):
+            raise PdfFormatError("ObjStm offset out of range")
+        return _Lexer(data, off).parse_object()
 
 
 # --- content-stream text extraction ----------------------------------------------------
@@ -496,16 +704,40 @@ def _escape_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
+def _png_up_predict(rows: list[bytes]) -> bytes:
+    """PNG Up (filter 2) forward-predict fixed-width rows — what real PDF
+    producers emit for xref streams (Predictor 12)."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
 def build_pdf(pages: list[list[str]], *, compress: bool = False,
-              use_tj_array: bool = False) -> bytes:
-    """Build a valid one-generation PDF 1.4: one content stream per page;
+              use_tj_array: bool = False, xref_stream: bool = False,
+              use_objstm: bool = False) -> bytes:
+    """Build a valid one-generation PDF: one content stream per page;
     each page is a list of text lines (rendered with Td line moves).
 
     ``compress`` FlateDecodes the content streams; ``use_tj_array`` shows
     each line via a kerned TJ array instead of Tj (split mid-line, with a
     numeric kern element the extractor must skip).
+
+    ``xref_stream`` writes a PDF 1.5 cross-reference STREAM (W [1 2 2],
+    FlateDecode + PNG Up Predictor 12 — the layout the majority of
+    real-world PDFs use) instead of a classic table. ``use_objstm``
+    additionally packs every non-stream object (catalog, page tree, font,
+    page dicts) into a /Type /ObjStm object stream referenced by type-2
+    entries; it implies ``xref_stream`` since classic tables cannot
+    express compressed objects.
     """
+    if use_objstm:
+        xref_stream = True
     objects: dict[int, bytes] = {}
+    in_objstm: set[int] = set()
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page
     # (4+2i page, 5+2i content)
@@ -514,6 +746,8 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
     objects[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                   ).encode()
     objects[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if use_objstm:
+        in_objstm.update((1, 2, 3))
     for i, lines in enumerate(pages):
         page_num, content_num = 4 + 2 * i, 5 + 2 * i
         parts = [b"BT /F1 12 Tf 72 720 Td"]
@@ -540,18 +774,64 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {content_num} 0 R >>").encode()
+        if use_objstm:
+            in_objstm.add(page_num)       # page dicts pack; streams can't
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    version = b"1.5" if xref_stream else b"1.4"
+    out = bytearray(b"%PDF-" + version + b"\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
+    objstm_pos: dict[int, int] = {}       # obj num -> index inside ObjStm
+    objstm_num = max(objects) + 1
     for num in sorted(objects):
+        if num in in_objstm:
+            continue
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    if use_objstm:
+        packed = sorted(in_objstm)
+        hdr_parts, bodies, boff = [], [], 0
+        for num in packed:
+            hdr_parts.append(f"{num} {boff}")
+            bodies.append(objects[num])
+            boff += len(objects[num]) + 1
+        header = (" ".join(hdr_parts)).encode() + b"\n"
+        stm_data = zlib.compress(header + b"\n".join(bodies) + b"\n")
+        offsets[objstm_num] = len(out)
+        out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+                f"/First {len(header)} /Length {len(stm_data)} "
+                f"/Filter /FlateDecode >>\n").encode()
+        out += b"stream\n" + stm_data + b"\nendstream\nendobj\n"
+        objstm_pos = {num: i for i, num in enumerate(packed)}
+
+    if not xref_stream:
+        xref_off = len(out)
+        n_obj = max(objects) + 1
+        out += f"xref\n0 {n_obj}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_obj):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+                f"startxref\n{xref_off}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # PDF 1.5 cross-reference stream: W [1 4 2], PNG Up predictor
+    xref_num = (objstm_num + 1) if use_objstm else max(objects) + 1
     xref_off = len(out)
-    n_obj = max(objects) + 1
-    out += f"xref\n0 {n_obj}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_obj):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
-            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    size = xref_num + 1
+    rows = [bytes([0, 0, 0, 0, 0, 0xFF, 0xFF])]    # object 0: free
+    for num in range(1, size):
+        if num in objstm_pos:
+            rows.append(bytes([2]) + objstm_num.to_bytes(4, "big")
+                        + objstm_pos[num].to_bytes(2, "big"))
+        else:
+            off = xref_off if num == xref_num else offsets[num]
+            rows.append(bytes([1]) + off.to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    xdata = zlib.compress(_png_up_predict(rows))
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+            f"/Index [0 {size}] /Root 1 0 R /Length {len(xdata)} "
+            f"/Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> >>\n").encode()
+    out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)

@@ -544,9 +544,11 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM (SELECT unnest(range(1 + doc_id % 3)) AS p) t))
                AS INT) AS n_chars
        FROM documents""",
-    doc="PDF text extraction: per-doc 1-3 page PDFs (classic xref, page "
-        "tree, FlateDecode on odd ids, kerned TJ arrays on ids%4>=2, "
-        "parens/backslash/percent in the text) parsed via the REAL object "
+    doc="PDF text extraction: per-doc 1-3 page PDFs cycling all THREE "
+        "xref layouts (classic table / PDF-1.5 xref stream with PNG-Up "
+        "predictor / xref stream + ObjStm-packed dictionaries), "
+        "FlateDecode on odd ids, kerned TJ arrays on ids%4>=2, "
+        "parens/backslash/percent in the text, parsed via the REAL object "
         "graph and content-stream tokenizer — page count and the exact "
         "extracted string rebuilt closed-form in SQL",
     tags=("text", "crawl", "formats"),
@@ -577,7 +579,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for p in range(1 + i % 3)
                 ]
                 blob = build_pdf(pages, compress=bool(i % 2),
-                                 use_tj_array=(i % 4 >= 2))
+                                 use_tj_array=(i % 4 >= 2),
+                                 xref_stream=(i % 3 == 1),
+                                 use_objstm=(i % 3 == 2))
                 r = extract_pdf_text(blob)
                 n_pages_out.append(r["n_pages"])
                 texts.append(r["text"])

@@ -213,3 +213,203 @@ def test_pdf_hex_string_shown():
         4: b"<< /Length 17 >>\nstream\nBT <414243> Tj ET\nendstream",
     }
     assert extract_pdf_text(_minimal_pdf(objs))["text"] == "ABC"
+
+
+# --- PDF >= 1.5: cross-reference streams + object streams (r7) --------------------
+
+
+def _xref_stream_pdf(objects: dict[int, bytes], *, w=(1, 4, 2),
+                     predictor=12, index=None, extra_rows=(),
+                     root: int = 1, prev: int | None = None,
+                     body_prefix: bytes = b"%PDF-1.5\n") -> bytes:
+    """Assemble a PDF whose xref is a cross-reference STREAM, with
+    controllable /W widths, predictor, and /Index subsections — the
+    layouts the builder twin never varies."""
+    out = bytearray(body_prefix)
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_num = max(objects) + 1
+    xref_off = len(out)
+    size = xref_num + 1
+    w0, w1, w2 = w
+
+    def row(typ, f2, f3):
+        return ((typ.to_bytes(w0, "big") if w0 else b"")
+                + f2.to_bytes(w1, "big") + f3.to_bytes(w2, "big"))
+
+    rows = [row(0, 0, 0xFF if w2 else 0)]
+    for num in range(1, size):
+        off = xref_off if num == xref_num else offsets[num]
+        rows.append(row(1, off, 0))
+    rows.extend(extra_rows)
+    stride = w0 + w1 + w2
+    if predictor == 12:
+        data = bytearray()
+        prev_row = bytes(stride)
+        for r in rows:
+            data.append(2)
+            data += bytes((r[i] - prev_row[i]) & 0xFF
+                          for i in range(stride))
+            prev_row = r
+        parms = f" /DecodeParms << /Predictor 12 /Columns {stride} >>"
+    elif predictor == 2:
+        data = bytearray()
+        for r in rows:
+            d = bytearray(r)
+            for i in range(stride - 1, 0, -1):
+                d[i] = (d[i] - d[i - 1]) & 0xFF
+            data += d
+        parms = f" /DecodeParms << /Predictor 2 /Columns {stride} >>"
+    else:
+        data = bytearray(b"".join(rows))
+        parms = ""
+    xdata = zlib.compress(bytes(data))
+    idx = index if index is not None else [0, size]
+    idx_s = " ".join(str(v) for v in idx)
+    prev_s = f" /Prev {prev}" if prev is not None else ""
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+            f"/W [{w0} {w1} {w2}] /Index [{idx_s}] /Root {root} 0 R"
+            f"{prev_s} /Length {len(xdata)} /Filter /FlateDecode"
+            f"{parms} >>\n").encode()
+    out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+_SIMPLE_OBJS = {
+    1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    4: b"<< /Length 15 >>\nstream\nBT (txt) Tj ET\nendstream",
+}
+
+
+@settings(max_examples=10, deadline=None)
+@given(n_pages=st.integers(1, 4), compress=st.booleans(),
+       tj=st.booleans(), layout=st.sampled_from(["classic", "xref", "objstm"]))
+def test_pdf_all_layouts_roundtrip(n_pages, compress, tj, layout):
+    """The three xref layouts (classic table, xref stream, xref stream +
+    ObjStm-packed dictionaries) must extract identical text."""
+    pages = [[f"page {p} (line) one", f"p{p} \\ two 50%"]
+             for p in range(n_pages)]
+    blob = build_pdf(pages, compress=compress, use_tj_array=tj,
+                     xref_stream=(layout != "classic"),
+                     use_objstm=(layout == "objstm"))
+    want = "\n".join(f"page {p} (line) one\np{p} \\ two 50%"
+                     for p in range(n_pages))
+    assert extract_pdf_text(blob) == {"n_pages": n_pages, "text": want}
+
+
+def test_pdf_xref_stream_w0_zero_defaults_type1():
+    """7.5.8.2: W[0] == 0 means the type field is absent and defaults
+    to 1 — every row is then (offset, gen)."""
+    blob = _xref_stream_pdf(_SIMPLE_OBJS, w=(0, 4, 2), predictor=1)
+    assert extract_pdf_text(blob)["text"] == "txt"
+
+
+def test_pdf_xref_stream_predictors():
+    """Predictor 1 (none), 2 (TIFF horizontal) and 12 (PNG Up) all
+    reconstruct the same table."""
+    for pred in (1, 2, 12):
+        blob = _xref_stream_pdf(_SIMPLE_OBJS, predictor=pred)
+        assert extract_pdf_text(blob)["text"] == "txt", pred
+
+
+def test_pdf_xref_stream_multi_subsection_index():
+    """/Index with several (start, count) ranges and an unknown row type
+    (> 2, forward-compat: treated as null, skipped)."""
+    # rows: obj0 free, objs 1..5 per _xref_stream_pdf, one extra row in
+    # a second subsection claiming object 7 with unknown type 5
+    blob = _xref_stream_pdf(
+        _SIMPLE_OBJS, predictor=12,
+        index=[0, 6, 7, 1],
+        extra_rows=[bytes([5]) + (0).to_bytes(4, "big")
+                    + (0).to_bytes(2, "big")])
+    assert extract_pdf_text(blob)["text"] == "txt"
+
+
+def test_pdf_hybrid_xrefstm_takes_precedence():
+    """7.5.8.4 hybrid file: a classic table whose trailer carries
+    /XRefStm; the stream's entries override the classic ones at the same
+    update level (the stream points at the NEW object 4)."""
+    base = _minimal_pdf(_SIMPLE_OBJS)
+    out = bytearray(base)
+    # append a new object 4 and an xref STREAM covering only it
+    new4_off = len(out)
+    out += (b"4 0 obj\n<< /Length 15 >>\nstream\nBT (new) Tj ET"
+            b"\nendstream\nendobj\n")
+    xs_num, xs_off = 9, len(out)
+    row = bytes([1]) + new4_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(row)
+    out += (f"{xs_num} 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] "
+            f"/Index [4 1] /Root 1 0 R /Length {len(xdata)} "
+            f"/Filter /FlateDecode >>\n").encode()
+    out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    # classic table at the SAME level listing the OLD object 4, trailer
+    # pointing at the xref stream via /XRefStm
+    old4 = int(base[base.find(b"xref\n"):].split(b"\n")[5].split()[0])
+    xref2 = len(out)
+    out += (b"xref\n4 1\n" + f"{old4:010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 10 /Root 1 0 R /XRefStm "
+            + str(xs_off).encode() + b" /Prev "
+            + str(int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+                  ).encode()
+            + b" >>\nstartxref\n" + str(xref2).encode() + b"\n%%EOF\n")
+    assert extract_pdf_text(bytes(out))["text"] == "new"
+
+
+def test_pdf_xref_stream_prev_chains_to_classic():
+    """An incremental update whose NEW xref is a stream and whose /Prev
+    points at the original classic table — the mixed chain real updaters
+    produce."""
+    base = _minimal_pdf(_SIMPLE_OBJS)
+    old_xref = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    out = bytearray(base)
+    new4_off = len(out)
+    out += (b"4 0 obj\n<< /Length 15 >>\nstream\nBT (upd) Tj ET"
+            b"\nendstream\nendobj\n")
+    xs_num, xs_off = 9, len(out)
+    rows = bytes([1]) + new4_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(rows)
+    out += (f"{xs_num} 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] "
+            f"/Index [4 1] /Root 1 0 R /Prev {old_xref} "
+            f"/Length {len(xdata)} /Filter /FlateDecode >>\n").encode()
+    out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xs_off}\n%%EOF\n".encode()
+    assert extract_pdf_text(bytes(out))["text"] == "upd"
+
+
+def test_pdf_objstm_faults_are_format_errors():
+    """ObjStm corruption: directory index mismatches, non-ObjStm targets
+    and bad /N all become PdfFormatError rows."""
+    blob = bytearray(build_pdf([["abc"]], use_objstm=True))
+    # flip the /Type /ObjStm name so the type check fires
+    i = blob.find(b"/ObjStm")
+    blob[i:i + 7] = b"/ObjStX"
+    with pytest.raises(PdfFormatError):
+        extract_pdf_text(bytes(blob))
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(5, 23),
+       layout=st.sampled_from(["xref", "objstm"]))
+def test_pdf_xref_stream_fuzz_stays_format_error(seed, step, layout):
+    """Truncation/byte-flip totality over the NEW structures: xref
+    streams, predictors, ObjStm directories — PdfFormatError or a
+    decode, never a foreign exception."""
+    rnd = random.Random(seed)
+    blob = build_pdf([["abc (x) y", "z 50%"]], compress=True,
+                     xref_stream=True, use_objstm=(layout == "objstm"))
+    for cut in range(4, len(blob), step):
+        try:
+            extract_pdf_text(blob[:cut])
+        except PdfFormatError:
+            pass
+    for i in range(4, len(blob), step):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) + blob[i + 1:]
+        try:
+            extract_pdf_text(bad)
+        except PdfFormatError:
+            pass
