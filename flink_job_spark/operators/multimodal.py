@@ -133,6 +133,18 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
                 except Exception:
                     pass
             return None, None, f"bad jpeg: {e}"
+    if (bytes(payload[:4]) == b"RIFF"
+            and bytes(payload[8:12]) == b"WEBP"
+            and bytes(payload[12:16]) == b"VP8L"):
+        # lossless WebP: dims parse natively (functions/webp.py, r7);
+        # lossy VP8 / extended VP8X fall through to the adapter block
+        from flink_job_spark.functions.webp import (WebpFormatError,
+                                                    webp_meta)
+        try:
+            w, h, _alpha, _variant = webp_meta(bytes(payload))
+            return int(w), int(h), None
+        except WebpFormatError as e:
+            return None, None, f"bad webp: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
     # remaining real formats (HEIC/WebP/...): capability check — use the
@@ -763,6 +775,21 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_ico(payload)
         except (IcoFormatError, structmod.error, zlib.error) as e:
             raise ImageDecodeError("ico", e) from e
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from flink_job_spark.functions.webp import (WebpFormatError,
+                                                    decode_webp_lossless)
+        if payload[12:16] == b"VP8L":
+            # lossless WebP decodes natively (functions/webp.py, r7);
+            # lossy VP8 / extended VP8X stay on the adapter below
+            try:
+                return decode_webp_lossless(payload)
+            except (WebpFormatError, structmod.error) as e:
+                raise ImageDecodeError("webp", e) from e
+        got = _try_pillow(payload)
+        if got is not None:
+            return got
+        raise ImageDecodeError("webp", "lossy/extended WebP needs a codec "
+                               "library (Pillow), not installed")
     if payload[:2] == b"\xff\xd8":
         from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
         try:

@@ -1275,6 +1275,80 @@ def q_media_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_luma")
 
 
+# --- q_media_webp_stats: VP8L lossless WebP, exact roundtrip oracle -------------
+#
+# The highest-volume crawl image format after JPEG/PNG, decoded natively
+# since r7 (functions/webp.py). Lossless coding is EXACT, so arbitrary
+# deterministic RGBA content roundtrips byte-for-byte; docs rotate
+# through six encoder configurations (plain / each of the 14 predictor
+# modes / subtract-green / color transform / color cache / stacked) so
+# one wrong inverse transform or cache slot hash-mismatches at corpus
+# scale while the decoded pixels — and hence the oracle — stay identical.
+
+WEBP_W_MOD, WEBP_H_MOD = 12, 9
+
+@register(
+    "q_media_webp_stats",
+    f"""SELECT doc_id AS media_id,
+               CAST(5 + doc_id % {WEBP_W_MOD} AS INT) AS width,
+               CAST(4 + doc_id % {WEBP_H_MOD} AS INT) AS height,
+               CAST(4 AS INT) AS channels,
+               round((SELECT SUM((doc_id * 37 + t.k * 11) % 256)
+                      FROM (SELECT unnest(range(
+                                4 * (5 + doc_id % {WEBP_W_MOD})
+                                  * (4 + doc_id % {WEBP_H_MOD}))) AS k) t)
+                     / (4.0 * (5 + doc_id % {WEBP_W_MOD})
+                            * (4 + doc_id % {WEBP_H_MOD})), 6) AS mean_luma
+        FROM documents""",
+    doc="WebP lossless (VP8L): per-doc RGBA rasters encode through six "
+        "rotating transform stacks (predictor modes 0-13, color "
+        "transform, subtract-green, color cache, combinations) and "
+        "decode natively — lossless is EXACT, so the oracle rebuilds the "
+        "mean of arbitrary deterministic content closed-form",
+    tags=("multimodal", "webp"),
+)
+def q_media_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only codec key: Arrow-batched encode→decode over doc_id, zero
+    shuffle — WebP bytes ride the binaryFile partitioning at 100 TB, and
+    the per-row decode cost is the scalable shape."""
+    import pandas as pd
+
+    from flink_job_spark.functions.webp import encode_webp_lossless
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 5 + i % WEBP_W_MOD, 4 + i % WEBP_H_MOD
+                px = bytes((i * 37 + k * 11) % 256
+                           for k in range(4 * w * h))
+                cfg = i % 6
+                kw = {}
+                if cfg == 1:
+                    kw["predictor"] = i % 14
+                elif cfg == 2:
+                    kw["subtract_green"] = True
+                elif cfg == 3:
+                    kw["color_transform"] = ((i * 3) % 256, (i * 5) % 256,
+                                             (i * 7) % 256)
+                elif cfg == 4:
+                    kw["cache_bits"] = 1 + i % 9
+                elif cfg == 5:
+                    kw.update(predictor=i % 14, subtract_green=True,
+                              cache_bits=4)
+                payloads.append(encode_webp_lossless(w, h, px, 4, **kw))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/webp", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return decode_pixel_stats(media).select(
+        "media_id", "width", "height", "channels", "mean_luma")
+
+
 # --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
 #
 # Smooth per-channel gradients with partial edge blocks exercise the parts

@@ -885,8 +885,12 @@ def test_adapter_absence_keeps_documented_boundary():
     from flink_job_spark.operators.multimodal import (ImageDecodeError,
                                                       _decode_any_image)
 
-    with pytest.raises(ImageDecodeError, match="not a decodable image"):
+    # lossy WebP gets a TAGGED boundary error since r7 (VP8L decodes
+    # natively; only VP8/VP8X remain on the adapter)
+    with pytest.raises(ImageDecodeError, match="lossy/extended WebP"):
         _decode_any_image(b"RIFFxxxxWEBPVP8 ....")
+    with pytest.raises(ImageDecodeError, match="not a decodable image"):
+        _decode_any_image(b"\x89XYZ not an image")
 
 
 def test_video_adapter_stream_math_pure():

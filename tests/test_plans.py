@@ -1778,6 +1778,17 @@ def test_round6_keys_are_map_only(spark, sf_dir):
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
 
 
+def test_round7_keys_are_map_only(spark, sf_dir):
+    """r7 codec keys stay pure map stages: VP8L WebP and MKV metadata
+    ride the binaryFile partitioning at 100 TB; an Exchange is a
+    regression."""
+    for name in ["q_media_webp_stats"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
+        assert read_schema_columns(p) == {"doc_id"}, (name, p)
+
+
 def test_gopher_rules_tokenizes_once(spark, sf_dir):
     """r6 regression pin: the five Gopher signals share ONE words() alias
     in a staged projection. If CollapseProject ever inlines the non-cheap

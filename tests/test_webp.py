@@ -1,0 +1,331 @@
+"""VP8L WebP lossless (functions/webp.py — r7): exact roundtrip across
+all transforms, the derived distance map vs the published table, the
+decoder-only paths (meta prefix groups, simple 2-symbol codes), and
+corruption totality."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_job_spark.functions.webp import (
+    _DIST_MAP,
+    WebpFormatError,
+    decode_webp_lossless,
+    encode_webp_lossless,
+    webp_meta,
+)
+
+
+def _rgba_of(pixels: bytes, ch: int) -> bytes:
+    out = bytearray()
+    for i in range(len(pixels) // ch):
+        out += pixels[ch * i:ch * i + 3]
+        out.append(pixels[ch * i + 3] if ch == 4 else 255)
+    return bytes(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(dims=st.tuples(st.integers(1, 24), st.integers(1, 18)),
+       seed=st.integers(0, 2**31), channels=st.sampled_from([3, 4]),
+       predictor=st.one_of(st.none(), st.integers(0, 13)),
+       subg=st.booleans(), cache=st.sampled_from([0, 3, 7]),
+       ct=st.booleans())
+def test_webp_lossless_roundtrip_exact(dims, seed, channels, predictor,
+                                       subg, cache, ct):
+    """Lossless means EXACT: decode(encode(px)) recovers every sample,
+    under any stack of predictor (all 14 modes), color transform,
+    subtract-green and color cache."""
+    w, h = dims
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    blob = encode_webp_lossless(
+        w, h, px, channels, predictor=predictor, subtract_green=subg,
+        cache_bits=cache,
+        color_transform=(rnd.randrange(256), rnd.randrange(256),
+                         rnd.randrange(256)) if ct else None)
+    gw, gh, gc, out = decode_webp_lossless(blob)
+    assert (gw, gh, gc) == (w, h, 4)
+    assert out == _rgba_of(px, channels)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ncol=st.sampled_from([2, 3, 4, 5, 16, 17, 256]),
+       dims=st.tuples(st.integers(1, 30), st.integers(1, 12)),
+       seed=st.integers(0, 2**31))
+def test_webp_palette_roundtrip_all_bundlings(ncol, dims, seed):
+    """Color indexing at every pixel-bundling level (8/4/2/1 px per
+    byte) — indices pack into the green channel sub-byte."""
+    w, h = dims
+    rnd = random.Random(seed)
+    cols = [bytes((rnd.randrange(256), rnd.randrange(256),
+                   rnd.randrange(256))) for _ in range(ncol)]
+    px = b"".join(cols[rnd.randrange(ncol)] for _ in range(w * h))
+    blob = encode_webp_lossless(w, h, px, 3, palette=True)
+    gw, gh, gc, out = decode_webp_lossless(blob)
+    assert (gw, gh, gc) == (w, h, 4)
+    assert out == _rgba_of(px, 3)
+
+
+def test_webp_lz77_roundtrip_with_overlapping_copies():
+    """dist-1 runs are OVERLAPPING copies (source still being written)
+    and dist-w copies the row above — both must reproduce exactly."""
+    w, h = 40, 21
+    row = b"".join(bytes(((x // 9) * 31 % 256,) * 3) for x in range(w))
+    px = row * h
+    for cache in (0, 5):
+        blob = encode_webp_lossless(w, h, px, 3, lz77=True,
+                                    cache_bits=cache)
+        assert decode_webp_lossless(blob)[3] == _rgba_of(px, 3)
+        # LZ77 must actually compress the runs, or the test is vacuous
+        assert len(blob) < w * h
+
+
+def test_webp_distance_map_matches_published_table():
+    """The derived code-to-plane map must equal the published table.
+    Pin: the first 66 entries of libwebp's code_to_plane lut (encoding
+    (dy << 4) | (8 - dx)), plus global shape properties."""
+    lut = [0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+           0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+           0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+           0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+           0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+           0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+           0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c]
+    want = [(8 - (v & 0xF), v >> 4) for v in lut]
+    assert _DIST_MAP[:len(want)] == want
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+    sq = [x * x + y * y for x, y in _DIST_MAP]
+    assert sq == sorted(sq)                     # distance-ordered
+    assert all(y > 0 or x > 0 for x, y in _DIST_MAP)   # causal
+
+
+def test_webp_meta_prefix_groups_decode():
+    """Decoder-only path the fixture encoder never emits: meta prefix
+    groups. Hand-built stream — a 4x2 image whose meta image (block
+    bits 2 -> one 1x1 meta block... use 2 blocks via bits=2 on width 8)
+    routes left/right halves to two different groups."""
+    from flink_job_spark.functions.webp import (_BitsW, _uniform_lengths,
+                                                _canonical_code_map,
+                                                _write_code_lengths, _rev)
+
+    w, h = 8, 2
+    bw = _BitsW()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                       # no transforms
+    bw.write(0, 1)                       # no color cache
+    bw.write(1, 1)                       # USE meta prefix groups
+    bw.write(0, 3)                       # meta bits = 2 -> blocks of 4
+    # meta image: 2x1 pixels, group index in (red<<8)|green: 0 and 1
+    bw.write(0, 1)                       # meta image: no cache
+    g_len = _uniform_lengths(280)
+    c_len = _uniform_lengths(256)
+    g_map = _canonical_code_map(g_len)
+    c_map = _canonical_code_map(c_len)
+
+    def wsym(m, s):
+        code, nb = m[s]
+        bw.write(_rev(code, nb), nb)
+
+    def wcode_set():
+        _write_code_lengths(bw, g_len)
+        for _ in range(3):
+            _write_code_lengths(bw, c_len)
+        bw.write(1, 1)                   # distance: simple, 1 symbol
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+
+    def wliteral(a, r, g, b):
+        wsym(g_map, g)
+        wsym(c_map, r)
+        wsym(c_map, b)
+        wsym(c_map, a)
+
+    wcode_set()                          # codes for the meta image itself
+    wliteral(0, 0, 0, 0)                 # meta pixel 0 -> group 0
+    wliteral(0, 0, 1, 0)                 # meta pixel 1 -> group 1
+    wcode_set()                          # group 0
+    wcode_set()                          # group 1
+    for y in range(h):
+        for x in range(w):
+            wliteral(255, x * 10, y * 20 + 5, x + y)
+    payload = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    gw, gh, gc, out = decode_webp_lossless(blob)
+    assert (gw, gh, gc) == (w, h, 4)
+    for y in range(h):
+        for x in range(w):
+            i = 4 * (y * w + x)
+            assert out[i:i + 4] == bytes([x * 10, y * 20 + 5, x + y, 255])
+
+
+def test_webp_simple_two_symbol_code():
+    """Decoder-only path: the 'simple' prefix code with 2 symbols and an
+    8-bit first symbol."""
+    from flink_job_spark.functions.webp import _BitsW
+
+    w, h = 4, 1
+    bw = _BitsW()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                       # no transforms
+    bw.write(0, 1)                       # no cache
+    bw.write(0, 1)                       # no meta
+
+    def simple2(s0, s1):                 # 2 symbols, 8-bit first
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(s0, 8)
+        bw.write(s1, 8)
+
+    def simple1(s0):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(s0, 8)
+
+    simple2(5, 200)                      # green
+    simple1(7)                           # red
+    simple1(9)                           # blue
+    simple1(255)                         # alpha
+    simple1(0)                           # distance (unused)
+    # greens: 5, 200, 200, 5 -> canonical 1-bit codes: 5 -> 0, 200 -> 1
+    for bit in (0, 1, 1, 0):
+        bw.write(bit, 1)
+    payload = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    _, _, _, out = decode_webp_lossless(blob)
+    assert out == bytes([7, 5, 9, 255, 7, 200, 9, 255,
+                         7, 200, 9, 255, 7, 5, 9, 255])
+
+
+def test_webp_meta_and_rejections():
+    px = bytes(range(48)) * 2
+    blob = encode_webp_lossless(8, 4, px, 3)
+    assert webp_meta(blob) == (8, 4, False, "VP8L")
+    with pytest.raises(WebpFormatError, match="RIFF"):
+        webp_meta(b"not a webp")
+    # lossy VP8 routes to the adapter, not the native decoder
+    lossy = bytearray(blob)
+    lossy[12:16] = b"VP8 "
+    assert webp_meta(bytes(lossy))[3] == "VP8"
+    with pytest.raises(WebpFormatError, match="lossless"):
+        decode_webp_lossless(bytes(lossy))
+    # version != 0 rejected
+    bad = bytearray(blob)
+    bad[24] |= 0xE0
+    with pytest.raises(WebpFormatError, match="version"):
+        decode_webp_lossless(bytes(bad))
+    with pytest.raises(WebpFormatError, match="dims"):
+        encode_webp_lossless(0, 4, b"", 3)
+    with pytest.raises(WebpFormatError, match="palette"):
+        encode_webp_lossless(2, 2, bytes(12), 3, palette=True,
+                             subtract_green=True)
+
+
+def test_webp_pixel_cap():
+    """A VP8L header claiming huge dims is rejected before any pixel
+    loop runs (work-bomb cap, same policy as the other codecs)."""
+    blob = bytearray(encode_webp_lossless(4, 4, bytes(48), 3))
+    bits = 0x2F | ((16384 - 1) << 8) | ((16384 - 1) << 22)
+    blob[20:25] = bits.to_bytes(5, "little")
+    with pytest.raises(WebpFormatError, match="cap|dims"):
+        decode_webp_lossless(bytes(blob))
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(3, 17))
+def test_webp_fuzz_stays_format_error(seed, step):
+    """Truncation/byte-flip totality: WebpFormatError or a decode,
+    never a foreign exception."""
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(10 * 8 * 3))
+    blob = encode_webp_lossless(10, 8, px, 3, predictor=rnd.randrange(14),
+                                cache_bits=4)
+    for cut in range(2, len(blob), step):
+        try:
+            decode_webp_lossless(blob[:cut])
+        except WebpFormatError:
+            pass
+    for i in range(2, len(blob), step):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) + blob[i + 1:]
+        try:
+            decode_webp_lossless(bad)
+        except WebpFormatError:
+            pass
+
+
+def test_webp_cross_validates_against_pillow_when_available():
+    """CAPABILITY-GATED (skips in this sandbox): on hosts with a
+    WebP-enabled Pillow, our VP8L encoding must decode identically
+    through libwebp — external validation that the bitstream is real."""
+    from flink_job_spark.functions.codec_adapters import pillow_available
+
+    if not pillow_available():
+        pytest.skip("no Pillow on this host")
+    import io
+
+    import PIL.Image
+
+    rnd = random.Random(3)
+    px = bytes(rnd.randrange(256) for _ in range(20 * 12 * 3))
+    blob = encode_webp_lossless(20, 12, px, 3, predictor=11,
+                                subtract_green=False, cache_bits=5)
+    try:
+        im = PIL.Image.open(io.BytesIO(blob))
+        lib_px = im.convert("RGB").tobytes()
+    except Exception:
+        pytest.skip("host Pillow lacks WebP support")
+    assert lib_px == px
+
+
+def test_webp_shared_dispatch_integration():
+    """The ONE magic dispatch (operators/multimodal.py) routes VP8L to
+    the native decoder; corrupt VP8L and lossy VP8 (no Pillow here)
+    degrade to tagged ImageDecodeError — errors stay data. The metadata
+    path parses VP8L dims natively."""
+    from flink_job_spark.operators.multimodal import (ImageDecodeError,
+                                                      _decode_any_image,
+                                                      _decode_image_bytes)
+
+    px = bytes((7 * k) % 256 for k in range(6 * 5 * 3))
+    blob = encode_webp_lossless(6, 5, px, 3, subtract_green=True)
+    w, h, ch, out = _decode_any_image(blob)
+    assert (w, h, ch) == (6, 5, 4)
+    assert _decode_image_bytes(blob) == (6, 5, None)
+
+    corrupt = blob[:30] + bytes([blob[30] ^ 0xFF]) + blob[31:]
+    try:
+        _decode_any_image(corrupt)
+    except ImageDecodeError as e:
+        assert e.fmt == "webp"
+
+    lossy = bytearray(blob)
+    lossy[12:16] = b"VP8 "
+    from flink_job_spark.functions.codec_adapters import pillow_available
+    if not pillow_available():
+        with pytest.raises(ImageDecodeError, match="webp"):
+            _decode_any_image(bytes(lossy))
