@@ -2035,6 +2035,124 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
 
 
+# --- q_media_mkv_meta: EBML (MKV/WebM) walk triage, value-exact oracle ---------
+#
+# The EBML twin of the MP4 key (functions/mkv.py, r7): DocType, exact
+# integer duration (float units x TimestampScale ns, integral by fixture
+# construction), track inventory, first-video dims + codec id, first-
+# audio rate/channels. Fixtures rotate float32/float64 durations,
+# known/UNKNOWN segment sizes (the all-ones VINT live muxers write) and
+# trailing Cluster payloads, so one mis-read VINT width or scope overrun
+# hash-mismatches. Frame decode (VP9/AV1) stays the ffmpeg-adapter
+# boundary; the header walk is what a 100 TB triage pass actually runs.
+
+@register(
+    "q_media_mkv_meta",
+    """SELECT doc_id AS media_id,
+              CASE doc_id % 2 WHEN 0 THEN 'matroska' ELSE 'webm' END
+                AS doc_type,
+              CAST((500 + doc_id % 997) * (1 + doc_id % 3) AS BIGINT)
+                AS duration_ms,
+              CAST(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END
+                   + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                AS n_tracks,
+              CASE WHEN doc_id % 4 <> 3
+                   THEN CAST(16 * (5 + doc_id % 9) AS INT) END AS vid_w,
+              CASE WHEN doc_id % 4 <> 3
+                   THEN CAST(16 * (3 + doc_id % 7) AS INT) END AS vid_h,
+              CASE WHEN doc_id % 4 <> 3 THEN
+                CASE doc_id % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_AV1'
+                  ELSE 'V_MPEG4/ISO/AVC' END END AS video_codec,
+              CASE WHEN doc_id % 2 = 0
+                   THEN CAST(8000 * (1 + doc_id % 5) AS INT) END
+                AS audio_hz,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 8 AS INT) END
+                AS audio_channels,
+              doc_id % 2 = 0 AS has_audio,
+              doc_id % 4 <> 3 AS has_video
+       FROM documents""",
+    doc="MKV/WebM EBML walk triage: per-doc real EBML trees (header "
+        "DocType, Segment/Info TimestampScale + float Duration, Tracks "
+        "with video dims/codec and audio rate/channels, Cluster skipped "
+        "by size) parsed in mapInPandas — float32/float64 durations, "
+        "known and unknown (all-ones VINT) segment sizes both parse; "
+        "frame decode stays the documented codec-library boundary",
+    tags=("multimodal", "video", "mkv"),
+)
+def q_media_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header walk only — one Arrow-batched map stage over doc_id, zero
+    shuffle; at 100 TB the read touches EBML header bytes, never the
+    Cluster payload (skips ride the size fields)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.mkv import build_mkv, mkv_meta
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("vid_w", T.IntegerType()),
+        T.StructField("vid_h", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_hz", T.IntegerType()),
+        T.StructField("audio_channels", T.IntegerType()),
+        T.StructField("has_audio", T.BooleanType()),
+        T.StructField("has_video", T.BooleanType()),
+    ])
+    VCODECS = ("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")
+    ACODECS = ("A_OPUS", "A_VORBIS", "A_AAC")
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {f.name: [] for f in schema.fields[1:]}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                video = ((16 * (5 + i % 9), 16 * (3 + i % 7), VCODECS[i % 3])
+                         if i % 4 != 3 else None)
+                audio = ((8000 * (1 + i % 5), 1 + i % 8, ACODECS[i % 3])
+                         if i % 2 == 0 else None)
+                data = build_mkv(
+                    "matroska" if i % 2 == 0 else "webm",
+                    timestamp_scale=1_000_000 * (1 + i % 3),
+                    duration_units=float(500 + i % 997),
+                    video=video, audio=audio,
+                    float32_duration=(i % 7 == 0),
+                    unknown_segment_size=(i % 5 == 0),
+                    cluster_bytes=i % 50)
+                m = mkv_meta(data)
+                cols["doc_type"].append(m["doc_type"])
+                cols["duration_ms"].append(m["duration_ms"])
+                cols["n_tracks"].append(m["n_tracks"])
+                cols["vid_w"].append(m["vid_w"])
+                cols["vid_h"].append(m["vid_h"])
+                cols["video_codec"].append(m["video_codec"])
+                cols["audio_hz"].append(
+                    int(m["audio_hz"]) if m["audio_hz"] is not None
+                    else None)
+                cols["audio_channels"].append(m["audio_channels"])
+                cols["has_audio"].append(m["has_audio"])
+                cols["has_video"].append(m["has_video"])
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "doc_type": cols["doc_type"],
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "n_tracks": pd.array(cols["n_tracks"], dtype="Int32"),
+                "vid_w": pd.array(cols["vid_w"], dtype="Int32"),
+                "vid_h": pd.array(cols["vid_h"], dtype="Int32"),
+                "video_codec": cols["video_codec"],
+                "audio_hz": pd.array(cols["audio_hz"], dtype="Int32"),
+                "audio_channels": pd.array(cols["audio_channels"],
+                                           dtype="Int32"),
+                "has_audio": cols["has_audio"],
+                "has_video": cols["has_video"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
 # --- q_media_flac_meta: FLAC STREAMINFO triage, value-exact oracle -------------
 #
 # r5 wave 5: the lossless-archive format's STREAMINFO bitfield (20-bit

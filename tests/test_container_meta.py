@@ -345,3 +345,97 @@ def test_xml_dtd_guard_not_bypassable_by_leading_comments():
                   b'<urlset><url><loc>http://x/&a;</loc></url></urlset>')
     with pytest.raises(SitemapFormatError, match="DTD"):
         parse_sitemap(smap)
+
+
+# --- MKV / WebM EBML walk (functions/mkv.py — r7) ----------------------------
+
+
+def test_mkv_roundtrip_full_inventory():
+    from flink_job_spark.functions.mkv import build_mkv, mkv_meta
+
+    b = build_mkv("webm", 1_000_000, 5000.0,
+                  video=(1920, 1080, "V_VP9"), audio=(48000, 2, "A_OPUS"),
+                  cluster_bytes=500)
+    m = mkv_meta(b)
+    assert m["doc_type"] == "webm"
+    assert m["duration_ms"] == 5000
+    assert m["n_tracks"] == 2
+    assert (m["vid_w"], m["vid_h"], m["video_codec"]) == (1920, 1080,
+                                                          "V_VP9")
+    assert (m["audio_hz"], m["audio_channels"]) == (48000.0, 2)
+    assert m["has_audio"] and m["has_video"]
+
+
+def test_mkv_unknown_segment_size_and_float32():
+    """Live-muxed layout: Segment size is the all-ones VINT (extends to
+    EOF); 4-byte float durations parse; non-default TimestampScale
+    scales the integer duration exactly."""
+    from flink_job_spark.functions.mkv import build_mkv, mkv_meta
+
+    b = build_mkv("matroska", 2_000_000, 1234.0,
+                  video=(640, 360, "V_AV1"), float32_duration=True,
+                  unknown_segment_size=True, cluster_bytes=64)
+    m = mkv_meta(b)
+    assert m["duration_ms"] == 2468
+    assert m["video_codec"] == "V_AV1"
+    assert m["n_tracks"] == 1 and not m["has_audio"]
+
+
+def test_mkv_minimal_and_rejections():
+    import pytest
+
+    from flink_job_spark.functions.mkv import (MkvFormatError, build_mkv,
+                                               mkv_meta)
+
+    m = mkv_meta(build_mkv("matroska"))
+    assert m["duration_ms"] is None and m["n_tracks"] == 0
+
+    with pytest.raises(MkvFormatError, match="EBML"):
+        mkv_meta(b"not an ebml file")
+    # unknown size on a non-Segment element is a structure error
+    b = bytearray(build_mkv("webm", duration_units=10.0))
+    i = b.find(bytes.fromhex("1549A966"))         # Info element
+    b[i + 4] = 0xFF                               # its size -> unknown
+    with pytest.raises(MkvFormatError, match="unknown size"):
+        mkv_meta(bytes(b))
+
+
+def test_mkv_depth_bomb_guard():
+    """Deep nesting of recursive elements trips the depth cap before
+    any quadratic walk."""
+    import pytest
+
+    from flink_job_spark.functions.mkv import (MkvFormatError, _el,
+                                               mkv_meta)
+
+    inner = b""
+    for _ in range(40):                           # Video inside Video...
+        inner = _el(0xE0, inner)
+    blob = (_el(0x1A45DFA3, _el(0x4282, b"matroska"))
+            + _el(0x18538067, _el(0x1654AE6B, _el(0xAE, inner))))
+    with pytest.raises(MkvFormatError, match="depth"):
+        mkv_meta(blob)
+
+
+def test_mkv_fuzz_stays_format_error():
+    """Truncation/byte-flip totality over EBML: MkvFormatError or a
+    parse, never a foreign exception."""
+    import random
+
+    from flink_job_spark.functions.mkv import (MkvFormatError, build_mkv,
+                                               mkv_meta)
+
+    rnd = random.Random(11)
+    blob = build_mkv("webm", 3_000_000, 777.0, video=(320, 240, "V_VP8"),
+                     audio=(44100, 1, "A_VORBIS"), cluster_bytes=33)
+    for cut in range(1, len(blob)):
+        try:
+            mkv_meta(blob[:cut])
+        except MkvFormatError:
+            pass
+    for i in range(len(blob)):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) + blob[i + 1:]
+        try:
+            mkv_meta(bad)
+        except MkvFormatError:
+            pass
