@@ -175,6 +175,43 @@ PIXEL_STATS_SCHEMA = T.StructType([
 ])
 
 
+def cached_media_df(spark, sf_dir: str, key: str, build,
+                    version_sources: tuple) -> DataFrame:
+    """Disk-cached fixture media (VERDICT r6 #4): the heavy media keys
+    spent most bench wall-time re-ENCODING fixture blobs every run, so
+    the bench measured fixture synthesis, not decode. The generator's
+    MEDIA_SCHEMA rows are written once to a parquet cache and re-read on
+    later runs; the decode stage — the thing the key actually measures —
+    always runs live.
+
+    Cache key = (query key, sf-dir basename + documents.parquet size,
+    md5 of the generator sources): any edit to the encode closure or the
+    codec modules it uses invalidates the cache, so results are
+    byte-identical to a fresh generation by construction. Location:
+    $SPARK_GRAFT_MEDIA_CACHE (default /tmp/spark_graft_media_cache —
+    never the read-only testdata dir). `build` is a thunk returning the
+    MEDIA_SCHEMA DataFrame."""
+    import hashlib
+    import inspect
+    import os
+
+    h = hashlib.md5()
+    for src in version_sources:
+        h.update(inspect.getsource(src).encode())
+    try:
+        docs = os.path.join(sf_dir, "documents.parquet")
+        h.update(str(os.stat(docs).st_size).encode())
+    except OSError:
+        pass
+    base = os.environ.get("SPARK_GRAFT_MEDIA_CACHE",
+                          "/tmp/spark_graft_media_cache")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(base, f"{key}-{tag}-{h.hexdigest()[:12]}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL byte-level decode distributed over mapInPandas: inflate + unfilter
     PNG payloads and emit per-image pixel statistics (mean sample value).

@@ -771,9 +771,17 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "video",
                                 "mime": "video/x-msvideo", "payload": payloads})
 
+    import flink_job_spark.functions.avi as avi_mod
+    import flink_job_spark.functions.jpeg as jpeg_mod
+    from flink_job_spark.operators.multimodal import cached_media_df
+
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
-    stats = video_frame_stats(media, sample=(0, 500, 999))
+    media = cached_media_df(
+        spark, sf_dir, "q_media_mjpeg_frames",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, avi_mod, jpeg_mod))
+    stats = video_frame_stats(media.select("media_id", "payload"),
+                              sample=(0, 500, 999))
     return stats.select("media_id", "width", "height", "n_frames",
                         "duration_ms", "mean_luma")
 
@@ -1566,9 +1574,15 @@ def q_media_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
                                 "mime": "image/jpeg", "payload": payloads})
 
+    import flink_job_spark.functions.jpeg as jpeg_mod
+    from flink_job_spark.operators.multimodal import cached_media_df
+
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
-    stats = decode_pixel_stats(media)
+    media = cached_media_df(
+        spark, sf_dir, "q_media_jpeg_prog_stats",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, jpeg_mod))
+    stats = decode_pixel_stats(media.select("media_id", "payload"))
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
 
@@ -1641,9 +1655,15 @@ def q_media_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
                                 "mime": "image/jpeg", "payload": payloads})
 
+    import flink_job_spark.functions.jpeg as jpeg_mod
+    from flink_job_spark.operators.multimodal import cached_media_df
+
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
-    stats = decode_pixel_stats(media)
+    media = cached_media_df(
+        spark, sf_dir, "q_media_jpeg_cmyk_stats",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, jpeg_mod))
+    stats = decode_pixel_stats(media.select("media_id", "payload"))
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
 

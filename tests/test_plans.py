@@ -1684,7 +1684,10 @@ def test_media_jpeg_prog_stats_no_shuffle(spark, sf_dir):
     p = plan(all_queries()["q_media_jpeg_prog_stats"].fn(spark, sf_dir))
     assert "Exchange" not in p, f"jpeg prog plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
-    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+    # r7 fixture cache: the scan reads cached media blobs (pruned to the
+    # decode inputs), so the bench measures DECODE, not fixture synthesis
+    assert read_schema_columns(p) == {"media_id", "payload"}, \
+        read_schema_columns(p)
 
 
 def test_media_jpeg_cmyk_stats_no_shuffle(spark, sf_dir):
@@ -1694,7 +1697,8 @@ def test_media_jpeg_cmyk_stats_no_shuffle(spark, sf_dir):
     p = plan(all_queries()["q_media_jpeg_cmyk_stats"].fn(spark, sf_dir))
     assert "Exchange" not in p, f"jpeg cmyk plan shuffles:\n{p}"
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
-    assert read_schema_columns(p) == {"doc_id"}, read_schema_columns(p)
+    assert read_schema_columns(p) == {"media_id", "payload"}, \
+        read_schema_columns(p)     # r7 fixture cache, column-pruned
 
 
 def test_media_jpeg_420_stats_no_shuffle(spark, sf_dir):
