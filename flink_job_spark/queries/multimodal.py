@@ -102,21 +102,35 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_media_features: bytes → fixed-dim feature vector (rows-only) ---------------
+# --- q_media_features: bytes → feature vector, invariant certificate (r7) ---------
 
 @register(
     "q_media_features",
-    None,  # sha256 over constructed payload bytes is not SQL-reproducible
-    doc="payload bytes → fixed-dim float feature via Arrow-batched mapInPandas "
-        "(deterministic stand-in for an encoder model; rows-only check)",
+    """SELECT doc_id AS media_id, CAST(16 AS INT) AS feat_dim,
+              TRUE AS in_unit_range, TRUE AS nondegenerate
+       FROM documents""",
+    doc="payload bytes → fixed-dim float feature via Arrow-batched "
+        "mapInPandas (deterministic stand-in for an encoder model); "
+        "INVARIANT certificate (r7): dimension, every component in "
+        "[0, 1], and a nondegeneracy floor (>= dim/4 distinct values) "
+        "— booleans the DuckDB oracle pins TRUE, so a collapsed or "
+        "out-of-range feature vector hash-mismatches",
     tags=("multimodal",),
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256-derived components are not SQL-reproducible, so the OUTPUT
+    is the invariant certificate; the extractor still runs per row."""
+    from flink_job_spark.operators.multimodal import EMBED_DIM
+
     feats = extract_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
         F.size("feature").cast("int").alias("feat_dim"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.aggregate("feature", F.lit(True),
+                    lambda acc, x: acc & (x >= 0.0) & (x <= 1.0))
+         .alias("in_unit_range"),
+        (F.size(F.array_distinct("feature")) >= EMBED_DIM // 4)
+         .alias("nondegenerate"),
     )
 
 

@@ -4,9 +4,10 @@ HLL++ (approx_count_distinct) and KLL-style quantile sketches
 (approx_percentile) are the constant-memory aggregates a 100 TB pipeline uses
 where exact distinct/percentile would need a full shuffle of distinct values.
 Sketch estimates are engine-specific (DuckDB's approx_* uses different
-internals), so these keys are registered rows-only — but each query returns
-the EXACT value next to the estimate plus the relative error, making every
-row self-evidencing; tests assert the error bounds.
+internals), so since r7 each key emits the EXACT twin plus a BOUNDED-VALUE
+certificate boolean (estimate within 3x rsd / 3% / the sketch's published
+rank epsilon) that the DuckDB oracle pins TRUE — the keys hash-check like
+every other key, and a silently-wrong estimate flips the boolean.
 """
 
 from __future__ import annotations
@@ -24,47 +25,88 @@ HLL_RSD = 0.02  # target relative standard deviation for approx_count_distinct
 
 @register(
     "q_approx_distinct",
-    None,  # HLL sketch estimates are engine-specific — rows-only, self-evidencing
-    doc="HLL++ approximate distinct users per event_type, exact twin + relative "
-        "error inline (constant-memory vs full distinct shuffle)",
+    """SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+              TRUE AS within_3rsd
+       FROM events GROUP BY event_type""",
+    doc="HLL++ approximate distinct users per event_type with a BOUNDED-"
+        "VALUE certificate (r7): the estimate must sit within 3x the "
+        "requested rsd of the exact twin, emitted as a boolean the DuckDB "
+        "oracle pins TRUE — a silently-wrong estimate hash-mismatches "
+        "(constant-memory vs full distinct shuffle)",
     tags=("sketch", "agg"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate itself is engine-specific (HLL internals differ from
+    DuckDB's), so the OUTPUT is the exact twin + the certificate; the
+    sketch still runs — a wrong estimate flips the boolean. Observed
+    max rel_err 0.004 at sf0.1 against the 0.06 bound."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_distinct"),
-            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_distinct"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("est"),
         )
         .select(
-            "event_type", "exact_distinct", "approx_distinct",
-            (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-             / F.col("exact_distinct")).alias("rel_err"),
+            "event_type",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (F.abs(F.col("est") - F.col("exact_distinct"))
+             <= 3 * HLL_RSD * F.col("exact_distinct")).alias("within_3rsd"),
         )
     )
+
+
+QUANT_ACC = 10_000            # approx_percentile accuracy → rank ε = 1/ACC
 
 
 @register(
     "q_approx_quantiles",
-    None,  # quantile sketches are engine-specific — rows-only, self-evidencing
-    doc="approx_percentile sketch of event values (p50/p95/p99) with exact "
-        "percentile twins and absolute errors inline",
+    """SELECT CAST(COUNT(value) AS BIGINT) AS n,
+              TRUE AS p50_in_bounds, TRUE AS p95_in_bounds,
+              TRUE AS p99_in_bounds
+       FROM events""",
+    doc="approx_percentile sketch (p50/p95/p99) with a RANK-ERROR "
+        "certificate (r7): each returned value's exact rank must sit "
+        "within 2x the sketch's published epsilon (1/accuracy) of the "
+        "target quantile — booleans the DuckDB oracle pins TRUE, so a "
+        "silently-wrong sketch hash-mismatches",
     tags=("sketch", "agg"),
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes: the sketch agg, then a rank-verification scan counting
+    values <=/< each estimate (broadcast of the 1-row estimate frame —
+    the 100 TB shape: no extra shuffle, the certificate rides a map-side
+    count). Rank guarantee: count(<= q_hat) >= (phi - eps)n and
+    count(< q_hat) <= (phi + eps)n, checked at 2x eps for margin."""
     e = load_table(spark, sf_dir, "events")
-    agg = e.agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("ap"),
-        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("ep"),
+    est = e.agg(
+        F.expr(f"approx_percentile(value, array(0.5, 0.95, 0.99), "
+               f"{QUANT_ACC})").alias("ap"),
+        F.count("value").cast("long").alias("n"),
+    ).select(F.col("ap")[0].alias("q50"), F.col("ap")[1].alias("q95"),
+             F.col("ap")[2].alias("q99"), "n")
+    eps = 2.0 / QUANT_ACC
+    j = e.select("value").crossJoin(F.broadcast(est))
+    ranks = j.agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("value") <= F.col("q50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("q50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("q95")).cast("long")).alias("le95"),
+        F.sum((F.col("value") < F.col("q95")).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("q99")).cast("long")).alias("le99"),
+        F.sum((F.col("value") < F.col("q99")).cast("long")).alias("lt99"),
     )
-    return agg.select(
-        F.col("ap")[0].alias("approx_p50"), F.col("ep")[0].alias("exact_p50"),
-        F.col("ap")[1].alias("approx_p95"), F.col("ep")[1].alias("exact_p95"),
-        F.col("ap")[2].alias("approx_p99"), F.col("ep")[2].alias("exact_p99"),
-        (F.abs(F.col("ap")[0] - F.col("ep")[0])).alias("err_p50"),
-        (F.abs(F.col("ap")[1] - F.col("ep")[1])).alias("err_p95"),
-        (F.abs(F.col("ap")[2] - F.col("ep")[2])).alias("err_p99"),
+
+    def in_bounds(le, lt, phi):
+        return ((F.col(le) >= (phi - eps) * F.col("n"))
+                & (F.col(lt) <= (phi + eps) * F.col("n")))
+
+    return ranks.select(
+        F.col("n").cast("long").alias("n"),
+        in_bounds("le50", "lt50", 0.5).alias("p50_in_bounds"),
+        in_bounds("le95", "lt95", 0.95).alias("p95_in_bounds"),
+        in_bounds("le99", "lt99", 0.99).alias("p99_in_bounds"),
     )
 
 
@@ -84,11 +126,21 @@ def iso_week_key(day_col: str):
 
 @register(
     "q_sketch_rollup",
-    None,  # sketch binaries/estimates are engine-specific — rows-only, self-evidencing
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+                  WHERE ts IS NOT NULL),
+            wk AS (SELECT CAST(isoyear(day) * 100 + weekofyear(day)
+                               AS BIGINT) AS week, day, user_id FROM d)
+       SELECT week,
+              CAST(COUNT(DISTINCT day) AS BIGINT) AS n_day_sketches,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS within_3pct
+       FROM wk GROUP BY week""",
     doc="mergeable-sketch rollup: per-day Datasketches HLL states unioned "
         "into a weekly distinct-user estimate WITHOUT re-touching the raw "
         "events — the pre-aggregation pattern that makes 100 TB dashboards "
-        "incremental; exact weekly distinct + relative error ride inline",
+        "incremental; BOUNDED-VALUE certificate (r7): the union estimate "
+        "must sit within 3% of the exact weekly distinct (lgK=14 → ~0.8% "
+        "rsd), a boolean the DuckDB oracle pins TRUE",
     tags=("sketch", "agg", "incremental"),
 )
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,9 +173,9 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         weekly.join(exact, "week")
-              .select("week", "n_day_sketches", "exact_users", "approx_users",
+              .select("week", "n_day_sketches", "exact_users",
                       (F.abs(F.col("approx_users") - F.col("exact_users"))
-                       / F.col("exact_users")).alias("rel_err"))
+                       <= 0.03 * F.col("exact_users")).alias("within_3pct"))
     )
 
 

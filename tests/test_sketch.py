@@ -1,4 +1,5 @@
-"""Sketch operators: the inline exact twins bound the estimation error."""
+"""Sketch operators: the bounded-value certificates (r7) must hold —
+each key's boolean is also pinned TRUE by its DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -10,15 +11,15 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert r["exact_distinct"] > 0
-        # HLL++ at rsd=0.02: allow 3 sigma
-        assert r["rel_err"] <= 0.06, r
+        # HLL++ at rsd=0.02: the certificate allows 3 sigma
+        assert r["within_3rsd"], r
 
 
 def test_approx_quantiles_error_bound(spark, sf_dir):
     r = all_queries()["q_approx_quantiles"].fn(spark, sf_dir).first()
-    spread = r["exact_p99"] - r["exact_p50"]
+    assert r["n"] > 0
     for p in ("p50", "p95", "p99"):
-        assert r[f"err_{p}"] <= max(0.05 * spread, 1e-9), r
+        assert r[f"{p}_in_bounds"], r
 
 
 def test_sketch_rollup_union_error_bound(spark, sf_dir):
@@ -30,4 +31,4 @@ def test_sketch_rollup_union_error_bound(spark, sf_dir):
     assert rows, "no weeks produced"
     for r in rows:
         assert r["n_day_sketches"] >= 1
-        assert r["rel_err"] < 0.05, (r["week"], r["rel_err"])
+        assert r["within_3pct"], r
