@@ -57,18 +57,63 @@ def words_duck(col: str = "text") -> str:
 # --- word k-shingles ----------------------------------------------------------
 # k consecutive words joined by ' '; fewer than k words → single shingle of all
 # words (degenerate but non-empty, keeps downstream set ops total).
+#
+# CJK bigram merge (r7): per-codepoint tokens make shingle units LOW-ENTROPY
+# for no-space scripts — shingling characters is like shingling English
+# letters, so unrelated CJK docs share far too many shingles and LSH
+# precision collapses (ADVICE r6 #6; codepoint bigrams are the standard
+# practice for Chinese dedup). Before shingling, runs of no-space-script
+# codepoints merge into OVERLAPPING BIGRAMS (run "abcd" → ab bc cd; a lone
+# codepoint stays itself); space-script words and `words()`-based counts
+# are untouched. Both engine twins apply the identical merge.
+
+_NS_TOKEN_RE = f"^[{_NOSPACE_RANGES}]"
+
+
+def shingle_tokens(words_col: str) -> str:
+    """Spark SQL sub-expression: `words_col` with runs of no-space-script
+    codepoint tokens merged into overlapping bigrams. try_element_at is
+    1-based and NULL out of bounds (ANSI-safe), mirroring DuckDB list
+    indexing."""
+    w = words_col
+    return (
+        f"filter(transform(sequence(1, size({w})), i -> "
+        f"CASE WHEN NOT try_element_at({w}, i) RLIKE '{_NS_TOKEN_RE}' "
+        f"THEN try_element_at({w}, i) "
+        f"WHEN try_element_at({w}, i + 1) RLIKE '{_NS_TOKEN_RE}' "
+        f"THEN concat(try_element_at({w}, i), try_element_at({w}, i + 1)) "
+        f"WHEN i > 1 AND try_element_at({w}, i - 1) RLIKE '{_NS_TOKEN_RE}' "
+        f"THEN CAST(NULL AS STRING) ELSE try_element_at({w}, i) END), "
+        f"x -> x IS NOT NULL)"
+    )
+
+
+def shingle_tokens_duck(words_sql: str) -> str:
+    w = words_sql
+    return (
+        f"list_filter(list_transform(range(1, len({w}) + 1), i -> "
+        f"CASE WHEN NOT regexp_matches({w}[i], '{_NS_TOKEN_RE}') "
+        f"THEN {w}[i] "
+        f"WHEN regexp_matches({w}[i + 1], '{_NS_TOKEN_RE}') "
+        f"THEN concat({w}[i], {w}[i + 1]) "
+        f"WHEN i > 1 AND regexp_matches({w}[i - 1], '{_NS_TOKEN_RE}') "
+        f"THEN NULL ELSE {w}[i] END), x -> x IS NOT NULL)"
+    )
+
 
 def word_shingles(words_col: str, k: int = 3) -> Column:
+    s = shingle_tokens(words_col)
     return F.expr(
-        f"transform(sequence(1, greatest(size({words_col}) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({words_col}, i, {k})))"
+        f"transform(sequence(1, greatest(size({s}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({s}, i, {k})))"
     )
 
 
 def word_shingles_duck(words_sql: str, k: int = 3) -> str:
+    s = shingle_tokens_duck(words_sql)
     return (
-        f"list_transform(range(1, greatest(len({words_sql}) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice({words_sql}, i, i + {k - 1}), ' '))"
+        f"list_transform(range(1, greatest(len({s}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({s}, i, i + {k - 1}), ' '))"
     )
 
 
