@@ -16,10 +16,15 @@ over bytes — ``startxref`` → xref (classic tables, PDF >= 1.5 xref
 STREAMS with /W field widths + /Index subsections + FlateDecode
 predictors 1/2/10-15, hybrid ``/XRefStm`` trailers, mixed /Prev chains)
 → trailer ``/Root`` → catalog → ``/Pages`` tree walk (recursive
-``/Kids``) → per-page ``/Contents`` (single ref or array), FlateDecode
-when ``/Filter`` says so, type-2 entries unpacked from /Type /ObjStm
-object streams (directory cached per document), indirect
-``/Length`` resolution, then a content-stream tokenizer that understands
+``/Kids``, /Resources inherited per 7.7.3.4) → per-page ``/Contents``
+(single ref or array), the filter set real corpora carry (FlateDecode,
+legacy LZWDecode with /EarlyChange 0/1, ASCII85/ASCIIHex transport,
+RunLengthDecode, chains of them, abbreviated names), type-2 entries
+unpacked from /Type /ObjStm object streams (directory cached per
+document), indirect ``/Length`` resolution, /ToUnicode CMaps for
+subset-font text recovery (codespace/bfchar/bfrange, UTF-16BE incl.
+surrogate pairs; fonts without one keep latin-1), then a
+content-stream tokenizer that understands
 ``BT``/``ET`` blocks and the text-showing operators ``Tj``, ``'``, ``"``
 and ``TJ`` (kerning numbers skipped), with ``Td``/``TD``/``T*``/``'``/``"``
 emitting line breaks. String syntax per spec: balanced parens, ``\\``
@@ -249,6 +254,156 @@ def _inflate(raw: bytes) -> bytes:
         return out
     except zlib.error as e:
         raise PdfFormatError(f"bad FlateDecode stream: {e}") from e
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode (7.4.2): hex pairs, whitespace ignored, `>` ends
+    the stream, an odd trailing digit implies a 0."""
+    digits = []
+    for b in raw:
+        c = chr(b)
+        if c == ">":
+            break
+        if b in _WS:
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise PdfFormatError(f"bad ASCIIHex digit {c!r}")
+        digits.append(c)
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes(int("".join(digits[i:i + 2]), 16)
+                 for i in range(0, len(digits), 2))
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode (7.4.3): 5 chars base-85 → 4 bytes, 'z' → 4 zero
+    bytes (only between groups), `~>` terminates, a partial final group
+    of n chars yields n-1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        i += 1
+        if b in _WS:
+            continue
+        if b == 0x7E:                             # ~ (expect >)
+            break
+        if b == 0x7A:                             # z
+            if group:
+                raise PdfFormatError("'z' inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:                 # ! .. u
+            raise PdfFormatError(f"bad ASCII85 byte {b:#x}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise PdfFormatError("ASCII85 group overflows")
+            out += v.to_bytes(4, "big")
+            group = []
+        if len(out) > _MAX_STREAM:
+            raise PdfFormatError("ASCII85 output exceeds cap")
+    if group:
+        if len(group) == 1:
+            raise PdfFormatError("lone trailing ASCII85 char")
+        k = len(group)
+        for d in group:
+            if d > 84:
+                raise PdfFormatError("bad ASCII85 digit")
+        v = 0
+        for j in range(5):
+            v = v * 85 + (group[j] if j < k else 84)
+        if v > 0xFFFFFFFF:
+            raise PdfFormatError("ASCII85 group overflows")
+        out += v.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (7.4.5): tag 0-127 copies tag+1 literals, tag
+    129-255 repeats the next byte 257-tag times, tag 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        tag = raw[i]
+        i += 1
+        if tag == 128:
+            break
+        if tag < 128:
+            if i + tag + 1 > n:
+                raise PdfFormatError("RunLength literal run truncated")
+            out += raw[i:i + tag + 1]
+            i += tag + 1
+        else:
+            if i >= n:
+                raise PdfFormatError("RunLength repeat truncated")
+            out += bytes([raw[i]]) * (257 - tag)
+            i += 1
+        if len(out) > _MAX_STREAM:
+            raise PdfFormatError("RunLength output exceeds cap")
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int) -> bytes:
+    """LZWDecode (7.4.4): MSB-first 9..12-bit codes, clear=256, EOD=257
+    (the TIFF variant tiff.py implements, but without a known output
+    length — PDF streams end at EOD). /EarlyChange 1 (default) widens
+    one code early; 0 widens exactly at table capacity."""
+    out = bytearray()
+    pos = bitbuf = bitlen = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, bitbuf, bitlen
+        while bitlen < width:
+            if pos >= len(data):
+                raise PdfFormatError("LZW stream truncated")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitlen += 8
+        bitlen -= width
+        return (bitbuf >> bitlen) & ((1 << width) - 1)
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([b]) for b in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        code = get(width)
+        if code == 257:                           # EOD
+            break
+        if code == 256:                           # clear table
+            reset()
+            continue
+        if prev is None:
+            if code >= 256:
+                raise PdfFormatError("LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise PdfFormatError("LZW code out of range")
+        if len(table) + early_change == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        if len(out) > _MAX_STREAM:
+            raise PdfFormatError("LZW output exceeds cap")
+        prev = entry
+    return bytes(out)
 
 
 def _unpredict(data: bytes, parms: dict) -> bytes:
@@ -498,14 +653,27 @@ class _Document:
         parms_list = parms if isinstance(parms, list) else [parms]
         for i, f in enumerate(filters):
             f = self.resolve(f)
-            if f != "FlateDecode":
-                raise PdfFormatError(f"unsupported filter {f}")
-            raw = _inflate(raw)
             p = self.resolve(parms_list[i]) if i < len(parms_list) else None
-            if isinstance(p, dict):
-                raw = _unpredict(raw, p)
-            elif p is not None:
+            if p is not None and not isinstance(p, dict):
                 raise PdfFormatError("bad /DecodeParms")
+            if f in ("FlateDecode", "Fl"):
+                raw = _inflate(raw)
+            elif f in ("LZWDecode", "LZW"):
+                ec = (p or {}).get("EarlyChange", 1)
+                if ec not in (0, 1):
+                    raise PdfFormatError("bad /EarlyChange")
+                raw = _lzw_decode(raw, ec)
+            elif f in ("ASCIIHexDecode", "AHx"):
+                raw = _ascii_hex_decode(raw)
+            elif f in ("ASCII85Decode", "A85"):
+                raw = _ascii85_decode(raw)
+            elif f in ("RunLengthDecode", "RL"):
+                raw = _runlength_decode(raw)
+            else:
+                raise PdfFormatError(f"unsupported filter {f}")
+            if isinstance(p, dict) and f in ("FlateDecode", "Fl",
+                                             "LZWDecode", "LZW"):
+                raw = _unpredict(raw, p)
         return raw
 
     def _objstm_object(self, stm_num: int, idx: int, num: int):
@@ -548,6 +716,125 @@ class _Document:
         return _Lexer(data, off).parse_object()
 
 
+# --- /ToUnicode CMaps (9.10.3) ----------------------------------------------------------
+#
+# Real-world PDFs embed subset fonts whose string bytes are arbitrary
+# glyph codes — without the font's /ToUnicode CMap the extracted "text"
+# is gibberish. Supported: codespace ranges (1- or 2-byte codes),
+# bfchar pairs, bfrange with both increment and array destinations,
+# UTF-16BE destinations (surrogate pairs included). Fonts without a
+# ToUnicode keep the legacy latin-1 byte mapping.
+
+_MAX_CMAP_ENTRIES = 65_536
+
+
+class _ToUnicode:
+    __slots__ = ("width", "chars", "ranges")
+
+    def __init__(self, width: int, chars: dict[int, str],
+                 ranges: list[tuple[int, int, object]]) -> None:
+        self.width = width
+        self.chars = chars
+        self.ranges = ranges
+
+    def decode(self, bs: bytes) -> str:
+        w = self.width
+        out: list[str] = []
+        for i in range(0, len(bs) - w + 1, w):
+            code = int.from_bytes(bs[i:i + w], "big")
+            got = self.chars.get(code)
+            if got is None:
+                for lo, hi, dst in self.ranges:
+                    if lo <= code <= hi:
+                        if isinstance(dst, list):
+                            got = dst[code - lo]
+                        else:                     # increment destination
+                            base, blen = dst
+                            got = _utf16be((base + code - lo)
+                                           .to_bytes(blen, "big"))
+                        break
+            if got is None:                       # unmapped: keep the code
+                got = chr(code) if code < 0x110000 else "�"
+            out.append(got)
+        return "".join(out)
+
+
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError as e:
+        raise PdfFormatError(f"bad UTF-16 in ToUnicode: {e}") from e
+
+
+def _parse_tounicode(data: bytes) -> _ToUnicode:
+    """Parse the CMap program: only the codespace/bfchar/bfrange
+    sections matter; the PostScript scaffolding tokens are skipped."""
+    lex = _Lexer(data)
+    width = 0
+    chars: dict[int, str] = {}
+    ranges: list[tuple[int, int, object]] = []
+    n_entries = 0
+
+    def bump() -> None:
+        nonlocal n_entries
+        n_entries += 1
+        if n_entries > _MAX_CMAP_ENTRIES:
+            raise PdfFormatError("CMap entry count exceeds cap")
+
+    while lex.p < len(data):
+        lex._skip_ws()
+        if lex.p >= len(data):
+            break
+        try:
+            t = lex.next_token()
+        except PdfFormatError:
+            break
+        if t == b"begincodespacerange":
+            while lex.peek_token() != b"endcodespacerange":
+                bump()
+                lo = lex.parse_object()
+                lex.parse_object()        # hi (same width by spec)
+                if not isinstance(lo, bytes) or not 1 <= len(lo) <= 2:
+                    raise PdfFormatError("bad codespace range")
+                width = max(width, len(lo))
+            lex.next_token()
+        elif t == b"beginbfchar":
+            while lex.peek_token() != b"endbfchar":
+                bump()
+                src = lex.parse_object()
+                dst = lex.parse_object()
+                if not isinstance(src, bytes) or not isinstance(dst, bytes):
+                    raise PdfFormatError("bad bfchar pair")
+                width = max(width, len(src))
+                chars[int.from_bytes(src, "big")] = _utf16be(dst)
+            lex.next_token()
+        elif t == b"beginbfrange":
+            while lex.peek_token() != b"endbfrange":
+                bump()
+                lo_b = lex.parse_object()
+                hi_b = lex.parse_object()
+                dst = lex.parse_object()
+                if not isinstance(lo_b, bytes) or not isinstance(hi_b, bytes):
+                    raise PdfFormatError("bad bfrange bounds")
+                width = max(width, len(lo_b))
+                lo = int.from_bytes(lo_b, "big")
+                hi = int.from_bytes(hi_b, "big")
+                if hi < lo or hi - lo >= _MAX_CMAP_ENTRIES:
+                    raise PdfFormatError("bad bfrange extent")
+                if isinstance(dst, bytes):
+                    ranges.append((lo, hi,
+                                   (int.from_bytes(dst, "big"), len(dst))))
+                elif isinstance(dst, list):
+                    if len(dst) != hi - lo + 1 or not all(
+                            isinstance(x, bytes) for x in dst):
+                        raise PdfFormatError("bad bfrange array")
+                    ranges.append((lo, hi, [_utf16be(x) for x in dst]))
+                else:
+                    raise PdfFormatError("bad bfrange destination")
+            lex.next_token()
+    return _ToUnicode(width or 1, chars, ranges)
+
+
 # --- content-stream text extraction ----------------------------------------------------
 
 _SHOW_OPS = (b"Tj", b"'", b'"')
@@ -560,11 +847,13 @@ _NEWLINE_OPS = (b"Td", b"TD", b"T*", b"'", b'"')
 # measured the token-at-a-time walker at 0.4 MB/s; this scanner is the
 # fix). Lookarounds keep operator matches off identifier tails and /Names.
 _CONTENT_RE = re.compile(
-    rb"\(|<<|<|%|(?<![A-Za-z0-9*/])(BT|ET|Tj|TJ|Td|TD|T\*|'|\")"
+    rb"\(|<<|<|%|/|(?<![A-Za-z0-9*/])(BT|ET|Tj|TJ|Td|TD|T\*|'|\"|Tf)"
     rb"(?![A-Za-z0-9*])")
 
 
-def _extract_content_text(content: bytes) -> list[str]:
+def _extract_content_text(content: bytes,
+                          fonts: dict[str, _ToUnicode] | None = None
+                          ) -> list[str]:
     """Walk one content stream; return text chunks (newline markers as
     separate '\\n' entries). Only text inside BT/ET is taken.
 
@@ -574,12 +863,22 @@ def _extract_content_text(content: bytes) -> list[str]:
     between a string and its show op would mis-attribute the string —
     per spec that sequence is invalid, and text extractors tolerate it
     the same way.
+
+    `fonts` maps resource names to /ToUnicode decoders; the Tf operator
+    (tracked via the last-seen /Name) switches the active decoder.
+    Strings under a font with no ToUnicode decode latin-1 as before.
     """
     chunks: list[str] = []
     in_text = False
     pending: list[bytes] = []
+    last_name: str | None = None
+    cur_font: _ToUnicode | None = None
     pos = 0
     n = len(content)
+
+    def text_of(s: bytes) -> str:
+        return cur_font.decode(s) if cur_font else s.decode("latin-1")
+
     while pos < n:
         m = _CONTENT_RE.search(content, pos)
         if m is None:
@@ -605,8 +904,18 @@ def _extract_content_text(content: bytes) -> list[str]:
         elif tok == b"%":
             nl = content.find(b"\n", pos)
             pos = n if nl < 0 else nl + 1
-        else:                             # one of the nine operators
+        elif tok == b"/":
+            nm = _REGULAR_TOKEN_RE.match(content, pos)
+            if nm is not None:
+                last_name = nm.group(0).decode("latin-1")
+                pos = nm.end()
+        else:                             # one of the ten operators
             op = m.group(1)
+            if op == b"Tf":
+                if fonts is not None and last_name is not None:
+                    cur_font = fonts.get(last_name)
+                pending.clear()
+                continue
             if op == b"BT":
                 # a new text object starts a new line: without this,
                 # show ops from adjacent BT blocks (or concatenated
@@ -621,9 +930,9 @@ def _extract_content_text(content: bytes) -> list[str]:
                     chunks.append("\n")
             if in_text and op in _SHOW_OPS:
                 if pending:
-                    chunks.append(pending[-1].decode("latin-1"))
+                    chunks.append(text_of(pending[-1]))
             elif in_text and op == b"TJ":
-                chunks.extend(s.decode("latin-1") for s in pending)
+                chunks.extend(text_of(s) for s in pending)
             pending.clear()
     return chunks
 
@@ -647,10 +956,34 @@ def extract_pdf_text(data: bytes) -> dict:
 
     page_texts: list[str] = []
 
-    def walk(node: dict, depth: int) -> None:
+    def fonts_of(resources) -> dict[str, _ToUnicode]:
+        """Resource /Font entries with a parseable /ToUnicode CMap; a
+        broken CMap degrades that font to the latin-1 fallback (the
+        standard extractor behavior), never an error row."""
+        fonts: dict[str, _ToUnicode] = {}
+        res = doc.resolve(resources)
+        if not isinstance(res, dict):
+            return fonts
+        fdict = doc.resolve(res.get("Font"))
+        if not isinstance(fdict, dict):
+            return fonts
+        for name, fref in fdict.items():
+            f = doc.resolve(fref)
+            if not isinstance(f, dict):
+                continue
+            tu = doc.resolve(f.get("ToUnicode"))
+            if isinstance(tu, dict) and "__stream__" in tu:
+                try:
+                    fonts[name] = _parse_tounicode(tu["__stream__"])
+                except PdfFormatError:
+                    pass
+        return fonts
+
+    def walk(node: dict, depth: int, inherited_res=None) -> None:
         if depth > _MAX_DEPTH:
             raise PdfFormatError("page tree exceeds depth cap")
         typ = node.get("Type")
+        resources = node.get("Resources", inherited_res)  # 7.7.3.4 inherit
         if typ == "Pages" or (typ is None and "Kids" in node):
             kids = doc.resolve(node.get("Kids"))
             if not isinstance(kids, list):
@@ -661,7 +994,7 @@ def extract_pdf_text(data: bytes) -> dict:
                 kid = doc.resolve(k)
                 if not isinstance(kid, dict):
                     raise PdfFormatError("bad page-tree kid")
-                walk(kid, depth + 1)
+                walk(kid, depth + 1, resources)
         elif typ == "Page":
             contents = doc.resolve(node.get("Contents"))
             streams: list[bytes] = []
@@ -678,7 +1011,8 @@ def extract_pdf_text(data: bytes) -> dict:
                 raise PdfFormatError("bad /Contents")
             # ISO 32000: a /Contents array is one logical stream with
             # whitespace between the parts
-            chunks = _extract_content_text(b"\n".join(streams))
+            chunks = _extract_content_text(b"\n".join(streams),
+                                           fonts_of(resources))
             page_texts.append("".join(chunks).strip("\n"))
         else:
             raise PdfFormatError(f"unexpected page-tree node type {typ!r}")
@@ -704,6 +1038,25 @@ def _escape_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
+def _ascii85_encode(raw: bytes) -> bytes:
+    """ASCII85 encoder for the builder twin (4 bytes → 5 chars, 'z' for
+    zero groups, partial final group, `~>` terminator)."""
+    out = bytearray()
+    for i in range(0, len(raw), 4):
+        chunk = raw[i:i + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + bytes(4 - k), "big")
+        if v == 0 and k == 4:
+            out.append(0x7A)              # z
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(0x21 + d for d in reversed(digits))[:k + 1]
+    return bytes(out) + b"~>"
+
+
 def _png_up_predict(rows: list[bytes]) -> bytes:
     """PNG Up (filter 2) forward-predict fixed-width rows — what real PDF
     producers emit for xref streams (Predictor 12)."""
@@ -718,13 +1071,24 @@ def _png_up_predict(rows: list[bytes]) -> bytes:
 
 def build_pdf(pages: list[list[str]], *, compress: bool = False,
               use_tj_array: bool = False, xref_stream: bool = False,
-              use_objstm: bool = False) -> bytes:
+              use_objstm: bool = False, lzw: bool = False,
+              ascii85: bool = False, cid_font: bool = False) -> bytes:
     """Build a valid one-generation PDF: one content stream per page;
     each page is a list of text lines (rendered with Td line moves).
 
     ``compress`` FlateDecodes the content streams; ``use_tj_array`` shows
     each line via a kerned TJ array instead of Tj (split mid-line, with a
     numeric kern element the extractor must skip).
+
+    ``cid_font`` shows all text through a Type0-style font whose string
+    bytes are 2-byte glyph codes mapped back via an embedded /ToUnicode
+    CMap (the subset-font layout real PDFs ship) — the extractor only
+    recovers the text by actually parsing the CMap.
+
+    ``lzw`` LZWDecode-compresses the content streams instead of Flate
+    (the pre-Flate legacy filter still common in old corpora);
+    ``ascii85`` additionally wraps the (possibly compressed) bytes in
+    an ASCII85Decode transport layer, exercising filter CHAINS.
 
     ``xref_stream`` writes a PDF 1.5 cross-reference STREAM (W [1 2 2],
     FlateDecode + PNG Up Predictor 12 — the layout the majority of
@@ -748,31 +1112,84 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
     objects[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     if use_objstm:
         in_objstm.update((1, 2, 3))
+
+    code_of: dict[str, int] = {}
+    if cid_font:
+        # global charset -> sequential 2-byte codes; /ToUnicode maps back
+        charset = sorted({ch for lines in pages for ln in lines
+                          for ch in ln})
+        code_of = {ch: i + 1 for i, ch in enumerate(charset)}
+        tounicode_num = 4 + 2 * n_pages
+        font2_num = tounicode_num + 1
+        bf = []
+        for ch, code in code_of.items():
+            dst = ch.encode("utf-16-be").hex()
+            bf.append(f"<{code:04x}> <{dst}>")
+        # bfchar blocks carry at most 100 entries each (9.10.3)
+        blocks = "".join(
+            f"{min(100, len(bf) - i)} beginbfchar\n"
+            + "\n".join(bf[i:i + 100]) + "\nendbfchar\n"
+            for i in range(0, len(bf), 100))
+        cmap = ("/CIDInit /ProcSet findresource begin\n"
+                "begincmap\n"
+                "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+                + blocks + "endcmap\nend").encode("latin-1")
+        objects[tounicode_num] = (
+            b"<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream")
+        objects[font2_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Subset "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>"
+            ).encode()
+        if use_objstm:
+            in_objstm.add(font2_num)      # the CMap stream stays top-level
     for i, lines in enumerate(pages):
         page_num, content_num = 4 + 2 * i, 5 + 2 * i
-        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        fname = b"/F2" if cid_font else b"/F1"
+        parts = [b"BT " + fname + b" 12 Tf 72 720 Td"]
+
+        def enc(seg: str) -> bytes:
+            if cid_font:
+                return b"<" + "".join(f"{code_of[ch]:04x}"
+                                      for ch in seg).encode() + b">"
+            return b"(" + _escape_pdf_string(seg) + b")"
+
         for j, line in enumerate(lines):
             if j > 0:
                 parts.append(b"0 -14 Td")
             if use_tj_array and len(line) > 1:
                 mid = len(line) // 2
-                parts.append(b"[" + b"(" + _escape_pdf_string(line[:mid])
-                             + b") -250 (" + _escape_pdf_string(line[mid:])
-                             + b")] TJ")
+                parts.append(b"[" + enc(line[:mid]) + b" -250 "
+                             + enc(line[mid:]) + b"] TJ")
             else:
-                parts.append(b"(" + _escape_pdf_string(line) + b") Tj")
+                parts.append(enc(line) + b" Tj")
         parts.append(b"ET")
         content = b" ".join(parts)
-        filt = b""
-        if compress:
+        filters: list[bytes] = []
+        if lzw:
+            from flink_job_spark.functions.tiff import lzw_encode
+            content = lzw_encode(content)
+            filters.append(b"/LZWDecode")
+        elif compress:
             content = zlib.compress(content)
-            filt = b" /Filter /FlateDecode"
+            filters.append(b"/FlateDecode")
+        if ascii85:
+            content = _ascii85_encode(content)
+            # decoding order: transport layer first, then decompression
+            filters.insert(0, b"/ASCII85Decode")
+        if len(filters) == 1:
+            filt = b" /Filter " + filters[0]
+        elif filters:
+            filt = b" /Filter [" + b" ".join(filters) + b"]"
+        else:
+            filt = b""
         objects[content_num] = (
             b"<< /Length " + str(len(content)).encode() + filt
             + b" >>\nstream\n" + content + b"\nendstream")
+        f2 = f" /F2 {4 + 2 * n_pages + 1} 0 R" if cid_font else ""
         objects[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << /Font << /F1 3 0 R{f2} >> >> "
             f"/Contents {content_num} 0 R >>").encode()
         if use_objstm:
             in_objstm.add(page_num)       # page dicts pack; streams can't

@@ -546,11 +546,14 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM documents""",
     doc="PDF text extraction: per-doc 1-3 page PDFs cycling all THREE "
         "xref layouts (classic table / PDF-1.5 xref stream with PNG-Up "
-        "predictor / xref stream + ObjStm-packed dictionaries), "
-        "FlateDecode on odd ids, kerned TJ arrays on ids%4>=2, "
-        "parens/backslash/percent in the text, parsed via the REAL object "
-        "graph and content-stream tokenizer — page count and the exact "
-        "extracted string rebuilt closed-form in SQL",
+        "predictor / xref stream + ObjStm-packed dictionaries) AND the "
+        "content filters (Flate on odd ids, legacy LZWDecode on ids%5==2, "
+        "an ASCII85 transport chain on ids%5==3), a Type0 subset font "
+        "with 2-byte glyph codes recovered through its embedded "
+        "/ToUnicode CMap on ids%7==1, kerned TJ arrays on "
+        "ids%4>=2, parens/backslash/percent in the text, parsed via the "
+        "REAL object graph and content-stream tokenizer — page count and "
+        "the exact extracted string rebuilt closed-form in SQL",
     tags=("text", "crawl", "formats"),
 )
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +584,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob = build_pdf(pages, compress=bool(i % 2),
                                  use_tj_array=(i % 4 >= 2),
                                  xref_stream=(i % 3 == 1),
-                                 use_objstm=(i % 3 == 2))
+                                 use_objstm=(i % 3 == 2),
+                                 lzw=(i % 5 == 2),
+                                 ascii85=(i % 5 == 3),
+                                 cid_font=(i % 7 == 1))
                 r = extract_pdf_text(blob)
                 n_pages_out.append(r["n_pages"])
                 texts.append(r["text"])

@@ -413,3 +413,210 @@ def test_pdf_xref_stream_fuzz_stays_format_error(seed, step, layout):
             extract_pdf_text(bad)
         except PdfFormatError:
             pass
+
+
+# --- r7: the legacy filter set (LZW, ASCII85, ASCIIHex, RunLength) -----------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(lzw=st.booleans(), a85=st.booleans(), compress=st.booleans(),
+       layout=st.sampled_from(["classic", "xref", "objstm"]))
+def test_pdf_filter_chains_roundtrip(lzw, a85, compress, layout):
+    """LZWDecode (the pre-Flate legacy filter), ASCII85 transport and
+    their chains across all xref layouts."""
+    pages = [["chain (x) \\ test", "tail ~ 85%"]]
+    r = extract_pdf_text(build_pdf(
+        pages, lzw=lzw, ascii85=a85, compress=compress and not lzw,
+        xref_stream=(layout != "classic"), use_objstm=(layout == "objstm")))
+    assert r == {"n_pages": 1, "text": "chain (x) \\ test\ntail ~ 85%"}
+
+
+def _one_stream_pdf(content_raw: bytes, filt: bytes) -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length " + str(len(content_raw)).encode() + b" "
+            + filt + b" >>\nstream\n" + content_raw + b"\nendstream"),
+    }
+    return _minimal_pdf(objs)
+
+
+def test_pdf_asciihex_and_runlength_filters():
+    """Hand-crafted paths the builder never emits: ASCIIHexDecode (with
+    whitespace, odd trailing digit rule) and RunLengthDecode (literal
+    runs, repeats, EOD)."""
+    content = b"BT (HX) Tj ET"
+    hexed = b" ".join(f"{b:02X}".encode() for b in content) + b" >"
+    assert extract_pdf_text(
+        _one_stream_pdf(hexed, b"/Filter /ASCIIHexDecode"))["text"] == "HX"
+
+    # RunLength: literal run of the full content + a repeat run
+    content2 = b"BT (R"
+    tail = b") Tj ET"
+    rl = (bytes([len(content2) - 1]) + content2          # literal
+          + bytes([257 - 4, ord("r")])                   # 'rrrr'
+          + bytes([len(tail) - 1]) + tail + bytes([128]))
+    assert extract_pdf_text(
+        _one_stream_pdf(rl, b"/Filter /RunLengthDecode"))["text"] == "Rrrrr"
+
+    # abbreviated names (Table 6 short forms) resolve to the same filters
+    assert extract_pdf_text(
+        _one_stream_pdf(hexed, b"/Filter /AHx"))["text"] == "HX"
+
+
+def test_pdf_lzw_early_change_zero():
+    """/EarlyChange 0 widens codes one step LATER than the TIFF-style
+    default — a conforming decoder must honor the parm."""
+
+    def lzw_encode_ec(raw: bytes, early: int) -> bytes:
+        out = bytearray()
+        bitbuf = bitlen = 0
+
+        def put(code, width):
+            nonlocal bitbuf, bitlen
+            bitbuf = (bitbuf << width) | code
+            bitlen += width
+            while bitlen >= 8:
+                bitlen -= 8
+                out.append((bitbuf >> bitlen) & 0xFF)
+
+        table = {bytes([b]): b for b in range(256)}
+        width, nxt = 9, 258
+        put(256, width)
+        s = b""
+        for b in raw:
+            t = s + bytes([b])
+            if t in table:
+                s = t
+                continue
+            put(table[s], width)
+            table[t] = nxt
+            nxt += 1
+            # encoder widens one code ahead of the decoder's table (the
+            # classic LZW lag): decoder at len+1+early == 2^W, encoder
+            # at nxt+early == 2^W
+            if nxt + early == (1 << width) and width < 12:
+                width += 1
+            s = bytes([b])
+        if s:
+            put(table[s], width)
+        put(257, width)
+        if bitlen:
+            out.append((bitbuf << (8 - bitlen)) & 0xFF)
+        return bytes(out)
+
+    # long enough to cross the 9->10 bit boundary (need >252 new entries)
+    text = " ".join(f"w{i}q{i * 7 % 97}" for i in range(160))
+    content = ("BT (" + text + ") Tj ET").encode()
+    for early in (0, 1):
+        raw = lzw_encode_ec(content, early)
+        parms = b"/Filter /LZWDecode /DecodeParms << /EarlyChange " \
+            + str(early).encode() + b" >>"
+        got = extract_pdf_text(_one_stream_pdf(raw, parms))["text"]
+        assert got == text, early
+
+
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(7, 29))
+def test_pdf_filter_fuzz_stays_format_error(seed, step):
+    rnd = random.Random(seed)
+    blob = build_pdf([["abc (x) y", "z 50%"]], lzw=True, ascii85=True)
+    for cut in range(4, len(blob), step):
+        try:
+            extract_pdf_text(blob[:cut])
+        except PdfFormatError:
+            pass
+    for i in range(4, len(blob), step):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) + blob[i + 1:]
+        try:
+            extract_pdf_text(bad)
+        except PdfFormatError:
+            pass
+
+
+# --- r7: /ToUnicode CMaps (subset-font text recovery) ------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(compress=st.booleans(), tj=st.booleans(),
+       layout=st.sampled_from(["classic", "xref", "objstm"]))
+def test_pdf_cid_font_tounicode_roundtrip(compress, tj, layout):
+    """Text shown through a Type0-style font as 2-byte glyph codes is
+    only recoverable by parsing the embedded /ToUnicode CMap — including
+    non-Latin-1 characters and astral-plane emoji (surrogate pairs)."""
+    pages = [["Unicode → test © ♚", "ligne deux 🚀"], ["página …"]]
+    want = "Unicode → test © ♚\nligne deux 🚀\npágina …"
+    r = extract_pdf_text(build_pdf(
+        pages, cid_font=True, compress=compress, use_tj_array=tj,
+        xref_stream=(layout != "classic"),
+        use_objstm=(layout == "objstm")))
+    assert r == {"n_pages": 2, "text": want}
+
+
+def test_pdf_tounicode_bfrange_forms():
+    """bfrange increment and array destinations, plus the unmapped-code
+    fallback (chr(code)) — unit-level, hand-built CMap."""
+    from flink_job_spark.functions.pdf import _parse_tounicode
+
+    cmap = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+2 beginbfchar
+<0001> <0041>
+<0002> <D83DDE00>
+endbfchar
+2 beginbfrange
+<0010> <0013> <0061>
+<0020> <0021> [<005A> <0079>]
+endbfrange
+endcmap
+end"""
+    tu = _parse_tounicode(cmap)
+    assert tu.width == 2
+    assert tu.decode(bytes.fromhex("0001")) == "A"
+    assert tu.decode(bytes.fromhex("0002")) == "\U0001F600"
+    # increment range: 0x10..0x13 -> a..d
+    assert tu.decode(bytes.fromhex("0010001100120013")) == "abcd"
+    # array range
+    assert tu.decode(bytes.fromhex("00200021")) == "Zy"
+    # unmapped: identity chr fallback
+    assert tu.decode(bytes.fromhex("0042")) == "B"
+
+
+def test_pdf_font_switching_and_broken_cmap_degrades():
+    """Tf switches decoders mid-page (F1 latin-1 vs F2 CMap); a broken
+    /ToUnicode degrades that font to latin-1 instead of erroring the
+    whole document."""
+    import zlib as _zlib
+
+    from flink_job_spark.functions.pdf import _parse_tounicode  # noqa: F401
+
+    cmap = (b"begincmap 1 begincodespacerange <0000> <ffff> "
+            b"endcodespacerange 1 beginbfchar <0001> <0058> endbfchar "
+            b"endcmap")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+        # note: resources INHERITED from the Pages node (7.7.3.4)
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length 44 >>\nstream\n"
+            b"BT /F1 9 Tf (ab) Tj /F2 9 Tf <0001> Tj ET\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>",
+        7: (b"<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream"),
+    }
+    assert extract_pdf_text(_minimal_pdf(objs))["text"] == "abX"
+
+    # corrupt the CMap body: F2 falls back to latin-1 ('\x00\x01')
+    bad = dict(objs)
+    broken = _zlib.compress(b"\xff\xfe not a cmap")
+    bad[7] = (b"<< /Length " + str(len(broken)).encode()
+              + b" /Filter /FlateDecode >>\nstream\n" + broken
+              + b"\nendstream")
+    r = extract_pdf_text(_minimal_pdf(bad))
+    assert r["text"] == "ab\x00\x01"
