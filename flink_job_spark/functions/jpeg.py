@@ -910,6 +910,111 @@ def _next_marker(data: bytes, pos: int) -> int:
     return n
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 0x0F
+        if pq not in (0, 1):
+            raise JpegFormatError(f"bad DQT precision {pq}")
+        # Pq=1: 16-bit big-endian entries (extended sequential /
+        # progressive frames; T.81 B.2.4.1)
+        step = 1 if pq == 0 else 2
+        if len(body) < p + 1 + 64 * step:
+            raise JpegFormatError("truncated DQT")
+        raw = body[p + 1:p + 1 + 64 * step]
+        ent = (list(raw) if pq == 0
+               else list(struct.unpack(">64H", raw)))
+        tab = np.zeros(64, np.int32)
+        tab[list(ZIGZAG)] = ent
+        qt[tq] = tab.reshape(8, 8)
+        p += 1 + 64 * step
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    p = 0
+    while p < len(body):
+        tc, th = body[p] >> 4, body[p] & 0x0F
+        if p + 17 > len(body):          # BITS array itself cut off
+            raise JpegFormatError("truncated DHT")
+        bits = tuple(body[p + 1:p + 17])
+        n = sum(bits)
+        vals = tuple(body[p + 17:p + 17 + n])
+        if len(vals) != n:
+            raise JpegFormatError("truncated DHT")
+        huff[(tc, th)] = _decode_table(bits, vals)
+        p += 17 + n
+
+
+def _parse_sof(marker: int, body: bytes, max_pixels: int):
+    """One SOF header → (sof, geom, coefs). Differential hierarchical
+    frames (SOF5/7) share the layout of their non-differential twins
+    (SOF1/3); the caller tracks differential-ness separately."""
+    lossless = marker in (0xC3, 0xC7)
+    if len(body) < 6:
+        raise JpegFormatError("truncated SOF body")
+    prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+    # 12-bit precision (r6): extended sequential / progressive
+    # frames only (T.81 restricts SOF0 baseline to 8-bit),
+    # grayscale or YCbCr color (chroma centering scales to
+    # 2^(P-1)); Adobe 4-component stays 8-bit. Lossless (Annex H)
+    # allows 2..16-bit (components independent, no transform).
+    if lossless:
+        if not 2 <= prec <= 16:
+            raise JpegFormatError(f"unsupported precision {prec}")
+    elif prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+        raise JpegFormatError(f"unsupported precision {prec}")
+    if ncomp not in (1, 3, 4):
+        raise JpegFormatError(f"unsupported component count {ncomp}")
+    if prec == 12 and not lossless and ncomp not in (1, 3):
+        raise JpegFormatError(
+            "12-bit precision supported for 1 or 3 components")
+    if lossless and ncomp not in (1, 3):
+        raise JpegFormatError(
+            "lossless supported for 1 or 3 components")
+    if w * h > max_pixels:
+        raise JpegFormatError(
+            f"dims too large ({w}x{h} > {max_pixels} px)")
+    if len(body) < 6 + 3 * ncomp:
+        raise JpegFormatError("truncated SOF component specs")
+    comps = []
+    for ci in range(ncomp):
+        cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+        hi, vi = hv >> 4, hv & 0x0F
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise JpegFormatError(f"bad sampling factors {hi}x{vi}")
+        comps.append((cid, tq, hi, vi))
+    if ncomp == 1:
+        # a single-component frame is coded non-interleaved; its
+        # sampling factors do not affect the block grid (T.81 A.2.2)
+        comps = [(comps[0][0], comps[0][1], 1, 1)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise JpegFormatError(
+                f"non-integer subsampling ratio {hi}x{vi} "
+                f"vs {hmax}x{vmax}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geom = (hmax, vmax, mcux, mcuy)
+    if lossless:
+        if hmax != 1 or vmax != 1:
+            raise JpegFormatError(
+                "lossless supported at 1x1 sampling only")
+        if w * h * ncomp > MAX_LOSSLESS_PIXELS:
+            raise JpegFormatError(
+                f"lossless dims too large ({w}x{h}x{ncomp} > "
+                f"{MAX_LOSSLESS_PIXELS} samples)")
+        # sample planes, not coefficient planes
+        coefs = [np.zeros((h, w), np.int32) for _ in comps]
+    else:
+        coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+                 for _, _, hi, vi in comps]
+    sof = (w, h, comps, marker in (0xC2, 0xCA),
+           marker in (0xC9, 0xCA), prec, lossless)
+    return sof, geom, coefs
+
+
 def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
                 ) -> tuple[int, int, int, bytes]:
     """Full decode → (width, height, channels, row-major interleaved
@@ -956,108 +1061,29 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
         if len(body) != seglen - 2:
             raise JpegFormatError("truncated segment")
         if marker == 0xDB:                      # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq not in (0, 1):
-                    raise JpegFormatError(f"bad DQT precision {pq}")
-                # Pq=1: 16-bit big-endian entries (extended sequential /
-                # progressive frames; T.81 B.2.4.1)
-                step = 1 if pq == 0 else 2
-                if len(body) < p + 1 + 64 * step:
-                    raise JpegFormatError("truncated DQT")
-                raw = body[p + 1:p + 1 + 64 * step]
-                ent = (list(raw) if pq == 0
-                       else list(struct.unpack(">64H", raw)))
-                tab = np.zeros(64, np.int32)
-                tab[list(ZIGZAG)] = ent
-                qt[tq] = tab.reshape(8, 8)
-                p += 1 + 64 * step
+            _parse_dqt(body, qt)
         elif marker in (0xC0, 0xC1, 0xC2,       # SOF0/1 baseline, SOF2 prog.
                         0xC3,                   # SOF3 lossless (r6)
                         0xC9, 0xCA):            # SOF9/10 arithmetic (r6)
             if sof is not None:
                 raise JpegFormatError("multiple SOF markers")
-            if len(body) < 6:
-                raise JpegFormatError("truncated SOF body")
-            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            lossless = marker == 0xC3
-            # 12-bit precision (r6): extended sequential / progressive
-            # frames only (T.81 restricts SOF0 baseline to 8-bit),
-            # grayscale or YCbCr color (chroma centering scales to
-            # 2^(P-1)); Adobe 4-component stays 8-bit. Lossless (Annex H)
-            # allows 2..16-bit (components independent, no transform).
-            if lossless:
-                if not 2 <= prec <= 16:
-                    raise JpegFormatError(f"unsupported precision {prec}")
-            elif prec not in (8, 12) or (marker == 0xC0 and prec != 8):
-                raise JpegFormatError(f"unsupported precision {prec}")
-            if ncomp not in (1, 3, 4):
-                raise JpegFormatError(f"unsupported component count {ncomp}")
-            if prec == 12 and not lossless and ncomp not in (1, 3):
-                raise JpegFormatError(
-                    "12-bit precision supported for 1 or 3 components")
-            if lossless and ncomp not in (1, 3):
-                raise JpegFormatError(
-                    "lossless supported for 1 or 3 components")
-            if w * h > max_pixels:
-                raise JpegFormatError(
-                    f"dims too large ({w}x{h} > {max_pixels} px)")
-            if len(body) < 6 + 3 * ncomp:
-                raise JpegFormatError("truncated SOF component specs")
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                hi, vi = hv >> 4, hv & 0x0F
-                if not (1 <= hi <= 4 and 1 <= vi <= 4):
-                    raise JpegFormatError(f"bad sampling factors {hi}x{vi}")
-                comps.append((cid, tq, hi, vi))
-            if ncomp == 1:
-                # a single-component frame is coded non-interleaved; its
-                # sampling factors do not affect the block grid (T.81 A.2.2)
-                comps = [(comps[0][0], comps[0][1], 1, 1)]
-            hmax = max(c[2] for c in comps)
-            vmax = max(c[3] for c in comps)
-            for _, _, hi, vi in comps:
-                if hmax % hi or vmax % vi:
-                    raise JpegFormatError(
-                        f"non-integer subsampling ratio {hi}x{vi} "
-                        f"vs {hmax}x{vmax}")
-            mcux = (w + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-            geom = (hmax, vmax, mcux, mcuy)
-            if lossless:
-                if hmax != 1 or vmax != 1:
-                    raise JpegFormatError(
-                        "lossless supported at 1x1 sampling only")
-                if w * h * ncomp > MAX_LOSSLESS_PIXELS:
-                    raise JpegFormatError(
-                        f"lossless dims too large ({w}x{h}x{ncomp} > "
-                        f"{MAX_LOSSLESS_PIXELS} samples)")
-                # sample planes, not coefficient planes
-                coefs = [np.zeros((h, w), np.int32) for _ in comps]
-            else:
-                coefs = [np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
-                         for _, _, hi, vi in comps]
-            sof = (w, h, comps, marker in (0xC2, 0xCA),
-                   marker in (0xC9, 0xCA), prec, lossless)
+            sof, geom, coefs = _parse_sof(marker, body, max_pixels)
+        elif marker == 0xDE:                    # DHP: hierarchical (r7)
+            from flink_job_spark.functions import jpeg_hier
+
+            return jpeg_hier.decode_hierarchical(
+                data, pos, body, max_pixels,
+                qt=qt, huff=huff, restart_interval=restart_interval)
         elif 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+                raise JpegFormatError(
+                    f"differential SOF 0xFF{marker:02X} outside a "
+                    "hierarchical (DHP) stream")
             raise JpegFormatError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
                 "(sequential/progressive, huffman or arithmetic)")
         elif marker == 0xC4:                    # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 0x0F
-                if p + 17 > len(body):          # BITS array itself cut off
-                    raise JpegFormatError("truncated DHT")
-                bits = tuple(body[p + 1:p + 17])
-                n = sum(bits)
-                vals = tuple(body[p + 17:p + 17 + n])
-                if len(vals) != n:
-                    raise JpegFormatError("truncated DHT")
-                huff[(tc, th)] = _decode_table(bits, vals)
-                p += 17 + n
+            _parse_dht(body, huff)
         elif marker == 0xCC:                    # DAC: arith conditioning
             p = 0
             while p + 2 <= len(body):
@@ -1103,17 +1129,20 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
 
 
 def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
-                 restart_interval, arith_cond=None):
+                 restart_interval, arith_cond=None, differential=False):
     """Decode one entropy-coded scan into the coefficient planes; returns
     the stream position of the next marker after the scan. Entropy coding
     is Huffman (SOF0/1/2) or arithmetic (SOF9/10, functions/jpeg_arith.py
-    — same scan walk, different per-block decoder)."""
+    — same scan walk, different per-block decoder). `differential`
+    (hierarchical SOF5/7 frames, r7): DC is coded WITHOUT prediction and
+    lossless samples without spatial prediction — the values are
+    reference-frame differences."""
     w, h, comps, progressive, arith, _prec, lossless = sof
     if lossless:
         from flink_job_spark.functions import jpeg_lossless as jl
 
         return jl.decode_scan(data, pos, body, sof, coefs, huff,
-                              restart_interval)
+                              restart_interval, differential=differential)
     hmax, vmax, mcux, mcuy = geom
     ns = body[0]
     if len(body) < 1 + 2 * ns + 3:
@@ -1156,6 +1185,9 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
         order.append((ci, dct, act))
 
     if arith:
+        if differential:
+            raise JpegFormatError(
+                "arithmetic differential frames (SOF13-15) unsupported")
         from flink_job_spark.functions import jpeg_arith as ja
 
         dec = ja.ArithDecoder(data, pos)
@@ -1198,6 +1230,8 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
         def block(ci, dct, act, by, bx):
             coef = coefs[ci][by, bx]
             if has_dc:
+                if differential:
+                    st.pred[ci] = 0     # F.1.1.5.1: PRED = 0 every block
                 _dec_dc(br, st, ci, coef, dct, ah, al)
             if has_ac:
                 if ah == 0:
@@ -1248,27 +1282,38 @@ def _decode_scan(data, pos, body, sof, geom, coefs, qt, huff,
     return _next_marker(data, end_pos.pos)
 
 
-def _reconstruct(sof, geom, coefs, qt,
-                 adobe_transform=None) -> tuple[int, int, int, bytes]:
-    """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
-    level shift, replication upsample, crop, color-convert."""
+def _component_planes(sof, geom, coefs, qt,
+                      differential: bool = False) -> list[np.ndarray]:
+    """Dequantize zigzag coefficient planes, batched IDCT, level shift
+    (suppressed for differential hierarchical frames, T.81 J.3/A.3.1),
+    replication upsample, crop — per-component float planes."""
     w, h, comps, _prog, _arith, prec, _lossless = sof
     hmax, vmax, mcux, mcuy = geom
     zznat = np.array(ZIGZAG)
     cropped = []
+    shift = 0.0 if differential else float(1 << (prec - 1))
     for (cid, tq, hi, vi), cz in zip(comps, coefs):
         q = qt[tq].reshape(64)[zznat]           # quant steps, zigzag order
         nby, nbx, _ = cz.shape
         nat = np.zeros((nby, nbx, 64), np.float64)
         nat[:, :, zznat] = cz * q               # dequant + de-zigzag
         blocks = nat.reshape(nby, nbx, 8, 8)
-        rec = (_DCT_A.T @ blocks) @ _DCT_A + float(1 << (prec - 1))
+        rec = (_DCT_A.T @ blocks) @ _DCT_A + shift
         p = rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hi != hmax:
             p = np.repeat(p, hmax // hi, axis=1)
         if vi != vmax:
             p = np.repeat(p, vmax // vi, axis=0)
         cropped.append(p[:h, :w])
+    return cropped
+
+
+def _reconstruct(sof, geom, coefs, qt,
+                 adobe_transform=None) -> tuple[int, int, int, bytes]:
+    """Shared tail: dequantize zigzag coefficient planes, batched IDCT,
+    level shift, replication upsample, crop, color-convert."""
+    w, h, comps, _prog, _arith, prec, _lossless = sof
+    cropped = _component_planes(sof, geom, coefs, qt)
     if len(cropped) == 3:
         if adobe_transform == 0:
             # Adobe APP14 ColorTransform 0 on a 3-component frame: the

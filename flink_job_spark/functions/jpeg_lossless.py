@@ -56,9 +56,12 @@ def _predict(plane: np.ndarray, x: int, y: int, sel: int,
 
 
 def decode_scan(data: bytes, pos: int, body: bytes, sof, planes,
-                huff, restart_interval: int) -> int:
+                huff, restart_interval: int,
+                differential: bool = False) -> int:
     """Decode one lossless scan into per-component int32 sample planes;
-    returns the stream position of the next marker."""
+    returns the stream position of the next marker. `differential`
+    (hierarchical SOF7 frames, T.81 J.5): no spatial prediction — every
+    coded value is a reference-frame difference (prediction 0)."""
     from flink_job_spark.functions.jpeg import (JpegFormatError, _BitReader,
                                                 _decode_huff, _extend,
                                                 _next_marker)
@@ -115,7 +118,9 @@ def decode_scan(data: bytes, pos: int, body: bytes, sof, planes,
                 br.restart()
                 restart_row = y
             for ci, dct in order:
-                if y == restart_row:
+                if differential:
+                    pred = 0            # J.5: differences, no prediction
+                elif y == restart_row:
                     # first line of the scan / restart interval (H.1.1)
                     pred = default if x == 0 else int(planes[ci][y, x - 1])
                 else:

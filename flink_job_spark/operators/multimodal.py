@@ -118,9 +118,10 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             w, h, _ = jpeg_meta(bytes(payload))
             return int(w), int(h), None
         except (JpegFormatError, struct.error) as e:
-            # JPEG features the built-in walk declines (hierarchical
-            # frames only; arithmetic SOF9/SOF10, 12-bit DCT gray/color
-            # and lossless SOF3 parse natively since r6) route through
+            # JPEG features the built-in walk declines (DNL and
+            # arithmetic/progressive differential hierarchy only since
+            # r7 — sequential/progressive, arithmetic, 12-bit, lossless
+            # AND Annex J hierarchical all parse natively) route through
             # the Pillow adapter
             # like the pixel path does (review-caught r5: the metadata
             # and pixel paths must agree on what decodes)
@@ -832,10 +833,11 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
         try:
             return decode_jpeg(payload)
         except (JpegFormatError, structmod.error) as e:
-            # a JPEG feature the pure-Python decoder declines (r6: only
-            # hierarchical frames —
-            # baseline, progressive, Adobe CMYK/YCCK AND arithmetic
-            # SOF9/SOF10 all decode natively, functions/jpeg_arith.py):
+            # a JPEG feature the pure-Python decoder declines (r7: only
+            # DNL and arithmetic/progressive differential hierarchy —
+            # baseline, progressive, Adobe CMYK/YCCK, arithmetic
+            # SOF9/SOF10, lossless SOF3 AND Annex J hierarchical all
+            # decode natively, functions/jpeg_hier.py):
             # route through Pillow when the host has it; the
             # library is an EXTENSION, never the path an oracle-checked
             # key depends on (codec_adapters.py)

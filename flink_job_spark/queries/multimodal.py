@@ -1371,6 +1371,66 @@ def q_media_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "channels", "mean_luma")
 
 
+# --- q_media_jpeg_hier: hierarchical (Annex J) pyramid, exact oracle -----------
+#
+# The LAST JPEG frame family (r7, functions/jpeg_hier.py): DHP + a
+# lossless SOF3 base at half/quarter resolution + EXP reference
+# expansions + SOF7 differential refinements. The pyramid is lossless
+# end to end, so arbitrary deterministic content roundtrips exactly —
+# level count rotates 2..3 and predictors rotate 1..7 across docs.
+
+JPEG_HIER_W_MOD, JPEG_HIER_H_MOD = 11, 8
+
+@register(
+    "q_media_jpeg_hier",
+    f"""SELECT doc_id AS media_id,
+               CAST(8 + doc_id % {JPEG_HIER_W_MOD} AS INT) AS width,
+               CAST(6 + doc_id % {JPEG_HIER_H_MOD} AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               CAST(2 + doc_id % 2 AS INT) AS n_levels,
+               round((SELECT AVG(CAST((doc_id * 29 + t.i * 13) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT unnest(range((8 + doc_id % {JPEG_HIER_W_MOD})
+                                 * (6 + doc_id % {JPEG_HIER_H_MOD}))) AS i) t),
+                     6) AS mean_luma
+        FROM documents""",
+    doc="hierarchical JPEG (T.81 Annex J): per-doc DHP pyramids — "
+        "lossless SOF3 base at reduced resolution, EXP reference "
+        "expansion (J.8.1 interpolation), SOF7 differential refinements "
+        "added modulo 2^16 — fully decoded; the pyramid is lossless, so "
+        "the oracle rebuilds the exact decoded mean of arbitrary "
+        "deterministic content (level count and predictor rotate)",
+    tags=("multimodal", "jpeg"),
+)
+def q_media_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only codec key like the rest of the JPEG family."""
+    import pandas as pd
+
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_lossless
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_pixel_stats)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % JPEG_HIER_W_MOD, 6 + i % JPEG_HIER_H_MOD
+                px = bytes((i * 29 + k * 13) % 256 for k in range(w * h))
+                payloads.append(encode_jpeg_hier_lossless(
+                    w, h, px, 1, 8, predictor=1 + i % 7,
+                    levels=2 + i % 2))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/jpeg", "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return decode_pixel_stats(media).select(
+        "media_id", "width", "height", "channels",
+        ((F.col("media_id") % 2) + 2).cast("int").alias("n_levels"),
+        "mean_luma")
+
+
 # --- q_media_jpeg_color_err: lossy color path, bounded-loss certificate --------
 #
 # Smooth per-channel gradients with partial edge blocks exercise the parts

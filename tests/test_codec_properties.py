@@ -1884,3 +1884,128 @@ def test_jpeg_lossless_work_bomb_cap():
     blob[i + 5:i + 9] = struct.pack(">HH", 60000, 60000)
     with pytest.raises(JpegFormatError, match="too large"):
         decode_jpeg(bytes(blob))
+
+
+# ---- hierarchical JPEG (DHP/EXP, Annex J, r7) ----
+
+@settings(max_examples=8, deadline=None)
+@given(dims=st.tuples(st.integers(4, 40), st.integers(4, 32)),
+       seed=st.integers(0, 2**31),
+       prec=st.sampled_from([4, 8, 12, 16]),
+       pred=st.integers(1, 7),
+       channels=st.sampled_from([1, 3]),
+       levels=st.integers(2, 3))
+def test_jpeg_hier_lossless_roundtrip_exact(dims, seed, prec, pred,
+                                            channels, levels):
+    """Annex J lossless pyramids are EXACT end to end: the SOF3 base +
+    SOF7 differential refinements (EXP-expanded references, J.8.1
+    interpolation, mod-2^16 correction add) recover every sample at the
+    coded precision — the strongest hierarchical oracle."""
+    import random
+
+    import numpy as np
+
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_lossless
+
+    w, h = dims
+    rnd = random.Random(seed)
+    lv = min(levels, (min(w, h)).bit_length())
+    vals = [rnd.randrange(1 << prec) for _ in range(w * h * channels)]
+    raw = bytes(vals) if prec <= 8 else np.array(vals, "<u2").tobytes()
+    blob = encode_jpeg_hier_lossless(w, h, raw, channels, prec,
+                                     predictor=pred, levels=lv)
+    gw, gh, gc, out = decode_jpeg(blob)
+    a = np.array(vals, np.int64)
+    want = (np.clip(a >> (prec - 8), 0, 255) if prec >= 8
+            else np.clip(a << (8 - prec), 0, 255)).astype(np.uint8)
+    assert (gw, gh, gc) == (w, h, channels)
+    assert out == want.tobytes()
+
+
+def test_jpeg_hier_dct_bounded_loss():
+    """The DCT pyramid (SOF0 base + EXP + SOF5 step-1 refinement, DC
+    without prediction, no level shift) reconstructs smooth content
+    within +-4 of the original — the refinement absorbs the base
+    frame's quantization."""
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_dct
+
+    for w, h in [(48, 31), (16, 16), (7, 9)]:
+        px = bytes(((5 * x + 3 * y) // 2) % 211 + 20
+                   for y in range(h) for x in range(w))
+        gw, gh, gc, out = decode_jpeg(encode_jpeg_hier_dct(w, h, px))
+        assert (gw, gh, gc) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 4
+
+
+def test_jpeg_hier_rejections():
+    """Precise boundary messages: differential SOF outside a DHP stream,
+    progressive/arithmetic frames inside one, nested DHP, DNL, EXP
+    before any reference."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_lossless
+
+    blob = encode_jpeg_hier_lossless(8, 8, bytes(64), 1, 8)
+
+    # differential SOF without DHP
+    plain = bytearray(blob)
+    dhp = plain.find(struct.pack(">H", 0xFFDE))
+    (seglen,) = struct.unpack(">H", plain[dhp + 2:dhp + 4])
+    del plain[dhp:dhp + 2 + seglen]
+    with pytest.raises(JpegFormatError, match="differential SOF"):
+        decode_jpeg(bytes(plain))
+
+    def patched(find_marker, to_marker):
+        b = bytearray(blob)
+        i = b.find(struct.pack(">H", find_marker))
+        b[i:i + 2] = struct.pack(">H", to_marker)
+        return bytes(b)
+
+    with pytest.raises(JpegFormatError, match="progressive"):
+        decode_jpeg(patched(0xFFC3, 0xFFC2))
+    with pytest.raises(JpegFormatError, match="arithmetic"):
+        decode_jpeg(patched(0xFFC7, 0xFFCF))
+    with pytest.raises(JpegFormatError, match="nested DHP"):
+        decode_jpeg(patched(0xFFC7, 0xFFDE))
+    with pytest.raises(JpegFormatError, match="DNL"):
+        decode_jpeg(blob[:-2] + b"\xff\xdc\x00\x04\x00\x08\xff\xd9")
+    # EXP before any frame
+    b = bytearray(blob)
+    dhp_end = b.find(struct.pack(">H", 0xFFDE))
+    (seglen,) = struct.unpack(">H", b[dhp_end + 2:dhp_end + 4])
+    ins = dhp_end + 2 + seglen
+    b[ins:ins] = b"\xff\xdf\x00\x03\x11"
+    with pytest.raises(JpegFormatError, match="EXP before"):
+        decode_jpeg(bytes(b))
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(5, 19))
+def test_jpeg_hier_fuzz_stays_format_error(seed, step):
+    """Truncation/byte-flip totality over hierarchical streams."""
+    import random
+
+    from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_lossless
+
+    rnd = random.Random(seed)
+    raw = bytes(rnd.randrange(256) for _ in range(14 * 10))
+    blob = encode_jpeg_hier_lossless(14, 10, raw, 1, 8,
+                                     predictor=1 + rnd.randrange(7),
+                                     levels=3)
+    for cut in range(2, len(blob), step):
+        try:
+            decode_jpeg(blob[:cut])
+        except JpegFormatError:
+            pass
+    for i in range(2, len(blob), step):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) + blob[i + 1:]
+        try:
+            decode_jpeg(bad)
+        except JpegFormatError:
+            pass
