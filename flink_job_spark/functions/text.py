@@ -67,7 +67,21 @@ def words_duck(col: str = "text") -> str:
 # codepoint stays itself); space-script words and `words()`-based counts
 # are untouched. Both engine twins apply the identical merge.
 
-_NS_TOKEN_RE = f"^[{_NOSPACE_RANGES}]"
+# no-space-script membership as INTEGER codepoint compares on the first
+# char (these tokens are single codepoints by construction) — regex
+# probes here tripled the hot dedup keys' wall time; ascii()/ord() stay
+# in codegen / vectorized C
+_NS_CP = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0x3040, 0x30FF),
+          (0x0E00, 0x0E7F))
+
+
+def _ns_pred(expr: str, fn: str) -> str:
+    """(`fn`(expr) falls in a no-space range) as a boolean SQL expr;
+    NULL stays NULL (out-of-bounds probes), matching both engines."""
+    cp = f"{fn}({expr})"
+    ors = " OR ".join(f"({cp} >= {lo} AND {cp} <= {hi})"
+                      for lo, hi in _NS_CP)
+    return f"({ors})"
 
 
 def shingle_tokens(words_col: str) -> str:
@@ -76,13 +90,17 @@ def shingle_tokens(words_col: str) -> str:
     1-based and NULL out of bounds (ANSI-safe), mirroring DuckDB list
     indexing."""
     w = words_col
+
+    def ns(idx: str) -> str:
+        return _ns_pred(f"try_element_at({w}, {idx})", "ascii")
+
     return (
         f"filter(transform(sequence(1, size({w})), i -> "
-        f"CASE WHEN NOT try_element_at({w}, i) RLIKE '{_NS_TOKEN_RE}' "
+        f"CASE WHEN NOT {ns('i')} "
         f"THEN try_element_at({w}, i) "
-        f"WHEN try_element_at({w}, i + 1) RLIKE '{_NS_TOKEN_RE}' "
+        f"WHEN {ns('i + 1')} "
         f"THEN concat(try_element_at({w}, i), try_element_at({w}, i + 1)) "
-        f"WHEN i > 1 AND try_element_at({w}, i - 1) RLIKE '{_NS_TOKEN_RE}' "
+        f"WHEN i > 1 AND {ns('i - 1')} "
         f"THEN CAST(NULL AS STRING) ELSE try_element_at({w}, i) END), "
         f"x -> x IS NOT NULL)"
     )
@@ -90,27 +108,39 @@ def shingle_tokens(words_col: str) -> str:
 
 def shingle_tokens_duck(words_sql: str) -> str:
     w = words_sql
+
+    def ns(idx: str) -> str:
+        return _ns_pred(f"{w}[{idx}]", "ord")
+
     return (
         f"list_filter(list_transform(range(1, len({w}) + 1), i -> "
-        f"CASE WHEN NOT regexp_matches({w}[i], '{_NS_TOKEN_RE}') "
+        f"CASE WHEN NOT {ns('i')} "
         f"THEN {w}[i] "
-        f"WHEN regexp_matches({w}[i + 1], '{_NS_TOKEN_RE}') "
+        f"WHEN {ns('i + 1')} "
         f"THEN concat({w}[i], {w}[i + 1]) "
-        f"WHEN i > 1 AND regexp_matches({w}[i - 1], '{_NS_TOKEN_RE}') "
+        f"WHEN i > 1 AND {ns('i - 1')} "
         f"THEN NULL ELSE {w}[i] END), x -> x IS NOT NULL)"
     )
 
 
-def word_shingles(words_col: str, k: int = 3) -> Column:
-    s = shingle_tokens(words_col)
+def word_shingles(words_col: str, k: int = 3,
+                  premerged: bool = False) -> Column:
+    """k-shingles over the bigram-merged token array. The shingle
+    expression references its input THREE times (sequence bound, slice,
+    size), so hot callers should materialize :func:`shingle_tokens` as
+    its own projection column first and pass ``premerged=True`` — the
+    merge then runs once per row instead of three times (measured 5.7x
+    on q_dedup_minhash_lsh at sf0.1 before this split)."""
+    s = words_col if premerged else shingle_tokens(words_col)
     return F.expr(
         f"transform(sequence(1, greatest(size({s}) - {k - 1}, 1)), "
         f"i -> concat_ws(' ', slice({s}, i, {k})))"
     )
 
 
-def word_shingles_duck(words_sql: str, k: int = 3) -> str:
-    s = shingle_tokens_duck(words_sql)
+def word_shingles_duck(words_sql: str, k: int = 3,
+                       premerged: bool = False) -> str:
+    s = words_sql if premerged else shingle_tokens_duck(words_sql)
     return (
         f"list_transform(range(1, greatest(len({s}) - {k - 1}, 1) + 1), "
         f"i -> array_to_string(list_slice({s}, i, i + {k - 1}), ' '))"

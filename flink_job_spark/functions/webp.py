@@ -554,7 +554,13 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
         raise WebpFormatError(f"image exceeds pixel cap: {w}x{h}")
     br = _Bits(data[:20 + chunk_size], 25)
 
-    # transforms, in read order; each may appear at most once
+    # transforms, in read order; each may appear at most once. Every
+    # transform captures the image width AT READ TIME: color indexing
+    # shrinks the coded width (pixel bundling), so a predictor/color
+    # transform read AFTER it operates on the PACKED image and its
+    # inverse must run at that width (matching libwebp's xsize flow) —
+    # using the full width there would mis-address and walk off the
+    # packed buffer on crafted orderings.
     transforms: list[tuple] = []
     seen: set[int] = set()
     xsize = w
@@ -567,14 +573,14 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
             bits = br.read(3) + 2
             modes = _decode_entropy_image(
                 br, _subsample(xsize, bits), _subsample(h, bits), False)
-            transforms.append((0, bits, modes))
+            transforms.append((0, xsize, bits, modes))
         elif ttype == 1:                  # color transform
             bits = br.read(3) + 2
             elems = _decode_entropy_image(
                 br, _subsample(xsize, bits), _subsample(h, bits), False)
-            transforms.append((1, bits, elems))
+            transforms.append((1, xsize, bits, elems))
         elif ttype == 2:                  # subtract green
-            transforms.append((2,))
+            transforms.append((2, xsize))
         else:                             # color indexing (palette)
             n_colors = br.read(8) + 1
             deltas = _decode_entropy_image(br, n_colors, 1, False)
@@ -583,25 +589,28 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
             for d in deltas:
                 prev = _add_px(prev, d)
                 palette.append(prev)
-            transforms.append((3, palette))
             if n_colors <= 2:
-                xsize = _subsample(xsize, 3)
+                packed = _subsample(xsize, 3)
             elif n_colors <= 4:
-                xsize = _subsample(xsize, 2)
+                packed = _subsample(xsize, 2)
             elif n_colors <= 16:
-                xsize = _subsample(xsize, 1)
+                packed = _subsample(xsize, 1)
+            else:
+                packed = xsize
+            transforms.append((3, xsize, palette))
+            xsize = packed
 
     px = _decode_entropy_image(br, xsize, h, True)
 
     for t in reversed(transforms):
         if t[0] == 0:
-            _inv_predictor(px, w, h, t[1], t[2])
+            _inv_predictor(px, t[1], h, t[2], t[3])
         elif t[0] == 1:
-            _inv_color_transform(px, w, h, t[1], t[2])
+            _inv_color_transform(px, t[1], h, t[2], t[3])
         elif t[0] == 2:
             _inv_subtract_green(px)
         else:
-            px = _inv_color_index(px, w, h, t[1])
+            px = _inv_color_index(px, t[1], h, t[2])
 
     out = bytearray(w * h * 4)
     for i, v in enumerate(px):

@@ -80,9 +80,16 @@ def doc_shingles(d: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
     """(doc_id, s): distinct word-3-gram shingles per document; optionally
     doc-frequency-capped (see :func:`cap_shingles` — pass an already-persisted
     shingle table there instead when the full set is also needed)."""
+    from flink_job_spark.functions.text import shingle_tokens
+
+    # materialize the CJK bigram merge ONCE per row (r7): the shingle
+    # expression references its input 3x, so merging inline tripled the
+    # per-row tokenization cost on every dedup key
     sh = (
         d.select("doc_id", words("text").alias("ws"))
-        .select("doc_id", F.explode(F.array_distinct(word_shingles("ws", 3))).alias("s"))
+        .select("doc_id", F.expr(shingle_tokens("ws")).alias("st"))
+        .select("doc_id", F.explode(F.array_distinct(
+            word_shingles("st", 3, premerged=True))).alias("s"))
     )
     return cap_shingles(sh, max_doc_freq) if max_doc_freq is not None else sh
 

@@ -410,10 +410,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is the benchmark suite (MBs), independent of corpus size; if the
     eval inventory ever outgrew broadcast, the same plan degrades to a
     shuffle join on the gram hash — semantics unchanged."""
+    from flink_job_spark.functions.text import shingle_tokens
+
     d = load_table(spark, sf_dir, "documents")
     g = (
         d.select("doc_id", words("text").alias("w"))
-         .select("doc_id", F.explode(word_shingles("w", CONTAM_K)).alias("g"))
+         .select("doc_id", F.expr(shingle_tokens("w")).alias("st"))
+         .select("doc_id", F.explode(
+             word_shingles("st", CONTAM_K, premerged=True)).alias("g"))
     )
     bench = g.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
     train = g.filter(F.col("doc_id") % EVAL_MOD != 0).distinct()

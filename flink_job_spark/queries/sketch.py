@@ -270,8 +270,8 @@ def _source_minhash_oracle() -> str:
         f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K))
     return f"""WITH sh AS (
-          SELECT source, unnest({word_shingles_duck(words_duck('text'))}) AS sh
-          FROM documents),
+          SELECT source, unnest({word_shingles_duck('w')}) AS sh
+          FROM (SELECT source, {words_duck('text')} AS w FROM documents)),
         sig AS (SELECT source, {mins} FROM sh GROUP BY source)
        SELECT a.source AS source_a, b.source AS source_b,
               CAST({agree} AS BIGINT) AS n_agree,
@@ -302,14 +302,17 @@ def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per SOURCE pair. Estimates are deterministic md5 mins, not samples —
     both engines compute identical signatures, so the driver hash-check
     holds despite MinHash being an approximation of Jaccard."""
-    from flink_job_spark.functions.text import word_shingles, words
+    from flink_job_spark.functions.text import (shingle_tokens,
+                                                word_shingles, words)
     d = load_table(spark, sf_dir, "documents")
     # no DISTINCT before the MIN (min over the multiset = min over the
     # set), and only FOUR md5 evaluations per shingle occurrence: each
     # 128-bit digest yields 4 independent u32 lanes, so K=16 permutations
     # cost 4 hashes + 16 cheap substring/conv extractions per row
     sh = (d.withColumn("w", words("text"))
-            .select("source", F.explode(word_shingles("w")).alias("sh"),
+            .withColumn("w", F.expr(shingle_tokens("w")))
+            .select("source",
+                    F.explode(word_shingles("w", premerged=True)).alias("sh"),
                     *[F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))
                        .alias(f"m{s}") for s in range(4)]))
     sig = sh.groupBy("source").agg(*[

@@ -1385,13 +1385,15 @@ _MIX_DUCK = f"concat(text, ' ', {_MIX_CASE})"
 
 @register(
     "q_segment_multiscript",
+    # the words list binds ONCE in a subquery: splicing the regex-split
+    # expression into the bigram-merge lambda's per-element accesses is
+    # O(n^2) per row in DuckDB (r7 review-caught hang)
     f"""SELECT doc_id,
-               CAST(len({words_duck(_MIX_DUCK)}) AS BIGINT) AS n_words,
-               CAST(len(list_distinct({words_duck(_MIX_DUCK)})) AS BIGINT)
-                 AS n_uniq_words,
-               CAST(len({word_shingles_duck(words_duck(_MIX_DUCK))}) AS BIGINT)
-                 AS n_shingles
-        FROM documents""",
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
+               CAST(len({word_shingles_duck('w')}) AS BIGINT) AS n_shingles
+        FROM (SELECT doc_id, {words_duck(_MIX_DUCK)} AS w
+              FROM documents)""",
     doc="script-aware segmentation: words/distinct/3-shingle counts over a "
         "mixed zh/ja/th/en corpus (no-space scripts segment per codepoint; "
         "map-only, zero shuffles)",
