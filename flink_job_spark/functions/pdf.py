@@ -462,6 +462,10 @@ class _Document:
         self.trailer: dict[str, object] = {}
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes,
                                             int]] = {}
+        # objects currently being parsed: breaks /Length -> stream ->
+        # /Length reference cycles that would otherwise recurse forever
+        # (each get_object hop resets resolve()'s depth counter)
+        self._parsing: set[int] = set()
         self._parse_xref()
 
     # -- xref chain (classic tables, xref streams, hybrid /XRefStm) --------
@@ -605,11 +609,17 @@ class _Document:
         entry = self.xref.get(num)
         if entry is None:
             raise PdfFormatError(f"object {num} not in xref")
-        if entry[0] == _XREF_IN_OBJSTM:
-            return self._objstm_object(entry[1], entry[2], num)
-        off = entry[1]
-        _, obj = self._parse_toplevel_at(off, num)
-        return obj
+        if num in self._parsing:
+            raise PdfFormatError(f"circular reference through object {num}")
+        self._parsing.add(num)
+        try:
+            if entry[0] == _XREF_IN_OBJSTM:
+                return self._objstm_object(entry[1], entry[2], num)
+            off = entry[1]
+            _, obj = self._parse_toplevel_at(off, num)
+            return obj
+        finally:
+            self._parsing.discard(num)
 
     def _parse_toplevel_at(self, off: int, want: int | None):
         """Parse `num gen obj ... [stream]` at a byte offset; returns

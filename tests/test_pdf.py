@@ -620,3 +620,25 @@ def test_pdf_font_switching_and_broken_cmap_degrades():
               + b"\nendstream")
     r = extract_pdf_text(_minimal_pdf(bad))
     assert r["text"] == "ab\x00\x01"
+
+
+def test_pdf_circular_length_reference_is_format_error():
+    """Two stream objects whose /Length values reference EACH OTHER's
+    objects recurse through get_object with a fresh resolve() depth per
+    hop — without the parsing-stack guard this was a RecursionError on
+    crafted input, not the errors-as-data PdfFormatError."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream",
+        5: b"<< /Length 4 0 R >>\nstream\nBT (y) Tj ET\nendstream",
+    }
+    with pytest.raises(PdfFormatError, match="circular"):
+        extract_pdf_text(_minimal_pdf(objs))
+
+    # direct self-reference too
+    objs[4] = b"<< /Length 4 0 R >>\nstream\nBT (x) Tj ET\nendstream"
+    del objs[5]
+    with pytest.raises(PdfFormatError, match="circular"):
+        extract_pdf_text(_minimal_pdf(objs))
