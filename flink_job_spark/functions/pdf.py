@@ -235,7 +235,10 @@ class _Lexer:
                 return bytes(int("".join(digits[i:i + 2]), 16)
                              for i in range(0, len(digits), 2))
             if c not in _WS:
-                if not c.isalnum():
+                # strict hex only: isalnum() admitted letters like 't'
+                # that blew up int(x, 16) with a raw ValueError on
+                # fuzzed input (caught by the r7 xref-stream fuzz)
+                if c not in b"0123456789abcdefABCDEF":
                     raise PdfFormatError("bad hex string")
                 digits.append(c.decode())
             p += 1
