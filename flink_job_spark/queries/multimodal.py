@@ -1365,9 +1365,15 @@ def q_media_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
                                 "mime": "image/webp", "payload": payloads})
 
+    import flink_job_spark.functions.webp as webp_mod
+    from flink_job_spark.operators.multimodal import cached_media_df
+
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
-    return decode_pixel_stats(media).select(
+    media = cached_media_df(
+        spark, sf_dir, "q_media_webp_stats",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, webp_mod))
+    return decode_pixel_stats(media.select("media_id", "payload")).select(
         "media_id", "width", "height", "channels", "mean_luma")
 
 
@@ -1423,8 +1429,16 @@ def q_media_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
                                 "mime": "image/jpeg", "payload": payloads})
 
+    import flink_job_spark.functions.jpeg_hier as hier_mod
+    import flink_job_spark.functions.jpeg_lossless as jl_mod
+    from flink_job_spark.operators.multimodal import cached_media_df
+
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = cached_media_df(
+        spark, sf_dir, "q_media_jpeg_hier",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, hier_mod, jl_mod))
+    media = media.select("media_id", "payload")
     return decode_pixel_stats(media).select(
         "media_id", "width", "height", "channels",
         ((F.col("media_id") % 2) + 2).cast("int").alias("n_levels"),

@@ -1405,12 +1405,19 @@ def q_segment_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is a pure scan-side pass; the segmentation itself is
     two JVM regex passes per row (codegen-able), identical cost shape to
     the pre-r6 single-pass rule."""
+    from flink_job_spark.functions.text import shingle_tokens
+
     d = load_table(spark, sf_dir, "documents")
     mixed = F.concat(F.col("text"), F.lit(" "), F.expr(_MIX_CASE))
     staged = d.select("doc_id", F.split(norm_text(mixed), " ").alias("w"))
-    return staged.select(
+    # the bigram merge materializes ONCE per row (r7): the shingle expr
+    # references its input 3x, which measured 7x on this key at sf0.1
+    merged = staged.select("doc_id", "w",
+                           F.expr(shingle_tokens("w")).alias("st"))
+    return merged.select(
         "doc_id",
         F.size("w").cast("bigint").alias("n_words"),
         F.size(F.array_distinct("w")).cast("bigint").alias("n_uniq_words"),
-        F.size(word_shingles("w")).cast("bigint").alias("n_shingles"),
+        F.size(word_shingles("st", premerged=True)).cast("bigint")
+         .alias("n_shingles"),
     )

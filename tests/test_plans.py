@@ -1786,12 +1786,18 @@ def test_round7_keys_are_map_only(spark, sf_dir):
     """r7 codec keys stay pure map stages: VP8L WebP and MKV metadata
     ride the binaryFile partitioning at 100 TB; an Exchange is a
     regression."""
-    for name in ["q_media_webp_stats", "q_media_mkv_meta",
-                 "q_media_jpeg_hier"]:
+    for name in ["q_media_mkv_meta"]:
         p = plan(all_queries()[name].fn(spark, sf_dir))
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
         assert read_schema_columns(p) == {"doc_id"}, (name, p)
+    # the two pure-Python-codec keys read their fixture CACHE (pruned to
+    # the decode inputs) so the bench measures decode, not synthesis
+    for name in ["q_media_webp_stats", "q_media_jpeg_hier"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
+        assert read_schema_columns(p) == {"media_id", "payload"}, (name, p)
 
 
 def test_gopher_rules_tokenizes_once(spark, sf_dir):
