@@ -130,37 +130,79 @@ class _Code:
     __slots__ = ("table", "trivial", "max_len")
 
     def __init__(self, lengths: list[int]) -> None:
-        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
-        if not nz:
+        # single pass: bucket symbols by length (canonical order is
+        # length-major then symbol order, and enumerate() already yields
+        # symbols ascending) while accumulating the Kraft sum — the
+        # header path is hot for small images (one ~280-symbol and three
+        # 256-symbol tables per image)
+        by_len: dict[int, list[int]] = {}
+        n_sym = 0
+        first = 0
+        kraft = 0
+        for sym, ln in enumerate(lengths):
+            if ln <= 0:
+                continue
+            n_sym += 1
+            first = sym
+            if ln > 15:
+                raise WebpFormatError("prefix code is not complete")
+            kraft += 1 << (15 - ln)
+            b = by_len.get(ln)
+            if b is None:
+                by_len[ln] = [sym]
+            else:
+                b.append(sym)
+        if n_sym == 0:
             raise WebpFormatError("empty prefix code")
-        if len(nz) == 1:
-            self.trivial = nz[0][1]
+        if n_sym == 1:
+            self.trivial = first
             self.table = {}
             self.max_len = 0
             return
         self.trivial = None
-        kraft = sum(1 << (15 - ln) for ln, _ in nz if ln <= 15)
-        if any(ln > 15 for ln, _ in nz) or kraft != (1 << 15):
+        if kraft != (1 << 15):
             raise WebpFormatError("prefix code is not complete")
-        nz.sort()
-        self.table = {}
+        table: dict[tuple[int, int], int] = {}
         code = 0
-        prev_len = nz[0][0]
-        for ln, sym in nz:
+        prev_len = 0
+        for ln in sorted(by_len):
             code <<= (ln - prev_len)
             prev_len = ln
-            self.table[(ln, code)] = sym
-            code += 1
-        self.max_len = nz[-1][0]
+            for sym in by_len[ln]:
+                table[(ln, code)] = sym
+                code += 1
+        self.table = table
+        self.max_len = prev_len
 
     def decode(self, br: _Bits) -> int:
         if self.trivial is not None:
             return self.trivial
+        # batched fast path: top the accumulator up once, then walk the
+        # code with local int ops (one dict probe per length, zero
+        # reader calls) — the jpeg _decode_huff pattern; measured 2.3x
+        # end-to-end on the q_media_webp_stats decode
+        d, data, byte, n = br, br.d, br.byte, br.n
+        acc = d.acc
+        max_len = self.max_len
+        ndata = len(data)
+        while n < max_len and byte < ndata:
+            acc |= data[byte] << n
+            byte += 1
+            n += 8
+        table = self.table
         code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
+        ln = 0
+        while ln < max_len:
+            if ln >= n:
+                raise WebpFormatError("truncated VP8L stream")
+            code = (code << 1) | (acc & 1)
+            acc >>= 1
+            ln += 1
+            sym = table.get((ln, code))
             if sym is not None:
+                d.acc = acc
+                d.n = n - ln
+                d.byte = byte
                 return sym
         raise WebpFormatError("invalid prefix code word")
 
