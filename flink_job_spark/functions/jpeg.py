@@ -1044,6 +1044,12 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS
             raise JpegFormatError("truncated before SOS")
         if data[pos] != 0xFF:
             raise JpegFormatError(f"bad marker sync at {pos}")
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1                    # fill bytes before marker (B.1.1.2)
+        if pos + 2 > len(data):
+            if nscans:
+                break
+            raise JpegFormatError("truncated before SOS")
         marker = data[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2

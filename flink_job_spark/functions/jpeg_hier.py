@@ -127,8 +127,15 @@ def decode_hierarchical(data: bytes, dhp_pos: int, dhp_body: bytes,
         for (cid, _tq, _hi, _vi), plane in zip(comps, planes):
             if differential:
                 refs[cid] = (refs[cid] + plane) & 0xFFFF
-            else:
+            elif lossless:
                 refs[cid] = plane & 0xFFFF
+            else:
+                # T.81 defines a DCT frame's decoder output WITH sample
+                # clamping (A.3.1); only differential ADDITIONS are
+                # mod-2^16 (J.5). Storing an unclamped under/overshoot
+                # here would wrap negatives to ~65535 and diverge from
+                # the encoder's clamped reference.
+                refs[cid] = np.clip(plane, 0, (1 << prec) - 1)
         n_frames += 1
         sof = geom = coefs = None
         nscans = 0
@@ -176,6 +183,12 @@ def decode_hierarchical(data: bytes, dhp_pos: int, dhp_body: bytes,
             raise JpegFormatError("truncated hierarchical stream")
         if data[pos] != 0xFF:
             raise JpegFormatError(f"bad marker sync at {pos}")
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1                      # fill bytes before marker (B.1.1.2)
+        if pos + 2 > len(data):
+            if n_frames or sof is not None:
+                break
+            raise JpegFormatError("truncated hierarchical stream")
         marker = data[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -55,6 +55,14 @@ _CLUSTER = 0x1F43B675
 
 _RECURSE = {_SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _AUDIO}
 
+# Matroska top-level (Segment-child) element ids as stream bytes — the
+# resync set for unknown-size Clusters: SeekHead, Info, Tracks, Cluster,
+# Cues, Attachments, Chapters, Tags
+_TOP_LEVEL_IDS = (b"\x11\x4d\x9b\x74", b"\x15\x49\xa9\x66",
+                  b"\x16\x54\xae\x6b", b"\x1f\x43\xb6\x75",
+                  b"\x1c\x53\xbb\x6b", b"\x19\x41\xa4\x69",
+                  b"\x10\x43\xa7\x70", b"\x12\x54\xc3\x67")
+
 
 class MkvFormatError(ValueError):
     """Malformed EBML structure — becomes a decode_error row."""
@@ -121,11 +129,24 @@ def _walk(data: bytes, pos: int, end: int, depth: int, out: dict,
         eid, pos = _read_id(data, pos, end)
         size, pos = _read_size(data, pos, end)
         if size is None:
-            # unknown size: legal for Segment/Cluster — the element runs
-            # to the end of the enclosing scope (RFC 8794 §6.2)
-            if eid not in (_SEGMENT, _CLUSTER):
+            # unknown size: legal for Segment/Cluster (RFC 8794 §6.2).
+            # Segment runs to the end of the enclosing scope; a live-muxed
+            # Cluster ends at the first valid SIBLING id — scan for the
+            # next top-level Matroska id so elements placed after it
+            # (later Clusters, trailing Info/Tracks) still parse instead
+            # of being silently swallowed. Cluster bodies are opaque to
+            # this triage walk, so a byte-pattern scan is the resync.
+            if eid == _SEGMENT:
+                size = end - pos
+            elif eid == _CLUSTER:
+                nxt = end
+                for pat in _TOP_LEVEL_IDS:
+                    i = data.find(pat, pos, nxt)
+                    if i != -1:
+                        nxt = i
+                size = nxt - pos
+            else:
                 raise MkvFormatError(f"unknown size on element {eid:#x}")
-            size = end - pos
         if pos + size > end:
             raise MkvFormatError(f"element {eid:#x} overruns scope")
         body_end = pos + size
@@ -240,11 +261,15 @@ def build_mkv(doc_type: str = "matroska", timestamp_scale: int = 1_000_000,
               audio: tuple[int, int, str] | None = None,
               float32_duration: bool = False,
               unknown_segment_size: bool = False,
-              cluster_bytes: int = 0) -> bytes:
+              cluster_bytes: int = 0,
+              unknown_cluster_size: bool = False,
+              cluster_before_tracks: bool = False) -> bytes:
     """Minimal-but-real Matroska/WebM: EBML header + Segment(Info +
     Tracks [+ Cluster]). `video` is (w, h, codec_id); `audio` is
-    (hz, channels, codec_id). `unknown_segment_size` writes the
-    all-ones VINT the way live muxers do."""
+    (hz, channels, codec_id). `unknown_segment_size` /
+    `unknown_cluster_size` write the all-ones VINT the way live muxers
+    do; `cluster_before_tracks` places the Cluster between Info and
+    Tracks (the live-mux layout where trailing siblings must resync)."""
     header = _el(_EBML_HEADER,
                  _el_uint(0x4286, 1)                  # EBMLVersion
                  + _el_uint(0x42F7, 1)                # EBMLReadVersion
@@ -257,6 +282,18 @@ def build_mkv(doc_type: str = "matroska", timestamp_scale: int = 1_000_000,
         else:
             info += _el(_DURATION, struct.pack(">d", duration_units))
     seg_body = _el(_INFO, info)
+    cluster = b""
+    if cluster_bytes:
+        # a Timestamp child (0xE7) then zero padding — no accidental
+        # top-level id patterns in the body
+        cbody = _el_uint(0xE7, 0) + bytes(max(0, cluster_bytes - 4))
+        if unknown_cluster_size:
+            cluster = _id_bytes(_CLUSTER) + b"\xff" + cbody
+        else:
+            cluster = _el(_CLUSTER, cbody)
+    if cluster_before_tracks:
+        seg_body += cluster
+        cluster = b""
     tracks = b""
     if video is not None:
         w, h, codec = video
@@ -275,8 +312,7 @@ def build_mkv(doc_type: str = "matroska", timestamp_scale: int = 1_000_000,
                             + _el_uint(_CHANNELS, ch)))
     if tracks:
         seg_body += _el(_TRACKS, tracks)
-    if cluster_bytes:
-        seg_body += _el(_CLUSTER, bytes(cluster_bytes))
+    seg_body += cluster
     if unknown_segment_size:
         seg = _id_bytes(_SEGMENT) + b"\xff" + seg_body
     else:

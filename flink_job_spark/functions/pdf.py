@@ -29,9 +29,9 @@ content-stream tokenizer that understands
 and ``TJ`` (kerning numbers skipped), with ``Td``/``TD``/``T*``/``'``/``"``
 emitting line breaks. String syntax per spec: balanced parens, ``\\``
 escapes (n r t b f ( ) \\), octal codes, line continuations; hex strings
-``<...>``. Text bytes are PDFDocEncoding-adjacent Latin-1 here (the
-builder emits Latin-1) — real-font /ToUnicode CMaps are out of scope and
-documented so.
+``<...>``. Text bytes default to PDFDocEncoding-adjacent Latin-1 (the
+builder emits Latin-1); fonts carrying a /ToUnicode CMap are decoded
+through it as described above.
 
 Errors-as-data: every malformed input raises PdfFormatError (never a bare
 struct/zlib/ValueError escape — the r4 DQT lesson); bomb guards cap object

@@ -552,9 +552,9 @@ def _inv_color_index(px: list[int], w: int, h: int,
         for x in range(w):
             g = (px[y * packed_w + (x >> width_bits)] >> 8) & 0xFF
             idx = (g >> ((x % ppb) * ibits)) & mask
-            if idx >= n_colors:
-                raise WebpFormatError("palette index out of range")
-            out[y * w + x] = palette[idx]
+            # RFC 9649 §4.2.3: an index >= palette size decodes as
+            # transparent black, matching libwebp — not an error row
+            out[y * w + x] = palette[idx] if idx < n_colors else 0x00000000
     return out
 
 

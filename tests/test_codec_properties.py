@@ -2009,3 +2009,55 @@ def test_jpeg_hier_fuzz_stays_format_error(seed, step):
             decode_jpeg(bad)
         except JpegFormatError:
             pass
+
+
+def test_jpeg_hier_dct_clamp_extreme_content():
+    """r8 (ADVICE r7): on content whose base-frame IDCT under/overshoots
+    [0, 255] (random 0/255 pixels), the non-differential DCT reference
+    must be stored CLAMPED (T.81 A.3.1) — unclamped mod-2^16 storage
+    wrapped negatives to ~65535 and broke the bounded-loss certificate
+    by up to 255."""
+    import random
+
+    from flink_job_spark.functions.jpeg import decode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_dct
+
+    rnd = random.Random(7)
+    for w, h in [(16, 16), (21, 13)]:
+        px = bytes(255 * rnd.randrange(2) for _ in range(w * h))
+        gw, gh, gc, out = decode_jpeg(encode_jpeg_hier_dct(w, h, px,
+                                                           quality=90))
+        assert (gw, gh, gc) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 4
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by fill bytes (0xFF).
+    Both segment walks (decode_jpeg's and the hierarchical one) must
+    skip fill runs instead of reading the length from the wrong
+    offset."""
+    import struct
+
+    from flink_job_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from flink_job_spark.functions.jpeg_hier import encode_jpeg_hier_lossless
+
+    px = bytes((3 * i) % 251 for i in range(12 * 9))
+    blob = encode_jpeg(12, 9, px, 1, quality=95)
+    want = decode_jpeg(blob)
+
+    def stuffed(b: bytes, marker: int, nfill: int) -> bytes:
+        i = b.find(struct.pack(">H", marker))
+        assert i >= 0
+        return b[:i] + b"\xff" * nfill + b[i:]
+
+    for marker in (0xFFDB, 0xFFC4, 0xFFDA, 0xFFD9):
+        for nfill in (1, 3):
+            assert decode_jpeg(stuffed(blob, marker, nfill)) == want
+
+    hier = encode_jpeg_hier_lossless(10, 8, bytes(range(80)), 1, 8,
+                                     levels=2)
+    want_h = decode_jpeg(hier)
+    # fill bytes before the SOF7 refinement frame and before EOI land in
+    # the hierarchical walk specifically
+    for marker in (0xFFC7, 0xFFDF, 0xFFD9):
+        assert decode_jpeg(stuffed(hier, marker, 2)) == want_h

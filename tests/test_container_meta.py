@@ -439,3 +439,26 @@ def test_mkv_fuzz_stays_format_error():
             mkv_meta(bad)
         except MkvFormatError:
             pass
+
+
+def test_mkv_unknown_cluster_size_resyncs_to_siblings():
+    """r8 (ADVICE r7): a live-muxed unknown-size Cluster ends at the
+    next valid sibling id (RFC 8794 §6.2), so Tracks placed AFTER it
+    still parse instead of being swallowed to end-of-scope."""
+    from flink_job_spark.functions.mkv import build_mkv, mkv_meta
+
+    b = build_mkv("matroska", 1_000_000, 2500.0,
+                  video=(320, 240, "V_VP9"), audio=(48000, 2, "A_OPUS"),
+                  cluster_bytes=64, unknown_cluster_size=True,
+                  cluster_before_tracks=True, unknown_segment_size=True)
+    m = mkv_meta(b)
+    assert m["n_tracks"] == 2
+    assert (m["vid_w"], m["vid_h"], m["video_codec"]) == (320, 240, "V_VP9")
+    assert (m["audio_hz"], m["audio_channels"]) == (48000.0, 2)
+    assert m["duration_ms"] == 2500
+
+    # sized clusters and trailing unknown-size clusters keep working
+    m2 = mkv_meta(build_mkv("webm", duration_units=10.0,
+                            video=(64, 48, "V_VP8"), cluster_bytes=32,
+                            unknown_cluster_size=True))
+    assert m2["n_tracks"] == 1 and m2["vid_w"] == 64

@@ -329,3 +329,15 @@ def test_webp_shared_dispatch_integration():
     if not pillow_available():
         with pytest.raises(ImageDecodeError, match="webp"):
             _decode_any_image(bytes(lossy))
+
+
+def test_webp_out_of_range_palette_index_is_transparent_black():
+    """r8 (ADVICE r7): RFC 9649 — a packed index >= palette size decodes
+    as 0x00000000 (transparent black, libwebp behavior), not an error
+    row."""
+    from flink_job_spark.functions.webp import _inv_color_index
+
+    palette = [0xFF111111, 0xFF222222, 0xFF333333]   # 3 colors -> 2-bit idx
+    g = 0b11100100                                   # indices 0,1,2,3
+    out = _inv_color_index([g << 8], 4, 1, palette)
+    assert out == [0xFF111111, 0xFF222222, 0xFF333333, 0x00000000]
