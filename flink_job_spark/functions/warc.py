@@ -136,9 +136,108 @@ def warc_stats(data: bytes) -> dict:
             "uri": uri, "payload_bytes": payload_bytes}
 
 
+_HTTP_MAX_HEADERS = 256
+
+
+def http_response_meta(payload: bytes) -> dict:
+    """Parse an HTTP/1.x response message (the payload of a WARC
+    ``response`` record, RFC 9112 §4): status line, CRLF header block,
+    body. Returns status / reason / lowercased media type / charset
+    parameter / declared Content-Length / Location / body. The first
+    occurrence of a repeated header wins (the field-line rule proxies
+    choose); header count is capped like the WARC walk."""
+    end = payload.find(b"\r\n\r\n")
+    if end < 0:
+        raise WarcFormatError("unterminated HTTP header block")
+    lines = payload[:end].split(b"\r\n")
+    if len(lines) > _HTTP_MAX_HEADERS:
+        raise WarcFormatError("HTTP header count exceeds cap")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcFormatError(f"bad HTTP status line {lines[0][:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WarcFormatError("non-integer HTTP status") from None
+    if not 100 <= status <= 599:
+        raise WarcFormatError(f"implausible HTTP status {status}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if not sep:
+            raise WarcFormatError(f"bad HTTP header line {ln[:40]!r}")
+        headers.setdefault(k.strip().lower().decode("latin-1"),
+                           v.strip().decode("latin-1"))
+    media_type = charset = None
+    ctype = headers.get("content-type")
+    if ctype is not None:
+        mt, _, params = ctype.partition(";")
+        media_type = mt.strip().lower()
+        for p in params.split(";"):
+            pk, psep, pv = p.partition("=")
+            if psep and pk.strip().lower() == "charset":
+                charset = pv.strip().strip('"').lower()
+                break
+    clen = None
+    if "content-length" in headers:
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise WarcFormatError(
+                "non-integer HTTP Content-Length") from None
+        if clen < 0:
+            raise WarcFormatError("negative HTTP Content-Length")
+    return {"status": status,
+            "reason": (parts[2].decode("latin-1") if len(parts) > 2
+                       else ""),
+            "media_type": media_type, "charset": charset,
+            "content_length": clen, "location": headers.get("location"),
+            "body": payload[end + 4:]}
+
+
+def warc_http_chain(data: bytes) -> dict:
+    """Redirect-chain summary over a WARC's ``response`` records in
+    record order — the first filter every crawl pipeline applies.
+    Leading 3xx responses carrying a Location count as hops; the first
+    non-redirect response is the final document. Responses after the
+    final one (re-crawls in the same file) are ignored."""
+    n_hops = 0
+    first_status = redirect_to = None
+    final = None
+    for headers, payload in warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        m = http_response_meta(payload)
+        if first_status is None:
+            first_status = m["status"]
+            if 300 <= m["status"] < 400:
+                redirect_to = m["location"]
+        if final is None and 300 <= m["status"] < 400 and m["location"]:
+            n_hops += 1
+            continue
+        if final is None:
+            final = m
+    if first_status is None:
+        raise WarcFormatError("no response records")
+    if final is None:
+        raise WarcFormatError("redirect chain without a final response")
+    return {"n_hops": n_hops, "first_status": first_status,
+            "redirect_to": redirect_to, "final_status": final["status"],
+            "media_type": final["media_type"], "charset": final["charset"],
+            "content_length": final["content_length"]}
+
+
 # --------------------------------------------------------------------------
 # builder (fixture/test side)
 # --------------------------------------------------------------------------
+
+def build_http_response(status: int, reason: str,
+                        headers: list[tuple[str, str]],
+                        body: bytes) -> bytes:
+    out = [f"HTTP/1.1 {status} {reason}".encode("latin-1")]
+    out += [f"{k}: {v}".encode("latin-1") for k, v in headers]
+    return b"\r\n".join(out) + b"\r\n\r\n" + body
+
 
 def build_record(rtype: str, payload: bytes, uri: str | None = None,
                  rid: str = "<urn:uuid:0>") -> bytes:

@@ -2488,6 +2488,129 @@ def q_media_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
 
 
+# --- q_warc_http_meta: HTTP response metadata + redirect chains ----------------
+#
+# r8 (VERDICT r7 #7): the first filter a real crawl pipeline applies is
+# on the HTTP layer INSIDE the WARC response payloads — status code,
+# content type, declared length, redirect target. Each doc's fixture is
+# a WARC holding a doc_id-derived redirect chain (301/302 hops with
+# Location headers) ending in a final response whose status / media
+# type / charset / Content-Length are closed-form; warcinfo + request
+# records are interleaved to prove type filtering, and every other doc
+# is gzip-per-record like Common Crawl. Header casing and quoted
+# charset parameters are varied so the parser's canonicalization
+# (lowercase media type, quote-stripped charset) is what the oracle
+# checks.
+
+_HTTP_STATUSES = (200, 404, 410, 500, 503)
+_HTTP_CTYPES = (("Text/HTML", "UTF-8", True), ("application/JSON", None, False),
+                ("text/plain", "ISO-8859-1", False),
+                ("Application/PDF", None, True))
+
+
+@register(
+    "q_warc_http_meta",
+    """SELECT doc_id AS media_id,
+              CAST(doc_id % 3 AS INT) AS n_hops,
+              CAST(CASE WHEN doc_id % 3 > 0 THEN 301
+                   ELSE CASE doc_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 404
+                        WHEN 2 THEN 410 WHEN 3 THEN 500 ELSE 503 END
+                   END AS INT) AS first_status,
+              CASE WHEN doc_id % 3 > 0
+                   THEN 'http://example.com/' || CAST(doc_id AS VARCHAR)
+                        || '/hop1' END AS redirect_to,
+              CAST(CASE doc_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 404
+                   WHEN 2 THEN 410 WHEN 3 THEN 500 ELSE 503 END
+                AS INT) AS final_status,
+              CASE doc_id % 4 WHEN 0 THEN 'text/html'
+                   WHEN 1 THEN 'application/json' WHEN 2 THEN 'text/plain'
+                   ELSE 'application/pdf' END AS content_type,
+              CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                   WHEN 2 THEN 'iso-8859-1' END AS charset,
+              CAST(10 + doc_id % 97 AS BIGINT) AS content_length,
+              doc_id % 2 = 0 AS gzipped
+       FROM documents""",
+    doc="HTTP metadata from WARC response payloads: per-doc real "
+        "redirect chains (301/302 hops with Location) ending in a final "
+        "response; status line, case-folded media type, quoted charset "
+        "parameter, declared Content-Length and first redirect target "
+        "parsed natively (RFC 9112 grammar) in one Arrow-batched map "
+        "stage — the crawl pipeline's first HTTP-layer filter",
+    tags=("multimodal", "text", "warc", "http"),
+)
+def q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only over doc_id, zero shuffle — at 100 TB this walk runs
+    where the WARC bytes live, emitting a ~100-byte row per document;
+    the chain summary is per-record-order state inside one payload, so
+    no cross-record shuffle exists by construction."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.warc import (build_http_response,
+                                                build_warc, warc_http_chain)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_hops", T.IntegerType()),
+        T.StructField("first_status", T.IntegerType()),
+        T.StructField("redirect_to", T.StringType()),
+        T.StructField("final_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("gzipped", T.BooleanType()),
+    ])
+
+    def roundtrip(it):
+        for pdf in it:
+            cols = {k: [] for k in ("n_hops", "first_status", "redirect_to",
+                                    "final_status", "content_type",
+                                    "charset", "content_length", "gzipped")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                uri = f"http://example.com/{i}"
+                recs = [("warcinfo", b"software: test", None),
+                        ("request", b"GET / HTTP/1.1\r\n\r\n", uri)]
+                for h in range(i % 3):
+                    recs.append(("response", build_http_response(
+                        301 if h % 2 == 0 else 302, "Moved",
+                        [("Location", f"http://example.com/{i}/hop{h + 1}"),
+                         ("Content-Length", "0")], b""), uri))
+                mt, cs, quote = _HTTP_CTYPES[i % 4]
+                ct = mt if cs is None else (
+                    f'{mt}; charset="{cs}"' if quote
+                    else f"{mt}; charset={cs}")
+                body = b"x" * (10 + i % 97)
+                recs.append(("response", build_http_response(
+                    _HTTP_STATUSES[i % 5], "OK",
+                    [("Server", "test/1.0"), ("Content-Type", ct),
+                     ("Content-Length", str(len(body)))], body), uri))
+                gz = i % 2 == 0
+                m = warc_http_chain(build_warc(recs, gzip_per_record=gz))
+                for k in ("n_hops", "first_status", "redirect_to",
+                          "final_status", "charset", "content_length"):
+                    cols[k].append(m[k])
+                cols["content_type"].append(m["media_type"])
+                cols["gzipped"].append(gz)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "n_hops": pd.array(cols["n_hops"], dtype="Int32"),
+                "first_status": pd.array(cols["first_status"],
+                                         dtype="Int32"),
+                "redirect_to": cols["redirect_to"],
+                "final_status": pd.array(cols["final_status"],
+                                         dtype="Int32"),
+                "content_type": cols["content_type"],
+                "charset": cols["charset"],
+                "content_length": pd.array(cols["content_length"],
+                                           dtype="Int64"),
+                "gzipped": cols["gzipped"],
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+
+
 # --- q_media_zip_stats / q_media_tar_stats: archive inventory triage -----------
 #
 # r5 wave 5: document datasets arrive as archives; the ingest pass is a

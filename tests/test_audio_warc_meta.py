@@ -370,3 +370,114 @@ def test_g711_through_audio_operator(spark):
     assert (ok["sample_rate"], ok["channels"], ok["n_frames"]) == (8000, 1, 320)
     assert ok["rms"] is not None and ok["rms"] > 0
     assert rows[2]["decode_error"] is not None
+
+
+def test_http_response_meta_parses_status_ctype_charset():
+    """r8: RFC 9112 response grammar — case-folded media type, quoted
+    charset, first-wins repeated headers, Location passthrough."""
+    import pytest
+
+    from flink_job_spark.functions.warc import (WarcFormatError,
+                                                build_http_response,
+                                                http_response_meta)
+
+    m = http_response_meta(build_http_response(
+        200, "OK", [("Content-Type", 'Text/HTML; Charset="UTF-8"'),
+                    ("Content-Length", "5"),
+                    ("content-length", "999")], b"hello"))
+    assert m["status"] == 200 and m["reason"] == "OK"
+    assert m["media_type"] == "text/html" and m["charset"] == "utf-8"
+    assert m["content_length"] == 5 and m["body"] == b"hello"
+
+    m = http_response_meta(build_http_response(
+        302, "Found", [("Location", "http://x/y")], b""))
+    assert m["location"] == "http://x/y" and m["media_type"] is None
+    assert m["content_length"] is None
+
+    for bad in (b"not http at all", b"HTTP/1.1 abc OK\r\n\r\n",
+                b"HTTP/1.1 999 ?\r\n\r\n",
+                b"HTTP/1.1 200 OK\r\nbadline\r\n\r\n",
+                b"HTTP/1.1 200 OK\r\nContent-Length: x\r\n\r\n",
+                b"HTTP/1.1 200 OK\r\nContent-Length: -1\r\n\r\n",
+                b"HTTP/1.1 200 OK\r\nnever-terminated: 1"):
+        with pytest.raises(WarcFormatError):
+            http_response_meta(bad)
+
+
+def test_warc_http_chain_follows_redirects():
+    """Chain walk: leading 3xx+Location responses count as hops, the
+    first non-redirect is final, request/warcinfo records are ignored,
+    trailing re-crawl responses too."""
+    import pytest
+
+    from flink_job_spark.functions.warc import (WarcFormatError,
+                                                build_http_response,
+                                                build_warc, warc_http_chain)
+
+    recs = [
+        ("warcinfo", b"software: t", None),
+        ("request", b"GET / HTTP/1.1\r\n\r\n", "http://a/"),
+        ("response", build_http_response(
+            301, "Moved", [("Location", "http://a/1")], b""), "http://a/"),
+        ("response", build_http_response(
+            302, "Found", [("Location", "http://a/2")], b""), "http://a/1"),
+        ("response", build_http_response(
+            404, "NF", [("Content-Type", "text/plain; charset=us-ascii"),
+                        ("Content-Length", "3")], b"nope"), "http://a/2"),
+        ("response", build_http_response(200, "OK", [], b""), "http://a/"),
+    ]
+    for gz in (False, True):
+        m = warc_http_chain(build_warc(recs, gzip_per_record=gz))
+        assert m["n_hops"] == 2 and m["first_status"] == 301
+        assert m["redirect_to"] == "http://a/1"
+        assert m["final_status"] == 404
+        assert m["media_type"] == "text/plain"
+        assert m["charset"] == "us-ascii" and m["content_length"] == 3
+
+    # no-redirect file: 0 hops, first == final
+    m = warc_http_chain(build_warc([("response", build_http_response(
+        200, "OK", [("Content-Type", "application/pdf")], b"%"), "u")]))
+    assert (m["n_hops"], m["first_status"], m["final_status"],
+            m["redirect_to"]) == (0, 200, 200, None)
+
+    # a 3xx WITHOUT Location is a final response, not a hop
+    m = warc_http_chain(build_warc([("response", build_http_response(
+        304, "NM", [], b""), "u")]))
+    assert (m["n_hops"], m["final_status"]) == (0, 304)
+
+    with pytest.raises(WarcFormatError, match="no response"):
+        warc_http_chain(build_warc([("request", b"GET /", "u")]))
+    with pytest.raises(WarcFormatError, match="without a final"):
+        warc_http_chain(build_warc([("response", build_http_response(
+            301, "M", [("Location", "http://a/1")], b""), "u")]))
+
+
+def test_warc_http_chain_corruption_stays_errors_as_data():
+    """Byte-flip/truncation totality over a chain fixture — every
+    failure is WarcFormatError, never a bare ValueError escape."""
+    import random
+
+    from flink_job_spark.functions.warc import (WarcFormatError,
+                                                build_http_response,
+                                                build_warc, warc_http_chain)
+
+    blob = build_warc([
+        ("response", build_http_response(
+            301, "M", [("Location", "http://a/1")], b""), "u"),
+        ("response", build_http_response(
+            200, "OK", [("Content-Type", "text/html; charset=utf-8"),
+                        ("Content-Length", "4")], b"body"), "u"),
+    ], gzip_per_record=True)
+    rnd = random.Random(11)
+    for cut in range(1, len(blob), 7):
+        try:
+            warc_http_chain(blob[:cut])
+        except WarcFormatError:
+            pass
+    for i in range(0, len(blob), 5):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) \
+            + blob[i + 1:]
+        try:
+            warc_http_chain(bad)
+        except WarcFormatError:
+            pass

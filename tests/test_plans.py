@@ -1800,6 +1800,17 @@ def test_round7_keys_are_map_only(spark, sf_dir):
         assert read_schema_columns(p) == {"media_id", "payload"}, (name, p)
 
 
+def test_round8_keys_are_map_only(spark, sf_dir):
+    """r8 keys keep the canonical crawl shape: HTTP metadata from WARC
+    payloads is one Arrow-batched map stage over doc_id, zero
+    exchanges — the chain summary is per-payload state."""
+    for name in ["q_warc_http_meta"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
+        assert read_schema_columns(p) == {"doc_id"}, (name, p)
+
+
 def test_gopher_rules_tokenizes_once(spark, sf_dir):
     """r6 regression pin: the five Gopher signals share ONE words() alias
     in a staged projection. If CollapseProject ever inlines the non-cheap
