@@ -469,7 +469,108 @@ class _Document:
         # /Length reference cycles that would otherwise recurse forever
         # (each get_object hop resets resolve()'s depth counter)
         self._parsing: set[int] = set()
+        # encryption state: None file key = plaintext document. The key
+        # is derived AFTER the xref bootstrap (xref streams are never
+        # encrypted, 7.5.8.2, so the bootstrap needs no key).
+        self._fkey: bytes | None = None
+        self._crypt_aes = False
+        self._encrypt_num: int | None = None
         self._parse_xref()
+        self._setup_encryption()
+
+    # -- standard security handler (7.6.3) ---------------------------------
+
+    def _setup_encryption(self) -> None:
+        """Derive the file key for the standard security handler with the
+        EMPTY user password (the owner-password-only files crawls carry).
+        RC4 (/V 1 and 2, /R 2 and 3) and AES-128 (/V 4 /R 4 with an
+        /AESV2 crypt filter). A non-empty user password, any other
+        handler, or malformed structure raises PdfFormatError — the
+        errors-as-data row, never a wrong-plaintext decode."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from flink_job_spark.functions import pdf_crypt
+
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfFormatError("bad /Encrypt dict")
+        if enc.get("Filter") != "Standard":
+            raise PdfFormatError(
+                f"unsupported security handler {enc.get('Filter')!r}")
+        v, r = enc.get("V"), enc.get("R")
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise PdfFormatError(f"unsupported /Encrypt V={v!r} R={r!r}")
+        o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
+        if (not isinstance(o, bytes) or not isinstance(u, bytes)
+                or len(o) < 32 or len(u) < 32 or not isinstance(p, int)):
+            raise PdfFormatError("bad /Encrypt O/U/P")
+        length = enc.get("Length", 40 if v == 1 else 128 if v == 4 else 40)
+        if (not isinstance(length, int) or length % 8
+                or not 40 <= length <= 128):
+            raise PdfFormatError(f"bad /Encrypt /Length {length!r}")
+        aes = False
+        if v == 4:
+            cf = self.resolve(enc.get("CF"))
+            stmf, strf = enc.get("StmF", "Identity"), enc.get(
+                "StrF", "Identity")
+            if stmf != strf:
+                raise PdfFormatError(
+                    "split /StmF and /StrF filters unsupported")
+            if stmf == "Identity":
+                return                     # /V 4 with identity = plaintext
+            if not isinstance(cf, dict):
+                raise PdfFormatError("missing /CF for /V 4")
+            stdcf = self.resolve(cf.get(stmf))
+            if not isinstance(stdcf, dict):
+                raise PdfFormatError(f"crypt filter {stmf!r} undefined")
+            cfm = stdcf.get("CFM")
+            if cfm == "AESV2":
+                aes = True
+            elif cfm != "V2":
+                raise PdfFormatError(f"unsupported /CFM {cfm!r}")
+        em = enc.get("EncryptMetadata", True)
+        if not isinstance(em, bool):
+            raise PdfFormatError("bad /EncryptMetadata")
+        ids = self.trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        try:
+            fkey = pdf_crypt.file_key(o, p, id0, r, length // 8,
+                                      encrypt_metadata=em)
+            if not pdf_crypt.check_user_password(fkey, u, id0, r):
+                raise PdfFormatError(
+                    "encrypted with a non-empty user password")
+        except pdf_crypt.PdfCryptError as exc:
+            raise PdfFormatError(f"bad encryption: {exc}") from exc
+        self._fkey = fkey
+        self._crypt_aes = aes
+
+    def _decrypt_strings(self, v, num: int, gen: int):
+        """Strings decrypt per object (Algorithm 1); stream bytes are
+        handled separately and ObjStm-contained strings are already
+        plaintext (7.5.7), so this only runs on top-level objects."""
+        from flink_job_spark.functions import pdf_crypt
+
+        if isinstance(v, bytes):
+            if not v:
+                return v
+            try:
+                return pdf_crypt.decrypt_object_bytes(
+                    self._fkey, num, gen, v, self._crypt_aes)
+            except pdf_crypt.PdfCryptError as exc:
+                raise PdfFormatError(f"bad encrypted string: {exc}") \
+                    from exc
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, num, gen) for x in v]
+        if isinstance(v, dict):
+            return {k: (x if k == "__stream__"
+                        else self._decrypt_strings(x, num, gen))
+                    for k, x in v.items()}
+        return v
 
     # -- xref chain (classic tables, xref streams, hybrid /XRefStm) --------
 
@@ -638,7 +739,11 @@ class _Document:
         num = int(t1)
         if want is not None and num != want:
             raise PdfFormatError(f"object header mismatch for {want}")
+        gen = int(t2)
         obj = lex.parse_object()
+        crypt = self._fkey is not None and num != self._encrypt_num
+        if crypt:
+            obj = self._decrypt_strings(obj, num, gen)
         lex._skip_ws()
         if self.d[lex.p:lex.p + 6] == b"stream":
             if not isinstance(obj, dict):
@@ -653,8 +758,19 @@ class _Document:
                 raise PdfFormatError("bad stream /Length")
             if p + length > len(self.d):
                 raise PdfFormatError("stream overruns file")
-            obj["__stream__"] = self._apply_filters(obj,
-                                                    self.d[p:p + length])
+            raw = self.d[p:p + length]
+            # xref streams are never encrypted (7.5.8.2); metadata
+            # streams keep plaintext when /EncryptMetadata false (the
+            # only stream type the flag exempts)
+            if crypt and obj.get("Type") not in ("XRef", "Metadata"):
+                from flink_job_spark.functions import pdf_crypt
+                try:
+                    raw = pdf_crypt.decrypt_object_bytes(
+                        self._fkey, num, gen, raw, self._crypt_aes)
+                except pdf_crypt.PdfCryptError as exc:
+                    raise PdfFormatError(
+                        f"bad encrypted stream: {exc}") from exc
+            obj["__stream__"] = self._apply_filters(obj, raw)
         return num, obj
 
     def _apply_filters(self, obj: dict, raw: bytes) -> bytes:
@@ -1085,7 +1201,10 @@ def _png_up_predict(rows: list[bytes]) -> bytes:
 def build_pdf(pages: list[list[str]], *, compress: bool = False,
               use_tj_array: bool = False, xref_stream: bool = False,
               use_objstm: bool = False, lzw: bool = False,
-              ascii85: bool = False, cid_font: bool = False) -> bytes:
+              ascii85: bool = False, cid_font: bool = False,
+              encrypt: str | None = None,
+              user_pw: bytes = b"",
+              info_title: str | None = None) -> bytes:
     """Build a valid one-generation PDF: one content stream per page;
     each page is a list of text lines (rendered with Td line moves).
 
@@ -1110,9 +1229,41 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
     page dicts) into a /Type /ObjStm object stream referenced by type-2
     entries; it implies ``xref_stream`` since classic tables cannot
     express compressed objects.
+
+    ``encrypt`` applies the standard security handler (7.6.3) with owner
+    password ``b"owner-secret"`` and the given ``user_pw`` (empty by
+    default — the owner-password-only layout crawls carry): ``"rc4-40"``
+    (/V 1 /R 2), ``"rc4-128"`` (/V 2 /R 3 /Length 128) or ``"aesv2"``
+    (/V 4 /R 4 with an /AESV2 /StdCF). Stream bytes encrypt after
+    filters; O/U land as hex strings; xref streams stay plaintext.
     """
     if use_objstm:
         xref_stream = True
+
+    crypt_aes = False
+    fkey = id0 = None
+    if encrypt is not None:
+        import hashlib
+
+        from flink_job_spark.functions import pdf_crypt
+
+        v, r, bits = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
+                      "aesv2": (4, 4, 128)}[encrypt]
+        crypt_aes = encrypt == "aesv2"
+        id0 = hashlib.md5(b"fixture-id" + repr(pages).encode()).digest()
+        crypt_p = -44                      # print+copy denied, typical
+        crypt_o = pdf_crypt.compute_o(b"owner-secret", user_pw, r,
+                                      bits // 8)
+        fkey = pdf_crypt.file_key(crypt_o, crypt_p, id0, r, bits // 8,
+                                  user_pw=user_pw)
+        crypt_u = pdf_crypt.compute_u(fkey, id0, r)
+
+    def enc_stream(num: int, data: bytes) -> bytes:
+        if fkey is None:
+            return data
+        from flink_job_spark.functions import pdf_crypt
+        return pdf_crypt.encrypt_object_bytes(fkey, num, 0, data,
+                                              crypt_aes)
     objects: dict[int, bytes] = {}
     in_objstm: set[int] = set()
     n_pages = len(pages)
@@ -1147,6 +1298,7 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
                 "begincmap\n"
                 "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
                 + blocks + "endcmap\nend").encode("latin-1")
+        cmap = enc_stream(tounicode_num, cmap)
         objects[tounicode_num] = (
             b"<< /Length " + str(len(cmap)).encode()
             + b" >>\nstream\n" + cmap + b"\nendstream")
@@ -1196,6 +1348,7 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
             filt = b" /Filter [" + b" ".join(filters) + b"]"
         else:
             filt = b""
+        content = enc_stream(content_num, content)
         objects[content_num] = (
             b"<< /Length " + str(len(content)).encode() + filt
             + b" >>\nstream\n" + content + b"\nendstream")
@@ -1206,6 +1359,37 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
             f"/Contents {content_num} 0 R >>").encode()
         if use_objstm:
             in_objstm.add(page_num)       # page dicts pack; streams can't
+
+    enc_trailer = b""
+    if info_title is not None:
+        # a document /Info with a /Title STRING — the value the string
+        # decryption path (hex-encoded ciphertext) is exercised through
+        info_num = max(objects) + 1
+        tb = info_title.encode("latin-1")
+        objects[info_num] = (b"<< /Title <"
+                             + enc_stream(info_num, tb).hex().encode()
+                             + b"> >>")
+        enc_trailer += f" /Info {info_num} 0 R".encode()
+
+    enc_num = None
+    if encrypt is not None:
+        enc_num = max(objects) + 1
+        if encrypt == "rc4-40":
+            body = b"/V 1 /R 2"
+        elif encrypt == "rc4-128":
+            body = b"/V 2 /R 3 /Length 128"
+        else:
+            body = (b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 "
+                    b"/AuthEvent /DocOpen /Length 16 >> >> "
+                    b"/StmF /StdCF /StrF /StdCF")
+        objects[enc_num] = (
+            b"<< /Filter /Standard " + body
+            + f" /P {crypt_p}".encode()
+            + b" /O <" + crypt_o.hex().encode() + b">"
+            + b" /U <" + crypt_u.hex().encode() + b"> >>")
+        idhex = b"<" + id0.hex().encode() + b">"
+        enc_trailer += (f" /Encrypt {enc_num} 0 R ".encode()
+                        + b"/ID [" + idhex + b" " + idhex + b"]")
 
     version = b"1.5" if xref_stream else b"1.4"
     out = bytearray(b"%PDF-" + version + b"\n%\xe2\xe3\xcf\xd3\n")
@@ -1225,7 +1409,9 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
             bodies.append(objects[num])
             boff += len(objects[num]) + 1
         header = (" ".join(hdr_parts)).encode() + b"\n"
-        stm_data = zlib.compress(header + b"\n".join(bodies) + b"\n")
+        stm_data = enc_stream(objstm_num,
+                              zlib.compress(header + b"\n".join(bodies)
+                                            + b"\n"))
         offsets[objstm_num] = len(out)
         out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
                 f"/First {len(header)} /Length {len(stm_data)} "
@@ -1240,8 +1426,9 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
         out += b"0000000000 65535 f \n"
         for num in range(1, n_obj):
             out += f"{offsets[num]:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
-                f"startxref\n{xref_off}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R".encode()
+                + enc_trailer
+                + f" >>\nstartxref\n{xref_off}\n%%EOF\n".encode())
         return bytes(out)
 
     # PDF 1.5 cross-reference stream: W [1 4 2], PNG Up predictor
@@ -1261,7 +1448,8 @@ def build_pdf(pages: list[list[str]], *, compress: bool = False,
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
             f"/Index [0 {size}] /Root 1 0 R /Length {len(xdata)} "
             f"/Filter /FlateDecode "
-            f"/DecodeParms << /Predictor 12 /Columns 7 >> >>\n").encode()
+            f"/DecodeParms << /Predictor 12 /Columns 7 >>").encode()
+    out += enc_trailer + b" >>\n"
     out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)

@@ -542,7 +542,9 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'tail ' || doc_id || '-' || t.p || ' 50% \ done',
                     chr(10) ORDER BY t.p)
                  FROM (SELECT unnest(range(1 + doc_id % 3)) AS p) t))
-               AS INT) AS n_chars
+               AS INT) AS n_chars,
+              CASE doc_id % 11 WHEN 4 THEN 'rc4-40' WHEN 7 THEN 'rc4-128'
+                   WHEN 9 THEN 'aesv2' ELSE 'none' END AS enc_mode
        FROM documents""",
     doc="PDF text extraction: per-doc 1-3 page PDFs cycling all THREE "
         "xref layouts (classic table / PDF-1.5 xref stream with PNG-Up "
@@ -551,9 +553,12 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "an ASCII85 transport chain on ids%5==3), a Type0 subset font "
         "with 2-byte glyph codes recovered through its embedded "
         "/ToUnicode CMap on ids%7==1, kerned TJ arrays on "
-        "ids%4>=2, parens/backslash/percent in the text, parsed via the "
-        "REAL object graph and content-stream tokenizer — page count and "
-        "the exact extracted string rebuilt closed-form in SQL",
+        "ids%4>=2, parens/backslash/percent in the text, AND (r8) the "
+        "standard security handler on ids%11 in {4,7,9} — RC4-40, "
+        "RC4-128 and AES-128 /AESV2 owner-password-only encryption "
+        "opened with the empty user password — parsed via the REAL "
+        "object graph and content-stream tokenizer; page count and the "
+        "exact extracted string rebuilt closed-form in SQL",
     tags=("text", "crawl", "formats"),
 )
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,11 +574,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("text", T.StringType()),
         T.StructField("n_chars", T.IntegerType()),
+        T.StructField("enc_mode", T.StringType()),
     ])
+
+    _ENC = {4: "rc4-40", 7: "rc4-128", 9: "aesv2"}
 
     def run(it):
         for pdf_batch in it:
-            n_pages_out, texts, lens = [], [], []
+            n_pages_out, texts, lens, encs = [], [], [], []
             for i in pdf_batch["doc_id"]:
                 i = int(i)
                 pages = [
@@ -581,22 +589,26 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"tail {i}-{p} 50% \\ done"]
                     for p in range(1 + i % 3)
                 ]
+                enc = _ENC.get(i % 11)
                 blob = build_pdf(pages, compress=bool(i % 2),
                                  use_tj_array=(i % 4 >= 2),
                                  xref_stream=(i % 3 == 1),
                                  use_objstm=(i % 3 == 2),
                                  lzw=(i % 5 == 2),
                                  ascii85=(i % 5 == 3),
-                                 cid_font=(i % 7 == 1))
+                                 cid_font=(i % 7 == 1),
+                                 encrypt=enc)
                 r = extract_pdf_text(blob)
                 n_pages_out.append(r["n_pages"])
                 texts.append(r["text"])
                 lens.append(len(r["text"]))
+                encs.append(enc or "none")
             yield pd.DataFrame({
                 "doc_id": pdf_batch["doc_id"],
                 "n_pages": pd.array(n_pages_out, dtype="Int32"),
                 "text": texts,
-                "n_chars": pd.array(lens, dtype="Int32")})
+                "n_chars": pd.array(lens, dtype="Int32"),
+                "enc_mode": encs})
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(run, schema=schema)

@@ -642,3 +642,130 @@ def test_pdf_circular_length_reference_is_format_error():
     del objs[5]
     with pytest.raises(PdfFormatError, match="circular"):
         extract_pdf_text(_minimal_pdf(objs))
+
+
+# --- r8: standard security handler (7.6.3) -----------------------------------
+
+
+def test_pdf_crypt_known_answer_vectors():
+    """AES core against FIPS-197 Appendix C; RC4 against the classic
+    public test vector; CBC+PKCS#5 roundtrip at several lengths."""
+    from flink_job_spark.functions.pdf_crypt import (_dec_block,
+                                                     _enc_block,
+                                                     _expand_key,
+                                                     aes_cbc_decrypt,
+                                                     aes_cbc_encrypt, rc4)
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    w = _expand_key(key)
+    ct = _enc_block(w, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _dec_block(w, ct) == pt
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n] * 1
+        blob = aes_cbc_encrypt(key, bytes(16), data)
+        assert len(blob) % 16 == 0 and len(blob) >= 32
+        assert aes_cbc_decrypt(key, blob) == data
+
+
+def test_pdf_encrypted_roundtrips_all_modes_and_layouts():
+    """RC4-40 (/V 1 /R 2), RC4-128 (/V 2 /R 3) and AESV2 (/V 4 /R 4)
+    with the empty user password roundtrip across every xref layout and
+    filter chain — encrypted owner-password-only files extract like
+    plaintext ones."""
+    from flink_job_spark.functions.pdf import build_pdf, extract_pdf_text
+
+    pages = [["Hello encrypted world", "second line"], ["page two"]]
+    want = extract_pdf_text(build_pdf(pages))
+    for enc in ("rc4-40", "rc4-128", "aesv2"):
+        for kw in ({}, {"compress": True}, {"xref_stream": True},
+                   {"use_objstm": True},
+                   {"cid_font": True, "compress": True},
+                   {"lzw": True, "ascii85": True}):
+            assert extract_pdf_text(
+                build_pdf(pages, encrypt=enc, **kw)) == want, (enc, kw)
+
+
+def test_pdf_encrypted_strings_and_user_password():
+    """String values decrypt per object (the /Info /Title path); a
+    NON-empty user password is the reach boundary — PdfFormatError,
+    never a wrong-plaintext decode."""
+    import pytest
+
+    from flink_job_spark.functions.pdf import (PdfFormatError, _Document,
+                                               build_pdf, extract_pdf_text)
+
+    for enc in ("rc4-40", "rc4-128", "aesv2"):
+        doc = _Document(build_pdf([["x"]], encrypt=enc,
+                                  info_title="Secret T\xedtle"))
+        info = doc.resolve(doc.trailer["Info"])
+        assert info["Title"] == "Secret T\xedtle".encode("latin-1"), enc
+    # plaintext /Info stays plaintext-readable
+    doc = _Document(build_pdf([["x"]], info_title="Plain"))
+    assert doc.resolve(doc.trailer["Info"])["Title"] == b"Plain"
+
+    for enc in ("rc4-40", "rc4-128", "aesv2"):
+        blob = build_pdf([["x"]], encrypt=enc, user_pw=b"secret")
+        with pytest.raises(PdfFormatError, match="user password"):
+            extract_pdf_text(blob)
+
+
+def test_pdf_encrypt_dict_rejections():
+    """Precise boundary messages over mutated /Encrypt dicts: foreign
+    handlers, unsupported revisions, split StmF/StrF, unknown CFM."""
+    import pytest
+
+    from flink_job_spark.functions.pdf import (PdfFormatError,
+                                               build_pdf,
+                                               extract_pdf_text)
+
+    blob = build_pdf([["x"]], encrypt="aesv2")
+
+    def patched(find: bytes, to: bytes) -> bytes:
+        assert find in blob, find
+        assert len(find) == len(to)
+        return blob.replace(find, to)
+
+    with pytest.raises(PdfFormatError, match="security handler"):
+        extract_pdf_text(patched(b"/Filter /Standard", b"/Filter /Standurd"))
+    with pytest.raises(PdfFormatError, match="V="):
+        extract_pdf_text(patched(b"/V 4 /R 4", b"/V 3 /R 4"))
+    with pytest.raises(PdfFormatError, match="V="):
+        extract_pdf_text(patched(b"/V 4 /R 4", b"/V 4 /R 6"))
+    with pytest.raises(PdfFormatError, match="CFM"):
+        extract_pdf_text(patched(b"/CFM /AESV2", b"/CFM /AESV3"))
+    with pytest.raises(PdfFormatError, match="StmF"):
+        extract_pdf_text(patched(b"/StrF /StdCF", b"/StrF /Ident"))
+
+    rc4blob = build_pdf([["x"]], encrypt="rc4-128")
+    assert b"/Length 128" in rc4blob
+    with pytest.raises(PdfFormatError, match="Length"):
+        extract_pdf_text(rc4blob.replace(b"/Length 128", b"/Length 129"))
+
+
+def test_pdf_encrypted_corruption_stays_errors_as_data():
+    """Byte-flip/truncation totality over an encrypted ObjStm PDF —
+    ciphertext corruption surfaces as PdfFormatError rows (bad padding,
+    filter failures, parse failures), never a bare error escape."""
+    import random
+
+    from flink_job_spark.functions.pdf import (PdfFormatError, build_pdf,
+                                               extract_pdf_text)
+
+    blob = build_pdf([["alpha", "beta"], ["gamma"]], encrypt="aesv2",
+                     use_objstm=True, compress=True)
+    rnd = random.Random(8)
+    for cut in range(16, len(blob), 97):
+        try:
+            extract_pdf_text(blob[:cut])
+        except PdfFormatError:
+            pass
+    for i in range(0, len(blob), 41):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) \
+            + blob[i + 1:]
+        try:
+            extract_pdf_text(bad)
+        except PdfFormatError:
+            pass
