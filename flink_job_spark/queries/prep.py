@@ -24,6 +24,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from flink_job_spark.functions.text import (
@@ -666,6 +667,78 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
         F.min("s_name").alias("min_name"),
+    )
+
+
+@register(
+    "q_avro_roundtrip",
+    """SELECT c_mktsegment,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_acctbal,
+              MIN(c_name) AS min_name,
+              CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_alt
+       FROM customer GROUP BY c_mktsegment""",
+    doc="Avro source/sink roundtrip: per Arrow batch, serialize "
+        "`customer` rows into a REAL Avro object container file "
+        "(deflate codec, zigzag varints, union-null column) with the "
+        "native functions/avro.py writer, decode it back with the "
+        "native reader, aggregate — proves the interchange format "
+        "training pipelines exchange is lossless here without the "
+        "external spark-avro jar",
+    tags=("formats", "source", "sink"),
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode→decode pass is one Arrow-batched map stage (each batch
+    becomes one OCF, the shape of a per-task Avro part file), so at
+    100 TB the codec work rides the scan partitioning with zero extra
+    shuffle; the only Exchange is the final aggregation, same as the
+    CSV/ORC twins. A union-null column (alt_name, NULL on custkey%7==0)
+    proves null transport; doubles survive because Avro stores raw IEEE
+    bytes. Spark's own `avro` source is an external jar not shipped
+    here — the native OCF twins are the coverage, and the plan shape
+    (scan → map codec → agg) is identical to what spark-avro would do."""
+    import pandas as pd
+
+    from flink_job_spark.functions.avro import (make_schema, read_ocf,
+                                                write_ocf)
+
+    avro_schema = make_schema("customer", [
+        ("c_custkey", "long", False), ("c_name", "string", False),
+        ("c_nationkey", "int", False), ("c_acctbal", "double", False),
+        ("c_mktsegment", "string", False), ("alt_name", "string", True)])
+    out_schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("alt_name", T.StringType()),
+    ])
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = [
+                (int(k), n, int(nk), float(b), s,
+                 None if k % 7 == 0 else n.upper())
+                for k, n, nk, b, s in zip(
+                    pdf["c_custkey"], pdf["c_name"], pdf["c_nationkey"],
+                    pdf["c_acctbal"], pdf["c_mktsegment"])
+            ]
+            _, back = read_ocf(write_ocf(avro_schema, rows))
+            yield pd.DataFrame(back, columns=[f.name for f in out_schema])
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    back = c.mapInPandas(roundtrip, schema=out_schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         .alias("sum_acctbal"),
+        F.min("c_name").alias("min_name"),
+        F.sum(F.when(F.col("alt_name").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_null_alt"),
     )
 
 

@@ -1809,6 +1809,12 @@ def test_round8_keys_are_map_only(spark, sf_dir):
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
         assert read_schema_columns(p) == {"doc_id"}, (name, p)
+    # the Avro roundtrip's only shuffle is the final aggregation — the
+    # codec pass itself rides the scan partitioning (one OCF per batch)
+    p = plan(all_queries()["q_avro_roundtrip"].fn(spark, sf_dir))
+    assert "MapInPandas" in p, p
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_shuffles == 1, f"avro roundtrip shuffles {n_shuffles}x:\n{p}"
 
 
 def test_gopher_rules_tokenizes_once(spark, sf_dir):
