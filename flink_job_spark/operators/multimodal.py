@@ -138,11 +138,23 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             and bytes(payload[8:12]) == b"WEBP"
             and bytes(payload[12:16]) == b"VP8L"):
         # lossless WebP: dims parse natively (functions/webp.py, r7);
-        # lossy VP8 / extended VP8X fall through to the adapter block
+        # extended VP8X falls through to the adapter block
         from flink_job_spark.functions.webp import (WebpFormatError,
                                                     webp_meta)
         try:
             w, h, _alpha, _variant = webp_meta(bytes(payload))
+            return int(w), int(h), None
+        except WebpFormatError as e:
+            return None, None, f"bad webp: {e}"
+    if (bytes(payload[:4]) == b"RIFF"
+            and bytes(payload[8:12]) == b"WEBP"
+            and bytes(payload[12:16]) == b"VP8 "):
+        # lossy VP8 key frames: dims come from the native frame-header
+        # parse (functions/vp8.py, r8) — no pixel decode on the meta path
+        from flink_job_spark.functions.vp8 import webp_lossy_dims
+        from flink_job_spark.functions.webp import WebpFormatError
+        try:
+            w, h = webp_lossy_dims(bytes(payload))
             return int(w), int(h), None
         except WebpFormatError as e:
             return None, None, f"bad webp: {e}"
@@ -160,8 +172,9 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
         except Exception as e:
             return None, None, f"bad image: {e}"
     raise NotImplementedError(
-        "HEIC/WebP-family image decoding requires a codec library (Pillow/"
-        "opencv), not installed on this host; PNG, BMP, GIF, baseline JPEG "
+        "HEIC/extended-WebP (VP8X) image decoding requires a codec library "
+        "(Pillow/opencv), not installed on this host; PNG, BMP, GIF, the "
+        "full JPEG family, TIFF, ICO, lossless (VP8L) and lossy (VP8) WebP "
         "and the FAKEIMG1 test format are decodable here"
     )
 
@@ -817,17 +830,24 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from flink_job_spark.functions.webp import (WebpFormatError,
                                                     decode_webp_lossless)
         if payload[12:16] == b"VP8L":
-            # lossless WebP decodes natively (functions/webp.py, r7);
-            # lossy VP8 / extended VP8X stay on the adapter below
+            # lossless WebP decodes natively (functions/webp.py, r7)
             try:
                 return decode_webp_lossless(payload)
+            except (WebpFormatError, structmod.error) as e:
+                raise ImageDecodeError("webp", e) from e
+        if payload[12:16] == b"VP8 ":
+            # lossy VP8 key frames decode natively (functions/vp8.py,
+            # r8); extended VP8X (alpha/animation) stays on the adapter
+            from flink_job_spark.functions.vp8 import decode_webp_lossy
+            try:
+                return decode_webp_lossy(payload)
             except (WebpFormatError, structmod.error) as e:
                 raise ImageDecodeError("webp", e) from e
         got = _try_pillow(payload)
         if got is not None:
             return got
-        raise ImageDecodeError("webp", "lossy/extended WebP needs a codec "
-                               "library (Pillow), not installed")
+        raise ImageDecodeError("webp", "extended (VP8X) WebP needs a "
+                               "codec library (Pillow), not installed")
     if payload[:2] == b"\xff\xd8":
         from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
         try:

@@ -885,9 +885,12 @@ def test_adapter_absence_keeps_documented_boundary():
     from flink_job_spark.operators.multimodal import (ImageDecodeError,
                                                       _decode_any_image)
 
-    # lossy WebP gets a TAGGED boundary error since r7 (VP8L decodes
-    # natively; only VP8/VP8X remain on the adapter)
-    with pytest.raises(ImageDecodeError, match="lossy/extended WebP"):
+    # only EXTENDED (VP8X) WebP remains on the adapter since r8 (VP8L
+    # native in r7, lossy VP8 key frames native in r8 — a malformed VP8
+    # chunk is now a format error, not a capability boundary)
+    with pytest.raises(ImageDecodeError, match="extended .VP8X. WebP"):
+        _decode_any_image(b"RIFFxxxxWEBPVP8X....")
+    with pytest.raises(ImageDecodeError, match="webp"):
         _decode_any_image(b"RIFFxxxxWEBPVP8 ....")
     with pytest.raises(ImageDecodeError, match="not a decodable image"):
         _decode_any_image(b"\x89XYZ not an image")

@@ -1,0 +1,209 @@
+"""Native lossy VP8 (functions/vp8.py, r8 — VERDICT r7 #1): boolean
+coder, transforms, key-frame roundtrips across mode policies and both
+loop filters, fuzz totality, caps, adapter boundaries."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_job_spark.functions.vp8 import (Vp8FormatError, _BoolDec,
+                                           _BoolEncExt, _COEFF_TREE,
+                                           _fdct4x4, _fwht4x4, _idct4x4,
+                                           _iwht4x4, decode_webp_lossy,
+                                           encode_webp_lossy,
+                                           webp_lossy_dims)
+
+
+def _grad(w, h, seed=0):
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (x * 255) // max(1, w - 1) + np.zeros((h, w), np.int64)
+    g = (y * 255) // max(1, h - 1) + np.zeros((h, w), np.int64)
+    b = ((x + y + seed % 8) * 255) // (w + h + 5)
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_vp8_boolcoder_roundtrip(seed):
+    """The arithmetic coder pair is exact for arbitrary (prob, bit)
+    sequences — the foundation every layer above rests on."""
+    rnd = random.Random(seed)
+    n = rnd.randrange(1, 300)
+    seq = [(rnd.randrange(1, 255), rnd.randrange(2)) for _ in range(n)]
+    e = _BoolEncExt()
+    for p, b in seq:
+        e.bool_(p, b)
+    data = e.finish()
+    d = _BoolDec(data, 0, len(data))
+    for p, b in seq:
+        assert d.bool_(p) == b
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_vp8_transform_pairs(seed):
+    """fdct/idct and fwht/iwht reconstruct residuals within the
+    transforms' design rounding (+-1)."""
+    rnd = random.Random(seed)
+    blk = np.array([rnd.randrange(-255, 256) for _ in range(16)]
+                   ).reshape(4, 4)
+    assert np.abs(_idct4x4(_fdct4x4(blk).reshape(16)) - blk).max() <= 1
+    assert np.abs(_iwht4x4(_fwht4x4(blk).reshape(16)) - blk).max() <= 1
+
+
+def test_vp8_tree_and_literal_roundtrip():
+    rnd = random.Random(7)
+    e = _BoolEncExt()
+    vals = [(rnd.randrange(2 ** n), n) for n in range(1, 12)
+            for _ in range(10)]
+    toks = [rnd.randrange(12) for _ in range(150)]
+    probs = [rnd.randrange(1, 255) for _ in range(11)]
+    for v, n in vals:
+        e.literal(n, v)
+    for t in toks:
+        e.tree(_COEFF_TREE, probs, t)
+    data = e.finish()
+    d = _BoolDec(data, 0, len(data))
+    for v, n in vals:
+        assert d.literal(n) == v
+    for t in toks:
+        assert d.tree(_COEFF_TREE, probs) == t
+
+
+@pytest.mark.parametrize("policy", ["dc", "cycle", "bpred"])
+def test_vp8_roundtrip_bounded_loss(policy):
+    """Key-frame encode→decode across dims (odd included, partial edge
+    MBs), quantizers and mode policies stays within the certificate
+    bound; all ten B_PRED submodes are exercised by the bpred cycle."""
+    for (w, h) in ((16, 16), (32, 24), (35, 21), (48, 33), (17, 50)):
+        for qi in (4, 8, 20):
+            rgb = _grad(w, h, qi)
+            blob = encode_webp_lossy(w, h, rgb.tobytes(), 3, qi=qi,
+                                     mode_policy=policy)
+            dw, dh, ch, out = decode_webp_lossy(blob)
+            assert (dw, dh, ch) == (w, h, 3)
+            got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+            err = int(np.abs(got.astype(int) - rgb.astype(int)).max())
+            assert err <= 32, (policy, (w, h), qi, err)
+            assert webp_lossy_dims(blob) == (w, h)
+
+
+def test_vp8_loop_filters_run_and_stay_bounded():
+    """Both loop filters (normal with hev, simple) execute over MB and
+    subblock edges at a range of levels/sharpness without breaking the
+    bounded-loss contract."""
+    rgb = _grad(48, 48)
+    base = None
+    for simple in (False, True):
+        for lvl, sharp in ((10, 0), (32, 3), (63, 7)):
+            blob = encode_webp_lossy(48, 48, rgb.tobytes(), 3, qi=20,
+                                     filter_level=lvl,
+                                     simple_filter=simple,
+                                     sharpness=sharp, mode_policy="cycle")
+            dw, dh, ch, out = decode_webp_lossy(blob)
+            got = np.frombuffer(out, np.uint8).reshape(48, 48, 3)
+            err = int(np.abs(got.astype(int) - rgb.astype(int)).max())
+            assert err < 60, (simple, lvl, sharp, err)
+            if base is None:
+                base = got
+    # level-0 output differs from a filtered one (the filter DID run)
+    blob0 = encode_webp_lossy(48, 48, rgb.tobytes(), 3, qi=20,
+                              filter_level=0, mode_policy="cycle")
+    out0 = np.frombuffer(decode_webp_lossy(blob0)[3], np.uint8)
+    blob1 = encode_webp_lossy(48, 48, rgb.tobytes(), 3, qi=20,
+                              filter_level=40, mode_policy="cycle")
+    out1 = np.frombuffer(decode_webp_lossy(blob1)[3], np.uint8)
+    assert not np.array_equal(out0, out1)
+
+
+def test_vp8_rejections_and_caps():
+    """Inter frames, bad start codes, dimension bombs and VP8X stay
+    precise errors; the pixel cap fires before any pixel loop."""
+    blob = bytearray(encode_webp_lossy(16, 16, _grad(16, 16).tobytes(), 3))
+    inter = bytearray(blob)
+    inter[20] |= 1                         # frame_type = inter
+    with pytest.raises(Vp8FormatError, match="inter frame"):
+        decode_webp_lossy(bytes(inter))
+    bad = bytearray(blob)
+    bad[23] ^= 0xFF                        # start code
+    with pytest.raises(Vp8FormatError, match="start code"):
+        decode_webp_lossy(bytes(bad))
+    bomb = bytearray(blob)
+    bomb[26:28] = (16000).to_bytes(2, "little")
+    bomb[28:30] = (16000).to_bytes(2, "little")
+    with pytest.raises(Vp8FormatError, match="cap"):
+        decode_webp_lossy(bytes(bomb))
+    vp8x = bytearray(blob)
+    vp8x[12:16] = b"VP8X"
+    with pytest.raises(Vp8FormatError, match="lossy"):
+        decode_webp_lossy(bytes(vp8x))
+    with pytest.raises(Vp8FormatError, match="quantizer"):
+        encode_webp_lossy(16, 16, _grad(16, 16).tobytes(), 3, qi=200)
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31), step=st.integers(23, 61))
+def test_vp8_fuzz_stays_format_error(seed, step):
+    """Truncation/byte-flip totality: every corruption decodes or
+    raises Vp8FormatError — never a bare numpy/struct escape."""
+    rnd = random.Random(seed)
+    blob = encode_webp_lossy(32, 24, _grad(32, 24, seed).tobytes(), 3,
+                             qi=8, mode_policy="cycle")
+    for cut in range(12, len(blob), step):
+        try:
+            decode_webp_lossy(blob[:cut])
+        except Vp8FormatError:
+            pass
+    for i in range(12, len(blob), step):
+        bad = blob[:i] + bytes([blob[i] ^ rnd.randrange(1, 256)]) \
+            + blob[i + 1:]
+        try:
+            decode_webp_lossy(bad)
+        except Vp8FormatError:
+            pass
+
+
+def test_vp8_media_dispatch():
+    """The shared image dispatch routes 'VP8 ' through the native
+    decoder (pixel AND meta paths agree)."""
+    from flink_job_spark.operators.multimodal import _decode_any_image
+
+    rgb = _grad(20, 18)
+    blob = encode_webp_lossy(20, 18, rgb.tobytes(), 3, qi=4,
+                             mode_policy="dc")
+    w, h, ch, out = _decode_any_image(blob)
+    assert (w, h, ch) == (20, 18, 3)
+    got = np.frombuffer(out, np.uint8).reshape(18, 20, 3)
+    assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 32
+
+
+def test_vp8_pillow_cross_check_if_available():
+    """Where Pillow ships libwebp, decode OUR stream with it and ITS
+    stream with ours — this is the gate that pins the reconstructed
+    probability tables against the real tables (see the vp8.py module
+    docstring); absent here, skipped like the other adapter gates."""
+    from flink_job_spark.functions.codec_adapters import pillow_available
+    if not pillow_available():
+        pytest.skip("Pillow not installed on this host")
+    from io import BytesIO
+
+    from PIL import Image
+
+    rgb = _grad(32, 32)
+    ours = encode_webp_lossy(32, 32, rgb.tobytes(), 3, qi=8,
+                             mode_policy="cycle")
+    theirs_img = Image.open(BytesIO(ours)).convert("RGB")
+    got = np.asarray(theirs_img)
+    assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 48
+
+    buf = BytesIO()
+    Image.fromarray(rgb).save(buf, format="WEBP", lossless=False,
+                              quality=90)
+    w, h, ch, out = decode_webp_lossy(buf.getvalue())
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    assert (w, h) == (32, 32)
+    assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 48
