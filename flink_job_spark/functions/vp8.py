@@ -1295,6 +1295,9 @@ def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
 
     part1 = me.finish()
     tokens = te.finish()
+    if len(part1) >= 1 << 19:
+        raise Vp8FormatError("first partition exceeds the 19-bit size "
+                             "field")
 
     tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     out = bytearray()
