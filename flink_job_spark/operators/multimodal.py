@@ -221,9 +221,24 @@ def cached_media_df(spark, sf_dir: str, key: str, build,
                           "/tmp/spark_graft_media_cache")
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(base, f"{key}-{tag}-{h.hexdigest()[:12]}.parquet")
+    par = spark.sparkContext.defaultParallelism
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        # the documents scan is one small parquet file -> one partition;
+        # without a repartition the ENCODE would run on a single task
+        # (r8 close-ritual catch: the sf1 prewarm serialized 50k codec
+        # encodes onto one core)
+        build().repartition(par).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    # the cache files are KBs each, so the file-packing reader coalesces
+    # them into 1-2 partitions (openCostInBytes-bounded) and the DECODE —
+    # the thing these keys measure — would serialize onto one core (the
+    # same r8 catch: q_media_webp_lossy measured 47 s single-task vs ~4 s
+    # parallel). One round-robin Exchange of the KB-scale fixture column
+    # restores the scan parallelism; real corpora ride binaryFile
+    # partitioning instead and never hit this path.
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def decode_pixel_stats(media: DataFrame) -> DataFrame:

@@ -101,6 +101,24 @@ def _n_exchanges(p: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange", p))
 
 
+def _assert_cached_media_shape(p: str, name: str) -> None:
+    """Cached-media codec keys: one Arrow-batched map chain over the
+    pruned fixture cache. The ONLY exchange allowed is the cache-read
+    ROUND-ROBIN repartition that restores scan parallelism over the
+    KB-scale cache files (r8 catch: the file-packing reader coalesced
+    them into one partition and serialized decode onto one core —
+    q_media_webp_lossy measured 47 s single-task vs ~4 s parallel). Any
+    hash/range partitioning would mean a real data shuffle crept in."""
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
+    n = _n_exchanges(p)
+    assert n <= 1, (name, p)
+    if n:
+        assert "RoundRobinPartitioning" in p, (name, p)
+    assert "hashpartitioning" not in p, (name, p)
+    assert "rangepartitioning" not in p, (name, p)
+    assert read_schema_columns(p) == {"media_id", "payload"}, (name, p)
+
+
 def test_asof_join_is_two_shuffles(spark, sf_dir):
     """Union-merge as-of join: one shuffle for the right-side dedup, one for
     the merge window — never a range/nested-loop join."""
@@ -1682,12 +1700,9 @@ def test_media_jpeg_prog_stats_no_shuffle(spark, sf_dir):
     exchanges — the multi-scan entropy layout changes codec bytes, never
     plan shape."""
     p = plan(all_queries()["q_media_jpeg_prog_stats"].fn(spark, sf_dir))
-    assert "Exchange" not in p, f"jpeg prog plan shuffles:\n{p}"
-    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
     # r7 fixture cache: the scan reads cached media blobs (pruned to the
     # decode inputs), so the bench measures DECODE, not fixture synthesis
-    assert read_schema_columns(p) == {"media_id", "payload"}, \
-        read_schema_columns(p)
+    _assert_cached_media_shape(p, "q_media_jpeg_prog_stats")
 
 
 def test_media_jpeg_cmyk_stats_no_shuffle(spark, sf_dir):
@@ -1695,10 +1710,7 @@ def test_media_jpeg_cmyk_stats_no_shuffle(spark, sf_dir):
     other JPEG keys: a single Arrow-batched map chain over doc_id, zero
     exchanges."""
     p = plan(all_queries()["q_media_jpeg_cmyk_stats"].fn(spark, sf_dir))
-    assert "Exchange" not in p, f"jpeg cmyk plan shuffles:\n{p}"
-    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
-    assert read_schema_columns(p) == {"media_id", "payload"}, \
-        read_schema_columns(p)     # r7 fixture cache, column-pruned
+    _assert_cached_media_shape(p, "q_media_jpeg_cmyk_stats")
 
 
 def test_media_jpeg_420_stats_no_shuffle(spark, sf_dir):
@@ -1791,13 +1803,12 @@ def test_round7_keys_are_map_only(spark, sf_dir):
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
         assert read_schema_columns(p) == {"doc_id"}, (name, p)
-    # the two pure-Python-codec keys read their fixture CACHE (pruned to
-    # the decode inputs) so the bench measures decode, not synthesis
-    for name in ["q_media_webp_stats", "q_media_jpeg_hier"]:
+    # the pure-Python-codec keys read their fixture CACHE (pruned to the
+    # decode inputs) so the bench measures decode, not synthesis
+    for name in ["q_media_webp_stats", "q_media_jpeg_hier",
+                 "q_media_mjpeg_frames"]:
         p = plan(all_queries()[name].fn(spark, sf_dir))
-        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
-        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
-        assert read_schema_columns(p) == {"media_id", "payload"}, (name, p)
+        _assert_cached_media_shape(p, name)
 
 
 def test_round8_keys_are_map_only(spark, sf_dir):
@@ -1811,9 +1822,7 @@ def test_round8_keys_are_map_only(spark, sf_dir):
         assert read_schema_columns(p) == {"doc_id"}, (name, p)
     # the lossy-VP8 key reads its fixture cache (decode inputs only)
     p = plan(all_queries()["q_media_webp_lossy"].fn(spark, sf_dir))
-    assert "Exchange" not in p, f"q_media_webp_lossy shuffles:\n{p}"
-    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
-    assert read_schema_columns(p) == {"media_id", "payload"}, p
+    _assert_cached_media_shape(p, "q_media_webp_lossy")
     # the Avro roundtrip's only shuffle is the final aggregation — the
     # codec pass itself rides the scan partitioning (one OCF per batch)
     p = plan(all_queries()["q_avro_roundtrip"].fn(spark, sf_dir))
