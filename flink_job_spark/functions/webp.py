@@ -595,7 +595,22 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
     if w * h > MAX_PIXELS:
         raise WebpFormatError(f"image exceeds pixel cap: {w}x{h}")
     br = _Bits(data[:20 + chunk_size], 25)
+    px = _decode_vp8l_stream(br, w, h)
 
+    out = bytearray(w * h * 4)
+    for i, v in enumerate(px):
+        out[4 * i] = (v >> 16) & 0xFF     # R
+        out[4 * i + 1] = (v >> 8) & 0xFF  # G
+        out[4 * i + 2] = v & 0xFF         # B
+        out[4 * i + 3] = (v >> 24) & 0xFF # A
+    return w, h, 4, bytes(out)
+
+
+def _decode_vp8l_stream(br: _Bits, w: int, h: int) -> list[int]:
+    """The VP8L bitstream AFTER the signature/dims header: transforms +
+    entropy-coded image. Shared by the full-file path above and the
+    HEADERLESS form an ALPH chunk embeds (RFC 9649 §4.2.6 — same
+    stream, dims implied by the frame)."""
     # transforms, in read order; each may appear at most once. Every
     # transform captures the image width AT READ TIME: color indexing
     # shrinks the coded width (pixel bundling), so a predictor/color
@@ -653,14 +668,7 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
             _inv_subtract_green(px)
         else:
             px = _inv_color_index(px, t[1], h, t[2])
-
-    out = bytearray(w * h * 4)
-    for i, v in enumerate(px):
-        out[4 * i] = (v >> 16) & 0xFF     # R
-        out[4 * i + 1] = (v >> 8) & 0xFF  # G
-        out[4 * i + 2] = v & 0xFF         # B
-        out[4 * i + 3] = (v >> 24) & 0xFF # A
-    return w, h, 4, bytes(out)
+    return px
 
 
 # --- fixture encoder ----------------------------------------------------------

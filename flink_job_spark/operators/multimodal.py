@@ -158,6 +158,19 @@ def _decode_image_bytes(payload: bytes | None) -> tuple[int | None, int | None, 
             return int(w), int(h), None
         except WebpFormatError as e:
             return None, None, f"bad webp: {e}"
+    if (bytes(payload[:4]) == b"RIFF"
+            and bytes(payload[8:12]) == b"WEBP"
+            and bytes(payload[12:16]) == b"VP8X"):
+        # extended WebP: canvas dims from the VP8X header (r8); the
+        # meta path reports animated files too — only pixel decode of
+        # animations stays on the adapter
+        from flink_job_spark.functions.webp import WebpFormatError
+        from flink_job_spark.functions.webp_ext import webp_extended_meta
+        try:
+            w, h, _alpha, _anim = webp_extended_meta(bytes(payload))
+            return int(w), int(h), None
+        except WebpFormatError as e:
+            return None, None, f"bad webp: {e}"
     if payload[:8] == FAKE_AUD_MAGIC:
         return None, None, "not an image"
     # remaining real formats (HEIC/WebP/...): capability check — use the
@@ -851,18 +864,31 @@ def _decode_any_image(payload: bytes) -> tuple[int, int, int, bytes]:
             except (WebpFormatError, structmod.error) as e:
                 raise ImageDecodeError("webp", e) from e
         if payload[12:16] == b"VP8 ":
-            # lossy VP8 key frames decode natively (functions/vp8.py,
-            # r8); extended VP8X (alpha/animation) stays on the adapter
+            # lossy VP8 key frames decode natively (functions/vp8.py, r8)
             from flink_job_spark.functions.vp8 import decode_webp_lossy
             try:
                 return decode_webp_lossy(payload)
             except (WebpFormatError, structmod.error) as e:
                 raise ImageDecodeError("webp", e) from e
+        if payload[12:16] == b"VP8X":
+            # STILL extended images (ALPH + VP8/VP8L) decode natively
+            # (functions/webp_ext.py, r8); only ANIMATED WebP remains on
+            # the adapter
+            from flink_job_spark.functions.webp_ext import \
+                decode_webp_extended
+            try:
+                return decode_webp_extended(payload)
+            except (WebpFormatError, structmod.error) as e:
+                if "animated" in str(e):
+                    got = _try_pillow(payload)
+                    if got is not None:
+                        return got
+                raise ImageDecodeError("webp", e) from e
         got = _try_pillow(payload)
         if got is not None:
             return got
-        raise ImageDecodeError("webp", "extended (VP8X) WebP needs a "
-                               "codec library (Pillow), not installed")
+        raise ImageDecodeError("webp", "unknown WebP chunk layout needs "
+                               "a codec library (Pillow), not installed")
     if payload[:2] == b"\xff\xd8":
         from flink_job_spark.functions.jpeg import JpegFormatError, decode_jpeg
         try:

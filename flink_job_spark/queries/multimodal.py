@@ -1506,6 +1506,159 @@ def q_media_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip, schema=out_schema)
 
 
+# --- q_media_webp_alpha: VP8X still images with ALPH alpha ---------------------
+#
+# r8: the extended-container layout lossy-with-alpha WebP actually
+# ships. Alpha is LOSSLESS through every ALPH form (raw + the four
+# prediction filters + headerless-VP8L compression), so its mean is
+# closed-form even though the color path is lossy — the oracle checks
+# exact dims, the exact alpha mean, and the same bounded-loss RGB
+# certificate as q_media_webp_lossy; every seventh doc carries a VP8L
+# payload instead (fully lossless, alpha included).
+
+WEBPX_W_MOD, WEBPX_H_MOD = 29, 23
+
+
+@register(
+    "q_media_webp_alpha",
+    f"""SELECT doc_id AS media_id,
+               CAST(16 + doc_id % {WEBPX_W_MOD} AS INT) AS width,
+               CAST(16 + doc_id % {WEBPX_H_MOD} AS INT) AS height,
+               CAST(4 AS INT) AS channels,
+               CAST(doc_id % 4 AS INT) AS alpha_filter,
+               CASE WHEN doc_id % 7 = 0 THEN 'vp8l-payload'
+                    WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'vp8l' END
+                 AS alpha_form,
+               round((SELECT SUM(CAST((t.k % (16 + doc_id % {WEBPX_W_MOD}))
+                                      * 7
+                                 + (t.k // (16 + doc_id % {WEBPX_W_MOD}))
+                                      * 3
+                                 + doc_id AS BIGINT) % 256)
+                      FROM (SELECT unnest(range(
+                               (16 + doc_id % {WEBPX_W_MOD})
+                             * (16 + doc_id % {WEBPX_H_MOD}))) AS k) t)
+                     / (1.0 * (16 + doc_id % {WEBPX_W_MOD})
+                            * (16 + doc_id % {WEBPX_H_MOD})), 6)
+                 AS alpha_mean,
+               TRUE AS within_tol
+        FROM documents""",
+    doc="extended (VP8X) WebP still images: per-doc RGBA gradients "
+        "carry a real ALPH chunk cycling all four prediction filters "
+        "and both compression modes (raw, headerless VP8L) over a "
+        "native lossy-VP8 color frame — alpha decodes LOSSLESSLY so "
+        "its mean is closed-form, RGB satisfies the bounded-loss "
+        "certificate; every seventh doc uses a VP8L payload (fully "
+        "lossless). Animated WebP stays the documented adapter gate",
+    tags=("multimodal", "webp"),
+)
+def q_media_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only codec key over the disk-cached fixtures, like the rest
+    of the WebP family."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_job_spark.functions.webp_ext import (build_webp_extended,
+                                                    decode_webp_extended)
+    from flink_job_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      cached_media_df)
+
+    def src_rgba(i: int) -> np.ndarray:
+        w, h = 16 + i % WEBPX_W_MOD, 16 + i % WEBPX_H_MOD
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        r = (x * 255) // (w - 1) + np.zeros((h, w), np.int64)
+        g = (y * 255) // (h - 1) + np.zeros((h, w), np.int64)
+        b = ((x + y + i % 8) * 255) // (w + h + 5)
+        a = (x * 7 + y * 3 + i) % 256
+        return np.stack([r, g, b, a], -1).astype(np.uint8)
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                src = src_rgba(i)
+                h, w = src.shape[:2]
+                if i % 7 == 0:
+                    payloads.append(build_webp_extended(
+                        w, h, src.tobytes(), lossless=True,
+                        with_exif=bool(i % 3)))
+                else:
+                    payloads.append(build_webp_extended(
+                        w, h, src.tobytes(), qi=(4, 8, 20)[i % 3],
+                        mode_policy=("dc", "cycle", "bpred")[i % 3],
+                        alpha_filter=i % 4,
+                        alpha_compress="raw" if i % 2 == 0 else "vp8l",
+                        with_exif=bool(i % 3)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
+                                "mime": "image/webp", "payload": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("alpha_filter", T.IntegerType()),
+        T.StructField("alpha_form", T.StringType()),
+        T.StructField("alpha_mean", T.DoubleType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ])
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = {k: [] for k in ("width", "height", "channels",
+                                    "alpha_filter", "alpha_form",
+                                    "alpha_mean", "within_tol")}
+            for i, payload in zip(pdf["media_id"], pdf["payload"]):
+                i = int(i)
+                src = src_rgba(i)
+                h, w = src.shape[:2]
+                dw, dh, dch, out = decode_webp_extended(bytes(payload))
+                got = np.frombuffer(out, np.uint8).reshape(dh, dw, dch)
+                if (dw, dh) == (w, h):
+                    err = int(np.abs(got[..., :3].astype(np.int64)
+                                     - src[..., :3].astype(np.int64)
+                                     ).max())
+                    alpha_ok = bool(
+                        np.array_equal(got[..., 3], src[..., 3]))
+                    amean = round(float(got[..., 3].astype(
+                        np.float64).sum()) / (dw * dh), 6)
+                else:
+                    err, alpha_ok, amean = 255, False, -1.0
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["channels"].append(dch)
+                rows["alpha_filter"].append(i % 4)
+                rows["alpha_form"].append(
+                    "vp8l-payload" if i % 7 == 0
+                    else ("raw" if i % 2 == 0 else "vp8l"))
+                rows["alpha_mean"].append(amean)
+                rows["within_tol"].append(err <= VP8_TOL and alpha_ok)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "channels": pd.array(rows["channels"], dtype="Int32"),
+                "alpha_filter": pd.array(rows["alpha_filter"],
+                                         dtype="Int32"),
+                "alpha_form": rows["alpha_form"],
+                "alpha_mean": rows["alpha_mean"],
+                "within_tol": rows["within_tol"],
+            })
+
+    import flink_job_spark.functions.vp8 as vp8_mod
+    import flink_job_spark.functions.webp_ext as webp_ext_mod
+
+    d = load_table(spark, sf_dir, "documents")
+    media = cached_media_df(
+        spark, sf_dir, "q_media_webp_alpha",
+        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        (encode, src_rgba, vp8_mod, webp_ext_mod))
+    return media.select("media_id", "payload").mapInPandas(
+        roundtrip, schema=out_schema)
+
+
 # --- q_media_jpeg_hier: hierarchical (Annex J) pyramid, exact oracle -----------
 #
 # The LAST JPEG frame family (r7, functions/jpeg_hier.py): DHP + a

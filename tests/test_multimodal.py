@@ -885,10 +885,16 @@ def test_adapter_absence_keeps_documented_boundary():
     from flink_job_spark.operators.multimodal import (ImageDecodeError,
                                                       _decode_any_image)
 
-    # only EXTENDED (VP8X) WebP remains on the adapter since r8 (VP8L
-    # native in r7, lossy VP8 key frames native in r8 — a malformed VP8
-    # chunk is now a format error, not a capability boundary)
-    with pytest.raises(ImageDecodeError, match="extended .VP8X. WebP"):
+    # only ANIMATED WebP remains on the adapter since r8 (VP8L native
+    # in r7, lossy VP8 and still VP8X+ALPH native in r8 — malformed
+    # VP8/VP8X chunks are format errors, not capability boundaries;
+    # an ANIM-flagged file without Pillow is the boundary)
+    from flink_job_spark.functions.webp_ext import build_webp_extended
+    anim = build_webp_extended(16, 16, bytes(16 * 16 * 4),
+                               animated=True)
+    with pytest.raises(ImageDecodeError, match="animated"):
+        _decode_any_image(anim)
+    with pytest.raises(ImageDecodeError, match="webp"):
         _decode_any_image(b"RIFFxxxxWEBPVP8X....")
     with pytest.raises(ImageDecodeError, match="webp"):
         _decode_any_image(b"RIFFxxxxWEBPVP8 ....")

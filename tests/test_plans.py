@@ -1820,9 +1820,11 @@ def test_round8_keys_are_map_only(spark, sf_dir):
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
         assert read_schema_columns(p) == {"doc_id"}, (name, p)
-    # the lossy-VP8 key reads its fixture cache (decode inputs only)
-    p = plan(all_queries()["q_media_webp_lossy"].fn(spark, sf_dir))
-    _assert_cached_media_shape(p, "q_media_webp_lossy")
+    # the lossy-VP8 and VP8X keys read their fixture cache (decode
+    # inputs only)
+    for name in ["q_media_webp_lossy", "q_media_webp_alpha"]:
+        p = plan(all_queries()[name].fn(spark, sf_dir))
+        _assert_cached_media_shape(p, name)
     # the Avro roundtrip's only shuffle is the final aggregation — the
     # codec pass itself rides the scan partitioning (one OCF per batch)
     p = plan(all_queries()["q_avro_roundtrip"].fn(spark, sf_dir))
