@@ -1116,13 +1116,17 @@ def _encode_block_tokens(te: _BoolEncExt, probs, plane: int, ctx: int,
 def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
                      up: np.ndarray, vp: np.ndarray, *, qi: int = 8,
                      filter_level: int = 0, simple_filter: bool = False,
-                     sharpness: int = 0, mode_policy: str = "cycle"
-                     ) -> bytes:
+                     sharpness: int = 0, mode_policy: str = "cycle",
+                     n_parts: int = 1) -> bytes:
     """Encode one key frame from uint8 YUV420 planes. mode_policy:
     'dc' (all DC_PRED), 'cycle' (16x16 DC/V/H/TM by MB position), or
-    'bpred' (every third MB uses B_PRED with cycling submodes)."""
+    'bpred' (every third MB uses B_PRED with cycling submodes).
+    n_parts (1/2/4/8) splits the token stream per MB row mod count —
+    the multi-partition layout threaded real encoders emit."""
     if not 0 <= qi <= 127:
         raise Vp8FormatError(f"bad quantizer index {qi}")
+    if n_parts not in (1, 2, 4, 8):
+        raise Vp8FormatError(f"bad token partition count {n_parts}")
     mbw, mbh = (width + 15) >> 4, (height + 15) >> 4
     pw, ph = mbw * 16, mbh * 16
     cw, ch = (width + 1) >> 1, (height + 1) >> 1
@@ -1160,7 +1164,7 @@ def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
     # the header and the per-MB mode records are ONE bool stream
     # (partition 1); tokens are the separate token partition
     me = _BoolEncExt()
-    te = _BoolEncExt()
+    tes = [_BoolEncExt() for _ in range(n_parts)]
     me.literal(1, 0)                      # color space
     me.literal(1, 0)                      # clamping
     me.literal(1, 0)                      # segmentation disabled
@@ -1168,7 +1172,7 @@ def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
     me.literal(6, filter_level)
     me.literal(3, sharpness)
     me.literal(1, 0)                      # lf deltas disabled
-    me.literal(2, 0)                      # one token partition
+    me.literal(2, n_parts.bit_length() - 1)   # log2 token partitions
     me.literal(7, qi)
     for _ in range(5):
         me.literal(1, 0)                  # no quantizer deltas
@@ -1184,6 +1188,7 @@ def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
     for mby in range(mbh):
         left = {"y": np.zeros(4, bool), "u": np.zeros(2, bool),
                 "v": np.zeros(2, bool), "y2": np.array(False)}
+        te = tes[mby % n_parts]
         for mbx in range(mbw):
             if mode_policy == "dc":
                 ymode = DC_PRED
@@ -1294,7 +1299,10 @@ def encode_vp8_frame(width: int, height: int, yp: np.ndarray,
             ry[0, pw + 1:] = ry[0, pw]
 
     part1 = me.finish()
-    tokens = te.finish()
+    token_parts = [t.finish() for t in tes]
+    tokens = b"".join(
+        len(p).to_bytes(3, "little") for p in token_parts[:-1]
+    ) + b"".join(token_parts)
     if len(part1) >= 1 << 19:
         raise Vp8FormatError("first partition exceeds the 19-bit size "
                              "field")

@@ -207,3 +207,32 @@ def test_vp8_pillow_cross_check_if_available():
     got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
     assert (w, h) == (32, 32)
     assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 48
+
+
+def test_vp8_multi_token_partitions():
+    """Real encoders split the token stream across 2/4/8 partitions
+    (per MB row mod count, 3-byte size table); the decoder's partition
+    routing must reconstruct BIT-identical planes to the 1-partition
+    stream, and the header must survive truncating the size table."""
+    from flink_job_spark.functions.vp8 import (decode_vp8_frame,
+                                               encode_vp8_frame,
+                                               rgb_to_yuv420)
+
+    rgb = _grad(48, 40, 3)
+    y, u, v = rgb_to_yuv420(rgb)
+    ref = None
+    for n in (1, 2, 4, 8):
+        frame = encode_vp8_frame(48, 40, y, u, v, qi=8,
+                                 mode_policy="bpred", n_parts=n)
+        out = decode_vp8_frame(frame)
+        planes = (out[2].tobytes(), out[3].tobytes(), out[4].tobytes())
+        if ref is None:
+            ref = planes
+        assert planes == ref, n
+    # truncating inside the size table is a precise error
+    frame = encode_vp8_frame(48, 40, y, u, v, qi=8, n_parts=8)
+    part1 = 10 + (int.from_bytes(frame[:3], "little") >> 5)
+    with pytest.raises(Vp8FormatError, match="partition"):
+        decode_vp8_frame(frame[:part1 + 10])
+    with pytest.raises(Vp8FormatError, match="partition count"):
+        encode_vp8_frame(48, 40, y, u, v, n_parts=3)
