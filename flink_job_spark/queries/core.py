@@ -25,7 +25,7 @@ from flink_job_spark.operators.audit import hash_mismatch_flag, point_lookup
 from flink_job_spark.operators.envelope import with_envelope
 from flink_job_spark.operators.snapshot import freeze_cutoff, resume_predicate, snapshot_scan
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import SCHEMAS, load_table
+from flink_job_spark.sources.tables import SCHEMAS, fan_out, load_table
 
 LINEITEM_COLS = [f.name for f in SCHEMAS["lineitem"].fields]
 SKIP_FLOOR = 1000          # fixed resume floor for q_skip_offset
@@ -121,7 +121,7 @@ def q_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("hash",),
 )
 def q_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey", "l_linenumber",
         row_hash_column(li, LINEITEM_COLS).alias("row_hash"),
@@ -162,7 +162,7 @@ def _corrupted_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed over a copy whose l_quantity is corrupted for l_orderkey%97==0 —
     a deterministic stand-in for the cross-engine divergence the reference's
     audit exists to catch (mis:1264-1331)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     corrupted = li.withColumn(
         "__c_l_quantity",
         F.when(F.col("l_orderkey") % CORRUPT_MOD == 0, F.col("l_quantity") + 1)
@@ -223,7 +223,13 @@ def q_hash_mismatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("topk", "audit"),
 )
 def q_hash_mismatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pair = _corrupted_pair(spark, sf_dir)
+    # persist() pins the dual hash forests ABOVE _corrupted_pair's fan-out
+    # exchange: the optimizer pushes the ≠ filter (which re-states both md5
+    # trees) below a bare Repartition, which would drop the whole hash
+    # computation back onto the single scan task — and double-evaluate it
+    # (once in Filter, once in Project). The cached frame is the skinny
+    # (key, hash, hash) projection, never full lineitem rows.
+    pair = _corrupted_pair(spark, sf_dir).persist()
     # (l_orderkey, l_linenumber) is not unique in the testdata — order by the
     # full output tuple so the k-th row is engine-independent
     return (pair
@@ -370,7 +376,7 @@ def q_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole thing is ONE combine-enabled aggregation — map-side partials
     of 64 x 32 bytes per partition at any scale — and bucket digests merge
     upward into the q_table_checksum root exactly like a Merkle level."""
-    o = load_table(spark, sf_dir, "orders")
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     bucket = md5_u32(F.col("o_orderkey").cast("string")) % MERKLE_BUCKETS
     h = o.select(bucket.alias("bucket"), row_hash_column(o).alias("rh"))
     w1 = F.conv(F.substring("rh", 1, 8), 16, 10).cast("bigint")

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from flink_job_spark.functions.text import words, words_duck
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 
 # --- q_charset_sniff: BOM / UTF-8 / CP-1252 detection, value-exact --------------
@@ -109,7 +109,7 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_chars": pd.array(lens, dtype="Int32")})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_text_normalize: NFC + mojibake repair + control strip, value-exact -------
@@ -188,7 +188,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fixed_mojibake": fixed, "changed": changed})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_robots_filter: RFC 9309 longest-match politeness filter ------------------
@@ -492,7 +492,7 @@ def q_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup. The freq table is vocabulary-sized; at 100 TB it is
     still ≪ corpus and AQE will broadcast it for the join-back, making
     the doc side shuffle only once (the final doc_id rollup)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select("doc_id", F.explode(words("text")).alias("w"))
         .where(F.col("w") != "")
@@ -611,7 +611,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "enc_mode": encs})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_sitemap_parse: crawl seeding (urlset + sitemapindex + gzip) ---------------
@@ -700,7 +700,7 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_priority": prios})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_csv_sniff: dialect detection on unlabeled exports -------------------------
@@ -771,7 +771,7 @@ def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "quoted": quoted})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_dataset_card: per-source corpus statistics rollup --------------------------
@@ -820,7 +820,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/skew.py)."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     per_source = (
         d.groupBy("source")
         .agg(
@@ -926,7 +926,7 @@ def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "boiler_chars": pd.array(bc, dtype="Int32")})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_json_schema_infer: semi-structured schema profiling ------------------------
@@ -1035,7 +1035,7 @@ def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "typ": typs, "is_null": nulls})
 
     d = load_table(spark, sf_dir, "documents")
-    rows = d.select("doc_id").mapInPandas(run, schema=schema)
+    rows = fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
     return (
         rows.groupBy("path")
         .agg(
@@ -1117,7 +1117,7 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_sentence": firsts, "last_sentence": lasts})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_html_links: outlink extraction + anchor-text rollup -----------------------
@@ -1200,7 +1200,7 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "target": out_tgt, "anchor": out_anchor})
 
     d = load_table(spark, sf_dir, "documents")
-    links = d.select("doc_id").mapInPandas(run, schema=schema)
+    links = fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
     return links.groupBy("target").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_refs"),
         F.countDistinct("doc_id").cast("bigint").alias("n_src_docs"),

@@ -44,7 +44,7 @@ from flink_job_spark.functions.text import (
     words_duck,
 )
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 MINHASH_K = 8          # minhash functions
 MINHASH_BAND_ROWS = 2  # rows per LSH band → 4 bands
@@ -86,7 +86,7 @@ def doc_shingles(d: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
     # expression references its input 3x, so merging inline tripled the
     # per-row tokenization cost on every dedup key
     sh = (
-        d.select("doc_id", words("text").alias("ws"))
+        fan_out(d).select("doc_id", words("text").alias("ws"))
         .select("doc_id", F.expr(shingle_tokens("ws")).alias("st"))
         .select("doc_id", F.explode(F.array_distinct(
             word_shingles("st", 3, premerged=True))).alias("s"))
@@ -383,7 +383,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one explode + (doc,word) reduction: the expensive text normalization and
     # word explode run exactly once; everything after operates on TF rows
     wc = (
-        d.select("doc_id", F.explode(words("text")).alias("word"))
+        fan_out(d).select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -22,7 +22,7 @@ from flink_job_spark.operators.multimodal import (
     resize_plan,
 )
 from flink_job_spark.queries import REGISTRY, register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 RESIZE_MAX_SIDE = 32   # below the fake dims so the scale math is exercised
 FRAME_FPS = 1.0
@@ -176,7 +176,7 @@ def q_media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/png", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -262,7 +262,7 @@ def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": out_id, "ahash_bits": out_bits})
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         ahash, schema="media_id bigint, ahash_bits string")
 
 
@@ -427,7 +427,7 @@ def q_media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "audio/wav", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     return decode_audio_meta(media).select(
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms", "rms")
 
@@ -457,7 +457,7 @@ def _bmp_media(d):
             yield pd.DataFrame({"media_id": pdf["doc_id"], "kind": "image",
                                 "mime": "image/bmp", "payload": payloads})
 
-    return d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
 
@@ -572,7 +572,7 @@ def q_media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/gif", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -643,7 +643,7 @@ def q_media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/tiff", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -709,7 +709,7 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "video/x-msvideo", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = video_frame_stats(media, sample=(0, 500, 999))
     return stats.select("media_id", "width", "height", "n_frames",
                         "duration_ms", "mean_luma")
@@ -792,7 +792,7 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_mjpeg_frames",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, avi_mod, jpeg_mod))
     stats = video_frame_stats(media.select("media_id", "payload"),
                               sample=(0, 500, 999))
@@ -859,7 +859,7 @@ def q_media_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/gif", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = video_frame_stats(media, sample=(0, 500, 999))
     return stats.select("media_id", "width", "height", "n_frames",
                         "duration_ms", "mean_luma")
@@ -934,7 +934,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "audio/wav", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     return audio_features(media).select(
         "media_id", "sample_rate", "n_frames", "zcr", "peak", "mean_abs",
         "dominant_bin", "dominant_freq_hz")
@@ -1105,7 +1105,7 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/jpeg", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -1167,7 +1167,7 @@ def q_media_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/jpeg", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -1226,7 +1226,7 @@ def q_media_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/jpeg", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
@@ -1289,7 +1289,7 @@ def q_media_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/jpeg", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select(
         "media_id", "width", "height", "channels",
@@ -1371,7 +1371,7 @@ def q_media_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_webp_stats",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, webp_mod))
     return decode_pixel_stats(media.select("media_id", "payload")).select(
         "media_id", "width", "height", "channels", "mean_luma")
@@ -1500,7 +1500,7 @@ def q_media_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_webp_lossy",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, src_rgb, vp8_mod))
     return media.select("media_id", "payload").mapInPandas(
         roundtrip, schema=out_schema)
@@ -1653,7 +1653,7 @@ def q_media_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_webp_alpha",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, src_rgba, vp8_mod, webp_ext_mod))
     return media.select("media_id", "payload").mapInPandas(
         roundtrip, schema=out_schema)
@@ -1718,7 +1718,7 @@ def q_media_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_jpeg_hier",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, hier_mod, jl_mod))
     media = media.select("media_id", "payload")
     return decode_pixel_stats(media).select(
@@ -1806,7 +1806,7 @@ def q_media_jpeg_color_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_jpeg_420_stats: the 4:2:0 subsampled path, value-exact oracle ------
@@ -1873,7 +1873,7 @@ def q_media_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/jpeg", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels",
                         "mean_luma")
@@ -1950,7 +1950,7 @@ def q_media_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_jpeg_prog_stats",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, jpeg_mod))
     stats = decode_pixel_stats(media.select("media_id", "payload"))
     return stats.select("media_id", "width", "height", "channels",
@@ -2031,7 +2031,7 @@ def q_media_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = cached_media_df(
         spark, sf_dir, "q_media_jpeg_cmyk_stats",
-        lambda: d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA),
+        lambda: fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA),
         (encode, jpeg_mod))
     stats = decode_pixel_stats(media.select("media_id", "payload"))
     return stats.select("media_id", "width", "height", "channels",
@@ -2128,7 +2128,7 @@ def q_media_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_exif_orient: orientation-normalized decode, value-exact oracle ----
@@ -2234,7 +2234,7 @@ def q_media_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_mp3_meta: MPEG-audio container triage, value-exact oracle ---------
@@ -2330,7 +2330,7 @@ def q_media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_mp4_meta: ISO-BMFF box-walk triage, value-exact oracle ------------
@@ -2422,7 +2422,7 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_mkv_meta: EBML (MKV/WebM) walk triage, value-exact oracle ---------
@@ -2540,7 +2540,7 @@ def q_media_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_flac_meta: FLAC STREAMINFO triage, value-exact oracle -------------
@@ -2612,7 +2612,7 @@ def q_media_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_ogg_meta: Ogg page walk (Vorbis + Opus), value-exact oracle -------
@@ -2684,7 +2684,7 @@ def q_media_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_warc_stats: web-crawl record walk, value-exact oracle -------------
@@ -2767,7 +2767,7 @@ def q_media_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_warc_http_meta: HTTP response metadata + redirect chains ----------------
@@ -2890,7 +2890,7 @@ def q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_zip_stats / q_media_tar_stats: archive inventory triage -----------
@@ -2966,7 +2966,7 @@ def q_media_zip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 @register(
@@ -3019,7 +3019,7 @@ def q_media_tar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(roundtrip, schema=schema)
+    return fan_out(d.select("doc_id")).mapInPandas(roundtrip, schema=schema)
 
 
 # --- q_media_png_palette_stats: indexed-color PNG decode, oracle-checked -------------
@@ -3098,7 +3098,7 @@ def q_media_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/png", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -3177,7 +3177,7 @@ def q_media_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "audio/wav", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_audio_meta(media)
     return stats.select("media_id", "sample_rate", "channels", "n_frames",
                         "duration_ms", "rms")
@@ -3254,7 +3254,7 @@ def q_media_bmp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/bmp", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -3316,7 +3316,7 @@ def q_media_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/tiff", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -3380,7 +3380,7 @@ def q_media_ico_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/x-icon", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = decode_pixel_stats(media)
     return stats.select("media_id", "width", "height", "channels", "mean_luma")
 
@@ -3464,7 +3464,7 @@ def q_media_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         run, schema="media_id long, width_px long, height_px long, "
                     "n_paths long, n_shapes long, n_text long, "
                     "has_script int")
@@ -3557,7 +3557,7 @@ def q_media_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         run, schema="media_id long, kind string, n_cues long, "
                     "speech_ms long, first_start_ms long, span_ms long, "
                     "n_words long")
@@ -3639,7 +3639,7 @@ def q_media_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mime": "image/apng", "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id").mapInPandas(encode, schema=MEDIA_SCHEMA)
+    media = fan_out(d.select("doc_id")).mapInPandas(encode, schema=MEDIA_SCHEMA)
     stats = video_frame_stats(media, sample=(0, 500, 999))
     return stats.select("media_id", "width", "height", "n_frames",
                         "duration_ms", "mean_luma")

@@ -39,7 +39,7 @@ from flink_job_spark.functions.text import (
 )
 from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 # --- q_sequence_pack: offset-based sequence packing ----------------------------------
 
@@ -77,7 +77,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard packs independently, which is exactly how training shards are laid
     out; a skewed mega-source would be further split by a bucket column in
     the partition key (same math, seq ids offset per bucket)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy("doc_id") \
               .rowsBetween(Window.unboundedPreceding, -1)
     t = d.select("source", "doc_id", ws_token_count("text").alias("tok"))
@@ -185,7 +185,7 @@ def _doc_block_hashes(d: DataFrame) -> DataFrame:
     which showed up as 2-3× degradation under full-registry memory
     contention even though the plan shape was identical."""
     return (
-        d.select("doc_id", words("text").alias("w"))
+        fan_out(d).select("doc_id", words("text").alias("w"))
          .select(
              "doc_id",
              F.explode(F.expr(
@@ -326,7 +326,7 @@ def exact_substr_spans(d: DataFrame) -> DataFrame:
     """Shared core of q_exact_substr over any (doc_id, text) frame —
     imported (not reimplemented) by tools/exsub_ab.py for the scale A/B."""
     b = (
-        d.select("doc_id", words("text").alias("w"))
+        fan_out(d).select("doc_id", words("text").alias("w"))
          .select(
              "doc_id", F.size("w").alias("n_words"),
              F.posexplode(F.expr(
@@ -413,7 +413,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on the gram hash — semantics unchanged."""
     from flink_job_spark.functions.text import shingle_tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     g = (
         d.select("doc_id", words("text").alias("w"))
          .select("doc_id", F.expr(shingle_tokens("w")).alias("st"))
@@ -492,7 +492,7 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     detour — each double term is cast to DECIMAL(38,18) before summing, so
     the aggregate is partition-order-free and engine-comparable (double
     addition is not associative; decimal addition is)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     c = (
         d.select("doc_id", F.explode(words("text")).alias("word"))
          .groupBy("doc_id", "word")
@@ -1012,7 +1012,7 @@ def q_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines and retries, and rebalancing is impossible
     to get wrong because nothing is sampled. Map-only until one
     fold-cardinality aggregate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     key = F.md5(norm_text("text"))
     fold = (md5_u32(key) % CV_FOLDS).cast("int")
     return (d.select(fold.alias("fold"), key.alias("content_key"))
@@ -1192,7 +1192,7 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-sorted rows, two integers of state. Pure integer arithmetic, so
     batch, oracle, and any replay agree bit-for-bit. An over-budget doc
     occupies a bin alone (fill > budget), same as the oracle's CASE."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     rows = d.select("source", "doc_id", ws_token_count("text").alias("t"))
     return pack_next_fit(rows)
 
@@ -1348,7 +1348,7 @@ def q_shard_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
     on source, the natural write-partitioning at 100 TB; a pathological
     single giant source would salt the rank the same way q_train_shuffle's
     docstring records."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = d.select("source", "doc_id", ws_token_count("text").alias("tok"))
     r = F.row_number().over(
         Window.partitionBy("source").orderBy(F.col("tok").desc(), "doc_id")) - 1

@@ -39,7 +39,7 @@ from flink_job_spark.functions.vectors import (
     sign_bucket_duck,
 )
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 TOPK = 10
 N_QUERY_VECS = 5
@@ -62,7 +62,7 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 terms) dwarfs evaluation at any per-task row count, and the fold is
     bit-identical (see functions/vectors.py).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     e = e.select("vec_id", as_double_array("embedding").alias("v"))
     return e.withColumn("nv", norm("v"))
 
@@ -610,7 +610,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda element of the downstream transforms (O(dim²) interpreted work per
     row — measured 4.3 s vs 0.6 s at sf0.1). After the barrier the lambdas
     read plain columns."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     v = as_double_array("embedding")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     base = (
@@ -667,7 +667,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, decimal addition is) so the centroid is partition-order-free
     and engine-identical. This is exactly how the IVF trainer
     (q_ann_ivf_kmeans) updates centroids, exposed as a standalone operator."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     flat = e.select(
         "label",
         F.posexplode("embedding").alias("pos", "x"),
@@ -715,7 +715,7 @@ def q_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is partition-order-free; min/max are order-free by nature. At
     100 TB the reduce side is |dims| rows — the scan dominates, as it
     should."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     ex = (e.select(as_double_array("embedding").alias("v"))
            .select(F.posexplode("v").alias("dim", "x")))
     m = ex.select(
@@ -778,7 +778,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for scoring), plus two tiny aggregations over k·|queries| rows.
     The vote and the winner pick both carry full deterministic tie-break
     orders, so the prediction is stable across engines and retries."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     e = (e.select("vec_id", as_double_array("embedding").alias("v"), "label")
           .withColumn("nv", norm("v")))
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -857,7 +857,7 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs and both engines produce bit-identical ranking keys. The same
     persist() barrier as q_embedding_quantize keeps CollapseProject from
     inlining the amax scan into every transform lambda."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     v = as_double_array("embedding")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     base = (

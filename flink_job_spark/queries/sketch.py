@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.functions.text import words_duck
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 HLL_RSD = 0.02  # target relative standard deviation for approx_count_distinct
 
@@ -214,7 +214,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_job_spark.functions.text import words
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = d.select(F.explode(words("text")).alias("word"))
 
     def mg_partition(it):
@@ -304,7 +304,7 @@ def q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds despite MinHash being an approximation of Jaccard."""
     from flink_job_spark.functions.text import (shingle_tokens,
                                                 word_shingles, words)
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # no DISTINCT before the MIN (min over the multiset = min over the
     # set), and only FOUR md5 evaluations per shingle occurrence: each
     # 128-bit digest yields 4 independent u32 lanes, so K=16 permutations

@@ -34,7 +34,7 @@ from flink_job_spark.functions.text import (
 )
 from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, load_table
 
 # --- q_token_count ------------------------------------------------------------
 
@@ -48,7 +48,7 @@ from flink_job_spark.sources.tables import load_table
     tags=("text",),
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         ws_token_count("text").alias("ws_tokens"),
@@ -69,7 +69,7 @@ _QD = quality_columns_duck("text")
     tags=("text",),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     cols = quality_columns("text")
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
@@ -87,7 +87,7 @@ _LD = lang_hit_columns_duck("text")
     tags=("text",),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     hits = lang_hit_columns("text")
     return d.select(
         "doc_id",
@@ -141,7 +141,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_job_spark.functions.text import norm_text
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # persist() pins the quality/lang/token expression forest above the
+    # fan-out exchange: the quality gate below re-states those expressions,
+    # and a deterministic Filter pushes straight through Project AND
+    # Repartition — dropping the whole regex battery back onto the single
+    # scan task and evaluating it twice (Filter + Project).
     scored = (
         d.select(
             "doc_id", "source",
@@ -149,7 +154,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_columns("text")["quality_score"].alias("q"),
             bpe_token_count("text").alias("toks"),
             pred_lang(lang_hit_columns("text")).alias("lang"),
-        )
+        ).persist()
         .filter((F.col("q") >= PIPELINE_MIN_QUALITY)
                 & (F.col("lang") == PIPELINE_LANG))
     )
@@ -176,7 +181,7 @@ _FD = fingerprint_columns_duck("text")
     tags=("text",),
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # normalize ONCE into an attribute; the shingle lambda then references it
     # instead of re-running the regex per character position
     normed = d.select("doc_id", norm_text("text").alias("__norm"))
@@ -222,7 +227,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffles on doc_id only."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # tf feeds both the df aggregation and the score join — persist so the
     # text explode+reduction runs once (at scale: materialize the TF table)
     tf = (
@@ -286,7 +291,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is synthetic, so each doc deterministically gets an email, phone,
     or IP appended (doc_id % 4) before detection — the redacted text is
     byte-compared against the oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     aug = (
         F.when(did % 4 == 0, F.concat(
@@ -341,7 +346,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Per-doc state never materializes a vocabulary map in one task's
     memory (unlike an aggregate-over-array approach), so a pathological
     1 GB document costs its share of rows, not a single-task blowup."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     counts = (
         d.select("doc_id", F.explode(words("text")).alias("w"))
          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -394,7 +399,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     in every exploded row (O(chunks × doclen) row width). Output rows scale
     with total tokens / stride; no shuffle, so at 100 TB chunking rides the
     scan exactly like the other text ops."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     chunked = d.select(
         "doc_id",
         words("text").alias("w"),
@@ -438,7 +443,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew risk — production splits lists into fixed-size segments (same
     contract as q_dedup_minhash_lsh's doc-freq cap); the plan otherwise
     shuffles |distinct (word, doc)| rows once."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     p = (d.select("doc_id", F.explode(words("text")).alias("word"))
           .distinct())
     postings = F.array_join(
@@ -507,7 +512,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears exactly once and in the same order as the oracle's — rounded,
     decimal-cast, and summed exactly per doc. At 100 TB this is two bounded
     shuffles (tf reduction, per-doc sum) over query-term rows only."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = d.select("doc_id", words("text").alias("w"))
     dl = w.select("doc_id", F.size("w").cast("bigint").alias("dl")).persist()
     stats = dl.agg(
@@ -560,7 +565,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, so this plan is identical at 100 TB. Bucket ids come from
     the first 32 md5 bits (the repo-wide deterministic-hash idiom), never
     a JVM-internal hash that another engine can't reproduce."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     bucket = md5_u32(F.col("word")) % FEATURE_HASH_DIM
     return (
         d.select("doc_id", F.explode(words("text")).alias("word"))
@@ -603,7 +608,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division; ranking ties break lexicographically."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     cw = (
         d.select("lang", F.explode(words("text")).alias("word"))
          .groupBy("lang", "word")
@@ -661,7 +666,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-sized. sequence(1, len-1) is guarded by len>=2: Spark's
     sequence(1, 0) counts DOWN ([1,0]) rather than returning empty — an
     easy silent corruption."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     wf = (
         d.select(F.explode(words("text")).alias("word"))
          .groupBy("word")
@@ -752,7 +757,7 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str,
     """Driver-iterated BPE trainer; returns the merge list
     [(round, lhs, rhs, merged, cnt), ...]. See q_bpe_train for the scale
     story."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     v = (
         d.select(F.explode(words("text")).alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$"))
@@ -863,7 +868,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-joinable) and the corpus explode runs exactly once. Mirrors how
     production tokenizers cache word→pieces and stream the corpus."""
     merges = _bpe_train_merges(spark, sf_dir, BPE_TRAIN_ROUNDS)
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     dw = (
         d.select("doc_id", F.explode(words("text")).alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$"))
@@ -1019,8 +1024,8 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": pdf["doc_id"], "title": titles,
                 "n_links": pd.array(links, dtype="Int32"), "text": texts})
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_url_normalize: RFC 3986 canonicalization, value-exact oracle ------------
@@ -1099,8 +1104,8 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "path_depth": pd.array(cols["path_depth"], dtype="Int32"),
                 "canonical": cols["canonical"]})
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(run, schema=schema)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 # --- q_lm_cross_entropy: add-one bigram language-model quality score ------------
@@ -1166,7 +1171,7 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free natively. sequence(1, size-1) is guarded by size >= 2 —
     Spark's sequence(1, 0) counts DOWN rather than returning empty (the
     q_bpe_merges trap)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", words("text").alias("l"))
     big = (
         tok.filter(F.size("l") >= 2)
@@ -1267,7 +1272,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes as a float, and the stopword rule counts DISTINCT
     stopwords present via a 10-element literal-array filter, not a regex
     over the text (so a doc repeating 'the' 50 times scores 1, not 50)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     # stage the tokenizer ONCE: five signals referenced words("text")
     # inline (4 projection uses + 10 lambda-bound evaluations in the
@@ -1347,7 +1352,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, count, sum) triple per doc per partition. At 100 TB this is
     the cheapest possible model-scoring plan: a scan, a projection, a
     combine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     bucket = md5_u32(F.col("word")) % QCLF_BUCKETS
     w = (md5_u32(F.concat(F.lit("qclf|"), bucket.cast("string")))
          % QCLF_WEIGHT_MOD - (QCLF_WEIGHT_MOD - 1) // 2).cast("bigint")
@@ -1407,7 +1412,7 @@ def q_segment_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-r6 single-pass rule."""
     from flink_job_spark.functions.text import shingle_tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     mixed = F.concat(F.col("text"), F.lit(" "), F.expr(_MIX_CASE))
     staged = d.select("doc_id", F.split(norm_text(mixed), " ").alias("w"))
     # the bigram merge materializes ONCE per row (r7): the shingle expr

@@ -103,3 +103,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         schema = SCHEMAS.get(name)
         return (r.schema(schema).json(path) if schema else r.json(path))
     raise ValueError(f"unsupported source format: {fmt!r}")
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism restore for map-heavy lineage (guide §2.5
+    "Input skew: one huge unsplittable file … repartition immediately after
+    the read").
+
+    The bench testdata stores each table as ONE parquet file with ONE row
+    group, so every scan is a single task no matter what
+    ``maxPartitionBytes`` says — and any expensive per-row work that sits
+    BELOW the first exchange (codec encode/decode in mapInPandas, hash
+    forests, tokenize+shingle trees) serializes onto one core of the 32.
+    One round-robin exchange of the (small, sub-core-count) scan output
+    restores the parallelism the plan shape already assumes.
+
+    Scale behaviour: the repartition fires ONLY when the input has fewer
+    partitions than ``defaultParallelism``. A production corpus scan
+    (binaryFile / many-file parquet) already carries >= cores partitions,
+    so this is a no-op there — the condition is derived from the input,
+    not from a local[32] constant. Same rule cached_media_df has shipped
+    since r8 (one RoundRobinPartitioning allowed by the plan pins).
+
+    Caveat (measured, see OPTIMIZATION_r09.md): Spark pushes deterministic
+    Filters below Repartition, so a query whose expensive expressions sit
+    in a Filter must ALSO pin the fanned frame (persist) or the work slides
+    back below the exchange onto the single scan task.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
