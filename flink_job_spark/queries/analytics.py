@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out, fan_out_by, load_table
 
 # --- q_profile_table: one-pass per-column data profile -------------------------------
 
@@ -349,7 +349,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the double clamp results add order-free; both engines clamp with the
     same LEAST/GREATEST tree. At 100 TB swap the exact percentile for
     approx_percentile and keep everything else."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the sort-based exact percentile buffers per-group values in
+    # the partial agg — single-task on the bench's one-rowgroup scan
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice").cast("double")
     b = li.groupBy("l_returnflag").agg(
         F.percentile(price, F.lit(WINSOR_LO)).alias("lo"),
@@ -423,7 +425,7 @@ def q_streak_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_streak": [int(run)],
         })
 
-    return days.groupBy("user_id").applyInPandas(
+    return fan_out_by(days, "user_id").groupBy("user_id").applyInPandas(
         streaks, "user_id long, n_active_days long, max_streak long"
     )
 
@@ -663,12 +665,18 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians swap to approx_percentile (KLL sketch, one pass, mergeable) and
     the plan shape is unchanged. Deviations are computed with the same two
     IEEE ops in both engines; final stats round to 4."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: exact percentile() is sort-based and buffers EVERY group
+    # value inside the partial aggregate — on the single-task bench scan
+    # all three passes sorted 600k rows on one core. The deviation frame
+    # persists because both the MAD reduction and the final rollup read it
+    # (one scan+join instead of two).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice").cast("double")
     m = li.groupBy("l_returnflag").agg(F.percentile(price, F.lit(0.5)).alias("med"))
     dev = (
         li.join(F.broadcast(m), "l_returnflag")
           .select("l_returnflag", "med", F.abs(price - F.col("med")).alias("dv"))
+          .persist()
     )
     s = dev.groupBy("l_returnflag").agg(F.percentile(F.col("dv"), F.lit(0.5)).alias("mad"))
     return (
@@ -910,14 +918,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_bfs_reach's recorded 9.0 s -> 5.x s switch)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # e0 persists and the symmetric edge list is ONE explode over it: the
+    # r8 union-of-two-projections form embedded the join+distinct subtree
+    # twice (Spark shares no subtrees within a plan), and the deg count
+    # action re-derived it a third time — three full passes over the
+    # orders x lineitem join for one logical edge list (guide §2.4).
     e0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
            .select((F.col("o_custkey") * 2).alias("src"),
                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
-           .distinct())
-    edges = e0.union(e0.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
+           .distinct()
+           .persist())
+    edges = symmetric_edges(e0)
     rank = pagerank_ranks(edges, PR_ITERS, PR_DAMP)
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def symmetric_edges(e0: DataFrame) -> DataFrame:
+    """Both directions of each undirected (src, dst) pair in ONE pass: an
+    explode of the two orientations, not a self-union — a union embeds the
+    (expensive) edge-derivation subtree twice in the same physical plan."""
+    return (
+        e0.select(F.explode(F.array(
+            F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+            F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+        )).alias("e"))
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    )
 
 
 def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
@@ -1019,12 +1045,14 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, exactly as the unrolled oracle states it."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # same e0-persist + one-explode edge build as q_pagerank (the union
+    # form paid the join+distinct twice per materialization)
     e0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
            .select((F.col("o_custkey") * 2).alias("src"),
                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
-           .distinct())
-    edges = e0.union(e0.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
+           .distinct()
+           .persist())
+    edges = symmetric_edges(e0)
     return label_propagation_labels(edges, LPA_ITERS).select(
         "node", F.col("label").alias("community"))
 
@@ -1254,7 +1282,7 @@ def q_ema_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["ema"] = out
         return pdf
 
-    return rows.groupBy("user_id").applyInPandas(
+    return fan_out_by(rows, "user_id").groupBy("user_id").applyInPandas(
         ema, "user_id long, event_id long, ts timestamp, value double, ema double")
 
 
@@ -1586,7 +1614,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["alarm"] = [c > CUSUM_H for c in out]
         return pdf
 
-    return rows.groupBy("user_id").applyInPandas(
+    return fan_out_by(rows, "user_id").groupBy("user_id").applyInPandas(
         cusum,
         "user_id long, event_id long, ts timestamp, value double, "
         "cusum double, alarm boolean")

@@ -20,7 +20,7 @@ from flink_job_spark.functions.text import words, words_duck, ws_token_count, ws
 from flink_job_spark.queries import register
 from flink_job_spark.queries.relational import _OUT4, _VDEC, _out4_col, _vdec_col
 from flink_job_spark.queries.windows import SESSION_GAP_MIN
-from flink_job_spark.sources.tables import load_table
+from flink_job_spark.sources.tables import fan_out_by, load_table
 
 PATH_LEN = 3        # leading events kept per session path
 PATH_TOPK = 15
@@ -370,7 +370,7 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf
 
     return (
-        daily.groupBy("c_mktsegment").applyInPandas(
+        fan_out_by(daily, "c_mktsegment").groupBy("c_mktsegment").applyInPandas(
             holt, "c_mktsegment string, day timestamp_ntz, x double, "
                   "level double, trend double, forecast double")
              .select("c_mktsegment", F.col("day").cast("timestamp")
@@ -461,7 +461,7 @@ def q_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped": [n_clamped],
         })
 
-    return li.groupBy("l_suppkey").applyInPandas(
+    return fan_out_by(li, "l_suppkey").groupBy("l_suppkey").applyInPandas(
         replay, "l_suppkey bigint, n_moves bigint, final_balance double, "
                 "peak_balance double, n_clamped bigint")
 

@@ -519,9 +519,14 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
     from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = docs.sparkSession
-    edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-             .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-             ).persist()
+    # one-explode symmetric edge build (see analytics.symmetric_edges): the
+    # union form embedded the whole candidate-pair pipeline twice in the
+    # materialization plan
+    from flink_job_spark.queries.analytics import symmetric_edges
+
+    edges = symmetric_edges(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
     prev_sum = None  # unknown until the first round materializes everything
     rounds = 0

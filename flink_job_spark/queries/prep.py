@@ -39,7 +39,7 @@ from flink_job_spark.functions.text import (
 )
 from flink_job_spark.functions.hashing import md5_u32, md5_u32_duck
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import fan_out, load_table
+from flink_job_spark.sources.tables import fan_out, fan_out_by, load_table
 
 # --- q_sequence_pack: offset-based sequence packing ----------------------------------
 
@@ -455,7 +455,9 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered scale path; this key is the exactness baseline the sketch is
     judged against. Both engines define quantiles by the same 1-based linear
     interpolation, so values match to rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the sort-based exact percentile buffers all values in the
+    # partial agg — single-task on the bench's one-rowgroup scan otherwise
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice").cast("double")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -770,7 +772,13 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory per observed month)."""
     o = load_table(spark, sf_dir, "orders")
     path = _roundtrip_dir(sf_dir, "part")
-    (o.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    # cluster by the partition column before the dynamic-partition write
+    # (guide §6: avoids one-task-writes-every-directory on the bench's
+    # single-partition scan AND many-files-per-directory after a blind
+    # fan-out; each month lands as one file written in parallel)
+    (fan_out_by(o.withColumn("o_month",
+                             F.date_format("o_orderdate", "yyyy-MM")),
+                "o_month")
       .write.mode("overwrite").partitionBy("o_month").parquet(path))
     back = spark.read.parquet(path).filter(F.col("o_month") == PRUNE_MONTH)
     return back.groupBy("o_month").agg(
@@ -1151,7 +1159,8 @@ def pack_next_fit(rows: DataFrame, budget: int = BINPACK_BUDGET) -> DataFrame:
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
         return pdf.rename(columns={"t": "n_tokens"})
 
-    return rows.groupBy("source").applyInPandas(pack, PACK_SCHEMA)
+    return fan_out_by(rows, "source").groupBy("source").applyInPandas(
+        pack, PACK_SCHEMA)
 
 
 

@@ -39,7 +39,7 @@ from flink_job_spark.functions.vectors import (
     sign_bucket_duck,
 )
 from flink_job_spark.queries import register
-from flink_job_spark.sources.tables import fan_out, load_table
+from flink_job_spark.sources.tables import fan_out, fan_out_by, load_table
 
 TOPK = 10
 N_QUERY_VECS = 5
@@ -184,7 +184,7 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"v1": np.minimum(a, c), "v2": np.maximum(a, c),
                              "raw": raw[i1, i2]})
 
-    pairs = rep.groupBy("pid").applyInPandas(
+    pairs = fan_out_by(rep, "pid").groupBy("pid").applyInPandas(
         score_block_pair, "v1 bigint, v2 bigint, raw double")
     return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
                  .filter(F.col("score") >= COSINE_DUP_THRESHOLD))
@@ -300,7 +300,7 @@ def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, r = _score_pairs_tiled(ids, vm, nm, prefilter_lsh)
         return pd.DataFrame({"v1": a, "v2": b, "raw": r})
 
-    pairs = bandrows.groupBy("band", "bh").applyInPandas(
+    pairs = fan_out_by(bandrows, "band", "bh").groupBy("band", "bh").applyInPandas(
         score_bucket, "v1 bigint, v2 bigint, raw double")
     return (pairs.select("v1", "v2", F.round("raw", 6).alias("score"))
                  .filter(F.col("score") >= COSINE_DUP_THRESHOLD)
@@ -984,7 +984,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, r = _score_pairs_tiled(ids, vm, nm, prefilter)
         return pd.DataFrame({"v1": a, "v2": b, "raw": r})
 
-    pairs = assigned.groupBy("cell").applyInPandas(
+    pairs = fan_out_by(assigned, "cell").groupBy("cell").applyInPandas(
         score_cell, "v1 bigint, v2 bigint, raw double")
     pruned = (pairs.filter(F.round("raw", 6) >= SEMDEDUP_THRESHOLD)
                    .select(F.col("v2").alias("vec_id"))

@@ -766,6 +766,15 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str,
          .select(F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
     ).persist()
     merges = []
+    # ONE action per round: the argmax collect of round k is ALSO what
+    # materializes round k's vocabulary cache (it is the first consumer of
+    # the replace applied after round k-1). The r8 form paid a second
+    # count() job per round purely to materialize before unpersisting the
+    # parent; instead the parent cache is dropped AFTER the child is
+    # materialized by the next round's collect — same lineage depth (one
+    # round), half the Spark jobs (bench-scale cost is job-count
+    # dominated, see the verify notes).
+    prev = None
     for k in range(1, rounds + 1):
         sdf = (
             v.select(F.expr("split(btrim(ws, '#'), '##')").alias("s"), "freq")
@@ -785,6 +794,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str,
                  .limit(1)
                  .collect()
         )
+        # v is materialized now; the superseded parent cache can go
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
@@ -794,9 +807,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str,
                       F.lit(f"#{lhs}{rhs}#")).alias("ws"),
             "freq",
         ).persist()
-        nxt.count()  # materialize before dropping the parent round
-        v.unpersist()
+        prev = v
         v = nxt
+    if prev is not None:
+        prev.unpersist()
     v.unpersist()
     return merges
 

