@@ -101,6 +101,18 @@ def _read_size(data: bytes, pos: int, end: int) -> tuple[int | None, int]:
     raise MkvFormatError(f"bad size lead byte {b0:#x}")
 
 
+def _plausible_sibling(data: bytes, p: int, end: int) -> bool:
+    """True when a well-formed VINT size follows a candidate top-level id
+    at ``p`` and the implied element fits the enclosing scope (unknown
+    size is legal for Segment/Cluster). Guards the unknown-size Cluster
+    resync scan against byte patterns inside opaque Block payloads."""
+    try:
+        size, q = _read_size(data, p, end)
+    except MkvFormatError:
+        return False
+    return size is None or q + size <= end
+
+
 def _uint(body: bytes) -> int:
     if len(body) > 8:
         raise MkvFormatError("uint wider than 8 bytes")
@@ -139,11 +151,20 @@ def _walk(data: bytes, pos: int, end: int, depth: int, out: dict,
             if eid == _SEGMENT:
                 size = end - pos
             elif eid == _CLUSTER:
+                # ADVICE r8: a raw byte match alone is not a sibling — a
+                # Block payload can contain e.g. 0x1F43B675 by chance and
+                # would truncate the Cluster early. Accept a candidate
+                # only if a well-formed VINT size follows the matched id
+                # AND the implied element fits (or legally extends to)
+                # the enclosing scope; otherwise keep scanning.
                 nxt = end
                 for pat in _TOP_LEVEL_IDS:
                     i = data.find(pat, pos, nxt)
-                    if i != -1:
-                        nxt = i
+                    while i != -1 and i < nxt:
+                        if _plausible_sibling(data, i + len(pat), end):
+                            nxt = i
+                            break
+                        i = data.find(pat, i + 1, nxt)
                 size = nxt - pos
             else:
                 raise MkvFormatError(f"unknown size on element {eid:#x}")

@@ -149,7 +149,7 @@ _DEFAULT_COEFF_PROBS = tuple(
 
 
 class _BoolDec:
-    __slots__ = ("d", "p", "end", "value", "range", "bits")
+    __slots__ = ("d", "p", "end", "value", "range", "bits", "over")
 
     def __init__(self, data: bytes, start: int, end: int):
         if end > len(data) or start > end:
@@ -157,9 +157,18 @@ class _BoolDec:
         self.d = data
         self.p = start
         self.end = end
+        # bytes synthesized past the partition end: the coder's register
+        # legitimately looks ahead ~2 bytes at stream end, but a TRUNCATED
+        # partition zero-pads its way to a silent, wrong decode — callers
+        # check `over` after decoding (ADVICE r8, errors-as-data contract)
+        self.over = 0
         v = 0
         for _ in range(2):
-            v = (v << 8) | (self.d[self.p] if self.p < self.end else 0)
+            if self.p < self.end:
+                v = (v << 8) | self.d[self.p]
+            else:
+                v <<= 8
+                self.over += 1
             self.p += 1
         self.value = v
         self.range = 255
@@ -181,7 +190,10 @@ class _BoolDec:
             self.bits += 1
             if self.bits == 8:
                 self.bits = 0
-                self.value |= self.d[self.p] if self.p < self.end else 0
+                if self.p < self.end:
+                    self.value |= self.d[self.p]
+                else:
+                    self.over += 1
                 self.p += 1
         return ret
 
@@ -507,7 +519,7 @@ def _loop_filter_frame(y, u, v, mb_levels, mb_filter_sub, simple,
             il = max(il, 1)
             mb_e = ((lvl + 2) * 2) + il
             sb_e = (lvl * 2) + il
-            thr = 2 if lvl >= 40 else (1 if lvl >= 16 else 0)
+            thr = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
             sub = mb_filter_sub[mby][mbx]
             x0, y0 = mbx * 16, mby * 16
             if simple:
@@ -848,12 +860,25 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
     # values replace the defaults
     probs = [[[list(_DEFAULT_COEFF_PROBS[i][j][k]) for k in range(3)]
               for j in range(8)] for i in range(4)]
+    n_transmitted = 0
     for i in range(4):
         for j in range(8):
             for k in range(3):
                 for l in range(11):
                     if bd.bool_(_COEFF_UPDATE_PROBS[i][j][k][l]):
                         probs[i][j][k][l] = bd.literal(8)
+                        n_transmitted += 1
+    # Fail closed (ADVICE r8, high): the three RFC 6386 normative entropy
+    # tables are placeholders here (the repo's encoder always transmits
+    # every coefficient probability explicitly, so its own streams never
+    # consult them). A real-world lossy WebP that RELIES on the default
+    # tables would entropy-decode with wrong probabilities and return
+    # garbage pixels with no error — turn that into a tagged decode_error
+    # row instead.
+    if n_transmitted != 4 * 8 * 3 * 11:
+        raise Vp8FormatError(
+            "stream relies on default coefficient tables - adapter "
+            "boundary (normative RFC 6386 tables not embedded)")
 
     mb_no_skip = bd.literal(1)
     skip_prob = bd.literal(8) if mb_no_skip else 0
@@ -1019,6 +1044,19 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
             y[1 + mby * 16:1 + mby * 16 + 16, pw:pw + 1]
         if mby == 0:
             y[0, pw + 1:] = y[0, pw]
+
+    # Truncation guard (ADVICE r8): _BoolDec zero-pads reads past the
+    # partition end, so a chopped token partition "decodes" to completion
+    # with silently wrong pixels. Measured over 60 encoder fixtures (all
+    # sizes x 1/2/4/8 partitions): a CLEAN decode synthesizes zero bytes
+    # (the encoder's flush padding covers the register lookahead), so any
+    # over-read beyond one byte of conformance grace means the partition
+    # was truncated — surface it as a decode_error row, not wrong stats.
+    for i, td in enumerate(parts):
+        if td.over > 1:
+            raise Vp8FormatError(
+                f"token partition {i} truncated: decoder consumed "
+                f"{td.over} bytes past its end")
 
     yp = y[1:ph + 1, 1:pw + 1]
     up = u[1:cph + 1, 1:cpw + 1]

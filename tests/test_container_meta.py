@@ -462,3 +462,36 @@ def test_mkv_unknown_cluster_size_resyncs_to_siblings():
                             video=(64, 48, "V_VP8"), cluster_bytes=32,
                             unknown_cluster_size=True))
     assert m2["n_tracks"] == 1 and m2["vid_w"] == 64
+
+
+def test_mkv_cluster_resync_rejects_decoy_id_pattern():
+    """ADVICE r9: the unknown-size Cluster resync scans raw bytes for
+    top-level element ids; a Block payload that happens to contain the
+    Cluster id bytes must NOT truncate the Cluster — a candidate is
+    accepted only when a well-formed VINT size follows it and the
+    implied element fits the scope."""
+    from flink_job_spark.functions.mkv import (_CLUSTER, _EBML_HEADER,
+                                               _DOCTYPE, _el, _el_uint,
+                                               _id_bytes, mkv_meta)
+
+    header = _el(_EBML_HEADER,
+                 _el_uint(0x4286, 1) + _el_uint(0x42F7, 1)
+                 + _el(_DOCTYPE, b"matroska") + _el_uint(0x4287, 4))
+    # decoy: the Cluster id byte pattern inside the (opaque) cluster
+    # body, followed by 0x00 — not a valid VINT size lead byte, so the
+    # resync must skip it and use the REAL Tracks sibling instead
+    decoy = _id_bytes(_CLUSTER) + b"\x00" + bytes(8)
+    cbody = _el_uint(0xE7, 0) + decoy + bytes(16)
+    cluster = _id_bytes(_CLUSTER) + b"\xff" + cbody   # unknown size
+    video = _el(0xAE, _el_uint(0x83, 1) + _el(0x86, b"V_VP9")
+                + _el(0xE0, _el_uint(0xB0, 320) + _el_uint(0xBA, 240)))
+    tracks = _el(0x1654AE6B, video)
+    info = _el(0x1549A966, _el_uint(0x2AD7B1, 1_000_000))
+    seg = _el(0x18538067, info + cluster + tracks)
+    m = mkv_meta(header + seg)
+    # before the fix the decoy truncated the Cluster and the walker
+    # choked on (or swallowed) the trailing Tracks; now the video track
+    # after the live-muxed Cluster is inventoried
+    assert m["has_video"] is True
+    assert (m["vid_w"], m["vid_h"]) == (320, 240)
+    assert m["video_codec"] == "V_VP9"

@@ -236,3 +236,79 @@ def test_vp8_multi_token_partitions():
         decode_vp8_frame(frame[:part1 + 10])
     with pytest.raises(Vp8FormatError, match="partition count"):
         encode_vp8_frame(48, 40, y, u, v, n_parts=3)
+
+
+def test_vp8_truncated_token_partition_fails_loudly():
+    """ADVICE r9: _BoolDec zero-pads past the partition end, so a chopped
+    token partition used to decode to completion with silently wrong
+    pixels (measured max pixel error 60 on a 12-byte chop). The decoder
+    now counts synthesized bytes and raises once a token partition
+    over-reads beyond the register's legitimate lookahead."""
+    import numpy as np
+
+    from flink_job_spark.functions.vp8 import (Vp8FormatError,
+                                               decode_vp8_frame,
+                                               encode_vp8_frame,
+                                               rgb_to_yuv420)
+
+    rgb = _grad(48, 40, 1)
+    y, u, v = rgb_to_yuv420(np.repeat(rgb, 3, axis=-1)
+                            if rgb.shape[-1] == 1 else rgb)
+    frame = encode_vp8_frame(48, 40, y, u, v, qi=8, mode_policy="cycle")
+    # the full frame still decodes (no false positive from the guard)
+    decode_vp8_frame(frame)
+    # chopping the token partition must now surface an error rather than
+    # a silent wrong decode; scan a range of chops — at least one must
+    # trip the over-read guard and NONE may return wrong pixels silently
+    ref = decode_vp8_frame(frame)
+    tripped = 0
+    for cut in (4, 8, 12, 16, 24):
+        try:
+            got = decode_vp8_frame(frame[:-cut])
+        except Vp8FormatError:
+            tripped += 1
+            continue
+        # an undetected chop may only happen when the dropped bytes were
+        # never needed — the decode must then be byte-identical
+        assert got[2].tobytes() == ref[2].tobytes(), cut
+        assert got[3].tobytes() == ref[3].tobytes(), cut
+        assert got[4].tobytes() == ref[4].tobytes(), cut
+    assert tripped >= 1
+
+
+def test_vp8_default_coeff_tables_fail_closed():
+    """ADVICE r9 (high): the RFC 6386 normative default coefficient
+    tables are placeholders here; a stream that RELIES on them (update
+    flags all zero) must raise instead of entropy-decoding garbage."""
+    import struct
+
+    import pytest
+
+    from flink_job_spark.functions import vp8 as m
+
+    me = m._BoolEncExt()
+    me.literal(1, 0)                      # color space
+    me.literal(1, 0)                      # clamping
+    me.literal(1, 0)                      # segmentation disabled
+    me.literal(1, 0)                      # normal filter
+    me.literal(6, 0)                      # filter level
+    me.literal(3, 0)                      # sharpness
+    me.literal(1, 0)                      # lf deltas disabled
+    me.literal(2, 0)                      # one token partition
+    me.literal(7, 8)                      # base qi
+    for _ in range(5):
+        me.literal(1, 0)                  # no quantizer deltas
+    me.literal(1, 1)                      # refresh entropy probs
+    for i in range(4):                    # transmit NO coeff probs
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    me.bool_(m._COEFF_UPDATE_PROBS[i][j][k][l], 0)
+    me.literal(1, 0)                      # mb_no_coeff_skip off
+    part1 = me.finish()
+    tag = (1 << 4) | (len(part1) << 5)
+    frame = (bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+             + b"\x9d\x01\x2a" + struct.pack("<H", 16)
+             + struct.pack("<H", 16) + part1 + b"\x00" * 8)
+    with pytest.raises(m.Vp8FormatError, match="default coefficient"):
+        m.decode_vp8_frame(frame)
