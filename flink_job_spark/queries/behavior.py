@@ -370,7 +370,7 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf
 
     return (
-        fan_out_by(daily, "c_mktsegment").groupBy("c_mktsegment").applyInPandas(
+        daily.groupBy("c_mktsegment").applyInPandas(
             holt, "c_mktsegment string, day timestamp_ntz, x double, "
                   "level double, trend double, forecast double")
              .select("c_mktsegment", F.col("day").cast("timestamp")

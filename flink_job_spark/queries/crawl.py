@@ -109,7 +109,7 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_chars": pd.array(lens, dtype="Int32")})
 
     d = load_table(spark, sf_dir, "documents")
-    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
+    return d.select("doc_id").mapInPandas(run, schema=schema)
 
 
 # --- q_text_normalize: NFC + mojibake repair + control strip, value-exact -------
@@ -771,7 +771,7 @@ def q_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "quoted": quoted})
 
     d = load_table(spark, sf_dir, "documents")
-    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
+    return d.select("doc_id").mapInPandas(run, schema=schema)
 
 
 # --- q_dataset_card: per-source corpus statistics rollup --------------------------
@@ -1117,7 +1117,7 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_sentence": firsts, "last_sentence": lasts})
 
     d = load_table(spark, sf_dir, "documents")
-    return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
+    return d.select("doc_id").mapInPandas(run, schema=schema)
 
 
 # --- q_html_links: outlink extraction + anchor-text rollup -----------------------

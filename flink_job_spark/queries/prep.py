@@ -1357,7 +1357,10 @@ def q_shard_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
     on source, the natural write-partitioning at 100 TB; a pathological
     single giant source would salt the rank the same way q_train_shuffle's
     docstring records."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # no fan_out (r9): the token count is one cheap regex count and the
+    # window shuffle immediately re-partitions by source anyway — the
+    # extra exchange measured as pure overhead on this sub-second key
+    d = load_table(spark, sf_dir, "documents")
     t = d.select("source", "doc_id", ws_token_count("text").alias("tok"))
     r = F.row_number().over(
         Window.partitionBy("source").orderBy(F.col("tok").desc(), "doc_id")) - 1

@@ -214,7 +214,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_job_spark.functions.text import words
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # fan_out deliberately NOT applied here (r9): more partitions means
+    # more Misra-Gries summaries and a larger candidate union for the
+    # exact phase — measured +0.6 s at sf0.1 for no scale benefit (the
+    # summary pass is already partition-local at any width).
+    d = load_table(spark, sf_dir, "documents")
     w = d.select(F.explode(words("text")).alias("word"))
 
     def mg_partition(it):
