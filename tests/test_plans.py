@@ -458,7 +458,9 @@ def test_block_dedup_no_cartesian(spark, sf_dir):
 def test_group_median_single_shuffle_pruned(spark, sf_dir):
     q = all_queries()["q_group_median"]
     p = plan(q.fn(spark, sf_dir))
-    assert _n_exchanges(p) <= 1, f"grouped percentile gained shuffles:\n{p}"
+    # one key exchange (the grouped percentile); fan_out may add its
+    # round-robin parallelism restore below it (r9)
+    assert _n_key_exchanges(p) <= 1, f"grouped percentile gained shuffles:\n{p}"
     assert read_schema_columns(p) == {"l_returnflag", "l_extendedprice"}, (
         read_schema_columns(p)
     )
@@ -560,13 +562,16 @@ def test_rolling_distinct_broadcasts_observed_days(spark, sf_dir):
 
 def test_outlier_mad_broadcasts_both_stats(spark, sf_dir):
     """Median and MAD reductions broadcast back — the fact side must never
-    shuffle for either join. The dev subplan is deliberately recomputed
-    (two scan passes beat caching a fact-sized frame), so the med join
-    appears twice: 3 broadcast joins, 0 shuffle joins."""
+    shuffle for either join. r9: the deviation frame is persisted (both
+    the MAD reduction and the final rollup read it — one scan+join pass
+    instead of two) and the scan fans out so the sort-based percentile
+    partials run wider than one task; the cached dev subplan appears as
+    InMemoryTableScan at least twice."""
     q = all_queries()["q_outlier_mad"]
     p = plan(q.fn(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 3, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert p.count("InMemoryTableScan") >= 2, p
 
 
 def test_correlation_single_shuffle(spark, sf_dir):
