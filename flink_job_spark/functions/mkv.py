@@ -101,16 +101,22 @@ def _read_size(data: bytes, pos: int, end: int) -> tuple[int | None, int]:
     raise MkvFormatError(f"bad size lead byte {b0:#x}")
 
 
-def _plausible_sibling(data: bytes, p: int, end: int) -> bool:
+def _plausible_sibling(data: bytes, p: int, end: int,
+                       allow_unknown: bool) -> bool:
     """True when a well-formed VINT size follows a candidate top-level id
-    at ``p`` and the implied element fits the enclosing scope (unknown
-    size is legal for Segment/Cluster). Guards the unknown-size Cluster
-    resync scan against byte patterns inside opaque Block payloads."""
+    at ``p`` and the implied element fits the enclosing scope. Unknown
+    size (``allow_unknown``) is accepted only when the matched id is one
+    for which RFC 8794 permits it — Segment/Cluster — so a decoy
+    Tracks/Info/Cues byte pattern followed by 0xFF inside an opaque Block
+    payload no longer truncates the unknown-size Cluster (ADVICE r9).
+    Guards the unknown-size Cluster resync scan."""
     try:
         size, q = _read_size(data, p, end)
     except MkvFormatError:
         return False
-    return size is None or q + size <= end
+    if size is None:
+        return allow_unknown
+    return q + size <= end
 
 
 def _uint(body: bytes) -> int:
@@ -159,9 +165,14 @@ def _walk(data: bytes, pos: int, end: int, depth: int, out: dict,
                 # the enclosing scope; otherwise keep scanning.
                 nxt = end
                 for pat in _TOP_LEVEL_IDS:
+                    # unknown size on the SIBLING is only legal when the
+                    # sibling itself is a Cluster (Segment never appears
+                    # as a Segment child)
+                    unk_ok = int.from_bytes(pat, "big") == _CLUSTER
                     i = data.find(pat, pos, nxt)
                     while i != -1 and i < nxt:
-                        if _plausible_sibling(data, i + len(pat), end):
+                        if _plausible_sibling(data, i + len(pat), end,
+                                              unk_ok):
                             nxt = i
                             break
                         i = data.find(pat, i + 1, nxt)

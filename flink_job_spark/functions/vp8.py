@@ -148,6 +148,15 @@ _DEFAULT_COEFF_PROBS = tuple(
 # --- boolean coder (§7) -----------------------------------------------------------
 
 
+# batched renormalization: shifts needed to bring `range` back into
+# [128, 255]. Equal to the iteration count of the canonical
+# `while range < 128: range <<= 1` loop, so a single table lookup + shift
+# replaces it (at most one byte feed can occur per renorm, since
+# bits <= 7 and shift <= 7 keep bits + shift < 16).
+_RENORM_SHIFT = tuple(0 if r >= 128 else 8 - r.bit_length()
+                      for r in range(256))
+
+
 class _BoolDec:
     __slots__ = ("d", "p", "end", "value", "range", "bits", "over")
 
@@ -286,38 +295,40 @@ _C1 = 20091        # (cos(pi/8)*sqrt(2) - 1) << 16
 _C2 = 35468        # (sin(pi/8)*sqrt(2)) << 16
 
 
+def _idct4x4_batch(blocks: np.ndarray) -> np.ndarray:
+    """§14.4 inverse DCT over a stack of blocks, (n, 16) raster -> (n, 4, 4).
+
+    Whole-array integer ops (the exact same (x*C)>>16 / (x+4)>>3 sequences as
+    the scalar spec loops — numpy int64 >> is arithmetic, matching Python) so
+    the per-coefficient work runs vectorized instead of as scalar numpy math
+    one lane at a time; a macroblock's 16 Y or 4+4 UV blocks IDCT in one call."""
+    ip = blocks.astype(np.int64).reshape(-1, 4, 4)
+    # column pass (within each block: over rows, all columns at once)
+    a1 = ip[:, 0, :] + ip[:, 2, :]
+    b1 = ip[:, 0, :] - ip[:, 2, :]
+    c1 = ((ip[:, 1, :] * _C2) >> 16) - (ip[:, 3, :] + ((ip[:, 3, :] * _C1) >> 16))
+    d1 = (ip[:, 1, :] + ((ip[:, 1, :] * _C1) >> 16)) + ((ip[:, 3, :] * _C2) >> 16)
+    tmp = np.empty_like(ip)
+    tmp[:, 0, :] = a1 + d1
+    tmp[:, 3, :] = a1 - d1
+    tmp[:, 1, :] = b1 + c1
+    tmp[:, 2, :] = b1 - c1
+    # row pass (over columns, all rows at once)
+    a1 = tmp[:, :, 0] + tmp[:, :, 2]
+    b1 = tmp[:, :, 0] - tmp[:, :, 2]
+    c1 = ((tmp[:, :, 1] * _C2) >> 16) - (tmp[:, :, 3] + ((tmp[:, :, 3] * _C1) >> 16))
+    d1 = (tmp[:, :, 1] + ((tmp[:, :, 1] * _C1) >> 16)) + ((tmp[:, :, 3] * _C2) >> 16)
+    out = np.empty_like(ip)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
 def _idct4x4(block: np.ndarray) -> np.ndarray:
     """§14.4 inverse DCT, column pass then row pass with (x+4)>>3."""
-    ip = block.astype(np.int64).reshape(4, 4)
-    tmp = np.empty((4, 4), np.int64)
-    for c in range(4):
-        a1 = ip[0, c] + ip[2, c]
-        b1 = ip[0, c] - ip[2, c]
-        t1 = (ip[1, c] * _C2) >> 16
-        t2 = ip[3, c] + ((ip[3, c] * _C1) >> 16)
-        c1 = t1 - t2
-        t1 = ip[1, c] + ((ip[1, c] * _C1) >> 16)
-        t2 = (ip[3, c] * _C2) >> 16
-        d1 = t1 + t2
-        tmp[0, c] = a1 + d1
-        tmp[3, c] = a1 - d1
-        tmp[1, c] = b1 + c1
-        tmp[2, c] = b1 - c1
-    out = np.empty((4, 4), np.int64)
-    for r in range(4):
-        a1 = tmp[r, 0] + tmp[r, 2]
-        b1 = tmp[r, 0] - tmp[r, 2]
-        t1 = (tmp[r, 1] * _C2) >> 16
-        t2 = tmp[r, 3] + ((tmp[r, 3] * _C1) >> 16)
-        c1 = t1 - t2
-        t1 = tmp[r, 1] + ((tmp[r, 1] * _C1) >> 16)
-        t2 = (tmp[r, 3] * _C2) >> 16
-        d1 = t1 + t2
-        out[r, 0] = (a1 + d1 + 4) >> 3
-        out[r, 3] = (a1 - d1 + 4) >> 3
-        out[r, 1] = (b1 + c1 + 4) >> 3
-        out[r, 2] = (b1 - c1 + 4) >> 3
-    return out
+    return _idct4x4_batch(block.reshape(1, 16))[0]
 
 
 def _iwht4x4(block: np.ndarray) -> np.ndarray:
@@ -735,21 +746,140 @@ class _Quantizers:
             self.per_segment.append((y1dc, y1ac, y2dc, y2ac, uvdc, uvac))
 
 
+def _read_coeff_probs(bd: _BoolDec, probs) -> int:
+    """§13.4 coefficient-probability updates: 4x8x3x11 update-flag booleans,
+    each transmitted value an 8-bit literal. For small frames this block is
+    ~9.5k boolean decodes — the single largest share of the whole decode —
+    so the boolean decoder runs INLINE on local-variable state here exactly
+    as in `_decode_block` (bit arithmetic identical to `_BoolDec.bool_`).
+    Returns the number of transmitted probabilities."""
+    d = bd.d
+    pos = bd.p
+    end = bd.end
+    value = bd.value
+    rng = bd.range
+    bits = bd.bits
+    over = bd.over
+    n_transmitted = 0
+    for i in range(4):
+        pi = probs[i]
+        ui = _COEFF_UPDATE_PROBS[i]
+        for j in range(8):
+            pj = pi[j]
+            uj = ui[j]
+            for k in range(3):
+                row = pj[k]
+                urow = uj[k]
+                for l in range(11):
+                    prob = urow[l]
+                    split = 1 + (((rng - 1) * prob) >> 8)
+                    big = split << 8
+                    if value >= big:
+                        rng -= split
+                        value -= big
+                        flag = 1
+                    else:
+                        rng = split
+                        flag = 0
+                    sh = _RENORM_SHIFT[rng]
+                    if sh:
+                        value <<= sh
+                        rng <<= sh
+                        bits += sh
+                        if bits >= 8:
+                            bits -= 8
+                            if pos < end:
+                                value |= d[pos] << bits
+                            else:
+                                over += 1
+                            pos += 1
+                    if flag:
+                        v = 0
+                        for _ in range(8):
+                            split = (rng + 1) >> 1  # == 1 + (((rng-1)*128)>>8)
+                            big = split << 8
+                            if value >= big:
+                                rng -= split
+                                value -= big
+                                v = (v << 1) | 1
+                            else:
+                                rng = split
+                                v <<= 1
+                            sh = _RENORM_SHIFT[rng]
+                            if sh:
+                                value <<= sh
+                                rng <<= sh
+                                bits += sh
+                                if bits >= 8:
+                                    bits -= 8
+                                    if pos < end:
+                                        value |= d[pos] << bits
+                                    else:
+                                        over += 1
+                                    pos += 1
+                        row[l] = v
+                        n_transmitted += 1
+    bd.p = pos
+    bd.value = value
+    bd.range = rng
+    bd.bits = bits
+    bd.over = over
+    return n_transmitted
+
+
 def _decode_block(bd: _BoolDec, probs, plane: int, ctx: int,
                   first: int, dq_dc: int, dq_ac: int) -> tuple:
     """Token-decode one 4x4 block (§13.3); returns (nonzero, raster
-    coefficients already dequantized)."""
+    coefficients already dequantized).
+
+    The boolean decoder runs INLINE on local-variable state (loaded from /
+    stored back to ``bd`` once per block): token decoding is a per-bit loop,
+    and going through the `_BoolDec.bool_` method per bit made attribute
+    access and call dispatch the dominant decode cost for small frames
+    (guide §4.2 — make the per-task Python work cheap). The bit arithmetic
+    is byte-for-byte the same as `_BoolDec.bool_`."""
     out = np.zeros(16, np.int64)
     nonzero = False
     i = first
     skip_eob = False
     c = ctx
+    pp = probs[plane]
+    bands = _COEFF_BANDS
+    ctree = _COEFF_TREE
+    zigzag = _ZIGZAG
+    d = bd.d
+    pos = bd.p
+    end = bd.end
+    value = bd.value
+    rng = bd.range
+    bits = bd.bits
+    over = bd.over
     while i < 16:
-        p = probs[plane][_COEFF_BANDS[i]][c]
+        p = pp[bands[i]][c]
         node = 2 if skip_eob else 0
-        tok = None
         while True:
-            node = _COEFF_TREE[node + bd.bool_(p[node >> 1])]
+            prob = p[node >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                rng -= split
+                value -= big
+                node = ctree[node + 1]
+            else:
+                rng = split
+                node = ctree[node]
+            sh = _RENORM_SHIFT[rng]
+            if sh:
+                value <<= sh
+                rng <<= sh
+                bits += sh
+                if bits >= 8:
+                    bits -= 8
+                    if pos < end:
+                        value |= d[pos] << bits
+                    else:
+                        over += 1
+                    pos += 1
             if node <= 0:
                 tok = -node
                 break
@@ -767,14 +897,58 @@ def _decode_block(bd: _BoolDec, probs, plane: int, ctx: int,
             base, bit_probs = _CAT_SPEC[tok]
             extra = 0
             for bp in bit_probs:
-                extra = (extra << 1) | bd.bool_(bp)
+                split = 1 + (((rng - 1) * bp) >> 8)
+                big = split << 8
+                if value >= big:
+                    rng -= split
+                    value -= big
+                    extra = (extra << 1) | 1
+                else:
+                    rng = split
+                    extra <<= 1
+                sh = _RENORM_SHIFT[rng]
+                if sh:
+                    value <<= sh
+                    rng <<= sh
+                    bits += sh
+                    if bits >= 8:
+                        bits -= 8
+                        if pos < end:
+                            value |= d[pos] << bits
+                        else:
+                            over += 1
+                        pos += 1
             v = base + extra
-        if bd.bool_(128):
+        # sign bit (prob 128)
+        split = (rng + 1) >> 1  # == 1 + (((rng-1)*128)>>8)
+        big = split << 8
+        if value >= big:
+            rng -= split
+            value -= big
             v = -v
-        out[_ZIGZAG[i]] = v * (dq_dc if i == 0 else dq_ac)
-        c = 1 if abs(v) == 1 else 2
+        else:
+            rng = split
+        sh = _RENORM_SHIFT[rng]
+        if sh:
+            value <<= sh
+            rng <<= sh
+            bits += sh
+            if bits >= 8:
+                bits -= 8
+                if pos < end:
+                    value |= d[pos] << bits
+                else:
+                    over += 1
+                pos += 1
+        out[zigzag[i]] = v * (dq_dc if i == 0 else dq_ac)
+        c = 1 if (v == 1 or v == -1) else 2
         nonzero = True
         i += 1
+    bd.p = pos
+    bd.value = value
+    bd.range = rng
+    bd.bits = bits
+    bd.over = over
     return nonzero, out
 
 
@@ -860,14 +1034,7 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
     # values replace the defaults
     probs = [[[list(_DEFAULT_COEFF_PROBS[i][j][k]) for k in range(3)]
               for j in range(8)] for i in range(4)]
-    n_transmitted = 0
-    for i in range(4):
-        for j in range(8):
-            for k in range(3):
-                for l in range(11):
-                    if bd.bool_(_COEFF_UPDATE_PROBS[i][j][k][l]):
-                        probs[i][j][k][l] = bd.literal(8)
-                        n_transmitted += 1
+    n_transmitted = _read_coeff_probs(bd, probs)
     # Fail closed (ADVICE r8, high): the three RFC 6386 normative entropy
     # tables are placeholders here (the repo's encoder always transmits
     # every coefficient probability explicitly, so its own streams never
@@ -958,9 +1125,8 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
                 if ymode != B_PRED:
                     left["y2"] = np.array(False)
                     above["y2"][mbx] = False
-                y_coeffs = [np.zeros(16, np.int64) for _ in range(16)]
-                u_coeffs = [np.zeros(16, np.int64) for _ in range(4)]
-                v_coeffs = [np.zeros(16, np.int64) for _ in range(4)]
+                # all-zero residual: reconstruction adds nothing
+                y_res = u_res = v_res = None
             else:
                 y_coeffs, u_coeffs, v_coeffs = [], [], []
                 if ymode != B_PRED:
@@ -980,14 +1146,11 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
                     ctx = int(above["y"][mbx][bc]) + int(left["y"][br])
                     nz, coeffs = _decode_block(td, probs, plane_idx, ctx,
                                                first, y1dc, y1ac)
-                    if dcs is not None:
-                        coeffs[0] = dcs[b]
                     above["y"][mbx][bc] = nz
                     left["y"][br] = nz
                     any_nz |= nz
                     y_coeffs.append(coeffs)
-                for pl, store, coeffs_out in (("u", u_coeffs, None),
-                                              ("v", v_coeffs, None)):
+                for pl, store in (("u", u_coeffs), ("v", v_coeffs)):
                     for b in range(4):
                         br, bc = b >> 1, b & 1
                         ctx = int(above[pl][mbx][bc]) + int(left[pl][br])
@@ -997,15 +1160,24 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
                         left[pl][br] = nz
                         any_nz |= nz
                         store.append(coeffs)
+                # one vectorized IDCT per plane group (residuals never
+                # depend on reconstructed neighbors, so even B_PRED's
+                # sequential prediction can take them precomputed)
+                yc = np.stack(y_coeffs)
+                if dcs is not None:
+                    yc[:, 0] = dcs
+                y_res = _idct4x4_batch(yc)
+                u_res = _idct4x4_batch(np.stack(u_coeffs))
+                v_res = _idct4x4_batch(np.stack(v_coeffs))
 
             # ---- reconstruction ----
             if ymode != B_PRED:
                 pred = _pred_block(y, oy, ox, 16, ymode, have_above,
                                    have_left)
-                for b in range(16):
-                    br, bc = (b >> 2) * 4, (b & 3) * 4
-                    res = _idct4x4(y_coeffs[b])
-                    pred[br:br + 4, bc:bc + 4] += res
+                if y_res is not None:
+                    # pred[(br*4+yy), (bc*4+xx)] += y_res[br*4+bc, yy, xx]
+                    pred.reshape(4, 4, 4, 4)[:] += \
+                        y_res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
                 y[oy:oy + 16, ox:ox + 16] = np.clip(pred, 0, 255)
             else:
                 # the above-right quirk: column-3 subblocks always read
@@ -1016,16 +1188,15 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
                     by, bx = oy + br * 4, ox + bc * 4
                     ar = ar_top if bc == 3 else y[by - 1, bx + 4:bx + 8]
                     pred = _pred_b(y, by, bx, bmodes[b], ar)
-                    res = _idct4x4(y_coeffs[b])
-                    y[by:by + 4, bx:bx + 4] = np.clip(pred + res, 0, 255)
-            for pl, coeffs, mode_plane in ((u, u_coeffs, None),
-                                           (v, v_coeffs, None)):
+                    if y_res is not None:
+                        pred = pred + y_res[b]
+                    y[by:by + 4, bx:bx + 4] = np.clip(pred, 0, 255)
+            for pl, res in ((u, u_res), (v, v_res)):
                 pred = _pred_block(pl, cy, cx, 8, uvmode, have_above,
                                    have_left)
-                for b in range(4):
-                    br, bc = (b >> 1) * 4, (b & 1) * 4
-                    res = _idct4x4(coeffs[b])
-                    pred[br:br + 4, bc:bc + 4] += res
+                if res is not None:
+                    pred.reshape(2, 4, 2, 4)[:] += \
+                        res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3)
                 pl[cy:cy + 8, cx:cx + 8] = np.clip(pred, 0, 255)
 
             # loop-filter bookkeeping
@@ -1052,6 +1223,14 @@ def decode_vp8_frame(data: bytes, max_pixels: int = MAX_PIXELS):
     # (the encoder's flush padding covers the register lookahead), so any
     # over-read beyond one byte of conformance grace means the partition
     # was truncated — surface it as a decode_error row, not wrong stats.
+    # The FIRST partition (header / segmentation / per-MB modes) zero-pads
+    # identically, so a truncated partition 1 silently fabricates mode bits
+    # and returns wrong pixels with no error (ADVICE r9): apply the same
+    # one-byte lookahead grace to `bd` once all header+mode parsing is done.
+    if bd.over > 1:
+        raise Vp8FormatError(
+            f"first partition truncated: decoder consumed {bd.over} bytes "
+            f"past its end")
     for i, td in enumerate(parts):
         if td.over > 1:
             raise Vp8FormatError(

