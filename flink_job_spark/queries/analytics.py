@@ -969,6 +969,12 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
     spark = edges.sparkSession
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(deg, "src").persist()
+    # r10 measured-and-rejected: folding this count() into the plan as a
+    # broadcast 1-row scalar (IEEE-identical in-engine divisions, oracle
+    # green) removed the driver action but ADDED AQE broadcast stages —
+    # jobs 19 -> 28, wall flat (5-rep medians 5.20 vs 4.68 s, warm tails
+    # equal within noise). The count also sequences the e0/edges cache
+    # materialization BEFORE the superstep branches race on it. Kept.
     n = float(deg.count())
     rank = deg.select(F.col("src").alias("node"),
                       F.lit(1.0 / n).alias("rank"))
@@ -1798,8 +1804,17 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame,
     from flink_job_spark.session import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = seeds.sparkSession
-    sym = edges.union(edges.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
+    # both orientations via ONE explode (r10, the symmetric_edges lesson):
+    # the union form embedded the caller's edge-derivation subtree — for
+    # q_bfs_reach the orders x lineitem join + distinct — TWICE in the
+    # sym materialization plan (Spark shares no subtrees within a plan)
+    sym = (
+        edges.select(F.explode(F.array(
+            F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+            F.struct(F.col("b").alias("x"), F.col("a").alias("y")),
+        )).alias("e"))
+        .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+    )
     sym = sym.persist()
     # persist ONLY the per-level frontier frames (each is read twice: the
     # visited anti-join and the next expansion); the visited union is a

@@ -1032,10 +1032,13 @@ def _pq_subdist_duck(a: str, b: str) -> str:
     )
 
 
-def pq_codebooks(e: DataFrame) -> list[list[tuple[int, list[float]]]]:
+def pq_codebooks(e: DataFrame,
+                 rows=None) -> list[list[tuple[int, list[float]]]]:
     """books[m] = [(code_id, subvec)] in code order — the deterministic
-    id-sample codebook (vec_id < PQ_CODES), k*dim-tiny by definition."""
-    cb_rows = sorted(
+    id-sample codebook (vec_id < PQ_CODES), k*dim-tiny by definition.
+    ``rows`` lets a caller that already collected the low-id sample skip
+    the collect job (q_ann_pq shares it with the query-vector set)."""
+    cb_rows = rows if rows is not None else sorted(
         e.filter(F.col("vec_id") < PQ_CODES).select("vec_id", "v").collect(),
         key=lambda r: r["vec_id"],
     )
@@ -1156,14 +1159,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank pass lifts what the candidate set retains — kmeans-trained
     books would share this exact plan shape with better books."""
     e = _vecs(spark, sf_dir)
-    books = pq_codebooks(e)
+    # ONE collect of the low-id sample feeds both the codebooks
+    # (vec_id < PQ_CODES) and the query-vector LUTs (vec_id < N_QUERY_VECS,
+    # a subset) — r10, same fold as the IVF keys (guide §2.4, fewer actions)
+    low = sorted(
+        e.filter(F.col("vec_id") < PQ_CODES).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    books = pq_codebooks(e, rows=low)
     enc = pq_encode(e, books)
 
     # driver-side LUTs for the tiny query set, same IEEE fold as the oracle
-    qrows = sorted(
-        e.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "v").collect(),
-        key=lambda r: r["vec_id"],
-    )
+    qrows = [r for r in low if int(r["vec_id"]) < N_QUERY_VECS]
     probes = []
     for qr in qrows:
         qv = [float(x) for x in qr["v"]]
